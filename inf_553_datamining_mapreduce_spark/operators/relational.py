@@ -1,0 +1,312 @@
+"""Relational core — every scan/filter/join/aggregate/sort operator family
+from SURVEY.md §2.2-§2.6, re-expressed as declarative DataFrame plans so
+Catalyst provides pushdown, pruning, partial aggregation, and join-strategy
+selection (the reference hand-rolled all of these at the RDD level).
+
+Scale notes (100 TB stance):
+  * Dimension tables (region/nation/customer/supplier/part) are joined with
+    an explicit ``F.broadcast`` hint where they are guaranteed small relative
+    to the fact side — no shuffle of the fact table for those joins.
+  * Fact-fact joins (lineitem⋈orders) shuffle on the join key; AQE handles
+    skew. No driver-side collection anywhere on a data-sized path.
+  * Float aggregates accumulate in DECIMAL so results are exact and
+    order-independent (double summation is order-sensitive, which would make
+    results nondeterministic under different partitionings — unacceptable for
+    a correctness-gated engine at any scale). Output is cast back to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Exact accumulator type for monetary/double columns: wide enough for every
+# value in the test tables; sums widen precision automatically
+# (Spark: decimal(34,6); DuckDB: decimal(38,6)).
+_DEC = "decimal(24,6)"
+
+
+def _dsum(col: str) -> Column:
+    """Order-independent exact sum of a double column, returned as double."""
+    return F.sum(F.col(col).cast(_DEC)).cast("double")
+
+
+def _davg(col: str) -> Column:
+    """Exact-numerator average: decimal sum divided by count, as double.
+
+    Replicates the reference's hand-rolled (count, sum) partial-aggregate
+    average (``task1.scala:69-76``, op A1) — Catalyst performs the
+    partial/final split automatically; the decimal numerator makes the result
+    independent of partition order.
+    """
+    return F.sum(F.col(col).cast(_DEC)).cast("double") / F.count(F.col(col))
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (scan → filter → agg → sort; A1/A2/P6/O1)
+# ---------------------------------------------------------------------------
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-12-01") -> DataFrame:
+    """TPC-H-Q1-shaped rollup over lineitem: the engine's flagship query.
+
+    Exercises the reference's scan→filter→partial-agg→sort lifecycle
+    (``task1.scala`` per SURVEY.md §3.1) on the largest fact table. The
+    filter and column projection push down to the parquet scan.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            # Narrow operand precisions so the product (scale 12) stays under
+            # 38 total digits — exact in both Spark and DuckDB, no rounding.
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (F.lit(1).cast("decimal(12,6)") - F.col("l_discount").cast("decimal(12,6)"))
+            ).cast("double").alias("sum_disc_price"),
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# task1 analog: grouped average over a join (J1 + A1 + O1)
+# ---------------------------------------------------------------------------
+
+def group_avg_brand_status(
+    lineitem: DataFrame, orders: DataFrame, part: DataFrame
+) -> DataFrame:
+    """avg(l_extendedprice) by (p_brand, o_orderstatus).
+
+    Reference: ``task1.scala:60-83`` — ratings⋈users → grouped average →
+    sorted output. Here the fact⋈fact join (lineitem⋈orders) shuffles on the
+    order key; the ``part`` dimension is broadcast so the fact side is
+    shuffled exactly once.
+    """
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "o_orderstatus")
+        .agg(_davg("l_extendedprice").alias("avg_price"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("p_brand", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# task2 analog: three-way chained join (J2)
+# ---------------------------------------------------------------------------
+
+def group_avg_nation_region(
+    customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """avg(c_acctbal) by (r_name, n_name) via customer⋈nation⋈region.
+
+    Reference: ``task2.scala:27-45`` — the 3-way join variant (ratings⋈users
+    ⋈movies) with a composite string group key. nation and region are tiny →
+    both broadcast; customer never shuffles.
+    """
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_davg("c_acctbal").alias("avg_acctbal"),
+             F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / HAVING / distinct (P3, P6, A2, A6, A7)
+# ---------------------------------------------------------------------------
+
+def filter_having(orders: DataFrame, status: str = "F", min_orders: int = 3) -> DataFrame:
+    """Equality filter + count-by-key + post-aggregation threshold.
+
+    Reference: gender filter ``SON.scala:55,57`` (P3) + support filter
+    ``SON.scala:263`` (P6). The status filter pushes down to the scan; the
+    HAVING runs after partial+final count.
+    """
+    return (
+        orders.filter(F.col("o_orderstatus") == status)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             _dsum("o_totalprice").alias("total_spent"))
+        .filter(F.col("n_orders") >= min_orders)
+        .orderBy("o_custkey")
+    )
+
+
+def distinct_users_per_event_type(events: DataFrame) -> DataFrame:
+    """count(distinct user_id) per event_type (A6 distinct + A7 count).
+
+    Spark plans this as a two-phase expand/aggregate — no driver involvement;
+    at scale, ``approx_count_distinct`` is the documented fallback (see
+    ``sketches.py``).
+    """
+    return (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Baskets (A3/A4: group-to-collection)
+# ---------------------------------------------------------------------------
+
+def order_baskets(lineitem: DataFrame) -> DataFrame:
+    """Market baskets: the distinct set of parts per order.
+
+    Reference: ``SON.scala:60`` ``groupByKey().values`` basket build (A3).
+    ``collect_set`` is a real aggregate (map-side partial, no groupByKey-style
+    full-value shuffle); the basket is sorted so downstream consumers and
+    oracles see a canonical order.
+    """
+    return (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("basket"))
+    )
+
+
+def order_baskets_rendered(lineitem: DataFrame) -> DataFrame:
+    """Baskets with a canonical string rendering — string-comparable against
+    a DuckDB oracle (arrays hash differently across engines; strings don't).
+    """
+    return (
+        order_baskets(lineitem)
+        .select(
+            F.col("l_orderkey"),
+            F.size("basket").alias("basket_size"),
+            F.array_join(F.col("basket"), ",").alias("basket_str"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degrees (A8) on the part-supplier bipartite graph
+# ---------------------------------------------------------------------------
+
+def supplier_degrees(lineitem: DataFrame) -> DataFrame:
+    """Degree of each supplier node = number of distinct parts supplied.
+
+    Reference: GraphX ``graph.degrees`` (``Community.scala:28``, A8) —
+    expressed as distinct-edge projection + count, all JVM-side.
+    """
+    return (
+        lineitem.select("l_suppkey", "l_partkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy("l_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence pairs (J3 + F1 + P5, idiomatic rewrite)
+# ---------------------------------------------------------------------------
+
+def cooccurrence_pairs(lineitem: DataFrame, min_count: int = 2) -> DataFrame:
+    """Part pairs co-occurring in >= min_count orders.
+
+    Reference: ``Betweenness.scala:27-31`` builds user pairs with a constant-
+    key self-join (J3) then intersects full movie sets per pair (F1) — O(V²)
+    work that collapses on one reducer. Idiomatic rewrite (SURVEY.md §7.2):
+    distinct (order, part) edges self-equi-joined ON THE ORDER KEY, so only
+    parts that actually share an order ever meet, then count per pair. The
+    ``p1 < p2`` canonicalization (P5 theta predicate / F9) halves the pair
+    space and removes self-pairs. Scales as Σ|order|², not |parts|².
+    """
+    edges = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = edges.alias("a")
+    b = edges.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_count)
+        .orderBy("p1", "p2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left-outer existence probe (J4)
+# ---------------------------------------------------------------------------
+
+def customer_order_activity(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customers with order counts; 1.0/0.0 indicator for having any order.
+
+    Reference: ``Community.scala:40-41`` left-outer join + Option→indicator
+    (J4). The aggregate runs on orders first so the outer join is
+    key-to-key (no row explosion), then the small aggregated side joins to
+    customer.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("total_spent"),
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("total_spent"), F.lit(0.0)).alias("total_spent"),
+            F.when(F.col("o_custkey").isNotNull(), 1.0).otherwise(0.0).alias("has_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (window; SURVEY.md §2.9 extension over O3/O7)
+# ---------------------------------------------------------------------------
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Highest-value k orders per customer via a ranking window.
+
+    The reference's only top-k is a driver-side sorted ``take``
+    (``Community.scala:79-80``, O7); the engine provides the distributed
+    form. o_orderkey breaks price ties so the result is deterministic.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        .orderBy("o_custkey", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operators on relations (SURVEY.md §2.9 gap — engine extension)
+# ---------------------------------------------------------------------------
+
+def nations_with_both(customer: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """Nations having BOTH customers and suppliers (INTERSECT), with an
+    EXCEPT twin available by symmetry. Fills the reference's missing
+    relational set-operator surface (§2.9)."""
+    cust_nations = customer.select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    supp_nations = supplier.select(F.col("s_nationkey").alias("n_nationkey")).distinct()
+    return (
+        cust_nations.intersect(supp_nations)
+        .join(F.broadcast(nation), "n_nationkey")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Defaults are tuned for the test harness (``local[32]``, 128 GiB single JVM)
+but every setting is cluster-sane: AQE handles skew and partition coalescing
+at any scale, Arrow keeps the Python<->JVM boundary vectorized for the few
+Pandas-UDF kernels, and shuffle partitions are sized for the local harness
+(on a real cluster AQE's coalescing makes the initial number mostly
+irrelevant as long as it is high enough).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFIGS: dict[str, str] = {
+    # Adaptive query execution: runtime re-planning, skew-join splitting,
+    # shuffle-partition coalescing. Essential at 100 TB, harmless locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for all pandas interchange (mapInPandas / applyInPandas / toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Local-harness shuffle width; AQE coalesces down when partitions are tiny.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Broadcast anything under 64 MiB — the dimension tables (region, nation,
+    # customer, supplier, part) are all broadcast-able at every tested SF, and
+    # at 100 TB the fact tables never are, so a generous threshold is right.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Keep timestamps deterministic across Spark and DuckDB oracles.
+    "spark.sql.session.timeZone": "UTC",
+    # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+    # timestamp type, so read as long and normalize in the reader
+    # (sources/readers.py::read_parquet_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "inf_553_datamining_mapreduce_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session. ``master`` defaults to ``local[N]``
+    with N from ``$SPARK_GRAFT_CPUS`` (default: all cores)."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONFIGS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,71 @@
+"""Source readers.
+
+Reference equivalents (SURVEY.md §2.1):
+  S1/S2 — ``sc.textFile`` + ``split("::")`` positional parse
+          (``task1.scala:60-65``, ``SON.scala:17-24``) → ``read_double_colon``
+  S3    — CSV header-skip via ``mapPartitionsWithIndex``
+          (``Betweenness.scala:20-21``) → ``read_csv_with_header``
+  (new) — Parquet scans over the driver's test tables, the engine's primary
+          format. Column pruning and predicate pushdown reach the scan via
+          Catalyst; keep all filters/projections declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from inf_553_datamining_mapreduce_spark.schemas import TESTDATA_SCHEMAS
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-generated parquet table (TESTDATA.md).
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads only as a
+    nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``); normalize to
+    a microsecond timestamp to match DuckDB's read of the same file. The
+    division stays in whole-stage codegen — no UDF.
+    """
+    if name == "events":
+        # Runtime SQL conf so this works under ANY session (the correctness
+        # driver builds its own SparkSession without engine configs).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All driver tables as DataFrames, keyed by name."""
+    return {name: read_parquet_table(spark, sf_dir, name) for name in TESTDATA_SCHEMAS}
+
+
+def read_double_colon(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """Read ``::``-delimited text (ml-1m style, no header) with an explicit
+    schema — replaces the reference's ``line.split("::")`` + positional
+    ``.toInt`` casts (``task1.scala:64-65``).
+
+    Spark's CSV reader accepts the multi-char ``::`` separator natively, so
+    the parse stays entirely JVM-side (no Python row loop).
+    """
+    return spark.read.csv(path, sep="::", header=False, schema=schema)
+
+
+def read_csv_with_header(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """CSV with header row (ml-latest-small style) — replaces the
+    ``mapPartitionsWithIndex`` header-drop idiom (``Betweenness.scala:20-21``).
+    """
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def with_columns_cast(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    """Bulk cast helper (reference F6: ``.toInt`` / ``.toDouble``)."""
+    return df.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
