@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from inf_553_datamining_mapreduce_spark.operators import frequent_itemsets as FI
 from inf_553_datamining_mapreduce_spark.operators import relational as R
 from inf_553_datamining_mapreduce_spark.sources.readers import read_parquet_table
 
@@ -84,6 +85,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c, s, n = _t(spark, sf, "customer", "supplier", "nation")
         return R.nations_with_both(c, s, n)
 
+    def _frequent_itemsets_son(spark, sf):
+        (li,) = _t(spark, sf, "lineitem")
+        baskets = R.order_baskets(li)
+        return FI.rendered(FI.son_frequent_itemsets(baskets, support=3))
+
+    def _frequent_itemsets_fpgrowth(spark, sf):
+        (li,) = _t(spark, sf, "lineitem")
+        baskets = R.order_baskets(li)
+        return FI.rendered(FI.frequent_itemsets_fpgrowth(baskets, support=3))
+
     q["pricing_summary"] = _pricing_summary
     q["group_avg_brand_status"] = _group_avg_brand_status
     q["group_avg_nation_region"] = _group_avg_nation_region
@@ -95,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["customer_order_activity"] = _customer_order_activity
     q["top_orders_per_customer"] = _top_orders_per_customer
     q["nations_with_both"] = _nations_with_both
+    q["frequent_itemsets_son"] = _frequent_itemsets_son
+    q["frequent_itemsets_fpgrowth"] = _frequent_itemsets_fpgrowth
     return q
 
 
@@ -105,6 +118,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Exact decimal accumulation mirrors operators/relational.py::_DEC so double
 # outputs are bit-identical regardless of row order in either engine.
 _D = "DECIMAL(24,6)"
+
+
+_FREQ_ITEMSETS_ORACLE = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s1 AS (
+        SELECT CAST(p AS VARCHAR) AS itemset_str, 1 AS size, COUNT(*) AS support
+        FROM op GROUP BY p HAVING COUNT(*) >= 3
+    ),
+    s2 AS (
+        SELECT CAST(a.p AS VARCHAR) || ',' || CAST(b.p AS VARCHAR) AS itemset_str,
+               2 AS size, COUNT(*) AS support
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 3
+    ),
+    s3 AS (
+        SELECT CAST(a.p AS VARCHAR) || ',' || CAST(b.p AS VARCHAR) || ',' || CAST(c.p AS VARCHAR) AS itemset_str,
+               3 AS size, COUNT(*) AS support
+        FROM op a
+        JOIN op b ON a.o = b.o AND a.p < b.p
+        JOIN op c ON a.o = c.o AND b.p < c.p
+        GROUP BY a.p, b.p, c.p HAVING COUNT(*) >= 3
+    )
+    SELECT itemset_str, CAST(size AS INTEGER) AS size, support
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+    ORDER BY size, itemset_str
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -205,6 +244,12 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 3
             ORDER BY o_custkey, rank
         """,
+        # Frequent-itemset oracle: enumerates sizes 1-3 relationally. Valid
+        # while no size-4 itemset reaches the support threshold at the gate
+        # scale (verified: max triple support at sf0.01 is 2 < 3, which by
+        # monotonicity bounds all larger sizes).
+        "frequent_itemsets_son": _FREQ_ITEMSETS_ORACLE,
+        "frequent_itemsets_fpgrowth": _FREQ_ITEMSETS_ORACLE,
         "nations_with_both": """
             SELECT n_nationkey, n_name FROM nation
             WHERE n_nationkey IN (
