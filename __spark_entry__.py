@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from inf_553_datamining_mapreduce_spark.operators import frequent_itemsets as FI
+from inf_553_datamining_mapreduce_spark.operators import graph as G
 from inf_553_datamining_mapreduce_spark.operators import relational as R
 from inf_553_datamining_mapreduce_spark.sources.readers import read_parquet_table
 
@@ -95,6 +98,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         baskets = R.order_baskets(li)
         return FI.rendered(FI.frequent_itemsets_fpgrowth(baskets, support=3))
 
+    def _customer_part_graph(spark, sf):
+        li, o = _t(spark, sf, "lineitem", "orders")
+        cp = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        return cp
+
+    def _customer_edges(spark, sf):
+        cp = _customer_part_graph(spark, sf)
+        return G.cooccurrence_edges(cp, "c", "p", min_shared=4).orderBy("src", "dst")
+
+    def _components_customers(spark, sf):
+        cp = _customer_part_graph(spark, sf)
+        edges = G.cooccurrence_edges(cp, "c", "p", min_shared=4)
+        verts = cp.select(F.col("c").cast("long")).distinct()
+        return G.connected_components(edges, verts).orderBy("id")
+
+    def _betweenness_customers(spark, sf):
+        cp = _customer_part_graph(spark, sf)
+        edges = G.cooccurrence_edges(cp, "c", "p", min_shared=4)
+        return G.edge_betweenness(edges)
+
+    def _communities_customers(spark, sf):
+        cp = _customer_part_graph(spark, sf)
+        edges = G.cooccurrence_edges(cp, "c", "p", min_shared=4)
+        verts = cp.select(F.col("c").cast("long")).distinct()
+        return G.girvan_newman_communities(edges, verts).select(
+            F.array_join(F.col("members"), ",").alias("members_str"),
+            F.size("members").alias("n_members"),
+        )
+
     q["pricing_summary"] = _pricing_summary
     q["group_avg_brand_status"] = _group_avg_brand_status
     q["group_avg_nation_region"] = _group_avg_nation_region
@@ -108,6 +142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nations_with_both"] = _nations_with_both
     q["frequent_itemsets_son"] = _frequent_itemsets_son
     q["frequent_itemsets_fpgrowth"] = _frequent_itemsets_fpgrowth
+    q["customer_cooccurrence_edges"] = _customer_edges
+    q["connected_components_customers"] = _components_customers
+    q["edge_betweenness_customers"] = _betweenness_customers
+    q["communities_girvan_newman"] = _communities_customers
     return q
 
 
@@ -243,6 +281,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rank <= 3
             ORDER BY o_custkey, rank
+        """,
+        "customer_cooccurrence_edges": """
+            WITH cp AS (
+                SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )
+            SELECT a.c AS src, b.c AS dst, COUNT(*) AS shared
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+            ORDER BY src, dst
+        """,
+        # Connected components ARE SQL-expressible via a recursive transitive
+        # closure; component label = min reachable id (GraphX labeling).
+        "connected_components_customers": """
+            WITH RECURSIVE
+            cp AS (
+                SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            e AS (
+                SELECT a.c AS src, b.c AS dst
+                FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+                GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+            ),
+            sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+            verts AS (SELECT DISTINCT c AS id FROM cp),
+            reach(id, r) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.id
+            )
+            SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id
         """,
         # Frequent-itemset oracle: enumerates sizes 1-3 relationally. Valid
         # while no size-4 itemset reaches the support threshold at the gate

@@ -1,0 +1,482 @@
+"""Graph suite: co-occurrence graph construction, edge betweenness with the
+reference's simplified Girvan-Newman credit rule, connected components, the
+reference's modularity arithmetic, and the full GN community-detection loop.
+
+Reference: ``3-Graph Community Detection/Betweenness.scala`` and
+``Community.scala``.
+
+Semantics replicated exactly (SURVEY.md §2.7-2.8, §7.4):
+  * Credit rule (``Betweenness.scala:56-116``): BFS from each source;
+    ``route(v)`` counts predecessor edges along the shortest-path DAG; in
+    reverse BFS order each node adds 1.0 to its own weight and every
+    predecessor edge (p, v) receives ``weight(v) / route(v)`` — EQUAL SPLIT
+    among predecessor edges, not Brandes sigma-weighting. Summed over all
+    sources, canonicalized (u1 < u2), divided by 2
+    (``Betweenness.scala:133-138``).
+  * Modularity (``Community.scala:16-48``): over unordered same-component
+    pairs (each counted once), sum of A_ij - d_i*d_j/(2m), then the total
+    divided by 2m — the reference's exact factor choices, not the textbook
+    normalization.
+  * GN loop (``Community.scala:50-148``): betweenness computed ONCE on the
+    original graph, never recomputed after removals; removal schedule sorted
+    by descending betweenness; coarse-to-fine search (step, /zoom on
+    overshoot) advancing while modularity is non-decreasing; accept when the
+    community count rises by <= 1 across the final step.
+
+Deviation (documented, SURVEY.md §7.4.4): the reference sorts the removal
+schedule by value only, leaving tie order nondeterministic; the engine adds
+(u1, u2) as a secondary key so results are reproducible.
+
+Spark-first shape: graph = two DataFrames (edges with src < dst, optional
+vertices). Edge building is explode + self-equi-join (never the reference's
+O(V^2) constant-key cross join, ``Betweenness.scala:27-30``). The per-source
+BFS fans out as one task per source with a broadcast adjacency — the same
+parallelization the reference uses, minus the closure-capture anti-pattern.
+Driver-side state (adjacency, removal schedule) is gated by explicit size
+checks; components offer a distributed label-propagation path for graphs
+beyond the union-find gate.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict, deque
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from inf_553_datamining_mapreduce_spark.deploy import ensure_worker_imports
+
+# Driver-side gates: betweenness adjacency and the GN removal schedule live
+# on the driver (as in the reference); refuse silently-unbounded collects.
+MAX_DRIVER_EDGES = 2_000_000
+
+_BETWEENNESS_SCHEMA = StructType(
+    [
+        StructField("src", LongType(), False),
+        StructField("dst", LongType(), False),
+        StructField("credit", DoubleType(), False),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Graph construction (Betweenness.scala:19-40, idiomatic rewrite)
+# ---------------------------------------------------------------------------
+
+def cooccurrence_edges(
+    df: DataFrame, node_col: str, item_col: str, min_shared: int = 3
+) -> DataFrame:
+    """Edges between nodes sharing >= min_shared distinct items.
+
+    Reference builds user pairs via constant-key self-join + per-pair set
+    intersection (``Betweenness.scala:26-31``) — O(V^2). Idiomatic form:
+    self-equi-join on the ITEM key so only nodes that actually share an item
+    meet, then count distinct pairs (SURVEY.md §7.2 M1). Returns
+    ``(src, dst, shared)`` with src < dst (``sortedV`` canonicalization,
+    ``Betweenness.scala:118-121``).
+    """
+    pairs = df.select(
+        F.col(node_col).cast("long").alias("node"), F.col(item_col).alias("item")
+    ).distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.item") == F.col("b.item"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(
+            F.col("a.node").alias("src"),
+            F.col("b.node").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def _collect_adjacency(
+    edges: DataFrame, vertices: DataFrame | None
+) -> dict[int, list[int]]:
+    """Symmetric adjacency dict (``graph.collectNeighborIds(Either)``,
+    ``Betweenness.scala:53``), gated by MAX_DRIVER_EDGES."""
+    n_edges = edges.count()
+    if n_edges > MAX_DRIVER_EDGES:
+        raise ValueError(
+            f"graph has {n_edges} edges > {MAX_DRIVER_EDGES}; driver-side "
+            "adjacency is gated — partition the graph or raise the gate "
+            "deliberately"
+        )
+    adj: dict[int, list[int]] = defaultdict(list)
+    for row in edges.select("src", "dst").collect():
+        s, d = int(row["src"]), int(row["dst"])
+        adj[s].append(d)
+        adj[d].append(s)
+    if vertices is not None:
+        for row in vertices.collect():
+            adj.setdefault(int(row[0]), [])
+    return dict(adj)
+
+
+# ---------------------------------------------------------------------------
+# Per-source BFS credit kernel (Betweenness.scala:56-116)
+# ---------------------------------------------------------------------------
+
+def bfs_credit_one_source(
+    start: int, adj: dict[int, list[int]]
+) -> dict[tuple[int, int], float]:
+    """Single-source credit map under the simplified-GN equal-split rule.
+
+    Mirrors ``betweennessOneNode``: forward BFS records level, predecessor
+    list, and ``route`` (predecessor-edge count); the reverse pass pops in
+    stack order, adds 1.0 self-weight, and assigns each predecessor edge
+    ``weight(v) / route(v)``.
+    """
+    dist: dict[int, int] = {start: 0}
+    route: dict[int, int] = defaultdict(int)
+    preds: dict[int, list[int]] = defaultdict(list)
+    order: list[int] = []
+    queue: deque[int] = deque([start])
+    while queue:
+        cur = queue.popleft()
+        order.append(cur)
+        nxt = dist[cur] + 1
+        for nb in adj.get(cur, ()):
+            d = dist.get(nb)
+            if d is None:
+                dist[nb] = nxt
+                queue.append(nb)
+                route[nb] += 1
+                preds[nb].append(cur)
+            elif d == nxt:
+                route[nb] += 1
+                preds[nb].append(cur)
+    weight: dict[int, float] = defaultdict(float)
+    credits: dict[tuple[int, int], float] = {}
+    for v in reversed(order):
+        weight[v] += 1.0
+        r = route[v]
+        for p in preds[v]:
+            c = weight[v] / r
+            key = (p, v) if p < v else (v, p)
+            credits[key] = credits.get(key, 0.0) + c
+            weight[p] += c
+    return credits
+
+
+def edge_betweenness(
+    edges: DataFrame, vertices: DataFrame | None = None
+) -> DataFrame:
+    """Edge betweenness of the whole graph: one BFS task per source vertex
+    with a broadcast adjacency, aggregated with a DataFrame groupBy
+    (``Betweenness.scala:133-138``: flatMap → canonicalize → reduceByKey →
+    /2). Returns ``(src, dst, betweenness)`` with src < dst, ordered.
+    """
+    spark = edges.sparkSession
+    ensure_worker_imports(spark)
+    adj = _collect_adjacency(edges, vertices)
+    sources = sorted(adj)
+    if not sources:
+        return spark.createDataFrame([], _BETWEENNESS_SCHEMA)
+    bc = spark.sparkContext.broadcast(adj)
+
+    def per_source(src: int) -> Iterable[tuple[int, int, float]]:
+        for (u1, u2), credit in bfs_credit_one_source(src, bc.value).items():
+            yield (u1, u2, credit)
+
+    n_slices = min(len(sources), spark.sparkContext.defaultParallelism * 4)
+    rdd = spark.sparkContext.parallelize(sources, n_slices).flatMap(per_source)
+    return (
+        spark.createDataFrame(rdd, _BETWEENNESS_SCHEMA)
+        .groupBy("src", "dst")
+        .agg((F.sum("credit") / F.lit(2.0)).alias("betweenness"))
+        .orderBy("src", "dst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (Community.scala:22; GraphX cc labels = min member id)
+# ---------------------------------------------------------------------------
+
+class _UnionFind:
+    def __init__(self) -> None:
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        root = x
+        while p != root:
+            root = p
+            p = self.parent[root]
+        while self.parent[x] != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # min-root union so labels match GraphX's min-vertex-id labels
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+
+def _components_local(
+    edge_list: list[tuple[int, int]], vertex_ids: Iterable[int]
+) -> dict[int, int]:
+    uf = _UnionFind()
+    for v in vertex_ids:
+        uf.find(v)
+    for s, d in edge_list:
+        uf.union(s, d)
+    # two passes: path compression settles after all unions
+    return {v: uf.find(v) for v in list(uf.parent)}
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    method: str = "auto",
+    max_iter: int = 64,
+) -> DataFrame:
+    """``(id, component)`` with component = smallest vertex id in the
+    component (GraphX ``connectedComponents`` labeling, ``Community.scala:22``).
+
+    method='unionfind': driver union-find (gated; the reference's graphs are
+    driver-small and its own cc result is collected anyway).
+    method='labelprop': distributed min-label propagation — the scale path;
+    converges in diameter iterations, localCheckpoint per round to cut
+    lineage.
+    method='auto': unionfind under the gate, else labelprop.
+    """
+    spark = edges.sparkSession
+    if method == "auto":
+        method = "unionfind" if edges.count() <= MAX_DRIVER_EDGES else "labelprop"
+    if method == "unionfind":
+        edge_list = [
+            (int(r["src"]), int(r["dst"])) for r in edges.select("src", "dst").collect()
+        ]
+        vids: set[int] = {v for e in edge_list for v in e}
+        if vertices is not None:
+            vids.update(int(r[0]) for r in vertices.collect())
+        comp = _components_local(edge_list, vids)
+        return spark.createDataFrame(
+            sorted(comp.items()),
+            StructType(
+                [
+                    StructField("id", LongType(), False),
+                    StructField("component", LongType(), False),
+                ]
+            ),
+        )
+
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    base = edges.select(F.col("src").alias("id")).union(edges.select("dst"))
+    if vertices is not None:
+        base = base.union(vertices.select(F.col(vertices.columns[0]).alias("id")))
+    labels = base.distinct().select("id", F.col("id").alias("component"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def communities_from_components(components: DataFrame) -> DataFrame:
+    """``[m1,m2,...]`` communities: members ascending, ordered by smallest
+    member (``Community.scala:132-138``)."""
+    return (
+        components.groupBy("component")
+        .agg(F.sort_array(F.collect_list("id")).alias("members"))
+        .select("members")
+        .orderBy(F.col("members").getItem(0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Modularity (Community.scala:16-48 — exact arithmetic, both paths)
+# ---------------------------------------------------------------------------
+
+def modularity_local(
+    edge_list: list[tuple[int, int]], comp: dict[int, int]
+) -> float:
+    """Driver-local modularity with the reference's exact factor choices:
+    unordered same-component pairs counted once; Q = sum/(2m)/1... precisely
+    ``(sum over pairs of A_ij - d_i*d_j/(2m))/2/m`` (``Community.scala:42-46``).
+    """
+    m = float(len(edge_list))
+    if m == 0:
+        return float("nan")
+    deg: dict[int, int] = defaultdict(int)
+    edge_set = set()
+    for s, d in edge_list:
+        deg[s] += 1
+        deg[d] += 1
+        edge_set.add((s, d) if s < d else (d, s))
+    members: dict[int, list[int]] = defaultdict(list)
+    # Only vertices with degree > 0 join pairs in the reference (pairs with a
+    # missing degree drop out of its inner joins, Community.scala:36-39).
+    for v, c in comp.items():
+        if deg.get(v):
+            members[c].append(v)
+    total = 0.0
+    for group in members.values():
+        group.sort()
+        for i in range(len(group)):
+            vi = group[i]
+            di = deg[vi]
+            for j in range(i + 1, len(group)):
+                vj = group[j]
+                a_ij = 1.0 if (vi, vj) in edge_set else 0.0
+                total += a_ij - di * deg[vj] / 2.0 / m
+    return total / 2.0 / m
+
+
+def modularity(edges: DataFrame, components: DataFrame) -> float:
+    """Distributed modularity, identical arithmetic: same-component pairs via
+    self-join of the membership table (v1 < v2), two degree joins, left-anti
+    indicator against the edge table, single scalar agg
+    (``Community.scala:30-46`` re-expressed declaratively)."""
+    m = edges.count()
+    if m == 0:
+        return float("nan")
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    degrees = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    memb = components.join(degrees, components.id == degrees.id).select(
+        components.id.alias("v"), "component", "deg"
+    )
+    a, b = memb.alias("a"), memb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.component") == F.col("b.component"))
+        & (F.col("a.v") < F.col("b.v")),
+    ).select(
+        F.col("a.v").alias("v1"),
+        F.col("b.v").alias("v2"),
+        F.col("a.deg").alias("d1"),
+        F.col("b.deg").alias("d2"),
+    )
+    e = edges.select(
+        F.least("src", "dst").alias("v1"),
+        F.greatest("src", "dst").alias("v2"),
+        F.lit(1.0).alias("a_ij"),
+    )
+    joined = pairs.join(e, ["v1", "v2"], "left_outer").select(
+        (
+            F.coalesce(F.col("a_ij"), F.lit(0.0))
+            - F.col("d1") * F.col("d2") / F.lit(2.0) / F.lit(float(m))
+        ).alias("term")
+    )
+    total = joined.agg(F.sum("term")).first()[0] or 0.0
+    return total / 2.0 / float(m)
+
+
+# ---------------------------------------------------------------------------
+# Girvan-Newman loop (Community.scala:50-148)
+# ---------------------------------------------------------------------------
+
+def girvan_newman_communities(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    step: int = 2500,
+    step_zoom: int = 5,
+) -> DataFrame:
+    """Full GN community detection, driver-orchestrated exactly like the
+    reference: betweenness once on the original graph; removal schedule =
+    edges by descending betweenness (ties broken by (src, dst) — documented
+    deviation); ``maximumSearch`` advances ``step`` removals at a time while
+    modularity is non-decreasing; on overshoot the step shrinks by
+    ``step_zoom``; accept when the community count across the final step
+    rises by <= 1, and emit the communities BEFORE that step
+    (``Community.scala:118-138``).
+
+    The search loop runs driver-local over the collected (gated) edge list —
+    the same data the reference collects for its schedule — so each probe is
+    O(E) instead of a full distributed job cascade.
+    """
+    spark = edges.sparkSession
+    bet = edge_betweenness(edges, vertices)
+    schedule_rows = bet.collect()  # gated transitively by _collect_adjacency
+    schedule = sorted(
+        ((int(r["src"]), int(r["dst"]), float(r["betweenness"])) for r in schedule_rows),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )
+    ordered_edges = [(s, d) for s, d, _ in schedule]
+    all_vertices: set[int] = {v for e in ordered_edges for v in e}
+    if vertices is not None:
+        all_vertices.update(int(r[0]) for r in vertices.collect())
+
+    def components_after(removed: int) -> dict[int, int]:
+        return _components_local(ordered_edges[removed:], all_vertices)
+
+    def modularity_after(removed: int) -> float:
+        remaining = ordered_edges[removed:]
+        return modularity_local(remaining, components_after(removed))
+
+    def n_communities(removed: int) -> int:
+        comp = components_after(removed)
+        return len(set(comp.values()))
+
+    n_edges = len(ordered_edges)
+
+    def maximum_search(start: int, stp: int) -> int:
+        # Community.scala:67-109: advance `stp` removals at a time while
+        # modularity is non-decreasing; return the count where it first drops.
+        count = start
+        mod = modularity_after(min(count, n_edges))
+        while count < n_edges:
+            count += stp
+            new_mod = modularity_after(min(count, n_edges))
+            if new_mod == new_mod and new_mod >= mod:
+                mod = new_mod
+            else:
+                break
+        return count
+
+    step = max(1, min(step, max(1, n_edges)))
+    count = maximum_search(0, step)
+    while True:
+        lower = n_communities(min(max(count - step, 0), n_edges))
+        higher = n_communities(min(count, n_edges))
+        # Removing one edge splits at most one component, so step == 1
+        # always satisfies the acceptance test — the loop terminates.
+        if higher - lower <= 1:
+            comp = components_after(min(max(count - step, 0), n_edges))
+            members: dict[int, list[int]] = defaultdict(list)
+            for v, c in comp.items():
+                members[c].append(v)
+            data = sorted((sorted(g) for g in members.values()), key=lambda g: g[0])
+            return spark.createDataFrame(
+                [(g,) for g in data],
+                StructType([StructField("members", ArrayType(LongType()), False)]),
+            )
+        # Community.scala:142-145: rewind one coarse step, zoom in, research.
+        start = max(count - step, 0)
+        step = max(1, step // step_zoom)
+        count = maximum_search(start, step)

@@ -1,0 +1,123 @@
+"""Graph suite tests: hand-computed betweenness goldens, invariants, component
+equivalence (union-find vs distributed label propagation), modularity path
+equivalence, planted-community GN, and full end-to-end parity against the
+reference's committed communities.txt golden."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from inf_553_datamining_mapreduce_spark.operators.graph import (
+    bfs_credit_one_source,
+    communities_from_components,
+    connected_components,
+    cooccurrence_edges,
+    edge_betweenness,
+    girvan_newman_communities,
+    modularity,
+    modularity_local,
+)
+
+EDGE_SCHEMA = StructType(
+    [StructField("src", LongType(), False), StructField("dst", LongType(), False)]
+)
+
+REF_DIR = "/root/reference/3-Graph Community Detection"
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame([(int(a), int(b)) for a, b in pairs], EDGE_SCHEMA)
+
+
+def _betweenness_dict(spark, pairs):
+    df = edge_betweenness(_edges_df(spark, pairs))
+    return {(r["src"], r["dst"]): r["betweenness"] for r in df.collect()}
+
+
+def test_betweenness_path_graph(spark):
+    # 1-2-3: each edge carries 2 shortest pairs
+    assert _betweenness_dict(spark, [(1, 2), (2, 3)]) == {(1, 2): 2.0, (2, 3): 2.0}
+
+
+def test_betweenness_star_graph(spark):
+    got = _betweenness_dict(spark, [(1, 2), (1, 3), (1, 4)])
+    assert got == {(1, 2): 3.0, (1, 3): 3.0, (1, 4): 3.0}
+
+
+def test_betweenness_square_graph(spark):
+    """4-cycle 1-2-4-3-1: two shortest paths to the opposite corner split
+    credit 0.5/0.5 at the route-2 join; every edge totals
+    (1.5+0.5+1.5+0.5)/2 = 2 (hand-computed under Betweenness.scala:56-116)."""
+    got = _betweenness_dict(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
+    assert got == {(1, 2): 2.0, (1, 3): 2.0, (2, 4): 2.0, (3, 4): 2.0}
+
+
+def test_components_unionfind_vs_labelprop(spark):
+    rng = random.Random(11)
+    pairs = set()
+    for _ in range(40):
+        a, b = rng.randint(1, 60), rng.randint(1, 60)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    edges = _edges_df(spark, sorted(pairs))
+    uf = {
+        (r["id"], r["component"])
+        for r in connected_components(edges, method="unionfind").collect()
+    }
+    lp = {
+        (r["id"], r["component"])
+        for r in connected_components(edges, method="labelprop").collect()
+    }
+    assert uf == lp
+
+
+def test_modularity_paths_agree(spark):
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = _edges_df(spark, pairs)
+    comp_df = connected_components(edges)
+    comp = {r["id"]: r["component"] for r in comp_df.collect()}
+    local = modularity_local(pairs, comp)
+    dist = modularity(edges, comp_df)
+    assert dist == pytest.approx(local, abs=1e-12)
+
+
+def test_girvan_newman_two_triangles(spark):
+    """Two triangles joined by one bridge: GN must cut the bridge and report
+    the planted communities."""
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    result = girvan_newman_communities(_edges_df(spark, pairs), step=1)
+    communities = [list(r["members"]) for r in result.collect()]
+    assert communities == [[1, 2, 3], [4, 5, 6]]
+
+
+def test_cooccurrence_edges_matches_reference_rule(spark):
+    """Edge rule parity on the reference's own ratings.csv: co-rated >= 3
+    movies, src < dst (Betweenness.scala:26-31)."""
+    df = spark.read.csv(f"{REF_DIR}/ratings.csv", header=True, inferSchema=True)
+    edges = cooccurrence_edges(df, "userId", "movieId", min_shared=3)
+    n = edges.count()
+    first = edges.orderBy("src", "dst").first()
+    assert n > 0 and first["src"] < first["dst"]
+
+
+@pytest.mark.slow
+def test_reference_communities_golden_end_to_end(spark):
+    """Full pipeline parity: ratings.csv -> co-rating edges -> betweenness
+    (simplified-GN credit rule) -> GN loop (step=2500, zoom=5) must
+    reproduce the committed communities.txt byte-for-byte
+    (3-Graph Community Detection/README:13)."""
+    df = spark.read.csv(f"{REF_DIR}/ratings.csv", header=True, inferSchema=True)
+    edges = cooccurrence_edges(df, "userId", "movieId", min_shared=3)
+    vertices = df.select(F.col("userId").cast("long")).distinct()
+    result = girvan_newman_communities(edges, vertices, step=2500, step_zoom=5)
+    got = ["[" + ",".join(str(m) for m in r["members"]) + "]" for r in result.collect()]
+    golden = [
+        line.strip()
+        for line in open(f"{REF_DIR}/communities.txt")
+        if line.strip()
+    ]
+    assert got == golden

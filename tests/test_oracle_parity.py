@@ -71,6 +71,13 @@ def test_query_matches_oracle(spark, sf_dir, name):
             )
 
 
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_query_without_oracle_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert len(df.schema.fields) > 0
+    assert df.count() >= 0
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
