@@ -21,10 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+from inf_553_datamining_mapreduce_spark.operators import dedup as D
 from inf_553_datamining_mapreduce_spark.operators import frequent_itemsets as FI
 from inf_553_datamining_mapreduce_spark.operators import graph as G
 from inf_553_datamining_mapreduce_spark.operators import relational as R
+from inf_553_datamining_mapreduce_spark.operators import similarity as SIM
+from inf_553_datamining_mapreduce_spark.operators import text as T
 from inf_553_datamining_mapreduce_spark.sources.readers import read_parquet_table
+from inf_553_datamining_mapreduce_spark.streaming import windows as W
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
@@ -146,6 +150,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["connected_components_customers"] = _components_customers
     q["edge_betweenness_customers"] = _betweenness_customers
     q["communities_girvan_newman"] = _communities_customers
+
+    # ---- text analysis -------------------------------------------------
+    def _token_stats(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.token_stats(d)
+
+    def _word_frequencies(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.word_frequencies(d)
+
+    def _quality_scores(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.quality_scores(d)
+
+    def _language_id(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.language_id(d)
+
+    def _fingerprints(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.fingerprints(d)
+
+    # ---- dedup ---------------------------------------------------------
+    def _exact_duplicates(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return D.exact_duplicates(d)
+
+    def _jaccard_near_duplicates(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return D.jaccard_near_duplicates(d, n=3, min_jaccard=0.5)
+
+    def _minhash_lsh_near_duplicates(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return D.minhash_lsh_near_duplicates(d, n=3, min_jaccard=0.5)
+
+    def _simhash_near_duplicates(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return D.simhash_near_duplicates(d, max_hamming=3)
+
+    def _embedding_near_duplicates(spark, sf):
+        # Cosine values differ from DuckDB's float32 arithmetic at ~1e-7, so
+        # the compared output is the pair set only (threshold margin >> ulp).
+        (e,) = _t(spark, sf, "embeddings")
+        return D.embedding_near_duplicates(e, min_cosine=0.45).select("id_a", "id_b")
+
+    # ---- similarity search ---------------------------------------------
+    def _ann_queries(spark, sf):
+        (e,) = _t(spark, sf, "embeddings")
+        return e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+    def _topk_cosine(spark, sf):
+        (e,) = _t(spark, sf, "embeddings")
+        return SIM.brute_force_top_k(e, _ann_queries(spark, sf), k=5).select(
+            "query_id", "neighbor_id", "rank"
+        )
+
+    def _topk_cosine_lsh(spark, sf):
+        (e,) = _t(spark, sf, "embeddings")
+        return SIM.lsh_top_k(
+            e, _ann_queries(spark, sf), k=5, num_planes=4, num_tables=8
+        ).select("query_id", "neighbor_id", "rank")
+
+    # ---- windowed event analytics --------------------------------------
+    def _tumbling(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return W.tumbling_window_stats(e, width_sec=300).select(
+            F.unix_timestamp("window_start").alias("window_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+
+    def _sliding(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return W.sliding_window_stats(e, width_sec=600, slide_sec=300).select(
+            F.unix_timestamp("window_start").alias("window_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+
+    def _sessions(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return W.session_stats(e, gap_sec=1800).select(
+            "user_id",
+            "session_seq",
+            F.unix_timestamp("session_start").alias("start_epoch"),
+            "n_events",
+            "sum_value",
+            "duration_sec",
+        )
+
+    q["token_stats"] = _token_stats
+    q["word_frequencies"] = _word_frequencies
+    q["quality_scores"] = _quality_scores
+    q["language_id"] = _language_id
+    q["doc_fingerprints"] = _fingerprints
+    q["exact_duplicates"] = _exact_duplicates
+    q["jaccard_near_duplicates"] = _jaccard_near_duplicates
+    q["minhash_lsh_near_duplicates"] = _minhash_lsh_near_duplicates
+    q["simhash_near_duplicates"] = _simhash_near_duplicates
+    q["embedding_near_duplicates"] = _embedding_near_duplicates
+    q["topk_cosine"] = _topk_cosine
+    q["topk_cosine_lsh"] = _topk_cosine_lsh
+    q["tumbling_window_stats"] = _tumbling
+    q["sliding_window_stats"] = _sliding
+    q["session_stats"] = _sessions
     return q
 
 
@@ -328,5 +442,141 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s_nationkey FROM supplier
             )
             ORDER BY n_nationkey
+        """,
+        # ---- text analysis ------------------------------------------------
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars_measured
+            FROM documents ORDER BY doc_id
+        """,
+        "word_frequencies": """
+            SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY token
+        """,
+        "quality_scores": """
+            WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(toks) AS stopword_ratio,
+                   1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS repetition_ratio,
+                   CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_token_len
+            FROM t ORDER BY doc_id
+        """,
+        "language_id": """
+            WITH c AS (
+                SELECT doc_id, lang,
+                       len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS c_en,
+                       len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','que'))) AS c_es,
+                       len(list_filter(string_split(text, ' '), x -> x IN ('le','la','de','et'))) AS c_fr
+                FROM documents
+            )
+            SELECT doc_id, lang AS labeled_lang,
+                   CASE WHEN GREATEST(c_en, c_es, c_fr) = 0 THEN 'und'
+                        WHEN c_en = GREATEST(c_en, c_es, c_fr) THEN 'en'
+                        WHEN c_es = GREATEST(c_en, c_es, c_fr) THEN 'es'
+                        ELSE 'fr' END AS predicted_lang,
+                   CAST(GREATEST(c_en, c_es, c_fr) AS INTEGER) AS marker_hits
+            FROM c ORDER BY doc_id
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+        """,
+        # ---- dedup --------------------------------------------------------
+        "exact_duplicates": """
+            SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+            FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+            ORDER BY content_hash
+        """,
+        "jaccard_near_duplicates": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i+2], ' ') AS shingle
+                FROM toks, UNNEST(range(1, GREATEST(len(t) - 2, 0) + 1)) AS u(i)
+                WHERE array_to_string(t[u.i:u.i+2], ' ') <> ''
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        # ---- windowed event analytics -------------------------------------
+        "tumbling_window_stats": f"""
+            SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS window_epoch,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(CAST(SUM(CAST(value AS {_D})) AS VARCHAR) AS DOUBLE) AS sum_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sliding_window_stats": f"""
+            WITH ev AS (
+                SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es, event_type, value FROM events
+            ),
+            w AS (
+                SELECT CAST(u.s AS BIGINT) AS window_epoch, event_type, value
+                FROM ev, UNNEST(range(
+                    CAST(FLOOR((es - 600 + 300) / 300.0) * 300 AS BIGINT),
+                    CAST(FLOOR(es / 300.0) * 300 AS BIGINT) + 1,
+                    300
+                )) AS u(s)
+                WHERE u.s >= 0
+            )
+            SELECT window_epoch, event_type, COUNT(*) AS n_events,
+                   CAST(CAST(SUM(CAST(value AS {_D})) AS VARCHAR) AS DOUBLE) AS sum_value
+            FROM w GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "session_stats": f"""
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT *, SUM(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+                ) AS session_seq FROM o
+            )
+            SELECT user_id, session_seq,
+                   CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS start_epoch,
+                   COUNT(*) AS n_events,
+                   CAST(CAST(SUM(CAST(value AS {_D})) AS VARCHAR) AS DOUBLE) AS sum_value,
+                   CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) - CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS duration_sec
+            FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+        """,
+        # ---- similarity ---------------------------------------------------
+        "embedding_near_duplicates": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        "topk_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.q_emb, e.embedding) AS cosine
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+            ORDER BY query_id, rank
         """,
     }

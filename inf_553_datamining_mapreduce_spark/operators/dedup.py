@@ -1,0 +1,340 @@
+"""Deduplication operators for training-data pipelines over ``documents``
+and ``embeddings``: exact (hash groupBy), n-gram Jaccard, MinHash-LSH,
+SimHash, and embedding-cosine near-dup.
+
+No reference analog (SURVEY.md §2.9); this is north-star extension surface.
+
+Scale stance:
+  * Exact dedup is a hash aggregate — embarrassingly scalable.
+  * Jaccard via shingle explode + self-equi-join on the shingle key: only
+    documents that actually share a shingle ever meet (same idiom as the
+    co-occurrence graph, never an all-pairs product). Hot shingles are the
+    skew risk — ``max_shingle_df`` drops shingles appearing in more than a
+    bounded number of docs (standard df-cut), which both caps the join
+    fan-out and removes non-discriminative shingles.
+  * MinHash-LSH: signatures via ``xxhash64`` with per-row seeds, banded
+    bucketing, exact-Jaccard verification of candidates — the classic
+    shingle→minhash→band→bucket-join pipeline, entirely in DataFrame ops.
+  * SimHash: 64-bit signatures via bit-counting aggregation (JVM-side),
+    banded by 16-bit chunks, Hamming-verified.
+  * Embedding near-dup: exact pairwise for driver-small tables; the
+    random-hyperplane LSH path (similarity.py) is the 100-TB route.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: md5 key, membership count, the
+    kept representative (min doc_id) — the 'drop all but first' contract."""
+    return (
+        documents.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("content_hash")
+    )
+
+
+def word_shingles(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: ``(doc_id, shingle)``.
+    Built with transform-over-sequence so shingling stays in codegen."""
+    # CASE guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark,
+    # so documents shorter than n must short-circuit to an empty array.
+    shingle_expr = (
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))) "
+        f"ELSE array() END"
+    )
+    return documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(shingle_expr))).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+
+
+def jaccard_near_duplicates(
+    documents: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Document pairs with shingle-set Jaccard >= threshold.
+
+    Exact algorithm: |A ∩ B| via self-equi-join on shingle, |A|, |B| from a
+    per-doc size table, jaccard = common / (|A| + |B| - common). With
+    ``max_shingle_df`` set, shingles present in more docs are dropped first
+    (df-cut) — at that point the result is exact w.r.t. the reduced shingle
+    space, the standard web-scale trade.
+    """
+    sh = word_shingles(documents, n, text_col)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (shingle → minhash → band → bucket-join → verify)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed i, min over shingles of
+    ``xxhash64(shingle, i)``. One groupBy producing all components —
+    signature stays JVM-side as an array column."""
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = shingled.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_near_duplicates(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, exact-verified.
+
+    rows-per-band = num_hashes / bands; a pair collides in a band iff that
+    slice of the signatures matches exactly, giving the usual
+    ``1-(1-s^r)^b`` candidate-recall curve. Candidates are re-checked with
+    exact shingle Jaccard, so precision is exact and only recall depends on
+    (bands, rows). Same output schema as ``jaccard_near_duplicates``.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    sh = word_shingles(documents, n, text_col)
+    sig = minhash_signatures(sh, num_hashes)
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("signature").getItem(bi * rows + r)
+                                for r in range(rows)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # Exact verification: recompute Jaccard only for candidate pairs.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, bit-counting aggregation, banded Hamming candidates)
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, entirely JVM-side: explode tokens, hash
+    each, then per bit position sum +1/-1 and take the sign."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        )
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    documents: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming. Candidates via
+    16-bit band collision (any pair within Hamming 3 of a 64-bit signature
+    agrees exactly on at least one of the 4 bands — pigeonhole), then exact
+    popcount verification."""
+    sig = simhash_signatures(documents, text_col)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact; LSH scale path in similarity.py)
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two array<float> columns via zip_with/aggregate — stays in
+    codegen; the double accumulation runs in array order (deterministic)."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, min_cosine: float = 0.45
+) -> DataFrame:
+    """Exact pairwise cosine near-dup over ``embeddings(vec_id, embedding)``.
+    All-pairs is intentional here (the exact baseline); the LSH-bucketed
+    variant in similarity.py is the scale path."""
+    a = embeddings.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(
+                F.col("emb_a").cast("array<double>"),
+                F.col("emb_b").cast("array<double>"),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,147 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: token statistics, word frequencies, quality scoring,
+language-ID heuristic, and document fingerprinting.
+
+No reference analog (the reference has no string processing beyond split /
+concat — SURVEY.md §2.6); these are the north-star extension surface. All
+hot paths are built-in ``pyspark.sql.functions`` (JVM, whole-stage codegen)
+— no Python UDF anywhere in this module except the optional winnowing
+fingerprint, which is a library helper rather than a query path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Fixed stopword list for quality scoring — deliberately tiny and stable so
+# the DuckDB oracle can inline it.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Marker-word profiles for the language-ID heuristic. Deterministic and
+# SQL-expressible; real deployments would swap in char-n-gram profiles.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "de", "et"),
+}
+
+
+def tokens_col(col: str = "text") -> Column:
+    """Whitespace tokenization (training-data convention; BPE-ish regex
+    splitting is ``regex_tokens_col``)."""
+    return F.split(F.col(col), " ")
+
+
+def regex_tokens_col(col: str = "text") -> Column:
+    """BPE-ish tokenization: split on non-alphanumeric boundaries, keeping
+    digits and letters as separate runs."""
+    return F.expr(
+        f"filter(split(regexp_replace({col}, '([^a-zA-Z0-9]+)', ' '), ' '), x -> x != '')"
+    )
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token counts: whitespace tokens, distinct tokens, chars.
+    Everything stays in one projection — no shuffle at all."""
+    toks = tokens_col("text")
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    ).orderBy("doc_id")
+
+
+def word_frequencies(documents: DataFrame) -> DataFrame:
+    """Corpus word frequencies: explode tokens, count occurrences and the
+    number of documents containing each token (classic inverted-index
+    statistics; partial aggregation map-side)."""
+    exploded = documents.select(
+        "doc_id", F.explode(tokens_col("text")).alias("token")
+    )
+    return (
+        exploded.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("token")
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic document quality: stopword ratio, repetition ratio, mean
+    token length — the standard cheap pre-training filters. Score =
+    stopword_ratio penalized by repetition; formula kept simple and exactly
+    mirrored in the oracle SQL."""
+    toks = tokens_col("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (F.lit(1.0) - n_distinct.cast("double") / n_tokens).alias("repetition_ratio"),
+        ((F.length("text") - n_tokens + 1).cast("double") / n_tokens).alias(
+            "mean_token_len"
+        ),
+    ).orderBy("doc_id")
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language-ID heuristic: count hits per language profile,
+    predict the argmax (ties and zero-hit docs -> 'und'), lexicographic
+    tie-break via greatest-of-struct trick kept explicit instead."""
+    toks = tokens_col("text")
+
+    def marker_count(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    counts = {lang: marker_count(m) for lang, m in LANG_MARKERS.items()}
+    # Deterministic argmax: iterate langs in sorted order, keep strict max.
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang in sorted(LANG_MARKERS):
+        c = counts[lang]
+        pred = F.when(c > best, F.lit(lang)).otherwise(pred)
+        best = F.when(c > best, c).otherwise(best)
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.alias("marker_hits"),
+    ).orderBy("doc_id")
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Whole-document fingerprint (md5 of text) — the exact-dedup key. A
+    content-sensitive winnowing fingerprint is available via
+    ``winnow_fingerprint`` for library use."""
+    return documents.select(
+        "doc_id", F.md5(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def winnow_fingerprint(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Winnowing (Schleimer et al., SIGMOD'03): rolling-hash k-grams, keep
+    the minimum hash of each window — a local fingerprint set robust to
+    insertions. Pure-Python helper for fixture-level dedup experiments."""
+    toks = text.split()
+    if len(toks) < k:
+        return []
+    B, M = 1_000_003, (1 << 61) - 1
+    hashes: list[int] = []
+    for i in range(len(toks) - k + 1):
+        h = 0
+        for t in toks[i : i + k]:
+            for ch in t:
+                h = (h * B + ord(ch)) % M
+            h = (h * B + 32) % M
+        hashes.append(h)
+    out: set[int] = set()
+    for i in range(0, max(1, len(hashes) - window + 1)):
+        out.add(min(hashes[i : i + window]))
+    return sorted(out)

@@ -1,0 +1,176 @@
+"""Windowed and sessionized event analytics over the ``events`` table —
+batch DataFrame forms plus Structured Streaming twins.
+
+The reference has NO streaming surface (SURVEY.md §2.9: the ratings
+timestamp is parsed and discarded); this module is the extension the
+north-star calls for. Every batch query here is expressible in ANSI SQL
+(DuckDB oracle); the streaming builders run the same logical plan over
+``readStream`` with a watermark, so batch results double as goldens for the
+streaming micro-batch tests.
+
+Aggregate values accumulate in DECIMAL (see operators/relational.py) so the
+batch results hash identically across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_DEC = "decimal(24,6)"
+
+
+def tumbling_window_stats(events: DataFrame, width_sec: int = 300) -> DataFrame:
+    """Per (window, event_type) stats over fixed-width tumbling windows.
+
+    The window start is materialized as an epoch-floored timestamp (not
+    Spark's struct-typed ``window`` column) so results compare directly with
+    the SQL oracle and with the streaming twin.
+    """
+    wstart = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp("ts") / width_sec) * width_sec).cast("long")
+    )
+    return (
+        events.groupBy(wstart.alias("window_start"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sliding_window_stats(
+    events: DataFrame, width_sec: int = 600, slide_sec: int = 300
+) -> DataFrame:
+    """Sliding windows via explicit window-start enumeration: each event
+    belongs to width/slide windows; enumerate them with a sequence + explode
+    (JVM-side), then aggregate. Identical semantics to ``F.window(width,
+    slide)`` but with a flat epoch column for oracle comparison."""
+    n_windows = width_sec // slide_sec
+    first_start = (
+        F.floor((F.unix_timestamp("ts") - width_sec + slide_sec) / slide_sec)
+        * slide_sec
+    )
+    last_start = F.floor(F.unix_timestamp("ts") / slide_sec) * slide_sec
+    starts = F.sequence(
+        first_start.cast("long"), last_start.cast("long"), F.lit(slide_sec).cast("long")
+    )
+    return (
+        events.select(
+            F.explode(starts).alias("wstart_epoch"),
+            "event_type",
+            "value",
+            "user_id",
+        )
+        .filter(F.col("wstart_epoch") >= 0)
+        .groupBy(
+            F.timestamp_seconds(F.col("wstart_epoch")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def session_stats(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Sessionization: per-user sessions separated by > gap_sec of
+    inactivity. Classic lag + cumulative-sum session ids — two analytic
+    windows over the same (user, ts) partitioning, so one shuffle total."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lag("ts").over(w_user))
+    )
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0),
+    )
+    with_id = with_flag.withColumn(
+        "session_seq", F.sum("new_session").over(w_user)
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .withColumn(
+            "duration_sec",
+            F.unix_timestamp("session_end") - F.unix_timestamp("session_start"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming twins
+# ---------------------------------------------------------------------------
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, schema
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files. The
+    nanos→micros normalization matches sources/readers.py."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def streaming_tumbling_window_stats(
+    stream: DataFrame, width_sec: int = 300, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin of ``tumbling_window_stats``: event-time window with a
+    watermark bounding late data and state size. Uses ``F.window`` (state-
+    store-aware) and projects the flat window_start for golden comparison.
+
+    Note: streaming disallows countDistinct; n_users is approximated with
+    HLL in the stream and therefore omitted here to keep the twin exact."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{width_sec} seconds"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_stats(
+    stream: DataFrame, gap_sec: int = 1800, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming sessionization via the native ``session_window`` (gap-based
+    merging state windows) — the Structured Streaming analog of
+    ``session_stats``."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_sec} seconds"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,186 @@
+"""Extension-surface tests: near-dup detectors on planted duplicates, LSH
+recall vs the exact baseline, multimodal plumbing, winnowing fingerprints,
+and Structured Streaming twins validated against their batch goldens."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from inf_553_datamining_mapreduce_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_near_duplicates,
+    minhash_lsh_near_duplicates,
+    simhash_near_duplicates,
+)
+from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+    extract_features,
+    fake_features,
+    sample_frames,
+)
+from inf_553_datamining_mapreduce_spark.operators.similarity import (
+    brute_force_top_k,
+    lsh_top_k,
+)
+from inf_553_datamining_mapreduce_spark.operators.text import winnow_fingerprint
+from inf_553_datamining_mapreduce_spark.sources.readers import read_parquet_table
+from inf_553_datamining_mapreduce_spark.schemas import TESTDATA_SCHEMAS
+from inf_553_datamining_mapreduce_spark.streaming.windows import (
+    read_events_stream,
+    session_stats,
+    streaming_session_stats,
+    streaming_tumbling_window_stats,
+    tumbling_window_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),  # exact dup of 1
+        Row(doc_id=3, text=base.replace("dog", "cat")),  # near dup of 1
+        Row(doc_id=4, text="completely different content about spark engines"),
+        Row(doc_id=5, text="another unrelated document with its own words"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_duplicates_planted(planted_docs):
+    groups = exact_duplicates(planted_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_doc_id"] == 1
+
+
+def test_jaccard_and_minhash_agree_on_planted(planted_docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_near_duplicates(planted_docs, min_jaccard=0.5).collect()
+    }
+    assert (1, 2) in exact and (1, 3) in exact
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_near_duplicates(
+            planted_docs, num_hashes=32, bands=16, min_jaccard=0.5
+        ).collect()
+    }
+    # LSH output is exact-verified, so it is a subset; with 16 bands of 2
+    # rows, recall at jaccard >= 0.5 is ~1 - (1-0.25)^16 > 0.98.
+    assert lsh <= exact
+    assert (1, 2) in lsh and (1, 3) in lsh
+
+
+def test_simhash_flags_identical_docs(planted_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_duplicates(planted_docs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical text -> identical signature
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_top_k(emb, queries, k=5).collect()
+    # These embeddings are near-random (max pairwise cosine ~0.5), so true
+    # neighbors sit barely above noise: short codes + many tables needed.
+    approx = lsh_top_k(emb, queries, k=5, num_planes=3, num_tables=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = total = 0
+    for r in approx:
+        total += 1
+        if r["neighbor_id"] in exact_sets.get(r["query_id"], set()):
+            hit += 1
+    assert total > 0
+    assert hit / max(total, 1) >= 0.4  # recall floor for 6x6 config on 64-dim
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [
+        Row(asset_id=1, media_type="image", payload=b"\x89PNG fake bytes"),
+        Row(asset_id=2, media_type="video", payload=b"\x00\x01" * 3000),
+        Row(asset_id=3, media_type="audio", payload=None),
+    ]
+    df = spark.createDataFrame(rows)
+    feats = {r["asset_id"]: r for r in extract_features(df).collect()}
+    assert feats[1]["features"] == fake_features(b"\x89PNG fake bytes")
+    assert feats[2]["payload_bytes"] == 6000
+    assert feats[3]["payload_bytes"] == 0  # null payload -> empty, not crash
+    frames = sample_frames(df, every_n_bytes=1024, max_frames=8).collect()
+    assert {r["asset_id"] for r in frames} == {2}
+    assert sorted(r["frame_index"] for r in frames) == [0, 1, 2, 3, 4]
+
+
+def test_winnow_fingerprint_locality():
+    a = winnow_fingerprint("the quick brown fox jumps over the lazy dog " * 3)
+    b = winnow_fingerprint("the quick brown fox jumps over the lazy cat " * 3)
+    c = winnow_fingerprint("completely different words everywhere in this text " * 3)
+    assert a and b and c
+    overlap_ab = len(set(a) & set(b)) / len(set(a) | set(b))
+    overlap_ac = len(set(a) & set(c)) / len(set(a) | set(c))
+    assert overlap_ab > overlap_ac
+
+
+def _staged_events_dir(sf_dir, tmp_path):
+    import shutil
+
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    events = read_parquet_table(spark, sf_dir, "events")
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_window_stats(events).collect()
+    }
+    events_dir = _staged_events_dir(sf_dir, tmp_path)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = read_events_stream(spark, events_dir, raw_schema)
+    q = (
+        streaming_tumbling_window_stats(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    assert got == batch
+
+
+def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
+    events = read_parquet_table(spark, sf_dir, "events")
+    batch = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in session_stats(events, gap_sec=1800).collect()
+    }
+    events_dir = _staged_events_dir(sf_dir, tmp_path)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = read_events_stream(spark, events_dir, raw_schema)
+    q = (
+        streaming_session_stats(stream, gap_sec=1800)
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sessions_test").collect()
+    }
+    assert got == batch
