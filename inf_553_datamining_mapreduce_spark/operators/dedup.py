@@ -313,28 +313,81 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+# Broadcast gate for the exact all-pairs path: 200k x 64-dim float64 ~ 100 MB.
+MAX_BROADCAST_VECTORS = 200_000
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame, min_cosine: float = 0.45
 ) -> DataFrame:
     """Exact pairwise cosine near-dup over ``embeddings(vec_id, embedding)``.
-    All-pairs is intentional here (the exact baseline); the LSH-bucketed
-    variant in similarity.py is the scale path."""
-    a = embeddings.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+
+    Block-nested-loop with a vectorized inner: the (gated) full matrix is
+    broadcast once, row-normalized; each Arrow batch computes one numpy
+    matmul against it and emits only pairs (id_a < id_b) above threshold.
+    This is the exact baseline — a 2M-pair column-expression cross join
+    evaluates the cosine lambda interpretively and is ~100x slower. Beyond
+    the broadcast gate, prefilter with MinHash/hyperplane LSH
+    (similarity.py) and verify candidates exactly.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from inf_553_datamining_mapreduce_spark.deploy import ensure_worker_imports
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    b = embeddings.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine_similarity(
-                F.col("emb_a").cast("array<double>"),
-                F.col("emb_b").cast("array<double>"),
-            ).alias("cosine"),
+
+    spark = embeddings.sparkSession
+    ensure_worker_imports(spark)
+    rows = embeddings.select("vec_id", "embedding").collect()
+    if len(rows) > MAX_BROADCAST_VECTORS:
+        raise ValueError(
+            f"{len(rows)} vectors exceed the broadcast gate "
+            f"({MAX_BROADCAST_VECTORS}); use the LSH prefilter path"
         )
-        .filter(F.col("cosine") >= min_cosine)
+    all_ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat_n = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((all_ids, mat_n))
+
+    schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_all, m_all = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            sims = (m / n[:, None]) @ m_all.T
+            bi, bj = np.nonzero(
+                (sims >= min_cosine) & (ids[:, None] < ids_all[None, :])
+            )
+            if len(bi):
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids[bi],
+                        "id_b": ids_all[bj],
+                        "cosine": sims[bi, bj],
+                    }
+                )
+
+    return (
+        embeddings.select("vec_id", "embedding")
+        .mapInPandas(kernel, schema)
         .orderBy("id_a", "id_b")
     )

@@ -182,7 +182,10 @@ def edge_betweenness(
     spark = edges.sparkSession
     ensure_worker_imports(spark)
     adj = _collect_adjacency(edges, vertices)
-    sources = sorted(adj)
+    # Isolated vertices are valid BFS sources in the reference
+    # (Betweenness.scala:133 iterates every user) but contribute an empty
+    # credit map — skip them; the result is identical.
+    sources = sorted(v for v, nbrs in adj.items() if nbrs)
     if not sources:
         return spark.createDataFrame([], _BETWEENNESS_SCHEMA)
     bc = spark.sparkContext.broadcast(adj)

@@ -15,12 +15,13 @@ from pyspark.sql.window import Window
 
 from inf_553_datamining_mapreduce_spark.operators.dedup import cosine_similarity
 
-# Deterministic pseudo-random hyperplanes: component h_{p,d} derived from a
-# hash of (plane, dim) — symmetric about zero, no RNG state, so plans are
-# stable across runs and executors.
-def _hyperplane_component(plane: int, dim: int) -> F.Column:
-    h = F.xxhash64(F.lit(f"plane_{plane}_dim_{dim}"))
-    return (h % 2_000_001).cast("double") / F.lit(1_000_000.0)
+def hyperplanes(num_planes: int, dim: int, seed: int = 13):
+    """Deterministic Gaussian hyperplanes: numpy's legacy RandomState stream
+    is stable across platforms and processes, so every executor derives the
+    identical planes from the seed — no RNG state ships with the plan."""
+    import numpy as np
+
+    return np.random.RandomState(seed).standard_normal((num_planes, dim))
 
 
 def brute_force_top_k(
@@ -64,17 +65,72 @@ def brute_force_top_k(
     )
 
 
-def signed_projections(emb_col: str, planes: list[int], dim: int) -> F.Column:
-    """Bit-string bucket id: sign of the dot product with each deterministic
-    hyperplane, concatenated. Runs as pure column expressions."""
-    bits = []
-    for p in planes:
-        dot = None
-        for d in range(dim):
-            term = F.col(emb_col).getItem(d) * _hyperplane_component(p, d)
-            dot = term if dot is None else dot + term
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+def _bucket_table(
+    df: DataFrame,
+    id_alias: str,
+    emb_alias: str,
+    num_planes: int,
+    num_tables: int,
+    dim: int,
+) -> DataFrame:
+    """One pass computing every table's bucket id for every row: a single
+    numpy matmul per Arrow batch against (tables*planes) hyperplanes, sign
+    bits packed into an int64 bucket per table. Output:
+    ``(id, embedding, table, bucket)``."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from inf_553_datamining_mapreduce_spark.deploy import ensure_worker_imports
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ensure_worker_imports(df.sparkSession)
+    planes = hyperplanes(num_planes * num_tables, dim)
+
+    schema = StructType(
+        [
+            StructField("row_id", LongType(), False),
+            StructField("emb", ArrayType(DoubleType()), False),
+            StructField("table_id", IntegerType(), False),
+            StructField("bucket", LongType(), False),
+        ]
+    )
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_alias].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf[emb_alias]), dtype=np.float64)
+            bits = (m @ planes.T) >= 0  # (rows, tables*planes)
+            out_ids, out_emb, out_tab, out_bkt = [], [], [], []
+            embs = list(m)
+            for t in range(num_tables):
+                chunk = bits[:, t * num_planes : (t + 1) * num_planes]
+                buckets = chunk @ weights
+                out_ids.extend(ids)
+                out_emb.extend(embs)
+                out_tab.extend([t] * len(ids))
+                out_bkt.extend(buckets)
+            yield pd.DataFrame(
+                {
+                    "row_id": out_ids,
+                    "emb": out_emb,
+                    "table_id": out_tab,
+                    "bucket": out_bkt,
+                }
+            )
+
+    return df.select(
+        F.col(id_alias), F.col(emb_alias).cast("array<double>").alias(emb_alias)
+    ).mapInPandas(kernel, schema)
 
 
 def lsh_top_k(
@@ -96,44 +152,36 @@ def lsh_top_k(
     depends on (planes, tables); precision of returned scores is exact.
     """
     dim = len(embeddings.select(emb_col).first()[0])
-    e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(emb_col).cast("array<double>").alias("e_emb"),
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(emb_col).cast("array<double>").alias("q_emb"),
-    )
-    def table_planes(t: int) -> list[int]:
-        return list(range(t * num_planes, (t + 1) * num_planes))
-
-    e_buckets = e.select(
+    e_buckets = _bucket_table(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col)),
         "neighbor_id",
-        "e_emb",
-        *[
-            signed_projections("e_emb", table_planes(t), dim).alias(f"b{t}")
-            for t in range(num_tables)
-        ],
+        emb_col,
+        num_planes,
+        num_tables,
+        dim,
+    ).select(
+        F.col("row_id").alias("neighbor_id"),
+        F.col("emb").alias("e_emb"),
+        "table_id",
+        "bucket",
     )
-    q_buckets = q.select(
+    q_buckets = _bucket_table(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(emb_col)),
         "query_id",
-        "q_emb",
-        *[
-            signed_projections("q_emb", table_planes(t), dim).alias(f"b{t}")
-            for t in range(num_tables)
-        ],
+        emb_col,
+        num_planes,
+        num_tables,
+        dim,
+    ).select(
+        F.col("row_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        "table_id",
+        "bucket",
     )
-    cand = None
-    for t in range(num_tables):
-        c = e_buckets.select("neighbor_id", "e_emb", F.col(f"b{t}").alias("bucket")).join(
-            F.broadcast(
-                q_buckets.select("query_id", "q_emb", F.col(f"b{t}").alias("bucket"))
-            ),
-            "bucket",
-        )
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"]).filter(
-        F.col("neighbor_id") != F.col("query_id")
+    cand = (
+        e_buckets.join(F.broadcast(q_buckets), ["table_id", "bucket"])
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     scored = cand.select(
         "query_id",
