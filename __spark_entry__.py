@@ -27,6 +27,7 @@ from inf_553_datamining_mapreduce_spark.operators import graph as G
 from inf_553_datamining_mapreduce_spark.operators import relational as R
 from inf_553_datamining_mapreduce_spark.operators import similarity as SIM
 from inf_553_datamining_mapreduce_spark.operators import text as T
+from inf_553_datamining_mapreduce_spark.plans import sql as SQLQ
 from inf_553_datamining_mapreduce_spark.sources.readers import read_parquet_table
 from inf_553_datamining_mapreduce_spark.streaming import windows as W
 
@@ -245,6 +246,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "duration_sec",
         )
 
+    def _customers_without_orders(spark, sf):
+        c, o = _t(spark, sf, "customer", "orders")
+        return R.customers_without_orders(c, o)
+
+    def _orders_rollup(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return R.orders_rollup(o)
+
+    def _orders_by_month(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return R.orders_by_month(o)
+
+    def _approx_distinct_parts(spark, sf):
+        (li,) = _t(spark, sf, "lineitem")
+        return R.approx_distinct_parts(li)
+
+    def _pricing_summary_sql(spark, sf):
+        return SQLQ.run_sql(spark, sf, "pricing_summary_sql")
+
+    def _top_customers_sql(spark, sf):
+        return SQLQ.run_sql(spark, sf, "top_customers_sql")
+
+    q["customers_without_orders"] = _customers_without_orders
+    q["orders_rollup"] = _orders_rollup
+    q["orders_by_month"] = _orders_by_month
+    q["approx_distinct_parts"] = _approx_distinct_parts
+    q["pricing_summary_sql"] = _pricing_summary_sql
+    q["top_customers_sql"] = _top_customers_sql
     q["token_stats"] = _token_stats
     q["word_frequencies"] = _word_frequencies
     q["quality_scores"] = _quality_scores
@@ -299,7 +328,7 @@ _FREQ_ITEMSETS_ORACLE = """
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(CAST(SUM(CAST(l_quantity AS {_D})) AS VARCHAR) AS DOUBLE) AS sum_qty,
@@ -443,6 +472,38 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY n_nationkey
         """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "orders_rollup": f"""
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COUNT(*) AS n_orders,
+                   CAST(CAST(SUM(CAST(o_totalprice AS {_D})) AS VARCHAR) AS DOUBLE) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority
+        """,
+        "orders_by_month": f"""
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   COUNT(*) AS n_orders,
+                   CAST(CAST(SUM(CAST(o_totalprice AS {_D})) AS VARCHAR) AS DOUBLE) AS total_price
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "pricing_summary_sql": None,  # placeholder replaced below
+        "top_customers_sql": f"""
+            SELECT o_custkey,
+                   COUNT(*) AS n_orders,
+                   CAST(CAST(SUM(CAST(o_totalprice AS {_D})) AS VARCHAR) AS DOUBLE) AS total_spent
+            FROM orders
+            GROUP BY o_custkey
+            HAVING COUNT(*) >= 5
+            ORDER BY total_spent DESC, o_custkey
+            LIMIT 100
+        """,
         # ---- text analysis ------------------------------------------------
         "token_stats": """
             SELECT doc_id,
@@ -580,3 +641,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id, rank
         """,
     }
+    # The SQL-text twin shares the DataFrame query's oracle verbatim.
+    d["pricing_summary_sql"] = d["pricing_summary"]
+    return d

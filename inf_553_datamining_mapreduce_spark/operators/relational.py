@@ -298,6 +298,70 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
 # Set operators on relations (SURVEY.md §2.9 gap — engine extension)
 # ---------------------------------------------------------------------------
 
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti join: customers that never placed an order. The reference has no
+    semi/anti joins (SURVEY.md §2.3 'not present'); Spark's left_anti is the
+    shuffle-free-on-broadcast form of the NOT EXISTS idiom."""
+    return (
+        customer.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def orders_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP over (status, priority): per-group, per-status subtotal, and
+    grand total in one pass (SURVEY.md §2.9 gap — grouping sets). Subtotal
+    rows surface as 'ALL' so cross-engine comparison avoids NULL-grouping
+    ambiguity (neither column is ever null in the data)."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+def orders_by_month(orders: DataFrame) -> DataFrame:
+    """Calendar bucketing (the reference parses timestamps then discards
+    them — task1.scala:64; SURVEY.md §2.6 'no date/time functions')."""
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("month")
+    )
+
+
+def approx_distinct_parts(lineitem: DataFrame) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per supplier — the approximate
+    path for the cardinalities ``distinct_users_per_event_type`` computes
+    exactly; at 100 TB the sketch is the only affordable form. Deterministic
+    for fixed input, cross-checked against the exact count in tests."""
+    return (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
 def nations_with_both(customer: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
     """Nations having BOTH customers and suppliers (INTERSECT), with an
     EXCEPT twin available by symmetry. Fills the reference's missing

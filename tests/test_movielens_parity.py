@@ -1,0 +1,182 @@
+"""Reference-parity tests on synthetic MovieLens-shaped fixtures
+(FIXTURES.md §1): the engine's task1/task2/SON pipelines against an
+independent pure-Python oracle, including the byte-level output contracts
+(11-decimal trailing-zero-strip formatting, sort orders, SON rendering)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+from collections import Counter, defaultdict
+
+import pytest
+
+from inf_553_datamining_mapreduce_spark.operators.movielens import (
+    avg_rating_by_genre_gender,
+    avg_rating_by_movie_gender,
+    load_ml1m,
+    son_baskets,
+    son_frequent_movie_sets,
+)
+from inf_553_datamining_mapreduce_spark.sources.sinks import (
+    format_avg_11,
+    write_frequent_itemsets,
+    write_group_avg,
+)
+
+N_USERS, N_MOVIES, N_RATINGS = 60, 80, 600
+GENRES = ["Action", "Action|Comedy", "Drama", "Comedy|Drama|Romance", "Western"]
+
+
+@pytest.fixture(scope="module")
+def ml_fixture(tmp_path_factory):
+    """Deterministic ml-1m-shaped ::-delimited text fixtures plus their
+    in-memory row lists for the local oracle."""
+    rng = random.Random(42)
+    root = tmp_path_factory.mktemp("ml1m")
+    users = [
+        (u, rng.choice("MF"), rng.choice([1, 18, 25, 35, 45, 50, 56]),
+         rng.randint(0, 20), f"{rng.randint(0, 99999):05d}")
+        for u in range(1, N_USERS + 1)
+    ]
+    movies = [
+        (m, f"Movie {m} (199{m % 10})", rng.choice(GENRES))
+        for m in range(1, N_MOVIES + 1)
+    ]
+    seen: set[tuple[int, int]] = set()
+    ratings = []
+    while len(ratings) < N_RATINGS:
+        u = rng.randint(1, N_USERS)
+        # popularity skew so co-rating structure exists (FIXTURES.md §1.1)
+        m = min(rng.randint(1, N_MOVIES), rng.randint(1, N_MOVIES))
+        if (u, m) in seen:
+            continue
+        seen.add((u, m))
+        ratings.append((u, m, rng.randint(1, 5), 978_300_000 + len(ratings)))
+    (root / "ratings.dat").write_text(
+        "".join(f"{u}::{m}::{r}::{t}\n" for u, m, r, t in ratings)
+    )
+    (root / "users.dat").write_text(
+        "".join(f"{u}::{g}::{a}::{o}::{z}\n" for u, g, a, o, z in users)
+    )
+    (root / "movies.dat").write_text(
+        "".join(f"{m}::{t}::{g}\n" for m, t, g in movies)
+    )
+    return root, ratings, users, movies
+
+
+def _local_avg(ratings, users, movies=None, by_genre=False):
+    gender = {u: g for u, g, *_ in users}
+    genre = {m: g for m, _, g in movies} if movies else {}
+    acc: dict[tuple, list[int]] = defaultdict(lambda: [0, 0])
+    for u, m, r, _ in ratings:
+        key = (genre[m], gender[u]) if by_genre else (m, gender[u])
+        acc[key][0] += 1
+        acc[key][1] += r
+    return {k: v[1] / v[0] for k, v in acc.items()}
+
+
+def test_task1_avg_by_movie_gender(spark, ml_fixture):
+    root, ratings, users, movies = ml_fixture
+    r, u, m = load_ml1m(
+        spark, str(root / "ratings.dat"), str(root / "users.dat"), str(root / "movies.dat")
+    )
+    got = {
+        (row["mid"], row["gender"]): row["avg_rating"]
+        for row in avg_rating_by_movie_gender(r, u).collect()
+    }
+    assert got == _local_avg(ratings, users)
+
+
+def test_task1_output_contract(spark, ml_fixture, tmp_path):
+    root, ratings, users, movies = ml_fixture
+    r, u, _ = load_ml1m(spark, str(root / "ratings.dat"), str(root / "users.dat"))
+    df = avg_rating_by_movie_gender(r, u)
+    out = tmp_path / "result_task1.txt"
+    write_group_avg(df, str(out), ["mid", "gender"], "avg_rating")
+    expected = _local_avg(ratings, users)
+    lines = [
+        f"{mid},{g},{format_avg_11(v)}"
+        for (mid, g), v in sorted(expected.items(), key=lambda kv: (kv[0][0], kv[0][1]))
+    ]
+    assert out.read_text().splitlines() == lines
+
+
+def test_format_avg_11_contract():
+    # "%.11f".format(v).toDouble semantics (task1.scala:81): round to 11
+    # decimals, strip trailing zeros via the Double->String round-trip.
+    assert format_avg_11(3.45) == "3.45"
+    assert format_avg_11(11 / 3) == "3.66666666667"
+    assert format_avg_11(4.0) == "4.0"
+    assert format_avg_11(2.5) == "2.5"
+
+
+def test_task2_avg_by_genre_gender_composite_key(spark, ml_fixture):
+    root, ratings, users, movies = ml_fixture
+    r, u, m = load_ml1m(
+        spark, str(root / "ratings.dat"), str(root / "users.dat"), str(root / "movies.dat")
+    )
+    rows = avg_rating_by_genre_gender(r, u, m).collect()
+    got = {(row["genres"], row["gender"]): row["avg_rating"] for row in rows}
+    assert got == _local_avg(ratings, users, movies, by_genre=True)
+    # composite genre strings survive un-split (task2.scala:23)
+    assert any("|" in k[0] for k in got)
+    # lexicographic genre order in the output (task2.scala:39)
+    genre_order = [row["genres"] for row in rows]
+    assert genre_order == sorted(genre_order)
+
+
+def _local_son(ratings, users, case_number, support):
+    gender = {u: g for u, g, *_ in users}
+    baskets: dict[int, set[int]] = defaultdict(set)
+    for u, m, _, _ in ratings:
+        if case_number == 1 and gender[u] == "M":
+            baskets[u].add(m)
+        elif case_number == 2 and gender[u] == "F":
+            baskets[m].add(u)
+    cnt: Counter = Counter()
+    for b in baskets.values():
+        items = sorted(b)
+        for k in range(1, len(items) + 1):
+            for c in itertools.combinations(items, k):
+                cnt[c] += 1
+    return {c: v for c, v in cnt.items() if v >= support}
+
+
+@pytest.mark.parametrize("case_number,support", [(1, 6), (2, 5)])
+def test_son_cases_match_local_oracle(spark, ml_fixture, case_number, support):
+    root, ratings, users, _ = ml_fixture
+    r, u, _ = load_ml1m(spark, str(root / "ratings.dat"), str(root / "users.dat"))
+    result = son_frequent_movie_sets(r, u, case_number, support).collect()
+    got = {tuple(row["itemset"]): row["support"] for row in result}
+    assert got == _local_son(ratings, users, case_number, support)
+
+
+def test_son_case_output_contract(spark, ml_fixture, tmp_path):
+    root, ratings, users, _ = ml_fixture
+    r, u, _ = load_ml1m(spark, str(root / "ratings.dat"), str(root / "users.dat"))
+    support = 6
+    result = son_frequent_movie_sets(r, u, 1, support).collect()
+    out = tmp_path / f"SON.case1_{support}.txt"
+    write_frequent_itemsets([tuple(row["itemset"]) for row in result], str(out))
+    expected = _local_son(ratings, users, 1, support)
+    by_size: dict[int, list[tuple]] = defaultdict(list)
+    for c in expected:
+        by_size[len(c)].append(c)
+    lines = []
+    for size in sorted(by_size):
+        rendered = sorted(by_size[size], key=lambda s: (len(s), s))
+        lines.append(", ".join("(" + ", ".join(map(str, s)) + ")" for s in rendered))
+    assert out.read_text().splitlines() == lines
+
+
+def test_son_basket_orientation(spark, ml_fixture):
+    root, ratings, users, _ = ml_fixture
+    r, u, _ = load_ml1m(spark, str(root / "ratings.dat"), str(root / "users.dat"))
+    male_users = {x for x, g, *_ in users if g == "M"}
+    b1 = son_baskets(r, u, 1).collect()
+    assert {row["uid"] for row in b1} <= male_users
+    b2 = son_baskets(r, u, 2).collect()
+    female_users = {x for x, g, *_ in users if g == "F"}
+    for row in b2:
+        assert set(row["basket"]) <= female_users
