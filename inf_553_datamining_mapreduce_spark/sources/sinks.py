@@ -95,6 +95,30 @@ def write_communities(communities: Iterable[Sequence[int]], path: str) -> None:
             fh.write("[" + ",".join(str(m) for m in comm) + "]\n")
 
 
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Hive-style partitioned parquet layout — Catalyst prunes partitions
+    when downstream filters hit ``partition_cols`` (SURVEY.md §4.2: the
+    reference has no partitioned storage; this is the engine's primary sink
+    for large outputs)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame, table_name: str, bucket_col: str, num_buckets: int = 16
+) -> None:
+    """Bucketed managed table: co-locates rows by hash of ``bucket_col`` so
+    later equi-joins/aggregations on it skip the shuffle entirely — the
+    pre-partitioning strategy for repeated joins at scale."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
+
+
 def write_single_csv(df: DataFrame, path: str, header: bool = True) -> None:
     """S4 analog: distributed write coalesced to one file
     (``task1.scala:83`` ``coalesce(1).saveAsTextFile``). Only for

@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis): the pure-Python kernels must agree
+with independent brute-force formulations on arbitrary small inputs."""
+
+from __future__ import annotations
+
+import itertools
+from collections import Counter, defaultdict, deque
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from inf_553_datamining_mapreduce_spark.operators.frequent_itemsets import (
+    apriori_local,
+    count_candidates_in_basket,
+)
+from inf_553_datamining_mapreduce_spark.operators.graph import (
+    _components_local,
+    bfs_credit_one_source,
+    modularity_local,
+)
+
+baskets_strategy = st.lists(
+    st.frozensets(st.integers(min_value=1, max_value=12), min_size=1, max_size=6),
+    min_size=1,
+    max_size=12,
+)
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=10), st.integers(min_value=1, max_value=10)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=20,
+).map(lambda es: sorted({(min(a, b), max(a, b)) for a, b in es}))
+
+
+@settings(max_examples=60, deadline=None)
+@given(baskets_strategy, st.integers(min_value=1, max_value=5))
+def test_apriori_local_equals_brute_force(baskets, threshold):
+    cnt: Counter = Counter()
+    for b in baskets:
+        items = sorted(b)
+        for k in range(1, len(items) + 1):
+            for c in itertools.combinations(items, k):
+                cnt[c] += 1
+    expected = {c for c, v in cnt.items() if v >= threshold}
+    assert set(apriori_local(baskets, threshold)) == expected
+
+
+@settings(max_examples=60, deadline=None)
+@given(baskets_strategy)
+def test_candidate_counting_strategies_agree(baskets):
+    """Both counting strategies in count_candidates_in_basket (combo
+    enumeration vs subset test) must yield identical hits."""
+    universe = sorted({i for b in baskets for i in b})
+    cands = {
+        2: set(itertools.combinations(universe, 2)),
+        3: set(itertools.combinations(universe[:6], 3)),
+    }
+    for b in baskets:
+        via_api = set(count_candidates_in_basket(b, cands))
+        brute = {
+            c for k, cs in cands.items() for c in cs if b.issuperset(c)
+        }
+        assert via_api == brute
+
+
+@settings(max_examples=60, deadline=None)
+@given(edges_strategy)
+def test_components_match_bfs_reachability(edge_list):
+    vids = {v for e in edge_list for v in e} | {1, 2, 3}
+    comp = _components_local(edge_list, vids)
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        adj[a].add(b)
+        adj[b].add(a)
+    for start in vids:
+        seen = {start}
+        q = deque([start])
+        while q:
+            cur = q.popleft()
+            for nb in adj[cur]:
+                if nb not in seen:
+                    seen.add(nb)
+                    q.append(nb)
+        assert comp[start] == min(seen)  # min-id labeling over reachability
+
+
+@settings(max_examples=40, deadline=None)
+@given(edges_strategy)
+def test_betweenness_symmetry_and_positivity(edge_list):
+    adj = defaultdict(list)
+    for a, b in edge_list:
+        adj[a].append(b)
+        adj[b].append(a)
+    total: Counter = Counter()
+    for src in sorted(adj):
+        for key, credit in bfs_credit_one_source(src, dict(adj)).items():
+            assert credit > 0
+            assert key[0] < key[1]
+            total[key] += credit
+    # every existing edge receives credit from its own endpoints' BFS
+    for e in edge_list:
+        assert total[e] > 0 or not adj[e[0]]
+
+
+@settings(max_examples=40, deadline=None)
+@given(edges_strategy)
+def test_modularity_bounded(edge_list):
+    if not edge_list:
+        return
+    vids = {v for e in edge_list for v in e}
+    comp = _components_local(edge_list, vids)
+    q = modularity_local(edge_list, comp)
+    # modularity of any partition lies in [-1, 1]
+    assert -1.0 <= q <= 1.0
