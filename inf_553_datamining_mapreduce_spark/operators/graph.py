@@ -172,12 +172,20 @@ def bfs_credit_one_source(
 
 
 def edge_betweenness(
-    edges: DataFrame, vertices: DataFrame | None = None
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    sample_sources: int | None = None,
+    seed: int = 17,
 ) -> DataFrame:
     """Edge betweenness of the whole graph: one BFS task per source vertex
     with a broadcast adjacency, aggregated with a DataFrame groupBy
     (``Betweenness.scala:133-138``: flatMap → canonicalize → reduceByKey →
     /2). Returns ``(src, dst, betweenness)`` with src < dst, ordered.
+
+    ``sample_sources``: the 100-TB path. Exact betweenness is O(V·E); with a
+    uniform source sample of size s the per-source credits are scaled by
+    V/s, giving the standard unbiased estimator (Brandes-Pich style source
+    sampling applied to this credit rule). None = exact.
     """
     spark = edges.sparkSession
     ensure_worker_imports(spark)
@@ -186,6 +194,13 @@ def edge_betweenness(
     # (Betweenness.scala:133 iterates every user) but contribute an empty
     # credit map — skip them; the result is identical.
     sources = sorted(v for v, nbrs in adj.items() if nbrs)
+    scale = 1.0
+    if sample_sources is not None and sample_sources < len(sources):
+        import random as _random
+
+        rng = _random.Random(seed)
+        scale = len(sources) / sample_sources
+        sources = sorted(rng.sample(sources, sample_sources))
     if not sources:
         return spark.createDataFrame([], _BETWEENNESS_SCHEMA)
     bc = spark.sparkContext.broadcast(adj)
@@ -199,7 +214,7 @@ def edge_betweenness(
     return (
         spark.createDataFrame(rdd, _BETWEENNESS_SCHEMA)
         .groupBy("src", "dst")
-        .agg((F.sum("credit") / F.lit(2.0)).alias("betweenness"))
+        .agg((F.sum("credit") * F.lit(scale) / F.lit(2.0)).alias("betweenness"))
         .orderBy("src", "dst")
     )
 

@@ -153,6 +153,19 @@ def streaming_tumbling_window_stats(
     )
 
 
+def streaming_dedup_events(
+    stream: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact deduplication by event_id: state-store-backed
+    ``dropDuplicatesWithinWatermark`` keeps ids only as long as the
+    watermark requires, so state is bounded — the streaming twin of the
+    batch exact-dedup operator (operators/dedup.py) for at-least-once
+    sources."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def streaming_session_stats(
     stream: DataFrame, gap_sec: int = 1800, watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -161,6 +161,35 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_streaming_dedup_drops_replayed_batch(spark, sf_dir, tmp_path):
+    """Replay the same file twice into the stream: dedup-by-event_id must
+    emit each event once across micro-batches (state-store dedup)."""
+    import shutil
+
+    from inf_553_datamining_mapreduce_spark.streaming.windows import (
+        streaming_dedup_events,
+    )
+
+    d = tmp_path / "dedup_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")  # exact replay
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = read_events_stream(spark, str(d), raw_schema)
+    q = (
+        streaming_dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT COUNT(DISTINCT event_id) c, COUNT(*) n FROM dedup_test").first()
+    total = read_parquet_table(spark, sf_dir, "events").count()
+    assert n["n"] == n["c"] == total
+
+
 def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
     events = read_parquet_table(spark, sf_dir, "events")
     batch = {

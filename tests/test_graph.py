@@ -94,6 +94,24 @@ def test_girvan_newman_two_triangles(spark):
     assert communities == [[1, 2, 3], [4, 5, 6]]
 
 
+def test_sampled_betweenness_unbiased_scaling(spark):
+    """Source sampling with scale V/s: sampling ALL sources must equal the
+    exact result; a strict subset scales each per-source credit uniformly."""
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    exact = _betweenness_dict(spark, pairs)
+    full_sample = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(
+            _edges_df(spark, pairs), sample_sources=6, seed=3
+        ).collect()
+    }
+    assert full_sample == exact
+    half = edge_betweenness(_edges_df(spark, pairs), sample_sources=3, seed=3)
+    vals = {(r["src"], r["dst"]): r["betweenness"] for r in half.collect()}
+    assert vals  # estimator produces credit on the sampled DAGs
+    assert all(v > 0 for v in vals.values())
+
+
 def test_cooccurrence_edges_matches_reference_rule(spark):
     """Edge rule parity on the reference's own ratings.csv: co-rated >= 3
     movies, src < dst (Betweenness.scala:26-31)."""
