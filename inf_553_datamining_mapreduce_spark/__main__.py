@@ -34,6 +34,26 @@ def main(argv: list[str] | None = None) -> int:
     son.add_argument("--users", required=True)
     son.add_argument("--output", required=True)
 
+    for task_name, needs_movies in (("task1", False), ("task2", True)):
+        t = sub.add_parser(
+            task_name,
+            help=f"grouped-average {task_name} on ml-1m-shaped ::-delimited input",
+        )
+        t.add_argument("--ratings", required=True)
+        t.add_argument("--users", required=True)
+        if needs_movies:
+            t.add_argument("--movies", required=True)
+        t.add_argument("--output", required=True)
+
+    comm = sub.add_parser(
+        "communities", help="Girvan-Newman communities on ml-latest-small CSV"
+    )
+    comm.add_argument("--ratings-csv", required=True)
+    comm.add_argument("--min-shared", type=int, default=3)
+    comm.add_argument("--step", type=int, default=2500)
+    comm.add_argument("--output", required=True)
+    comm.add_argument("--betweenness-output", help="also write (u1,u2,b) lines here")
+
     args = parser.parse_args(argv)
 
     import __spark_entry__ as entrymod
@@ -80,6 +100,55 @@ def main(argv: list[str] | None = None) -> int:
         itemsets = [tuple(r["itemset"]) for r in result.collect()]
         write_frequent_itemsets(itemsets, args.output)
         print(f"wrote {args.output} ({len(itemsets)} itemsets)")
+        return 0
+
+    if args.cmd in ("task1", "task2"):
+        from inf_553_datamining_mapreduce_spark.operators.movielens import (
+            avg_rating_by_genre_gender,
+            avg_rating_by_movie_gender,
+            load_ml1m,
+        )
+        from inf_553_datamining_mapreduce_spark.sources.sinks import write_group_avg
+
+        movies_path = getattr(args, "movies", None)
+        ratings, users, movies = load_ml1m(spark, args.ratings, args.users, movies_path)
+        if args.cmd == "task1":
+            df = avg_rating_by_movie_gender(ratings, users)
+            write_group_avg(df, args.output, ["mid", "gender"], "avg_rating")
+        else:
+            df = avg_rating_by_genre_gender(ratings, users, movies)
+            write_group_avg(df, args.output, ["genres", "gender"], "avg_rating")
+        print(f"wrote {args.output}")
+        return 0
+
+    if args.cmd == "communities":
+        from pyspark.sql import functions as F
+
+        from inf_553_datamining_mapreduce_spark.operators.graph import (
+            cooccurrence_edges,
+            edge_betweenness,
+            girvan_newman_communities,
+        )
+        from inf_553_datamining_mapreduce_spark.sources.sinks import (
+            write_betweenness,
+            write_communities,
+        )
+
+        df = spark.read.csv(args.ratings_csv, header=True, inferSchema=True)
+        edges = cooccurrence_edges(df, "userId", "movieId", args.min_shared)
+        vertices = df.select(F.col("userId").cast("long")).distinct()
+        if args.betweenness_output:
+            rows = [
+                (r["src"], r["dst"], r["betweenness"])
+                for r in edge_betweenness(edges, vertices).collect()
+            ]
+            write_betweenness(rows, args.betweenness_output)
+            print(f"wrote {args.betweenness_output}")
+        result = girvan_newman_communities(edges, vertices, step=args.step)
+        write_communities(
+            [list(r["members"]) for r in result.collect()], args.output
+        )
+        print(f"wrote {args.output}")
         return 0
 
     return 2

@@ -80,19 +80,24 @@ def write_frequent_itemsets(
 
 
 def write_betweenness(rows: Iterable[tuple[int, int, float]], path: str) -> None:
-    """``(u1,u2,value)`` lines sorted by (u1, u2) (``Betweenness.scala:137,147``)."""
+    """``(u1,u2,value)`` lines sorted by (u1, u2). The reference writes
+    ``collect().mkString("\\n")`` (``Betweenness.scala:147``) — newline
+    BETWEEN lines, none trailing; replicated byte-for-byte."""
+    lines = [
+        f"({u1},{u2},{val})"
+        for u1, u2, val in sorted(rows, key=lambda r: (r[0], r[1]))
+    ]
     with open(path, "w") as fh:
-        for u1, u2, val in sorted(rows, key=lambda r: (r[0], r[1])):
-            fh.write(f"({u1},{u2},{val})\n")
+        fh.write("\n".join(lines))
 
 
 def write_communities(communities: Iterable[Sequence[int]], path: str) -> None:
     """``[m1,m2,...]`` lines — members ascending within a community,
-    communities ordered by smallest member (``Community.scala:132-138``)."""
-    normalized = [sorted(c) for c in communities]
+    communities ordered by smallest member, joined with ``mkString("\\n")``
+    (no trailing newline — ``Community.scala:132-138``)."""
+    normalized = sorted((sorted(c) for c in communities), key=lambda c: c[0])
     with open(path, "w") as fh:
-        for comm in sorted(normalized, key=lambda c: c[0]):
-            fh.write("[" + ",".join(str(m) for m in comm) + "]\n")
+        fh.write("\n".join("[" + ",".join(str(m) for m in c) + "]" for c in normalized))
 
 
 def write_partitioned_parquet(

@@ -153,6 +153,33 @@ def streaming_tumbling_window_stats(
     )
 
 
+def streaming_sliding_window_stats(
+    stream: DataFrame,
+    width_sec: int = 600,
+    slide_sec: int = 300,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of ``sliding_window_stats`` via the native sliding
+    ``F.window(width, slide)`` with a watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{width_sec} seconds", f"{slide_sec} seconds"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_dedup_events(
     stream: DataFrame, watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -161,6 +161,36 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_streaming_sliding_matches_batch(spark, sf_dir, tmp_path):
+    from inf_553_datamining_mapreduce_spark.streaming.windows import (
+        sliding_window_stats,
+        streaming_sliding_window_stats,
+    )
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in sliding_window_stats(events).collect()
+    }
+    events_dir = _staged_events_dir(sf_dir, tmp_path)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = read_events_stream(spark, events_dir, raw_schema)
+    q = (
+        streaming_sliding_window_stats(stream)
+        .writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    assert got == batch
+
+
 def test_streaming_dedup_drops_replayed_batch(spark, sf_dir, tmp_path):
     """Replay the same file twice into the stream: dedup-by-event_id must
     emit each event once across micro-batches (state-store dedup)."""
