@@ -268,6 +268,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _top_customers_sql(spark, sf):
         return SQLQ.run_sql(spark, sf, "top_customers_sql")
 
+    def _event_props_stats(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return R.event_props_stats(e)
+
+    def _salted_counts(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return R.salted_heavy_hitter_counts(e)
+
+    q["event_props_stats"] = _event_props_stats
+    q["salted_event_counts"] = _salted_counts
     q["customers_without_orders"] = _customers_without_orders
     q["orders_rollup"] = _orders_rollup
     q["orders_by_month"] = _orders_by_month
@@ -471,6 +481,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s_nationkey FROM supplier
             )
             ORDER BY n_nationkey
+        """,
+        "event_props_stats": """
+            SELECT event_type,
+                   COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "salted_event_counts": """
+            SELECT event_type, COUNT(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name, c_mktsegment

@@ -157,7 +157,9 @@ def son_frequent_itemsets(
     if num_partitions is None:
         num_partitions = min(32, max(1, support // 2))
     b = baskets.select(F.col(basket_col).cast(ArrayType(LongType())).alias(basket_col))
-    b = b.repartition(num_partitions)
+    # Persisted: the basket build (upstream joins + collect_set shuffle) is
+    # consumed by BOTH phases; without caching it would evaluate twice.
+    b = b.repartition(num_partitions).persist()
     threshold = support / num_partitions
 
     def phase1(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

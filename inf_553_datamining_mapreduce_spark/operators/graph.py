@@ -106,19 +106,27 @@ def _collect_adjacency(
     edges: DataFrame, vertices: DataFrame | None
 ) -> dict[int, list[int]]:
     """Symmetric adjacency dict (``graph.collectNeighborIds(Either)``,
-    ``Betweenness.scala:53``), gated by MAX_DRIVER_EDGES."""
-    n_edges = edges.count()
-    if n_edges > MAX_DRIVER_EDGES:
-        raise ValueError(
-            f"graph has {n_edges} edges > {MAX_DRIVER_EDGES}; driver-side "
-            "adjacency is gated — partition the graph or raise the gate "
-            "deliberately"
-        )
-    adj: dict[int, list[int]] = defaultdict(list)
-    for row in edges.select("src", "dst").collect():
-        s, d = int(row["src"]), int(row["dst"])
-        adj[s].append(d)
-        adj[d].append(s)
+    ``Betweenness.scala:53``), gated by MAX_DRIVER_EDGES.
+
+    The edge plan is persisted around the gate-count + collect pair so the
+    (potentially expensive) edge-building join evaluates once, not twice.
+    """
+    proj = edges.select("src", "dst").persist()
+    try:
+        n_edges = proj.count()
+        if n_edges > MAX_DRIVER_EDGES:
+            raise ValueError(
+                f"graph has {n_edges} edges > {MAX_DRIVER_EDGES}; driver-side "
+                "adjacency is gated — partition the graph or raise the gate "
+                "deliberately"
+            )
+        adj: dict[int, list[int]] = defaultdict(list)
+        for row in proj.collect():
+            s, d = int(row["src"]), int(row["dst"])
+            adj[s].append(d)
+            adj[d].append(s)
+    finally:
+        proj.unpersist()
     if vertices is not None:
         for row in vertices.collect():
             adj.setdefault(int(row[0]), [])
@@ -274,12 +282,16 @@ def connected_components(
     method='auto': unionfind under the gate, else labelprop.
     """
     spark = edges.sparkSession
-    if method == "auto":
-        method = "unionfind" if edges.count() <= MAX_DRIVER_EDGES else "labelprop"
+    if method in ("auto", "unionfind"):
+        proj = edges.select("src", "dst").persist()
+        n_edges = proj.count()
+        if method == "auto":
+            method = "unionfind" if n_edges <= MAX_DRIVER_EDGES else "labelprop"
+        if method != "unionfind":
+            proj.unpersist()
     if method == "unionfind":
-        edge_list = [
-            (int(r["src"]), int(r["dst"])) for r in edges.select("src", "dst").collect()
-        ]
+        edge_list = [(int(r["src"]), int(r["dst"])) for r in proj.collect()]
+        proj.unpersist()
         vids: set[int] = {v for e in edge_list for v in e}
         if vertices is not None:
             vids.update(int(r[0]) for r in vertices.collect())

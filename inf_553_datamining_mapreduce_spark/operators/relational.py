@@ -362,6 +362,46 @@ def approx_distinct_parts(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def event_props_stats(events: DataFrame) -> DataFrame:
+    """JSON extraction over the ``props`` column (reference has no JSON
+    functions — SURVEY.md §2.6): parse ``props.k`` as an int and aggregate
+    per event_type. ``get_json_object`` runs JVM-side."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def salted_heavy_hitter_counts(
+    events: DataFrame, salt_buckets: int = 8
+) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: count per (key, salt)
+    first — spreading any hot key over ``salt_buckets`` reducers — then sum
+    the partials per key. For pure counts AQE's skew handling usually
+    suffices; the pattern matters for position-sensitive aggs and as the
+    documented skew remedy at 1000-executor scale. Results are identical to
+    a direct groupBy-count by construction."""
+    salted = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("partial_n")
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("partial_n").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
 def nations_with_both(customer: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
     """Nations having BOTH customers and suppliers (INTERSECT), with an
     EXCEPT twin available by symmetry. Fills the reference's missing
