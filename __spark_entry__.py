@@ -294,8 +294,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_near_duplicates"] = _minhash_lsh_near_duplicates
     q["simhash_near_duplicates"] = _simhash_near_duplicates
     q["embedding_near_duplicates"] = _embedding_near_duplicates
+    def _topk_cosine_ivf(spark, sf):
+        (e,) = _t(spark, sf, "embeddings")
+        return SIM.ivf_top_k(
+            e, _ann_queries(spark, sf), k=5, n_centroids=8, n_probe=4
+        ).select("query_id", "neighbor_id", "rank")
+
     q["topk_cosine"] = _topk_cosine
     q["topk_cosine_lsh"] = _topk_cosine_lsh
+    q["topk_cosine_ivf"] = _topk_cosine_ivf
     q["tumbling_window_stats"] = _tumbling
     q["sliding_window_stats"] = _sliding
     q["session_stats"] = _sessions

@@ -180,6 +180,42 @@ def streaming_sliding_window_stats(
     )
 
 
+def streaming_user_running_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count and value sum maintained in the state store and
+    re-emitted every micro-batch — the arbitrary-state surface Structured
+    Streaming exposes for operators its built-ins can't express
+    (SURVEY.md §2.9: the reference has no stateful streaming at all)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_dedup_events(
     stream: DataFrame, watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -161,6 +161,60 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from inf_553_datamining_mapreduce_spark.operators.similarity import ivf_top_k
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_top_k(emb, queries, k=5).collect()
+    approx = ivf_top_k(emb, queries, k=5, n_centroids=8, n_probe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = sum(
+        1 for r in approx if r["neighbor_id"] in exact_sets.get(r["query_id"], set())
+    )
+    assert len(approx) > 0
+    assert hit / len(approx) >= 0.4  # probing half the cells on random data
+
+
+def test_streaming_stateful_running_totals(spark, sf_dir, tmp_path):
+    from inf_553_datamining_mapreduce_spark.streaming.windows import (
+        streaming_user_running_totals,
+    )
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    events_dir = _staged_events_dir(sf_dir, tmp_path)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = read_events_stream(spark, events_dir, raw_schema)
+    q = (
+        streaming_user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, MAX(n_events) n, MAX(sum_value) s FROM totals_test GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n"], r["s"]) for r in rows}
+    assert set(got) == set(batch)
+    for uid, (n, s) in batch.items():
+        gn, gs = got[uid]
+        assert gn == n
+        assert abs(gs - s) < 1e-6
+
+
 def test_streaming_sliding_matches_batch(spark, sf_dir, tmp_path):
     from inf_553_datamining_mapreduce_spark.streaming.windows import (
         sliding_window_stats,
