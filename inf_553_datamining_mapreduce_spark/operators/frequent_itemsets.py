@@ -145,17 +145,17 @@ def son_frequent_itemsets(
 
     Returns ``(itemset: array<long> sorted asc, support: long)``.
 
-    ``num_partitions`` defaults to ``min(32, max(1, support // 2))`` so the
-    per-partition threshold stays >= 2 — below that, "locally frequent"
-    approaches "every subset present" and phase 1 degenerates to exhaustive
-    subset counting. Any value is CORRECT (see module docstring); this only
-    tunes candidate volume vs parallelism.
+    ``num_partitions`` defaults to ``min(32, max(1, int(support / 1.5)))``
+    so the per-partition threshold stays >= 1.5 — below 1, "locally
+    frequent" approaches "every subset present" and phase 1 degenerates to
+    exhaustive subset counting. Any value is CORRECT (see module
+    docstring); this only tunes candidate volume vs parallelism.
     """
     from inf_553_datamining_mapreduce_spark.deploy import ensure_worker_imports
 
     ensure_worker_imports(baskets.sparkSession)
     if num_partitions is None:
-        num_partitions = min(32, max(1, support // 2))
+        num_partitions = min(32, max(1, int(support / 1.5)))
     b = baskets.select(F.col(basket_col).cast(ArrayType(LongType())).alias(basket_col))
     # Persisted: the basket build (upstream joins + collect_set shuffle) is
     # consumed by BOTH phases; without caching it would evaluate twice.
