@@ -276,6 +276,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (e,) = _t(spark, sf, "events")
         return R.salted_heavy_hitter_counts(e)
 
+    def _clicks_asof_views(spark, sf):
+        from pyspark.sql.window import Window as _W
+
+        (e,) = _t(spark, sf, "events")
+        clicks = e.filter(F.col("event_type") == "click")
+        views = e.filter(F.col("event_type") == "view")
+        # deterministic tie-break if two views share (user, ts)
+        rn = F.row_number().over(
+            _W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+        )
+        views = views.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+        joined = R.asof_join(
+            clicks, views, by="user_id", value_cols=("event_id", "value")
+        )
+        # Sentinels for clicks with no prior view: hash-comparable without
+        # engine-specific NULL handling.
+        return joined.select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("right_event_id"), F.lit(-1)).alias("view_event_id"),
+            F.coalesce(F.col("right_value"), F.lit(-1.0)).alias("view_value"),
+        ).orderBy("event_id")
+
+    q["clicks_asof_views"] = _clicks_asof_views
     q["event_props_stats"] = _event_props_stats
     q["salted_event_counts"] = _salted_counts
     q["customers_without_orders"] = _customers_without_orders
@@ -488,6 +512,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s_nationkey FROM supplier
             )
             ORDER BY n_nationkey
+        """,
+        "clicks_asof_views": """
+            WITH views AS (
+                SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY user_id, ts ORDER BY event_id DESC
+                    ) AS rn
+                    FROM events WHERE event_type = 'view'
+                ) WHERE rn = 1
+            ),
+            clicks AS (SELECT * FROM events WHERE event_type = 'click')
+            SELECT c.event_id,
+                   c.user_id,
+                   COALESCE(v.event_id, -1) AS view_event_id,
+                   COALESCE(v.value, -1.0) AS view_value
+            FROM clicks c
+            ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts > v.ts
+            ORDER BY c.event_id
         """,
         "event_props_stats": """
             SELECT event_type,

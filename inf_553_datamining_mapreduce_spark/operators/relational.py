@@ -402,6 +402,67 @@ def salted_heavy_hitter_counts(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: tuple[str, ...] = (),
+    strict: bool = True,
+) -> DataFrame:
+    """As-of join: each left row picks the latest right row with
+    ``right_ts < left_ts`` (or <= when ``strict=False``) within the same
+    ``by`` key — an operator Spark has no builtin for.
+
+    Implementation is the one-shuffle union trick: tag both sides, sort by
+    (by, ts, side) inside a single window partition, and carry the most
+    recent right-side values forward with ``last(ignorenulls=True)``. No
+    range-join explosion, no per-key driver loops; cost is one shuffle on
+    ``by`` plus a window sort — the same shape at any scale.
+    """
+    lcols = left.columns
+    vcols = list(value_cols) or [
+        c for c in right.columns if c not in (by, right_ts)
+    ]
+    tagged_left = left.select(
+        F.col(by).alias("_by"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in vcols],
+    )
+    tagged_right = right.select(
+        F.col(by).alias("_by"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            tagged_left.schema["_l"].dataType.simpleString()
+        ).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in vcols],
+    )
+    # Right rows sort before left rows at an equal timestamp iff non-strict
+    # (<=); with strict (<) the left row must NOT see an equal-ts right row.
+    order_side = F.col("_side").asc() if not strict else F.col("_side").desc()
+    w = (
+        Window.partitionBy("_by")
+        .orderBy(F.col("_ts").asc(), order_side)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_left.unionByName(tagged_right).select(
+        "_side",
+        "_l",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_rv_{c}")
+            for c in vcols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_rv_{c}").alias(f"right_{c}") for c in vcols],
+    )
+
+
 def nations_with_both(customer: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
     """Nations having BOTH customers and suppliers (INTERSECT), with an
     EXCEPT twin available by symmetry. Fills the reference's missing

@@ -101,6 +101,37 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert hit / max(total, 1) >= 0.4  # recall floor for 6x6 config on 64-dim
 
 
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from inf_553_datamining_mapreduce_spark.operators.relational import asof_join
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(10)), (1, 101, ts(20)), (2, 102, ts(5))],
+        "user_id long, click_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 900, ts(10), 1.0), (1, 901, ts(15), 2.0), (3, 902, ts(1), 9.0)],
+        "user_id long, view_id long, ts timestamp, value double",
+    )
+    strict = {
+        r["click_id"]: r["right_view_id"]
+        for r in asof_join(left, right, by="user_id", value_cols=("view_id",)).collect()
+    }
+    # strict <: click at ts=10 must NOT see the view at ts=10
+    assert strict == {100: None, 101: 901, 102: None}
+    nonstrict = {
+        r["click_id"]: r["right_view_id"]
+        for r in asof_join(
+            left, right, by="user_id", value_cols=("view_id",), strict=False
+        ).collect()
+    }
+    assert nonstrict == {100: 900, 101: 901, 102: None}
+
+
 def test_multimodal_feature_plumbing(spark):
     rows = [
         Row(asset_id=1, media_type="image", payload=b"\x89PNG fake bytes"),
