@@ -299,6 +299,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("right_value"), F.lit(-1.0)).alias("view_value"),
         ).orderBy("event_id")
 
+    def _errors_near_purchases(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        errors = e.filter(F.col("event_type") == "error")
+        purchases = e.filter(F.col("event_type") == "purchase")
+        joined = R.range_join_within(errors, purchases, by="user_id", max_gap_sec=600)
+        return joined.select(
+            F.col("left.event_id").alias("error_event_id"),
+            F.col("right.event_id").alias("purchase_event_id"),
+            F.col("user_id"),
+        ).orderBy("error_event_id", "purchase_event_id")
+
+    def _price_percentiles(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return R.price_percentiles(o)
+
+    q["price_percentiles"] = _price_percentiles
+    q["errors_near_purchases"] = _errors_near_purchases
     q["clicks_asof_views"] = _clicks_asof_views
     q["event_props_stats"] = _event_props_stats
     q["salted_event_counts"] = _salted_counts
@@ -512,6 +529,24 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s_nationkey FROM supplier
             )
             ORDER BY n_nationkey
+        """,
+        "price_percentiles": """
+            SELECT o_orderstatus,
+                   quantile_cont(o_totalprice, 0.5) AS p50,
+                   quantile_cont(o_totalprice, 0.9) AS p90,
+                   quantile_cont(o_totalprice, 0.99) AS p99,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "errors_near_purchases": """
+            SELECT a.event_id AS error_event_id,
+                   b.event_id AS purchase_event_id,
+                   a.user_id
+            FROM (SELECT * FROM events WHERE event_type = 'error') a
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+              ON a.user_id = b.user_id
+             AND ABS(CAST(FLOOR(EPOCH(a.ts)) AS BIGINT) - CAST(FLOOR(EPOCH(b.ts)) AS BIGINT)) <= 600
+            ORDER BY error_event_id, purchase_event_id
         """,
         "clicks_asof_views": """
             WITH views AS (

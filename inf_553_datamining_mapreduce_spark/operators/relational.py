@@ -347,6 +347,22 @@ def orders_by_month(orders: DataFrame) -> DataFrame:
     )
 
 
+def price_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per status (``percentile`` is the
+    sort-based exact aggregate; ``approx_percentile`` is the sketch form for
+    the 100-TB path — both one groupBy)."""
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def approx_distinct_parts(lineitem: DataFrame) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per supplier — the approximate
     path for the cardinalities ``distinct_users_per_event_type`` computes
@@ -460,6 +476,48 @@ def asof_join(
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_l.{c}").alias(c) for c in lcols],
         *[F.col(f"_rv_{c}").alias(f"right_{c}") for c in vcols],
+    )
+
+
+def range_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    max_gap_sec: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Range join: pairs of (left, right) rows with the same ``by`` key whose
+    timestamps lie within ``max_gap_sec`` of each other.
+
+    A naive theta-join on ``|l.ts - r.ts| <= gap`` degenerates to a per-key
+    cross product. Scalable shape: bucketize both sides to gap-width epochs,
+    equi-join on (key, bucket) with each left row probing its own and both
+    neighbor buckets (explode of 3 bucket ids), then refine with the exact
+    predicate. Join fan-out is bounded by per-bucket occupancy instead of
+    per-key row counts.
+    """
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / max_gap_sec)
+    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / max_gap_sec)
+    l_tag = left.select(
+        F.col(by).alias("_by"),
+        F.col(left_ts).alias("_lts"),
+        F.struct(*left.columns).alias("_l"),
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("_bucket"),
+    )
+    r_tag = right.select(
+        F.col(by).alias("_by"),
+        F.col(right_ts).alias("_rts"),
+        F.struct(*right.columns).alias("_r"),
+        rb.alias("_bucket"),
+    )
+    joined = l_tag.join(r_tag, ["_by", "_bucket"]).filter(
+        F.abs(F.unix_timestamp("_lts") - F.unix_timestamp("_rts")) <= max_gap_sec
+    )
+    return joined.select(
+        F.col("_by").alias(by),
+        F.col("_l").alias("left"),
+        F.col("_r").alias("right"),
     )
 
 
