@@ -320,6 +320,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["event_props_stats"] = _event_props_stats
     q["salted_event_counts"] = _salted_counts
     q["customers_without_orders"] = _customers_without_orders
+    def _orders_cube(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return R.orders_cube(o)
+
+    def _term_frequency_stats(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.term_frequency_stats(d)
+
+    q["orders_cube"] = _orders_cube
+    q["term_frequency_stats"] = _term_frequency_stats
     q["orders_rollup"] = _orders_rollup
     q["orders_by_month"] = _orders_by_month
     q["approx_distinct_parts"] = _approx_distinct_parts
@@ -593,6 +603,34 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY status, priority
+        """,
+        "orders_cube": f"""
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COUNT(*) AS n_orders,
+                   CAST(CAST(SUM(CAST(o_totalprice AS {_D})) AS VARCHAR) AS DOUBLE) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority
+        """,
+        "term_frequency_stats": """
+            WITH exploded AS (
+                SELECT doc_id,
+                       UNNEST(string_split(text, ' ')) AS token,
+                       len(string_split(text, ' ')) AS doc_len
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, doc_len, COUNT(*) AS occurrences
+                FROM exploded GROUP BY doc_id, token, doc_len
+            ),
+            df AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM tf GROUP BY token)
+            SELECT tf.doc_id, tf.token,
+                   CAST(tf.occurrences AS DOUBLE) / tf.doc_len AS tf,
+                   df.doc_freq,
+                   (SELECT COUNT(*) FROM documents) AS n_docs
+            FROM tf JOIN df ON tf.token = df.token
+            ORDER BY tf.doc_id, tf.token
         """,
         "orders_by_month": f"""
             SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -334,6 +334,25 @@ def orders_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
+def orders_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority): every grouping-set combination in one
+    pass (completes the grouping-sets family next to ROLLUP)."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
 def orders_by_month(orders: DataFrame) -> DataFrame:
     """Calendar bucketing (the reference parses timestamps then discards
     them — task1.scala:64; SURVEY.md §2.6 'no date/time functions')."""

@@ -70,6 +70,34 @@ def word_frequencies(documents: DataFrame) -> DataFrame:
     )
 
 
+def term_frequency_stats(documents: DataFrame) -> DataFrame:
+    """TF-IDF-ready statistics per (doc, token): term frequency as an exact
+    ratio plus document frequency and corpus size as integer columns — the
+    log() composition is left to consumers so every emitted value is
+    engine-exactly comparable (no libm dependence)."""
+    exploded = documents.select(
+        "doc_id",
+        F.explode(tokens_col("text")).alias("token"),
+        F.size(tokens_col("text")).alias("doc_len"),
+    )
+    tf = exploded.groupBy("doc_id", "token", "doc_len").agg(
+        F.count(F.lit(1)).alias("occurrences")
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    n_docs = documents.count()
+    return (
+        tf.join(df, "token")
+        .select(
+            "doc_id",
+            "token",
+            (F.col("occurrences").cast("double") / F.col("doc_len")).alias("tf"),
+            "doc_freq",
+            F.lit(n_docs).cast("long").alias("n_docs"),
+        )
+        .orderBy("doc_id", "token")
+    )
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Heuristic document quality: stopword ratio, repetition ratio, mean
     token length — the standard cheap pre-training filters. Score =
