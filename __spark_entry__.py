@@ -314,6 +314,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (o,) = _t(spark, sf, "orders")
         return R.price_percentiles(o)
 
+    def _rolling_event_values(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return R.rolling_event_values(e)
+
+    q["rolling_event_values"] = _rolling_event_values
     q["price_percentiles"] = _price_percentiles
     q["errors_near_purchases"] = _errors_near_purchases
     q["clicks_asof_views"] = _clicks_asof_views
@@ -539,6 +544,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s_nationkey FROM supplier
             )
             ORDER BY n_nationkey
+        """,
+        "rolling_event_values": f"""
+            SELECT event_id, user_id,
+                   CAST(CAST(SUM(CAST(value AS {_D})) OVER w AS VARCHAR) AS DOUBLE) AS rolling_sum,
+                   CAST(CAST(SUM(CAST(value AS {_D})) OVER w AS VARCHAR) AS DOUBLE) / COUNT(*) OVER w AS rolling_avg,
+                   COUNT(*) OVER w AS rolling_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
         """,
         "price_percentiles": """
             SELECT o_orderstatus,

@@ -366,6 +366,27 @@ def orders_by_month(orders: DataFrame) -> DataFrame:
     )
 
 
+def rolling_event_values(events: DataFrame, frame_rows: int = 5) -> DataFrame:
+    """Moving aggregates over an explicit window FRAME: per user, ordered by
+    (ts, event_id), the sum/avg of the last ``frame_rows`` values. The frame
+    accumulates in DECIMAL so the rolling sums are exact and
+    order-independent like every other aggregate in the engine."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(frame_rows - 1), Window.currentRow)
+    )
+    rolling_sum = F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+    rolling_n = F.count(F.lit(1)).over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        rolling_sum.alias("rolling_sum"),
+        (rolling_sum / rolling_n).alias("rolling_avg"),
+        rolling_n.alias("rolling_n"),
+    ).orderBy("event_id")
+
+
 def price_percentiles(orders: DataFrame) -> DataFrame:
     """Exact interpolated percentiles per status (``percentile`` is the
     sort-based exact aggregate; ``approx_percentile`` is the sketch form for
