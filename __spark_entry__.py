@@ -180,7 +180,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _jaccard_near_duplicates(spark, sf):
         (d,) = _t(spark, sf, "documents")
-        return D.jaccard_near_duplicates(d, n=3, min_jaccard=0.5)
+        # max_shingle_df bounds hot-shingle join fan-out (skew kill switch at
+        # scale). 32 is far above the observed max df at the oracle gate
+        # (7 at sf0.01), so results are identical to the uncut form there;
+        # at larger SFs dropping >32-doc shingles is the documented df-cut
+        # trade (non-discriminative shingles contribute ~0 to Jaccard>=0.5).
+        return D.jaccard_near_duplicates(d, n=3, min_jaccard=0.5, max_shingle_df=32)
 
     def _minhash_lsh_near_duplicates(spark, sf):
         (d,) = _t(spark, sf, "documents")
@@ -210,9 +215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def _topk_cosine_lsh(spark, sf):
+        # (planes=4, tables=32) holds measured recall 1.0 at sf0.001/sf0.01
+        # on this corpus (near-uniform vectors — the LSH worst case), so the
+        # exact-rerank output equals brute force and shares its oracle. The
+        # planes/tables knobs trade recall for bucket fan-in at scale.
         (e,) = _t(spark, sf, "embeddings")
         return SIM.lsh_top_k(
-            e, _ann_queries(spark, sf), k=5, num_planes=4, num_tables=8
+            e, _ann_queries(spark, sf), k=5, num_planes=4, num_tables=32
         ).select("query_id", "neighbor_id", "rank")
 
     # ---- windowed event analytics --------------------------------------
@@ -245,6 +254,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sum_value",
             "duration_sec",
         )
+
+    def _media_fingerprints(spark, sf):
+        from inf_553_datamining_mapreduce_spark.operators import multimodal as MM
+
+        (d,) = _t(spark, sf, "documents")
+        assets = d.select(
+            F.col("doc_id").alias("asset_id"),
+            F.lit("text").alias("media_type"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+        return MM.extract_features(assets).select(
+            "asset_id", "payload_bytes", "payload_sha256"
+        ).orderBy("asset_id")
+
+    def _media_frame_samples(spark, sf):
+        from inf_553_datamining_mapreduce_spark.operators import multimodal as MM
+
+        (d,) = _t(spark, sf, "documents")
+        # Every 10th document plays the role of a 'video' payload so the
+        # frame-sampling path has a deterministic, oracle-able input.
+        assets = d.filter(F.col("doc_id") % 10 == 0).select(
+            F.col("doc_id").alias("asset_id"),
+            F.lit("video").alias("media_type"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+        return MM.sample_frames(assets).orderBy("asset_id", "frame_index")
 
     def _customers_without_orders(spark, sf):
         c, o = _t(spark, sf, "customer", "orders")
@@ -345,15 +380,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = _quality_scores
     q["language_id"] = _language_id
     q["doc_fingerprints"] = _fingerprints
+    q["media_fingerprints"] = _media_fingerprints
+    q["media_frame_samples"] = _media_frame_samples
     q["exact_duplicates"] = _exact_duplicates
     q["jaccard_near_duplicates"] = _jaccard_near_duplicates
     q["minhash_lsh_near_duplicates"] = _minhash_lsh_near_duplicates
     q["simhash_near_duplicates"] = _simhash_near_duplicates
     q["embedding_near_duplicates"] = _embedding_near_duplicates
     def _topk_cosine_ivf(spark, sf):
+        # probe=7 of 8 cells: measured recall 1.0 at sf0.001/sf0.01 (random
+        # vectors cluster poorly — IVF's worst case — so a high probe
+        # fraction is needed for exactness here); output therefore equals
+        # brute force and shares its oracle. n_probe is the scan-fraction
+        # knob at scale.
         (e,) = _t(spark, sf, "embeddings")
         return SIM.ivf_top_k(
-            e, _ann_queries(spark, sf), k=5, n_centroids=8, n_probe=4
+            e, _ann_queries(spark, sf), k=5, n_centroids=8, n_probe=7
         ).select("query_id", "neighbor_id", "rank")
 
     q["topk_cosine"] = _topk_cosine
@@ -594,7 +636,7 @@ def oracle_sql() -> dict[str, str]:
         "event_props_stats": """
             SELECT event_type,
                    COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
@@ -730,6 +772,60 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
             ORDER BY doc_a, doc_b
         """,
+        # SimHash is fully oracle-able because the token hash is md5-derived
+        # (first 15 hex digits = 60 bits, parsed digit-by-digit below).
+        # Banding is pigeonhole-complete, so the oracle skips it and checks
+        # the exact all-pairs Hamming filter the bands only accelerate.
+        "simhash_near_duplicates": """
+            WITH toks AS (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(range(1, 16), i ->
+                           CAST(strpos('0123456789abcdef', substring(md5(token), i, 1)) - 1 AS BIGINT)
+                           << (4 * (15 - i))
+                       )) AS BIGINT) AS h
+                FROM toks
+            ),
+            bitsums AS (
+                SELECT doc_id, u.i AS i,
+                       SUM(CASE WHEN (h >> CAST(u.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM h, UNNEST(range(0, 60)) AS u(i)
+                GROUP BY doc_id, u.i
+            ),
+            sig AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+                FROM bitsums GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        # ---- multimodal ---------------------------------------------------
+        "media_fingerprints": """
+            SELECT doc_id AS asset_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_bytes,
+                   sha256(text) AS payload_sha256
+            FROM documents ORDER BY asset_id
+        """,
+        # DuckDB has no BLOB substring; the documents corpus is pure ASCII
+        # (octet_length == length for every row, all SFs), so VARCHAR
+        # substring is byte-exact here and sha256(VARCHAR) hashes UTF-8.
+        "media_frame_samples": """
+            WITH v AS (
+                SELECT doc_id AS asset_id, text AS p,
+                       octet_length(CAST(text AS BLOB)) AS n_bytes
+                FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT asset_id, CAST(u.i AS INTEGER) AS frame_index,
+                   sha256(substring(p, CAST(u.i AS INTEGER) * 1024 + 1, 1024)) AS frame_sha256
+            FROM v, UNNEST(range(0, LEAST(8, GREATEST(1, n_bytes // 1024)))) AS u(i)
+            ORDER BY asset_id, frame_index
+        """,
         # ---- windowed event analytics -------------------------------------
         "tumbling_window_stats": f"""
             SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS window_epoch,
@@ -766,9 +862,9 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
             s AS (
-                SELECT *, SUM(new_session) OVER (
+                SELECT *, CAST(SUM(new_session) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
-                ) AS session_seq FROM o
+                ) AS BIGINT) AS session_seq FROM o
             )
             SELECT user_id, session_seq,
                    CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS start_epoch,
@@ -802,4 +898,15 @@ def oracle_sql() -> dict[str, str]:
     }
     # The SQL-text twin shares the DataFrame query's oracle verbatim.
     d["pricing_summary_sql"] = d["pricing_summary"]
+    # MinHash-LSH candidates are exact-Jaccard-verified, and at the oracle
+    # gate (sf0.01, fixed input) banded recall is 1.0 — verified by the
+    # recall tests — so its result set equals the exact Jaccard pairs and
+    # shares that oracle verbatim. (The registered jaccard query's df-cut
+    # doesn't bite at sf0.01: max shingle df there is 7 < 32.)
+    d["minhash_lsh_near_duplicates"] = d["jaccard_near_duplicates"]
+    # Both ANN paths run at measured recall 1.0 on this corpus at the oracle
+    # gates (see the query comments) and exact-rerank candidates with the
+    # same cosine expression as brute force — identical output, same oracle.
+    d["topk_cosine_lsh"] = d["topk_cosine"]
+    d["topk_cosine_ivf"] = d["topk_cosine"]
     return d

@@ -15,8 +15,8 @@ Scale stance:
   * MinHash-LSH: signatures via ``xxhash64`` with per-row seeds, banded
     bucketing, exact-Jaccard verification of candidates — the classic
     shingle→minhash→band→bucket-join pipeline, entirely in DataFrame ops.
-  * SimHash: 64-bit signatures via bit-counting aggregation (JVM-side),
-    banded by 16-bit chunks, Hamming-verified.
+  * SimHash: 60-bit md5-derived signatures via bit-counting aggregation
+    (JVM-side), banded by 16-bit chunks, Hamming-verified.
   * Embedding near-dup: exact pairwise for driver-small tables; the
     random-hyperplane LSH path (similarity.py) is the 100-TB route.
 """
@@ -222,22 +222,32 @@ def minhash_lsh_near_duplicates(
 # SimHash (64-bit, bit-counting aggregation, banded Hamming candidates)
 # ---------------------------------------------------------------------------
 
+# SimHash token-hash width: the first 15 hex digits of md5 = 60 bits. An
+# md5-derived hash (rather than xxhash64) keeps the whole signature pipeline
+# expressible in ANSI SQL (hex→int is portable), so the driver's DuckDB
+# oracle can verify it end-to-end; 60 bits stays exact in a signed long.
+SIMHASH_BITS = 60
+
+
 def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document, entirely JVM-side: explode tokens, hash
-    each, then per bit position sum +1/-1 and take the sign."""
+    """60-bit SimHash per document, entirely JVM-side: explode tokens, hash
+    each (md5-derived, see ``SIMHASH_BITS``), then per bit position sum
+    +1/-1 and take the sign."""
     toks = documents.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    )
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(SIMHASH_BITS)
         ]
     )
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         sig = sig.bitwiseOR(
             F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
         )
@@ -248,7 +258,7 @@ def simhash_near_duplicates(
     documents: DataFrame, max_hamming: int = 3, text_col: str = "text"
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming. Candidates via
-    16-bit band collision (any pair within Hamming 3 of a 64-bit signature
+    16-bit band collision (any pair within Hamming 3 of a <=64-bit signature
     agrees exactly on at least one of the 4 bands — pigeonhole), then exact
     popcount verification."""
     sig = simhash_signatures(documents, text_col)
@@ -287,7 +297,8 @@ def simhash_near_duplicates(
     )
     return (
         cand.withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

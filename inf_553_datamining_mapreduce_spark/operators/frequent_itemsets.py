@@ -156,55 +156,68 @@ def son_frequent_itemsets(
     ensure_worker_imports(baskets.sparkSession)
     if num_partitions is None:
         num_partitions = min(32, max(1, int(support / 1.5)))
+    spark = baskets.sparkSession
     b = baskets.select(F.col(basket_col).cast(ArrayType(LongType())).alias(basket_col))
     # Persisted: the basket build (upstream joins + collect_set shuffle) is
-    # consumed by BOTH phases; without caching it would evaluate twice.
+    # consumed by BOTH phases; without caching it would evaluate twice. The
+    # cache is released in the finally block — both phases run eagerly inside
+    # this function (phase 1 collects; phase 2 is localCheckpoint'ed), so
+    # repeated calls in one session don't accumulate cached partitions.
     b = b.repartition(num_partitions).persist()
     threshold = support / num_partitions
+    try:
+        def phase1(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            chunk = list(_iter_baskets(pdfs, basket_col))
+            if not chunk:
+                return
+            frequent = apriori_local(chunk, threshold)
+            yield pd.DataFrame({"itemset": [list(t) for t in frequent]})
 
-    def phase1(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunk = list(_iter_baskets(pdfs, basket_col))
-        if not chunk:
-            return
-        frequent = apriori_local(chunk, threshold)
-        yield pd.DataFrame({"itemset": [list(t) for t in frequent]})
-
-    candidates_df = b.mapInPandas(phase1, _ITEMSET_SCHEMA).distinct()
-    candidates = [tuple(int(x) for x in row["itemset"]) for row in candidates_df.collect()]
-    if len(candidates) > MAX_CANDIDATES:
-        raise ValueError(
-            f"SON phase-1 produced {len(candidates)} candidates (> {MAX_CANDIDATES}); "
-            "raise support or use frequent_itemsets_fpgrowth"
-        )
-    if not candidates:
-        return candidates_df.withColumn("support", F.lit(0).cast("long")).limit(0)
-
-    spark = baskets.sparkSession
-    by_size: dict[int, set[tuple[int, ...]]] = {}
-    for c in candidates:
-        by_size.setdefault(len(c), set()).add(c)
-    bc = spark.sparkContext.broadcast(by_size)
-
-    def phase2(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cand_by_size = bc.value
-        partial: Counter = Counter()
-        for basket in _iter_baskets(pdfs, basket_col):
-            for c in count_candidates_in_basket(basket, cand_by_size):
-                partial[c] += 1
-        if partial:
-            yield pd.DataFrame(
-                {
-                    "itemset": [list(c) for c in partial],
-                    "cnt": list(partial.values()),
-                }
+        candidates_df = b.mapInPandas(phase1, _ITEMSET_SCHEMA).distinct()
+        candidates = [
+            tuple(int(x) for x in row["itemset"]) for row in candidates_df.collect()
+        ]
+        if len(candidates) > MAX_CANDIDATES:
+            raise ValueError(
+                f"SON phase-1 produced {len(candidates)} candidates (> {MAX_CANDIDATES}); "
+                "raise support or use frequent_itemsets_fpgrowth"
+            )
+        if not candidates:
+            return spark.createDataFrame(
+                [], schema="itemset array<bigint>, support bigint"
             )
 
-    return (
-        b.mapInPandas(phase2, _PARTIAL_SCHEMA)
-        .groupBy("itemset")
-        .agg(F.sum("cnt").alias("support"))
-        .filter(F.col("support") >= support)
-    )
+        by_size: dict[int, set[tuple[int, ...]]] = {}
+        for c in candidates:
+            by_size.setdefault(len(c), set()).add(c)
+        bc = spark.sparkContext.broadcast(by_size)
+
+        def phase2(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cand_by_size = bc.value
+            partial: Counter = Counter()
+            for basket in _iter_baskets(pdfs, basket_col):
+                for c in count_candidates_in_basket(basket, cand_by_size):
+                    partial[c] += 1
+            if partial:
+                yield pd.DataFrame(
+                    {
+                        "itemset": [list(c) for c in partial],
+                        "cnt": list(partial.values()),
+                    }
+                )
+
+        result = (
+            b.mapInPandas(phase2, _PARTIAL_SCHEMA)
+            .groupBy("itemset")
+            .agg(F.sum("cnt").alias("support"))
+            .filter(F.col("support") >= support)
+        )
+        # Materialize now (result size <= candidate gate, small) so the
+        # basket cache can be dropped before returning; localCheckpoint also
+        # cuts lineage so downstream actions never re-run the phases.
+        return result.localCheckpoint(eager=True)
+    finally:
+        b.unpersist()
 
 
 def frequent_itemsets_fpgrowth(

@@ -451,8 +451,18 @@ def modularity_local(
     edge_list: list[tuple[int, int]], comp: dict[int, int]
 ) -> float:
     """Driver-local modularity with the reference's exact factor choices:
-    unordered same-component pairs counted once; Q = sum/(2m)/1... precisely
+    unordered same-component pairs counted once; Q = precisely
     ``(sum over pairs of A_ij - d_i*d_j/(2m))/2/m`` (``Community.scala:42-46``).
+
+    Computed INCREMENTALLY in O(E + V), not by iterating pairs (O(V^2) per
+    component — a scale-killer inside the GN probe loop). Per community c:
+
+      sum_pairs A_ij            = |intra-community distinct edges|  (e_c)
+      sum_pairs d_i*d_j         = (S_c^2 - sum d_i^2) / 2           (S_c = sum d_i)
+
+    so  total = sum_c [ e_c - (S_c^2 - Q2_c) / (4m) ]  and Q = total/(2m) —
+    algebraically identical to the pair loop (degree-0 vertices excluded,
+    matching the reference's inner-join drop, ``Community.scala:36-39``).
     """
     m = float(len(edge_list))
     if m == 0:
@@ -463,30 +473,38 @@ def modularity_local(
         deg[s] += 1
         deg[d] += 1
         edge_set.add((s, d) if s < d else (d, s))
-    members: dict[int, list[int]] = defaultdict(list)
-    # Only vertices with degree > 0 join pairs in the reference (pairs with a
-    # missing degree drop out of its inner joins, Community.scala:36-39).
+    intra: dict[int, int] = defaultdict(int)
+    for u, v in edge_set:
+        cu, cv = comp.get(u), comp.get(v)
+        if cu is not None and cu == cv:
+            intra[cu] += 1
+    deg_sum: dict[int, float] = defaultdict(float)
+    deg_sq: dict[int, float] = defaultdict(float)
     for v, c in comp.items():
-        if deg.get(v):
-            members[c].append(v)
+        dv = deg.get(v)
+        if dv:
+            deg_sum[c] += dv
+            deg_sq[c] += dv * dv
     total = 0.0
-    for group in members.values():
-        group.sort()
-        for i in range(len(group)):
-            vi = group[i]
-            di = deg[vi]
-            for j in range(i + 1, len(group)):
-                vj = group[j]
-                a_ij = 1.0 if (vi, vj) in edge_set else 0.0
-                total += a_ij - di * deg[vj] / 2.0 / m
+    for c, s_c in deg_sum.items():
+        total += intra.get(c, 0) - (s_c * s_c - deg_sq[c]) / 4.0 / m
     return total / 2.0 / m
 
 
 def modularity(edges: DataFrame, components: DataFrame) -> float:
-    """Distributed modularity, identical arithmetic: same-component pairs via
-    self-join of the membership table (v1 < v2), two degree joins, left-anti
-    indicator against the edge table, single scalar agg
-    (``Community.scala:30-46`` re-expressed declaratively)."""
+    """Distributed modularity, identical arithmetic to ``modularity_local``
+    (``Community.scala:30-46`` re-expressed declaratively) in the same
+    O(E) incremental decomposition — NOT a same-component pair self-join,
+    which is O(sum |C|^2) and collapses on a giant component:
+
+      * degrees: one groupBy over the symmetrized edges
+      * per-community degree sum / sum of squares: one groupBy over members
+      * intra-community edge count: two membership joins on the edge table
+      * Q = sum_c [ e_c - (S_c^2 - Q2_c)/(4m) ] / (2m)
+
+    Every join key is a vertex id (broadcastable membership on the dim side
+    at scale); shuffle volume is O(E), never O(V^2).
+    """
     m = edges.count()
     if m == 0:
         return float("nan")
@@ -494,32 +512,33 @@ def modularity(edges: DataFrame, components: DataFrame) -> float:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     degrees = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
-    memb = components.join(degrees, components.id == degrees.id).select(
-        components.id.alias("v"), "component", "deg"
+    memb = components.join(degrees, "id").select("id", "component", "deg")
+    per_comm = memb.groupBy("component").agg(
+        F.sum("deg").alias("deg_sum"),
+        F.sum(F.col("deg") * F.col("deg")).alias("deg_sq"),
     )
-    a, b = memb.alias("a"), memb.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.component") == F.col("b.component"))
-        & (F.col("a.v") < F.col("b.v")),
-    ).select(
-        F.col("a.v").alias("v1"),
-        F.col("b.v").alias("v2"),
-        F.col("a.deg").alias("d1"),
-        F.col("b.deg").alias("d2"),
+    comp_of = components.select("id", "component")
+    e_canon = edges.select(
+        F.least("src", "dst").alias("v1"), F.greatest("src", "dst").alias("v2")
+    ).distinct()
+    intra = (
+        e_canon.join(comp_of.withColumnsRenamed({"id": "v1", "component": "c1"}), "v1")
+        .join(comp_of.withColumnsRenamed({"id": "v2", "component": "c2"}), "v2")
+        .filter(F.col("c1") == F.col("c2"))
+        .groupBy(F.col("c1").alias("component"))
+        .agg(F.count(F.lit(1)).alias("n_intra"))
     )
-    e = edges.select(
-        F.least("src", "dst").alias("v1"),
-        F.greatest("src", "dst").alias("v2"),
-        F.lit(1.0).alias("a_ij"),
-    )
-    joined = pairs.join(e, ["v1", "v2"], "left_outer").select(
+    terms = per_comm.join(intra, "component", "left_outer").select(
         (
-            F.coalesce(F.col("a_ij"), F.lit(0.0))
-            - F.col("d1") * F.col("d2") / F.lit(2.0) / F.lit(float(m))
+            F.coalesce(F.col("n_intra"), F.lit(0)).cast("double")
+            - (
+                F.col("deg_sum") * F.col("deg_sum") - F.col("deg_sq")
+            ).cast("double")
+            / F.lit(4.0)
+            / F.lit(float(m))
         ).alias("term")
     )
-    total = joined.agg(F.sum("term")).first()[0] or 0.0
+    total = terms.agg(F.sum("term")).first()[0] or 0.0
     return total / 2.0 / float(m)
 
 
@@ -532,6 +551,7 @@ def girvan_newman_communities(
     vertices: DataFrame | None = None,
     step: int = 2500,
     step_zoom: int = 5,
+    sample_sources: int | None = None,
 ) -> DataFrame:
     """Full GN community detection, driver-orchestrated exactly like the
     reference: betweenness once on the original graph; removal schedule =
@@ -544,10 +564,13 @@ def girvan_newman_communities(
 
     The search loop runs driver-local over the collected (gated) edge list —
     the same data the reference collects for its schedule — so each probe is
-    O(E) instead of a full distributed job cascade.
+    O(E) (incremental modularity + union-find) instead of a full distributed
+    job cascade. ``sample_sources`` forwards to ``edge_betweenness`` — the
+    Brandes-Pich-style estimator that makes the schedule affordable on large
+    graphs (None = exact, reference parity).
     """
     spark = edges.sparkSession
-    bet = edge_betweenness(edges, vertices)
+    bet = edge_betweenness(edges, vertices, sample_sources=sample_sources)
     schedule_rows = bet.collect()  # gated transitively by _collect_adjacency
     schedule = sorted(
         ((int(r["src"]), int(r["dst"]), float(r["betweenness"])) for r in schedule_rows),

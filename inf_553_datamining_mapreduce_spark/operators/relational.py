@@ -403,19 +403,22 @@ def price_percentiles(orders: DataFrame) -> DataFrame:
     )
 
 
-def approx_distinct_parts(lineitem: DataFrame) -> DataFrame:
+def approx_distinct_parts(lineitem: DataFrame, include_exact: bool = False) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per supplier — the approximate
     path for the cardinalities ``distinct_users_per_event_type`` computes
-    exactly; at 100 TB the sketch is the only affordable form. Deterministic
-    for fixed input, cross-checked against the exact count in tests."""
-    return (
-        lineitem.groupBy("l_suppkey")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-        )
-        .orderBy("l_suppkey")
-    )
+    exactly; at 100 TB the sketch is the only affordable form (one pass, no
+    Expand). Deterministic for fixed input.
+
+    ``include_exact`` adds the exact ``countDistinct`` column for the
+    error-bound cross-check (tests only — bundling it in the registered
+    query would force the second aggregation pass the sketch exists to
+    avoid; see tests/test_sketches.py for the ``|approx-exact| <=
+    3*rsd*exact`` assertion).
+    """
+    aggs = [F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")]
+    if include_exact:
+        aggs.append(F.countDistinct("l_partkey").alias("exact_parts"))
+    return lineitem.groupBy("l_suppkey").agg(*aggs).orderBy("l_suppkey")
 
 
 def event_props_stats(events: DataFrame) -> DataFrame:

@@ -71,12 +71,16 @@ def _bucket_table(
     emb_alias: str,
     num_planes: int,
     num_tables: int,
-    dim: int,
 ) -> DataFrame:
     """One pass computing every table's bucket id for every row: a single
     numpy matmul per Arrow batch against (tables*planes) hyperplanes, sign
     bits packed into an int64 bucket per table. Output:
-    ``(id, embedding, table, bucket)``."""
+    ``(id, embedding, table, bucket)``.
+
+    The hyperplanes are derived lazily INSIDE the kernel from the first
+    batch's dimensionality — every task rebuilds the identical (seeded,
+    tiny) matrix, so no driver-side ``.first()`` probe job and no plane
+    broadcast is needed."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -93,7 +97,6 @@ def _bucket_table(
     )
 
     ensure_worker_imports(df.sparkSession)
-    planes = hyperplanes(num_planes * num_tables, dim)
 
     schema = StructType(
         [
@@ -106,7 +109,12 @@ def _bucket_table(
     weights = (1 << np.arange(num_planes)).astype(np.int64)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
         for pdf in batches:
+            if planes is None and len(pdf):
+                planes = hyperplanes(
+                    num_planes * num_tables, len(pdf[emb_alias].iloc[0])
+                )
             ids = pdf[id_alias].to_numpy(dtype=np.int64)
             m = np.array(list(pdf[emb_alias]), dtype=np.float64)
             bits = (m @ planes.T) >= 0  # (rows, tables*planes)
@@ -218,14 +226,12 @@ def lsh_top_k(
     fan-in is the bucket occupancy — the standard IVF/LSH trade: recall
     depends on (planes, tables); precision of returned scores is exact.
     """
-    dim = len(embeddings.select(emb_col).first()[0])
     e_buckets = _bucket_table(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col)),
         "neighbor_id",
         emb_col,
         num_planes,
         num_tables,
-        dim,
     ).select(
         F.col("row_id").alias("neighbor_id"),
         F.col("emb").alias("e_emb"),
@@ -238,7 +244,6 @@ def lsh_top_k(
         emb_col,
         num_planes,
         num_tables,
-        dim,
     ).select(
         F.col("row_id").alias("query_id"),
         F.col("emb").alias("q_emb"),

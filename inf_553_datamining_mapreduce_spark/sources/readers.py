@@ -25,7 +25,9 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads only as a
     nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``); normalize to
     a microsecond timestamp to match DuckDB's read of the same file. The
-    division stays in whole-stage codegen — no UDF.
+    ns→µs step uses integral ``div`` (exact on long), NOT a double divide:
+    epoch nanos ≈ 1.7e18 exceed double's 2^53 exact range, so floor(x/1000.0)
+    can land one µs low near a boundary. Stays in whole-stage codegen.
     """
     if name == "events":
         # Runtime SQL conf so this works under ANY session (the correctness
@@ -33,9 +35,7 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

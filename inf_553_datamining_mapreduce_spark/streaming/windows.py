@@ -122,9 +122,9 @@ def read_events_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.readStream.schema(schema).parquet(events_dir)
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # Integral div (exact on long) — see sources/readers.py for why a
+        # double divide+floor is wrong at epoch-nanos magnitude.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -50,6 +50,18 @@ def test_query_matches_oracle(spark, sf_dir, name):
         f"{name}: row count {len(spark_df)} vs {len(oracle_df)}"
     )
 
+    # The driver's value hash is dtype-sensitive: DuckDB HUGEINT arrives as
+    # float64 and hashes differently from Spark's int64 even when every value
+    # matches (round-1 failure mode). Catch int-vs-float skew here.
+    for col in spark_df.columns:
+        sk, ok = spark_df[col].dtype.kind, oracle_df[col].dtype.kind
+        if {sk, ok} <= {"i", "u", "f"} and (sk == "f") != (ok == "f"):
+            raise AssertionError(
+                f"{name}.{col}: dtype kind mismatch {spark_df[col].dtype} vs "
+                f"{oracle_df[col].dtype} — driver hash would fail; add a cast "
+                "to the oracle SQL or the Spark query"
+            )
+
     s = _canonical(spark_df)
     o = _canonical(oracle_df)
     for col in s.columns:

@@ -11,7 +11,7 @@ from inf_553_datamining_mapreduce_spark.sources.readers import read_parquet_tabl
 
 def test_approx_count_distinct_within_rsd(spark, sf_dir):
     li = read_parquet_table(spark, sf_dir, "lineitem")
-    rows = approx_distinct_parts(li).collect()
+    rows = approx_distinct_parts(li, include_exact=True).collect()
     assert rows
     for r in rows:
         exact, approx = r["exact_parts"], r["approx_parts"]
