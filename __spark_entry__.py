@@ -244,6 +244,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sum_value",
         )
 
+    def _tumbling_stream_plan(spark, sf):
+        # Defined via the STREAMING builder (watermark + F.window) run in
+        # batch mode — batch execution ignores the watermark, so this pins
+        # the batch/stream plan equivalence inside the driver's oracle gate
+        # rather than only in the micro-batch tests.
+        (e,) = _t(spark, sf, "events")
+        return W.streaming_tumbling_window_stats(e, width_sec=300).select(
+            F.unix_timestamp("window_start").alias("window_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        ).orderBy("window_epoch", "event_type")
+
     def _sessions(spark, sf):
         (e,) = _t(spark, sf, "events")
         return W.session_stats(e, gap_sec=1800).select(
@@ -402,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["topk_cosine_lsh"] = _topk_cosine_lsh
     q["topk_cosine_ivf"] = _topk_cosine_ivf
     q["tumbling_window_stats"] = _tumbling
+    q["tumbling_window_stats_stream_plan"] = _tumbling_stream_plan
     q["sliding_window_stats"] = _sliding
     q["session_stats"] = _sessions
     return q
@@ -833,6 +847,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(CAST(SUM(CAST(value AS {_D})) AS VARCHAR) AS DOUBLE) AS sum_value,
                    COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tumbling_window_stats_stream_plan": f"""
+            SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS window_epoch,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(CAST(SUM(CAST(value AS {_D})) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "sliding_window_stats": f"""

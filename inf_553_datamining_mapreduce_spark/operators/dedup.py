@@ -75,26 +75,55 @@ def jaccard_near_duplicates(
     """
     sh = word_shingles(documents, n, text_col)
     if max_shingle_df is not None:
-        hot = (
+        # Group once per shingle, DROP hot shingles by list size, then emit
+        # each shingle's doc pairs directly from the grouped list. One
+        # aggregation replaces the anti-join + self-join, and per-shingle
+        # fan-out is bounded to max_shingle_df^2 BY CONSTRUCTION — no
+        # post-hoc skew handling needed at scale.
+        grouped = (
             sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
+            .agg(F.collect_list("doc_id").alias("docs"))
+            .filter(F.size("docs") <= max_shingle_df)
         )
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        # One pass produces BOTH the pair stream and the per-doc size stream:
+        # each shingle emits its doc pairs plus one (doc, NULL) marker per
+        # member, so a single groupBy covers co-occurrence counts (doc_b not
+        # null) and shingle counts (doc_b null) — the grouped plan is scanned
+        # once, not once per derived aggregate.
+        emit_expr = (
+            "concat("
+            "flatten(transform(docs, (x, i) -> "
+            "transform(slice(docs, i + 2, size(docs)), y -> "
+            "struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b)))), "
+            "transform(docs, x -> struct(x AS doc_a, CAST(NULL AS BIGINT) AS doc_b))"
+            ")"
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        counts = (
+            grouped.select(F.explode(F.expr(emit_expr)).alias("p"))
+            .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+        sizes = counts.filter(F.col("doc_b").isNull()).select(
+            F.col("doc_a").alias("doc_id"), F.col("cnt").alias("n_shingles")
+        )
+        common = counts.filter(F.col("doc_b").isNotNull()).select(
+            "doc_a", "doc_b", F.col("cnt").alias("common")
+        )
+    else:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
     )

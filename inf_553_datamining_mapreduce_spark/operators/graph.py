@@ -570,16 +570,44 @@ def girvan_newman_communities(
     graphs (None = exact, reference parity).
     """
     spark = edges.sparkSession
-    bet = edge_betweenness(edges, vertices, sample_sources=sample_sources)
-    schedule_rows = bet.collect()  # gated transitively by _collect_adjacency
-    schedule = sorted(
-        ((int(r["src"]), int(r["dst"]), float(r["betweenness"])) for r in schedule_rows),
-        key=lambda t: (-t[2], t[0], t[1]),
-    )
-    ordered_edges = [(s, d) for s, d, _ in schedule]
-    all_vertices: set[int] = {v for e in ordered_edges for v in e}
-    if vertices is not None:
-        all_vertices.update(int(r[0]) for r in vertices.collect())
+    # Persisted: the (often expensive) edge-building plan is consumed twice —
+    # by the betweenness adjacency collect and by the schedule-tail collect
+    # below — and must not evaluate twice.
+    edges_p = edges.persist()
+    try:
+        bet = edge_betweenness(edges_p, vertices, sample_sources=sample_sources)
+        schedule_rows = bet.collect()  # gated transitively by _collect_adjacency
+        schedule = sorted(
+            (
+                (int(r["src"]), int(r["dst"]), float(r["betweenness"]))
+                for r in schedule_rows
+            ),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        ordered_edges = [(s, d) for s, d, _ in schedule]
+        # Under source sampling, edges touched by no sampled BFS carry zero
+        # credit and are absent from `bet` — they are still graph edges.
+        # Append them at the tail (betweenness 0, removed last, deterministic
+        # order); with exact betweenness every edge of a non-trivial
+        # component gets credit from its own endpoints' BFS, so this is a
+        # no-op there.
+        scheduled = set(ordered_edges)
+        tail = sorted(
+            (int(r["src"]), int(r["dst"]))
+            for r in edges_p.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+            .collect()
+            if (int(r["src"]), int(r["dst"])) not in scheduled
+        )
+        ordered_edges.extend(tail)
+        all_vertices: set[int] = {v for e in ordered_edges for v in e}
+        if vertices is not None:
+            all_vertices.update(int(r[0]) for r in vertices.collect())
+    finally:
+        edges_p.unpersist()
 
     def components_after(removed: int) -> dict[int, int]:
         return _components_local(ordered_edges[removed:], all_vertices)
