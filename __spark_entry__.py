@@ -173,6 +173,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (d,) = _t(spark, sf, "documents")
         return T.fingerprints(d)
 
+    def _token_stats_regex(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.token_stats_regex(d)
+
+    def _rolling_hash_fingerprints(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.rolling_hash_fingerprints(d)
+
     # ---- dedup ---------------------------------------------------------
     def _exact_duplicates(spark, sf):
         (d,) = _t(spark, sf, "documents")
@@ -393,6 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = _quality_scores
     q["language_id"] = _language_id
     q["doc_fingerprints"] = _fingerprints
+    q["token_stats_regex"] = _token_stats_regex
+    q["rolling_hash_fingerprints"] = _rolling_hash_fingerprints
     q["media_fingerprints"] = _media_fingerprints
     q["media_frame_samples"] = _media_frame_samples
     q["exact_duplicates"] = _exact_duplicates
@@ -759,6 +769,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+        """,
+        "token_stats_regex": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens
+            FROM t ORDER BY doc_id
+        """,
+        # list_reduce has no init arg in this DuckDB, but seeding with the
+        # first char's ascii equals Spark's aggregate-from-0 for this
+        # recurrence (0*B + c1 = c1); modulus keeps every intermediate far
+        # from 2^63 so no overflow-wrap dependence in either engine.
+        "rolling_hash_fingerprints": """
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE
+                        list_reduce(
+                            list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                            (acc, x) -> (acc * 131 + x) % 1000000007
+                        ) END AS rolling_hash
+            FROM documents ORDER BY doc_id
         """,
         # ---- dedup --------------------------------------------------------
         "exact_duplicates": """

@@ -230,17 +230,23 @@ def frequent_itemsets_fpgrowth(
     (support-1)/n and support/n so floating-point rounding can't shift the
     boundary, then enforce the absolute threshold exactly on the output.
     """
-    n = baskets.count()
-    fp_min = max((support - 0.5) / max(n, 1), 1e-12)
     from pyspark.ml.fpm import FPGrowth
 
-    model = FPGrowth(
-        itemsCol=basket_col, minSupport=fp_min, minConfidence=0.5
-    ).fit(baskets.select(basket_col))
-    return model.freqItemsets.select(
-        F.sort_array(F.col("items")).cast(ArrayType(LongType())).alias("itemset"),
-        F.col("freq").alias("support"),
-    ).filter(F.col("support") >= support)
+    # The basket build (joins + collect_set shuffle) is scanned by the
+    # support count AND by the FPGrowth fit; persist across both, release
+    # after the (small, gate-bounded) result is materialized.
+    b = baskets.select(basket_col).persist()
+    try:
+        n = b.count()
+        fp_min = max((support - 0.5) / max(n, 1), 1e-12)
+        model = FPGrowth(itemsCol=basket_col, minSupport=fp_min, minConfidence=0.5).fit(b)
+        result = model.freqItemsets.select(
+            F.sort_array(F.col("items")).cast(ArrayType(LongType())).alias("itemset"),
+            F.col("freq").alias("support"),
+        ).filter(F.col("support") >= support)
+        return result.localCheckpoint(eager=True)
+    finally:
+        b.unpersist()
 
 
 def rendered(itemsets: DataFrame) -> DataFrame:

@@ -144,6 +144,38 @@ def language_id(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def token_stats_regex(documents: DataFrame) -> DataFrame:
+    """Per-document token counts under the BPE-ish regex tokenizer
+    (alnum runs as tokens, everything else a boundary) — the companion to
+    the whitespace ``token_stats``. One projection, no shuffle."""
+    toks = regex_tokens_col("text")
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+# Rolling-hash parameters: base * max(acc) stays far below 2^63, so the
+# recurrence never relies on overflow wrap and is bit-identical in any
+# engine with 64-bit integer arithmetic (portable => oracle-able).
+ROLLING_HASH_BASE = 131
+ROLLING_HASH_MOD = 1_000_000_007
+
+
+def rolling_hash_fingerprints(documents: DataFrame) -> DataFrame:
+    """Rabin–Karp polynomial rolling hash over each document's characters,
+    accumulated JVM-side with the ``aggregate`` higher-order function —
+    the content fingerprint that k-gram/winnowing schemes build on (see
+    ``winnow_fingerprint`` for the windowed variant)."""
+    h = F.expr(
+        "CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"aggregate(split(text, ''), CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * {ROLLING_HASH_BASE} + ascii(c)) % {ROLLING_HASH_MOD}) END"
+    )
+    return documents.select("doc_id", h.alias("rolling_hash")).orderBy("doc_id")
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Whole-document fingerprint (md5 of text) — the exact-dedup key. A
     content-sensitive winnowing fingerprint is available via

@@ -111,17 +111,28 @@ def write_partitioned_parquet(
 
 
 def write_bucketed_table(
-    df: DataFrame, table_name: str, bucket_col: str, num_buckets: int = 16
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table: co-locates rows by hash of ``bucket_col`` so
-    later equi-joins/aggregations on it skip the shuffle entirely — the
-    pre-partitioning strategy for repeated joins at scale."""
-    (
+    """Bucketed (and per-bucket sorted) table: co-locates rows by hash of
+    ``bucket_col`` so later equi-joins/aggregations on it skip the shuffle
+    entirely — the pre-partitioning strategy for repeated joins at scale.
+    Two tables bucketed on the join key with the same bucket count sort-merge
+    join with ZERO Exchange nodes (asserted in test_cli_and_sinks).
+
+    ``path`` makes it an external table at that location; otherwise managed
+    in the session warehouse."""
+    w = (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, bucket_col)
         .sortBy(bucket_col)
-        .saveAsTable(table_name)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
 
 
 def write_single_csv(df: DataFrame, path: str, header: bool = True) -> None:

@@ -56,3 +56,46 @@ def test_partitioned_parquet_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     with contextlib.redirect_stdout(buf):
         pruned.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with ZERO Exchange nodes — the co-located-join
+    guarantee that makes bucketing worth the write cost at scale."""
+    from inf_553_datamining_mapreduce_spark.sources.readers import (
+        read_parquet_table,
+    )
+    from inf_553_datamining_mapreduce_spark.sources.sinks import (
+        write_bucketed_table,
+    )
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    customer = read_parquet_table(spark, sf_dir, "customer")
+    write_bucketed_table(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "t_orders_b",
+        "o_custkey",
+        num_buckets=4,
+        path=str(tmp_path / "orders_b"),
+    )
+    write_bucketed_table(
+        customer.select("c_custkey", "c_name"),
+        "t_customer_b",
+        "c_custkey",
+        num_buckets=4,
+        path=str(tmp_path / "customer_b"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
