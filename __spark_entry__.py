@@ -120,6 +120,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         verts = cp.select(F.col("c").cast("long")).distinct()
         return G.connected_components(edges, verts).orderBy("id")
 
+    def _pagerank_customers(spark, sf):
+        cp = _customer_part_graph(spark, sf)
+        edges = G.cooccurrence_edges(cp, "c", "p", min_shared=4)
+        return G.pagerank(edges, iterations=10)
+
     def _betweenness_customers(spark, sf):
         cp = _customer_part_graph(spark, sf)
         edges = G.cooccurrence_edges(cp, "c", "p", min_shared=4)
@@ -149,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["frequent_itemsets_fpgrowth"] = _frequent_itemsets_fpgrowth
     q["customer_cooccurrence_edges"] = _customer_edges
     q["connected_components_customers"] = _components_customers
+    q["pagerank_customers"] = _pagerank_customers
     q["edge_betweenness_customers"] = _betweenness_customers
     q["communities_girvan_newman"] = _communities_customers
 
@@ -181,6 +187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (d,) = _t(spark, sf, "documents")
         return T.rolling_hash_fingerprints(d)
 
+    def _winnow_fingerprints(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.winnow_fingerprints_df(d, k=5, window=4)
+
     # ---- dedup ---------------------------------------------------------
     def _exact_duplicates(spark, sf):
         (d,) = _t(spark, sf, "documents")
@@ -194,6 +204,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # at larger SFs dropping >32-doc shingles is the documented df-cut
         # trade (non-discriminative shingles contribute ~0 to Jaccard>=0.5).
         return D.jaccard_near_duplicates(d, n=3, min_jaccard=0.5, max_shingle_df=32)
+
+    def _benchmark_contamination(spark, sf):
+        # Deterministic eval split: every 20th doc plays the benchmark set;
+        # the rest is the training corpus being decontaminated against it.
+        (d,) = _t(spark, sf, "documents")
+        ev = d.filter(F.col("doc_id") % 20 == 0)
+        tr = d.filter(F.col("doc_id") % 20 != 0)
+        return D.benchmark_contamination(tr, ev, n=3, min_overlap=0.2)
+
+    def _near_duplicate_clusters(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return D.near_duplicate_clusters(d, n=3, min_jaccard=0.5, max_shingle_df=32)
 
     def _minhash_lsh_near_duplicates(spark, sf):
         (d,) = _t(spark, sf, "documents")
@@ -403,10 +425,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprints"] = _fingerprints
     q["token_stats_regex"] = _token_stats_regex
     q["rolling_hash_fingerprints"] = _rolling_hash_fingerprints
+    q["winnow_fingerprints"] = _winnow_fingerprints
     q["media_fingerprints"] = _media_fingerprints
     q["media_frame_samples"] = _media_frame_samples
     q["exact_duplicates"] = _exact_duplicates
     q["jaccard_near_duplicates"] = _jaccard_near_duplicates
+    q["near_duplicate_clusters"] = _near_duplicate_clusters
+    q["benchmark_contamination"] = _benchmark_contamination
     q["minhash_lsh_near_duplicates"] = _minhash_lsh_near_duplicates
     q["simhash_near_duplicates"] = _simhash_near_duplicates
     q["embedding_near_duplicates"] = _embedding_near_duplicates
@@ -820,6 +845,85 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
             ORDER BY doc_a, doc_b
         """,
+        # Winnowing: k-gram rolling hashes (list_reduce seeded with the
+        # first char's ascii == aggregate-from-0, see rolling_hash note),
+        # then min of each 4-window, distinct per doc.
+        "winnow_fingerprints": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            kh AS (
+                SELECT doc_id,
+                       list_transform(range(1, GREATEST(len(toks) - 4, 0) + 1), i ->
+                           list_reduce(
+                               list_transform(string_split(array_to_string(toks[i:i+4], ' '), ''),
+                                              c -> CAST(ascii(c) AS BIGINT)),
+                               (acc, x) -> (acc * 131 + x) % 1000000007
+                           )) AS hs
+                FROM t
+            ),
+            wins AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, GREATEST(len(hs) - 3, 1) + 1), j ->
+                           list_aggregate(hs[j:j+3], 'min'))) AS fps
+                FROM kh WHERE len(hs) > 0
+            )
+            SELECT doc_id, UNNEST(fps) AS fingerprint
+            FROM wins ORDER BY doc_id, fingerprint
+        """,
+        "benchmark_contamination": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i+2], ' ') AS shingle
+                FROM toks, UNNEST(range(1, GREATEST(len(t) - 2, 0) + 1)) AS u(i)
+                WHERE array_to_string(t[u.i:u.i+2], ' ') <> ''
+            ),
+            tr AS (SELECT doc_id AS train_doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+            ev AS (SELECT doc_id AS eval_doc_id, shingle FROM sh WHERE doc_id % 20 = 0),
+            sizes AS (SELECT train_doc_id, COUNT(*) AS n FROM tr GROUP BY train_doc_id),
+            common AS (
+                SELECT train_doc_id, eval_doc_id, COUNT(*) AS c
+                FROM tr JOIN ev USING (shingle)
+                GROUP BY train_doc_id, eval_doc_id
+            )
+            SELECT train_doc_id, eval_doc_id,
+                   c AS n_common_shingles,
+                   CAST(c AS DOUBLE) / sizes.n AS overlap_frac
+            FROM common JOIN sizes USING (train_doc_id)
+            WHERE CAST(c AS DOUBLE) / sizes.n >= 0.2
+            ORDER BY train_doc_id, eval_doc_id
+        """,
+        # Transitive closure over the near-dup pair graph: component label =
+        # min reachable doc_id (same recursive-CTE idiom as the customer
+        # connected-components oracle).
+        "near_duplicate_clusters": """
+            WITH RECURSIVE
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i+2], ' ') AS shingle
+                FROM toks, UNNEST(range(1, GREATEST(len(t) - 2, 0) + 1)) AS u(i)
+                WHERE array_to_string(t[u.i:u.i+2], ' ') <> ''
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            e AS (
+                SELECT doc_a, doc_b FROM (
+                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY a.doc_id, b.doc_id
+                ) p
+                JOIN sizes sa ON sa.doc_id = p.doc_a
+                JOIN sizes sb ON sb.doc_id = p.doc_b
+                WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+            ),
+            sym AS (SELECT doc_a AS src, doc_b AS dst FROM e
+                    UNION ALL SELECT doc_b, doc_a FROM e),
+            verts AS (SELECT DISTINCT src AS id FROM sym),
+            reach(id, r) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.id
+            )
+            SELECT id AS doc_id, MIN(r) AS cluster_id, (id = MIN(r)) AS keep
+            FROM reach GROUP BY id ORDER BY doc_id
+        """,
         # SimHash is fully oracle-able because the token hash is md5-derived
         # (first 15 hex digits = 60 bits, parsed digit-by-digit below).
         # Banding is pigeonhole-complete, so the oracle skips it and checks
@@ -964,4 +1068,44 @@ def oracle_sql() -> dict[str, str]:
     # same cosine expression as brute force — identical output, same oracle.
     d["topk_cosine_lsh"] = d["topk_cosine"]
     d["topk_cosine_ivf"] = d["topk_cosine"]
+    d["pagerank_customers"] = _pagerank_oracle(iterations=10)
     return d
+
+
+def _pagerank_oracle(iterations: int, damping_pct: int = 85, scale: int = 1_000_000) -> str:
+    """Chained-CTE oracle for fixed-point PageRank: one CTE per iteration
+    (recursive CTEs forbid aggregates in the recursive term, so the fixed
+    iteration count is unrolled programmatically). All-BIGINT arithmetic
+    with truncating division matches the Spark loop bit-for-bit; the final
+    CAST collapses DuckDB's HUGEINT widening back to int64."""
+    base = (100 - damping_pct) * scale // 100
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+            r{i} AS (
+                SELECT deg.id,
+                       CAST({base} + ({damping_pct} * COALESCE(m.s, 0)) // 100 AS BIGINT) AS rank
+                FROM deg LEFT JOIN (
+                    SELECT sym.dst AS id, SUM(r.rank // deg.out_deg) AS s
+                    FROM r{i - 1} r
+                    JOIN deg ON deg.id = r.id
+                    JOIN sym ON sym.src = r.id
+                    GROUP BY sym.dst
+                ) m ON m.id = deg.id
+            )""")
+    return f"""
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS (
+            SELECT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+        ),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        deg AS (SELECT src AS id, COUNT(*) AS out_deg FROM sym GROUP BY src),
+        r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM deg),
+        {",".join(steps)}
+        SELECT id, rank AS rank_fp FROM r{iterations} ORDER BY id
+    """

@@ -146,6 +146,101 @@ def jaccard_near_duplicates(
     )
 
 
+def benchmark_contamination(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    min_overlap: float = 0.2,
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train-set decontamination: for each (train, eval) document pair that
+    shares word n-gram shingles, the fraction of the TRAIN doc's shingles
+    that also occur in the eval doc — the standard benchmark-leakage check a
+    pre-training pipeline runs before a corpus ships.
+
+    Output: ``(train_doc_id, eval_doc_id, n_common_shingles, overlap_frac)``
+    for pairs with overlap_frac >= min_overlap.
+
+    Scale: shingle both sides and equi-join on the shingle key — only pairs
+    that actually share an n-gram ever meet. Benchmark suites are tiny next
+    to a 100-TB corpus, so the eval shingle table is broadcast
+    (``broadcast_eval``) and the train side streams map-side with ZERO
+    shuffle of the corpus; the only shuffle is the per-pair count aggregate,
+    whose size is bounded by actual contamination.
+    """
+    tr = word_shingles(train_docs, n, text_col).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    ev = word_shingles(eval_docs, n, text_col).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    sizes = tr.groupBy("train_doc_id").agg(
+        F.count(F.lit(1)).alias("n_train_shingles")
+    )
+    common = (
+        tr.join(ev, "shingle")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common_shingles"))
+    )
+    return (
+        common.join(sizes, "train_doc_id")
+        .select(
+            "train_doc_id",
+            "eval_doc_id",
+            "n_common_shingles",
+            (
+                F.col("n_common_shingles").cast("double")
+                / F.col("n_train_shingles")
+            ).alias("overlap_frac"),
+        )
+        .filter(F.col("overlap_frac") >= min_overlap)
+        .orderBy("train_doc_id", "eval_doc_id")
+    )
+
+
+def near_duplicate_clusters(
+    documents: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    max_shingle_df: int | None = 32,
+) -> DataFrame:
+    """Transitive near-duplicate clusters: Jaccard near-dup pairs become
+    edges, connected components become clusters, the smallest doc_id in each
+    cluster is the kept representative — the 'keep one per dup group'
+    contract an LLM training pipeline actually applies (pair lists alone
+    under-remove when A~B and B~C but A!~C).
+
+    Output: ``(doc_id, cluster_id, keep)`` for every document that belongs
+    to some near-dup cluster (singletons are implicitly kept and omitted).
+
+    Scale: the pair stream is the bounded-fan-out df-cut Jaccard join; the
+    component step is min-label propagation over cluster edges only (the
+    near-dup graph is vastly smaller than the corpus), driver union-find
+    under the small-graph gate.
+    """
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = jaccard_near_duplicates(
+        documents, n=n, min_jaccard=min_jaccard, text_col=text_col,
+        max_shingle_df=max_shingle_df,
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("keep"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (shingle → minhash → band → bucket-join → verify)
 # ---------------------------------------------------------------------------

@@ -443,6 +443,71 @@ def communities_from_components(components: DataFrame) -> DataFrame:
     )
 
 
+# Fixed-point PageRank scale: ranks are BIGINTs in units of 1e-6. Integer
+# arithmetic makes every iteration bit-identical in any engine with 64-bit
+# ints — which is what lets an ITERATIVE algorithm carry a SQL oracle.
+PAGERANK_SCALE = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Fixed-point integer PageRank over the symmetrized graph (a quality /
+    centrality signal for link-graph-based corpus filtering).
+
+    Each vertex starts at ``scale`` (rank 1.0); one iteration is
+    ``rank' = ((100-d)*scale) div 100 + (d * sum(contribs)) div 100`` with
+    ``contrib = rank div out_degree`` — all BIGINT, truncating division, so
+    the result after a FIXED number of iterations is deterministic and
+    engine-portable (no float summation order dependence).
+
+    Scale shape: out-degrees are one aggregation; each iteration is one
+    join + one aggregation (shuffle on vertex id, the canonical distributed
+    PageRank step), lineage cut per round with localCheckpoint. No driver
+    collection at any size.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .select(F.col("src").alias("id"), "out_deg")
+    )
+    # Edges annotated with the source's out-degree, reused every iteration.
+    ed = (
+        sym.join(deg, sym.src == deg.id)
+        .select("src", "dst", "out_deg")
+        .localCheckpoint()
+    )
+    base = (100 - damping_pct) * scale // 100
+    ranks = deg.select(
+        "id", F.lit(scale).cast("long").alias("rank")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        sums = (
+            ed.join(ranks, ed.src == ranks.id)
+            .select(F.col("dst"), F.expr("rank div out_deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            deg.join(sums, deg.id == sums.dst, "left")
+            .select(
+                "id",
+                F.expr(
+                    f"CAST({base} + ({damping_pct} * coalesce(s, CAST(0 AS BIGINT)))"
+                    " div 100 AS BIGINT)"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("id"), F.col("rank").alias("rank_fp")).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # Modularity (Community.scala:16-48 — exact arithmetic, both paths)
 # ---------------------------------------------------------------------------

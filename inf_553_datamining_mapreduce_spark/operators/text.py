@@ -176,6 +176,43 @@ def rolling_hash_fingerprints(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", h.alias("rolling_hash")).orderBy("doc_id")
 
 
+def winnow_fingerprints_df(
+    documents: DataFrame, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Distributed winnowing (Schleimer et al., SIGMOD'03): rolling-hash
+    each word k-gram, keep the min hash of every ``window`` consecutive
+    k-grams, emit the distinct fingerprint set per document as
+    ``(doc_id, fingerprint)`` rows.
+
+    Entirely JVM-side via higher-order functions — one projection plus the
+    explode, zero shuffles, zero Python. Uses the portable
+    ``ROLLING_HASH_BASE``/``ROLLING_HASH_MOD`` recurrence over the k-gram's
+    characters so every intermediate stays exact in a signed 64-bit int
+    (engine-portable => oracle-able). Documents with fewer than k tokens
+    contribute no fingerprints."""
+    B, M = ROLLING_HASH_BASE, ROLLING_HASH_MOD
+    toks = "split(text, ' ')"
+    khashes = (
+        f"transform(sequence(1, size({toks}) - {k - 1}), i -> "
+        f"aggregate(split(concat_ws(' ', slice({toks}, i, {k})), ''), "
+        f"CAST(0 AS BIGINT), (acc, c) -> (acc * {B} + ascii(c)) % {M}))"
+    )
+    guarded = f"CASE WHEN size({toks}) >= {k} THEN {khashes} ELSE array() END"
+    wins = (
+        "transform(sequence(1, greatest(size(hs) - "
+        f"{window - 1}, 1)), j -> array_min(slice(hs, j, {window})))"
+    )
+    return (
+        documents.select("doc_id", F.expr(guarded).alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(wins))).alias("fingerprint"),
+        )
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Whole-document fingerprint (md5 of text) — the exact-dedup key. A
     content-sensitive winnowing fingerprint is available via

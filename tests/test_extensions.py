@@ -72,6 +72,58 @@ def test_jaccard_and_minhash_agree_on_planted(planted_docs):
     assert (1, 2) in lsh and (1, 3) in lsh
 
 
+def test_winnow_fingerprints_df_identity_and_locality(planted_docs):
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        winnow_fingerprints_df,
+    )
+
+    fps: dict[int, set[int]] = {}
+    for r in winnow_fingerprints_df(planted_docs, k=5, window=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # Identical docs -> identical fingerprint sets.
+    assert fps[1] == fps[2]
+    # One-word edit (doc 3) keeps most local fingerprints (winnowing's point).
+    assert len(fps[1] & fps[3]) / len(fps[1]) >= 0.4
+    # Unrelated doc shares nothing.
+    assert not (fps[1] & fps[4])
+
+
+def test_benchmark_contamination_planted(spark):
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog")]
+    )
+    tr = spark.createDataFrame(
+        [
+            # Full copy of the eval doc -> overlap_frac 1.0.
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            # Shares no 3-gram -> absent from the output.
+            Row(doc_id=2, text="an entirely different sentence about engines"),
+        ]
+    )
+    rows = benchmark_contamination(tr, ev, n=3, min_overlap=0.5).collect()
+    assert [(r["train_doc_id"], r["eval_doc_id"], r["overlap_frac"]) for r in rows] == [
+        (1, 100, 1.0)
+    ]
+
+
+def test_near_duplicate_clusters_transitive(planted_docs):
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        near_duplicate_clusters,
+    )
+
+    # 1~2 (exact) and 1~3 (near): even if 2~3 fell below threshold the
+    # cluster must still be {1,2,3} by transitivity, keeping only doc 1.
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in near_duplicate_clusters(planted_docs, min_jaccard=0.5).collect()
+    }
+    assert rows == {1: (1, True), 2: (1, False), 3: (1, False)}
+
+
 def test_simhash_flags_identical_docs(planted_docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]

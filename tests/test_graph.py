@@ -112,6 +112,19 @@ def test_sampled_betweenness_unbiased_scaling(spark):
     assert all(v > 0 for v in vals.values())
 
 
+def test_pagerank_path_graph_hand_computed(spark):
+    from inf_553_datamining_mapreduce_spark.operators.graph import pagerank
+
+    # Path 1-2-3, two fixed-point iterations, worked by hand:
+    #   iter1: r = (575000, 1850000, 575000)
+    #   iter2: r = (936250, 1127500, 936250)
+    ranks = {
+        r["id"]: r["rank_fp"]
+        for r in pagerank(_edges_df(spark, [(1, 2), (2, 3)]), iterations=2).collect()
+    }
+    assert ranks == {1: 936250, 2: 1127500, 3: 936250}
+
+
 def test_cooccurrence_edges_matches_reference_rule(spark):
     """Edge rule parity on the reference's own ratings.csv: co-rated >= 3
     movies, src < dst (Betweenness.scala:26-31)."""
