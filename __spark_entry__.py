@@ -449,6 +449,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["topk_cosine"] = _topk_cosine
     q["topk_cosine_lsh"] = _topk_cosine_lsh
     q["topk_cosine_ivf"] = _topk_cosine_ivf
+
+    def _label_centroids(spark, sf):
+        (e,) = _t(spark, sf, "embeddings")
+        return SIM.label_centroids(e)
+
+    q["label_centroids"] = _label_centroids
     q["tumbling_window_stats"] = _tumbling
     q["tumbling_window_stats_stream_plan"] = _tumbling_stream_plan
     q["sliding_window_stats"] = _sliding
@@ -844,6 +850,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        # Per-(label, dim) decimal-exact centroid; generate_subscripts is
+        # 1-based vs posexplode's 0-based, hence the -1. Spark's
+        # float->decimal(28,10) rounds the exact widened double HALF_UP
+        # (away from zero); DuckDB's cast rounds ties to even AND its
+        # FLOAT->DECIMAL path runs in float arithmetic — so the oracle
+        # emulates Spark exactly in scaled BIGINTs: floor(|v|*1e10 + 0.5)
+        # with the sign reattached (the *1e10 product is within one double
+        # ulp ~1e-9 of exact while tie distances are >= 6e-5, so no
+        # boundary can flip). The final /1e10/n division sequence in double
+        # is IEEE-identical to Spark's decimal->double-then-divide.
+        "label_centroids": """
+            WITH x AS (
+                SELECT label,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings
+            )
+            SELECT label, dim,
+                   COUNT(*) AS n_vectors,
+                   CAST(SUM(CAST(FLOOR(ABS(val) * 1e10 + 0.5) AS BIGINT)
+                            * CASE WHEN val < 0 THEN -1 ELSE 1 END) AS DOUBLE)
+                       / 1e10 / COUNT(*) AS centroid
+            FROM x GROUP BY label, dim ORDER BY label, dim
         """,
         # Winnowing: k-gram rolling hashes (list_reduce seeded with the
         # first char's ascii == aggregate-from-0, see rolling_hash note),

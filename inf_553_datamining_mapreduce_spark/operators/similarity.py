@@ -15,6 +15,34 @@ from pyspark.sql.window import Window
 
 from inf_553_datamining_mapreduce_spark.operators.dedup import cosine_similarity
 
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid of the embedding column — the k-means update step
+    / class-centroid aggregate of embedding analytics, one row per
+    ``(label, dim)``.
+
+    The per-dimension sum accumulates in DECIMAL so the result is
+    independent of partition/merge order (float32→decimal rounding has no
+    ties — a binary fraction can't land exactly on a decimal half — so both
+    engines round identically and the mean is bit-exact cross-engine).
+
+    Scale shape: posexplode multiplies rows by dim (bounded, 64 here), then
+    ONE shuffle into a (label, dim) hash aggregate with map-side partials;
+    output cardinality = labels × dims, tiny at any corpus size.
+    """
+    exploded = embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    dec_sum = F.sum(F.col("val").cast("decimal(28,10)"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (dec_sum.cast("double") / F.count(F.lit(1))).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
 def hyperplanes(num_planes: int, dim: int, seed: int = 13):
     """Deterministic Gaussian hyperplanes: numpy's legacy RandomState stream
     is stable across platforms and processes, so every executor derives the

@@ -229,6 +229,44 @@ def streaming_dedup_events(
     )
 
 
+def streaming_errors_near_purchases(
+    errors: DataFrame,
+    purchases: DataFrame,
+    window_sec: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: error events matched to purchase events
+    by the same user within ±window_sec of event time. Watermarks on BOTH
+    sides bound the join state (each side retains only watermark+window of
+    history), which is what makes the join runnable indefinitely — the
+    streaming twin of the batch ``errors_near_purchases`` interval join.
+
+    Inputs are the two pre-filtered event streams (callers filter
+    ``event_type``) so the same builder works for any pair of streams."""
+    e = (
+        errors.select(
+            F.col("event_id").alias("error_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("err_ts"),
+        ).withWatermark("err_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        ).withWatermark("p_ts", watermark)
+    )
+    return e.join(
+        p,
+        F.expr(
+            f"user_id = p_user_id AND "
+            f"p_ts BETWEEN err_ts - INTERVAL {window_sec} SECONDS "
+            f"AND err_ts + INTERVAL {window_sec} SECONDS"
+        ),
+    ).select("error_event_id", "purchase_event_id", "user_id", "err_ts", "p_ts")
+
+
 def streaming_session_stats(
     stream: DataFrame, gap_sec: int = 1800, watermark: str = "30 minutes"
 ) -> DataFrame:

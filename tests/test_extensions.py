@@ -72,6 +72,30 @@ def test_jaccard_and_minhash_agree_on_planted(planted_docs):
     assert (1, 2) in lsh and (1, 3) in lsh
 
 
+def test_label_centroids_hand_computed(spark):
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(label=0, embedding=[1.0, 2.0]),
+            Row(label=0, embedding=[3.0, 4.0]),
+            Row(label=1, embedding=[10.0, 0.0]),
+        ]
+    )
+    rows = {
+        (r["label"], r["dim"]): (r["n_vectors"], r["centroid"])
+        for r in label_centroids(df).collect()
+    }
+    assert rows == {
+        (0, 0): (2, 2.0),
+        (0, 1): (2, 3.0),
+        (1, 0): (1, 10.0),
+        (1, 1): (1, 0.0),
+    }
+
+
 def test_winnow_fingerprints_df_identity_and_locality(planted_docs):
     from inf_553_datamining_mapreduce_spark.operators.text import (
         winnow_fingerprints_df,
@@ -242,6 +266,59 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM tumbling_test").collect()
     }
     assert got == batch
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    from inf_553_datamining_mapreduce_spark.streaming.windows import (
+        streaming_errors_near_purchases,
+    )
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    # Batch golden with the IDENTICAL raw-timestamp interval predicate the
+    # stream-stream join runs (the oracled errors_near_purchases query uses
+    # second-floored epochs — a different, coarser contract).
+    e = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        "user_id",
+        F.col("ts").alias("err_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = {
+        (r["error_event_id"], r["purchase_event_id"])
+        for r in e.join(
+            p,
+            F.expr(
+                "user_id = p_user_id AND p_ts BETWEEN "
+                "err_ts - INTERVAL 600 SECONDS AND err_ts + INTERVAL 600 SECONDS"
+            ),
+        ).collect()
+    }
+    events_dir = _staged_events_dir(sf_dir, tmp_path)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    errors = read_events_stream(spark, events_dir, raw_schema).filter(
+        F.col("event_type") == "error"
+    )
+    purchases = read_events_stream(spark, events_dir, raw_schema).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        streaming_errors_near_purchases(errors, purchases)
+        .writeStream.format("memory")
+        .queryName("interval_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["error_event_id"], r["purchase_event_id"])
+        for r in spark.sql("SELECT * FROM interval_join_test").collect()
+    }
+    assert got == batch and len(batch) > 0
 
 
 def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
