@@ -875,19 +875,27 @@ def oracle_sql() -> dict[str, str]:
                        / 1e10 / COUNT(*) AS centroid
             FROM x GROUP BY label, dim ORDER BY label, dim
         """,
-        # Winnowing: k-gram rolling hashes (list_reduce seeded with the
-        # first char's ascii == aggregate-from-0, see rolling_hash note),
-        # then min of each 4-window, distinct per doc.
+        # Winnowing: per-token rolling hashes, combined per k-gram under the
+        # second-level base, then min of each 4-window, distinct per doc.
+        # list_reduce has no init arg: seeding with the first element equals
+        # the aggregate-from-0 recurrence (0*B + x1 = x1) at both levels;
+        # empty tokens hash to 0 in both engines (ascii('') = 0).
         "winnow_fingerprints": """
-            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ' '), t ->
+                           CASE WHEN t = '' THEN CAST(0 AS BIGINT) ELSE
+                           list_reduce(
+                               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT)),
+                               (acc, x) -> (acc * 131 + x) % 1000000007
+                           ) END) AS th
+                FROM documents
+            ),
             kh AS (
                 SELECT doc_id,
-                       list_transform(range(1, GREATEST(len(toks) - 4, 0) + 1), i ->
-                           list_reduce(
-                               list_transform(string_split(array_to_string(toks[i:i+4], ' '), ''),
-                                              c -> CAST(ascii(c) AS BIGINT)),
-                               (acc, x) -> (acc * 131 + x) % 1000000007
-                           )) AS hs
+                       list_transform(range(1, GREATEST(len(th) - 4, 0) + 1), i ->
+                           list_reduce(th[i:i+4], (acc, h) -> (acc * 1000033 + h) % 1000000007)
+                       ) AS hs
                 FROM t
             ),
             wins AS (

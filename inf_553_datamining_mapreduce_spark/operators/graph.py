@@ -469,13 +469,18 @@ def pagerank(
     PageRank step), lineage cut per round with localCheckpoint. No driver
     collection at any size.
     """
+    # Materialize the (possibly expensive) upstream edge build exactly ONCE;
+    # everything the iteration loop touches derives from this checkpoint —
+    # an un-checkpointed degree table would silently re-evaluate the whole
+    # edge-construction join every single iteration.
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     deg = (
         sym.groupBy("src")
         .agg(F.count(F.lit(1)).alias("out_deg"))
         .select(F.col("src").alias("id"), "out_deg")
+        .localCheckpoint()
     )
     # Edges annotated with the source's out-degree, reused every iteration.
     ed = (

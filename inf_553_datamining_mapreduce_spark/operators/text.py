@@ -161,6 +161,9 @@ def token_stats_regex(documents: DataFrame) -> DataFrame:
 # engine with 64-bit integer arithmetic (portable => oracle-able).
 ROLLING_HASH_BASE = 131
 ROLLING_HASH_MOD = 1_000_000_007
+# Second-level base for combining token hashes into k-gram hashes
+# (winnowing): acc < MOD ~1e9 and base ~1e6 keep the product ~1e15 << 2^63.
+KGRAM_HASH_BASE = 1_000_033
 
 
 def rolling_hash_fingerprints(documents: DataFrame) -> DataFrame:
@@ -185,25 +188,37 @@ def winnow_fingerprints_df(
     ``(doc_id, fingerprint)`` rows.
 
     Entirely JVM-side via higher-order functions — one projection plus the
-    explode, zero shuffles, zero Python. Uses the portable
-    ``ROLLING_HASH_BASE``/``ROLLING_HASH_MOD`` recurrence over the k-gram's
-    characters so every intermediate stays exact in a signed 64-bit int
-    (engine-portable => oracle-able). Documents with fewer than k tokens
-    contribute no fingerprints."""
-    B, M = ROLLING_HASH_BASE, ROLLING_HASH_MOD
-    toks = "split(text, ' ')"
-    khashes = (
-        f"transform(sequence(1, size({toks}) - {k - 1}), i -> "
-        f"aggregate(split(concat_ws(' ', slice({toks}, i, {k})), ''), "
+    explode, zero shuffles, zero Python. Two-level hashing keeps the work
+    linear: each token's characters are hashed ONCE
+    (``ROLLING_HASH_BASE``/``ROLLING_HASH_MOD``), then each k-gram combines
+    k token hashes under ``KGRAM_HASH_BASE`` — O(chars + k·n) instead of
+    re-scanning every k-gram's characters (O(k·chars)). Every intermediate
+    stays exact in a signed 64-bit int (engine-portable => oracle-able).
+    Documents with fewer than k tokens contribute no fingerprints."""
+    B, B2, M = ROLLING_HASH_BASE, KGRAM_HASH_BASE, ROLLING_HASH_MOD
+    token_hashes = (
+        "transform(split(text, ' '), t -> aggregate(split(t, ''), "
         f"CAST(0 AS BIGINT), (acc, c) -> (acc * {B} + ascii(c)) % {M}))"
     )
-    guarded = f"CASE WHEN size({toks}) >= {k} THEN {khashes} ELSE array() END"
+    khashes = (
+        f"CASE WHEN size(th) >= {k} THEN "
+        f"transform(sequence(1, size(th) - {k - 1}), i -> "
+        f"aggregate(slice(th, i, {k}), "
+        f"CAST(0 AS BIGINT), (acc, h) -> (acc * {B2} + h) % {M})) "
+        "ELSE array() END"
+    )
     wins = (
         "transform(sequence(1, greatest(size(hs) - "
         f"{window - 1}, 1)), j -> array_min(slice(hs, j, {window})))"
     )
     return (
-        documents.select("doc_id", F.expr(guarded).alias("hs"))
+        # explode(array(th)) is a deliberate one-row Generate barrier:
+        # CollapseProject would otherwise inline the token-hash expression
+        # into the k-gram lambda below, re-evaluating ALL token hashes once
+        # per k-gram position (O(n^2) per document — measured 3x slower at
+        # sf0.1). A Generate output attribute cannot be inlined through.
+        documents.select("doc_id", F.explode(F.array(F.expr(token_hashes))).alias("th"))
+        .select("doc_id", F.expr(khashes).alias("hs"))
         .filter(F.size("hs") > 0)
         .select(
             "doc_id",
