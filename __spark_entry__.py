@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (d,) = _t(spark, sf, "documents")
         return T.winnow_fingerprints_df(d, k=5, window=4)
 
+    def _token_rarity_stats(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.token_rarity_stats(d, rare_max_freq=2)
+
     # ---- dedup ---------------------------------------------------------
     def _exact_duplicates(spark, sf):
         (d,) = _t(spark, sf, "documents")
@@ -426,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_stats_regex"] = _token_stats_regex
     q["rolling_hash_fingerprints"] = _rolling_hash_fingerprints
     q["winnow_fingerprints"] = _winnow_fingerprints
+    q["token_rarity_stats"] = _token_rarity_stats
     q["media_fingerprints"] = _media_fingerprints
     q["media_frame_samples"] = _media_frame_samples
     q["exact_duplicates"] = _exact_duplicates
@@ -874,6 +879,19 @@ def oracle_sql() -> dict[str, str]:
                             * CASE WHEN val < 0 THEN -1 ELSE 1 END) AS DOUBLE)
                        / 1e10 / COUNT(*) AS centroid
             FROM x GROUP BY label, dim ORDER BY label, dim
+        """,
+        "token_rarity_stats": """
+            WITH tok AS (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+            ),
+            freqs AS (SELECT token, COUNT(*) AS corpus_freq FROM tok GROUP BY token)
+            SELECT doc_id,
+                   COUNT(*) AS n_tokens,
+                   MIN(corpus_freq) AS min_token_freq,
+                   CAST(SUM(CASE WHEN corpus_freq <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_rare_tokens
+            FROM tok JOIN freqs USING (token)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         # Winnowing: per-token rolling hashes, combined per k-gram under the
         # second-level base, then min of each 4-window, distinct per doc.

@@ -179,6 +179,37 @@ def rolling_hash_fingerprints(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", h.alias("rolling_hash")).orderBy("doc_id")
 
 
+def token_rarity_stats(documents: DataFrame, rare_max_freq: int = 2) -> DataFrame:
+    """Per-document rare-token statistics: the minimum corpus frequency
+    among the document's tokens and how many of its token occurrences are
+    corpus-rare (frequency <= rare_max_freq) — the rare-token-density
+    signal quality filters use to catch OCR noise, mojibake, and boilerplate
+    misfires. All-integer outputs, so the oracle comparison is exact.
+
+    Scale: one explode + one token-frequency aggregate + one re-join on the
+    token key (both sides partial-aggregated map-side). The frequency table
+    is corpus-vocabulary-sized — it stays distributed; nothing collects.
+    """
+    exploded = documents.select(
+        "doc_id", F.explode(tokens_col("text")).alias("token")
+    )
+    freqs = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("corpus_freq")
+    )
+    return (
+        exploded.join(freqs, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.min("corpus_freq").alias("min_token_freq"),
+            F.sum(
+                F.when(F.col("corpus_freq") <= rare_max_freq, 1).otherwise(0)
+            ).alias("n_rare_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def winnow_fingerprints_df(
     documents: DataFrame, k: int = 5, window: int = 4
 ) -> DataFrame:
