@@ -195,6 +195,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (d,) = _t(spark, sf, "documents")
         return T.token_rarity_stats(d, rare_max_freq=2)
 
+    def _corpus_splits(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.corpus_splits(d, train_pct=90, val_pct=5)
+
+    def _user_event_type_pivot(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return R.user_event_type_pivot(e)
+
     # ---- dedup ---------------------------------------------------------
     def _exact_duplicates(spark, sf):
         (d,) = _t(spark, sf, "documents")
@@ -431,6 +439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rolling_hash_fingerprints"] = _rolling_hash_fingerprints
     q["winnow_fingerprints"] = _winnow_fingerprints
     q["token_rarity_stats"] = _token_rarity_stats
+    q["corpus_splits"] = _corpus_splits
+    q["user_event_type_pivot"] = _user_event_type_pivot
     q["media_fingerprints"] = _media_fingerprints
     q["media_frame_samples"] = _media_frame_samples
     q["exact_duplicates"] = _exact_duplicates
@@ -879,6 +889,29 @@ def oracle_sql() -> dict[str, str]:
                             * CASE WHEN val < 0 THEN -1 ELSE 1 END) AS DOUBLE)
                        / 1e10 / COUNT(*) AS centroid
             FROM x GROUP BY label, dim ORDER BY label, dim
+        """,
+        # Hash-split: '0x'||hex -> BIGINT parses the same 60-bit value
+        # Spark's conv(hex,16,10) produces.
+        "corpus_splits": """
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
+        """,
+        "user_event_type_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "token_rarity_stats": """
             WITH tok AS (

@@ -142,6 +142,26 @@ def filter_having(orders: DataFrame, status: str = "F", min_orders: int = 3) -> 
     )
 
 
+# Pivot columns are pinned (not discovered at plan time) so the output
+# schema is static — the two-job "collect distinct values first" pivot form
+# is a non-starter at scale, and a static schema is what sinks want anyway.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_type_pivot(events: DataFrame) -> DataFrame:
+    """Per-user event counts pivoted to one column per event type — the
+    wide-format feature table consumers join against. ``pivot`` with an
+    explicit value list plans as ONE aggregation with conditional partials
+    (no extra distinct-values job, no second shuffle)."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("user_id")
+    )
+
+
 def distinct_users_per_event_type(events: DataFrame) -> DataFrame:
     """count(distinct user_id) per event_type (A6 distinct + A7 count).
 

@@ -179,6 +179,30 @@ def rolling_hash_fingerprints(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", h.alias("rolling_hash")).orderBy("doc_id")
 
 
+def corpus_splits(
+    documents: DataFrame, train_pct: int = 90, val_pct: int = 5
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free key hashing:
+    bucket = first 60 bits of md5(doc_id) mod 100, split by cumulative
+    percentage. The md5-derived bucket is reproducible across engines, runs,
+    partitionings, and languages — the property a corpus split MUST have
+    (seeded ``sample()`` is partitioning-dependent and unrepeatable across
+    engines). One narrow projection, zero shuffles, zero RNG state.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return documents.select(
+        "doc_id", bucket.alias("bucket"), split.alias("split")
+    ).orderBy("doc_id")
+
+
 def token_rarity_stats(documents: DataFrame, rare_max_freq: int = 2) -> DataFrame:
     """Per-document rare-token statistics: the minimum corpus frequency
     among the document's tokens and how many of its token occurrences are
