@@ -1,0 +1,69 @@
+"""Plan-shape audits: assert the physical plans keep the properties the
+scale story depends on (broadcast dimension sides, filter pushdown,
+shuffle-free narrow pipelines). A correctness-green query whose plan decays
+into a shuffle or a full scan is a silent 100-TB regression — these tests
+make that decay loud."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from inf_553_datamining_mapreduce_spark.sources.readers import read_parquet_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    tr = d.filter(F.col("doc_id") % 20 != 0)
+    plan = _plan(benchmark_contamination(tr, ev, n=3, min_overlap=0.2))
+    # The corpus-side scan must meet the (tiny) eval shingle table in a
+    # broadcast join — a sort-merge join here would shuffle the corpus.
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_winnow_plan_has_no_aggregation_shuffle(spark, sf_dir):
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        winnow_fingerprints_df,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    plan = _plan(winnow_fingerprints_df(d))
+    # Winnowing is per-document narrow work: hash, window-min, explode. The
+    # ONLY exchange allowed is the final presentation sort's range
+    # partitioning — any hashpartitioning exchange means a shuffle crept in.
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, sf_dir):
+    from inf_553_datamining_mapreduce_spark.operators.relational import (
+        pricing_summary,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    plan = _plan(pricing_summary(li))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan
+
+
+def test_group_avg_broadcasts_dimension_tables(spark, sf_dir):
+    from inf_553_datamining_mapreduce_spark.operators.relational import (
+        group_avg_nation_region,
+    )
+
+    c, n, r = (
+        read_parquet_table(spark, sf_dir, t)
+        for t in ("customer", "nation", "region")
+    )
+    plan = _plan(group_avg_nation_region(c, n, r))
+    # nation and region are classic broadcast dims; the customer side must
+    # never shuffle for these lookups.
+    assert plan.count("BroadcastHashJoin") >= 2, plan
