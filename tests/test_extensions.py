@@ -114,6 +114,92 @@ def test_winnow_fingerprints_df_identity_and_locality(planted_docs):
     assert not (fps[1] & fps[4])
 
 
+def test_winnow_fingerprints_df_matches_python_reference(spark):
+    """The distributed winnowing kernel vs an independent pure-Python
+    reimplementation of its spec, over a batch of seeded random docs."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        KGRAM_HASH_BASE,
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+        winnow_fingerprints_df,
+    )
+
+    def py_winnow(text: str, k: int = 5, window: int = 4) -> set[int]:
+        toks = text.split(" ")
+        th = []
+        for t in toks:
+            h = 0
+            for ch in t:
+                h = (h * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
+            th.append(h)
+        if len(th) < k:
+            return set()
+        hs = []
+        for i in range(len(th) - k + 1):
+            g = 0
+            for h in th[i : i + k]:
+                g = (g * KGRAM_HASH_BASE + h) % ROLLING_HASH_MOD
+            hs.append(g)
+        return {
+            min(hs[j : j + window])
+            for j in range(max(1, len(hs) - window + 1))
+        }
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "x1", "q", "longword" * 3, ""]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints_df(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == py_winnow(text), (doc_id, text)
+
+
+def test_near_duplicate_clusters_invariants(spark, sf_dir):
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        near_duplicate_clusters,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    rows = near_duplicate_clusters(d).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert by_cluster, "expected planted near-dups in the synthetic corpus"
+    for cid, members in by_cluster.items():
+        # Exactly one kept representative per cluster: its smallest doc_id.
+        keeps = [m["doc_id"] for m in members if m["keep"]]
+        assert keeps == [cid]
+        assert min(m["doc_id"] for m in members) == cid
+        assert len(members) >= 2  # singletons are omitted by contract
+
+
+def test_pagerank_mass_and_floor_invariants(spark, sf_dir):
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        PAGERANK_SCALE,
+        cooccurrence_edges,
+        pagerank,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    cp = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+    )
+    ranks = [r["rank_fp"] for r in pagerank(cooccurrence_edges(cp, "c", "p", 4)).collect()]
+    n = len(ranks)
+    base = 15 * PAGERANK_SCALE // 100
+    assert all(r >= base for r in ranks)  # teleport floor
+    # Truncating division only loses mass: total stays within (base*N, N].
+    assert base * n < sum(ranks) <= PAGERANK_SCALE * n
+
+
 def test_benchmark_contamination_planted(spark):
     from inf_553_datamining_mapreduce_spark.operators.dedup import (
         benchmark_contamination,
