@@ -120,6 +120,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         verts = cp.select(F.col("c").cast("long")).distinct()
         return G.connected_components(edges, verts).orderBy("id")
 
+    def _triangle_counts_customers(spark, sf):
+        cp = _customer_part_graph(spark, sf)
+        edges = G.cooccurrence_edges(cp, "c", "p", min_shared=4)
+        return G.triangle_counts(edges)
+
     def _pagerank_customers(spark, sf):
         cp = _customer_part_graph(spark, sf)
         edges = G.cooccurrence_edges(cp, "c", "p", min_shared=4)
@@ -155,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["customer_cooccurrence_edges"] = _customer_edges
     q["connected_components_customers"] = _components_customers
     q["pagerank_customers"] = _pagerank_customers
+    q["triangle_counts_customers"] = _triangle_counts_customers
     q["edge_betweenness_customers"] = _betweenness_customers
     q["communities_girvan_newman"] = _communities_customers
 
@@ -619,6 +625,37 @@ def oracle_sql() -> dict[str, str]:
             FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
             GROUP BY a.c, b.c HAVING COUNT(*) >= 4
             ORDER BY src, dst
+        """,
+        # Triangle counts: canonical a<b<c enumeration, then each vertex's
+        # corner appearances; vertices in no triangle emit 0.
+        "triangle_counts_customers": """
+            WITH cp AS (
+                SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            e AS (
+                SELECT a.c AS src, b.c AS dst
+                FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+                GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+            ),
+            tri AS (
+                SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+                FROM e ab
+                JOIN e bc ON bc.src = ab.dst
+                JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+            ),
+            corners AS (
+                SELECT a AS id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ),
+            verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+            SELECT verts.id,
+                   COALESCE(cnt.n, CAST(0 AS BIGINT)) AS n_triangles
+            FROM verts LEFT JOIN (
+                SELECT id, COUNT(*) AS n FROM corners GROUP BY id
+            ) cnt ON cnt.id = verts.id
+            ORDER BY verts.id
         """,
         # Connected components ARE SQL-expressible via a recursive transitive
         # closure; component label = min reachable id (GraphX labeling).

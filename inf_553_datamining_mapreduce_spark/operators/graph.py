@@ -443,6 +443,54 @@ def communities_from_components(components: DataFrame) -> DataFrame:
     )
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation counts over the undirected graph —
+    the local-clustering signal (spam subgraphs are triangle-dense, crawl
+    link farms even more so).
+
+    Canonical-orientation enumeration: with edges kept as ``src < dst``,
+    each triangle {a<b<c} is found exactly once by joining (a,b)+(b,c) and
+    probing for the closing edge (a,c). Two shuffle joins on vertex keys —
+    the standard distributed triangle count; no vertex ever needs its whole
+    neighborhood in memory (vs the adjacency-intersection formulation).
+    Output: ``(id, n_triangles)`` for every vertex on >= 1 edge.
+    """
+    e = edges.select("src", "dst")
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
+        .join(
+            ac,
+            (F.col("ac.src") == F.col("ab.src"))
+            & (F.col("ac.dst") == F.col("bc.dst")),
+        )
+        .select(
+            F.col("ab.src").alias("a"),
+            F.col("ab.dst").alias("b"),
+            F.col("bc.dst").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    verts = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        verts.join(counts, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+        )
+        .orderBy("id")
+    )
+
+
 # Fixed-point PageRank scale: ranks are BIGINTs in units of 1e-6. Integer
 # arithmetic makes every iteration bit-identical in any engine with 64-bit
 # ints — which is what lets an ITERATIVE algorithm carry a SQL oracle.

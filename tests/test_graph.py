@@ -112,6 +112,18 @@ def test_sampled_betweenness_unbiased_scaling(spark):
     assert all(v > 0 for v in vals.values())
 
 
+def test_triangle_counts_hand_computed(spark):
+    from inf_553_datamining_mapreduce_spark.operators.graph import triangle_counts
+
+    # Two triangles sharing edge (2,3): {1,2,3} and {2,3,4}; vertex 5
+    # dangles off vertex 4 with no triangle.
+    edges = _edges_df(
+        spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)]
+    )
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1, 5: 0}
+
+
 def test_pagerank_path_graph_hand_computed(spark):
     from inf_553_datamining_mapreduce_spark.operators.graph import pagerank
 
