@@ -207,6 +207,7 @@ def near_duplicate_clusters(
     min_jaccard: float = 0.5,
     text_col: str = "text",
     max_shingle_df: int | None = 32,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Transitive near-duplicate clusters: Jaccard near-dup pairs become
     edges, connected components become clusters, the smallest doc_id in each
@@ -220,16 +221,19 @@ def near_duplicate_clusters(
     Scale: the pair stream is the bounded-fan-out df-cut Jaccard join; the
     component step is min-label propagation over cluster edges only (the
     near-dup graph is vastly smaller than the corpus), driver union-find
-    under the small-graph gate.
+    under the small-graph gate. Pass ``pairs`` to reuse an
+    already-materialized pair stream (the shared-intermediate pattern when
+    pair listing and clustering run in the same session).
     """
     from inf_553_datamining_mapreduce_spark.operators.graph import (
         connected_components,
     )
 
-    pairs = jaccard_near_duplicates(
-        documents, n=n, min_jaccard=min_jaccard, text_col=text_col,
-        max_shingle_df=max_shingle_df,
-    )
+    if pairs is None:
+        pairs = jaccard_near_duplicates(
+            documents, n=n, min_jaccard=min_jaccard, text_col=text_col,
+            max_shingle_df=max_shingle_df,
+        )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
