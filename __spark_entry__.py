@@ -523,6 +523,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tumbling_window_stats_stream_plan"] = _tumbling_stream_plan
     q["sliding_window_stats"] = _sliding
     q["session_stats"] = _sessions
+
+    def _session_funnel(spark, sf):
+        from inf_553_datamining_mapreduce_spark.streaming.windows import (
+            session_funnel,
+        )
+
+        (e,) = _t(spark, sf, "events")
+        return session_funnel(e)
+
+    q["session_funnel"] = _session_funnel
     return q
 
 
@@ -1200,6 +1210,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(SUM(CAST(value AS {_D})) AS VARCHAR) AS DOUBLE) AS sum_value,
                    CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) - CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS duration_sec
             FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+        """,
+        # Ordered conversion funnel: stage k reached iff its FIRST
+        # occurrence is strictly after stage k-1's first occurrence, within
+        # the same 30-min-gap session (floored-seconds time contract, same
+        # as session_stats).
+        "session_funnel": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT *, CAST(SUM(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+                ) AS BIGINT) AS session_seq FROM o
+            ),
+            f AS (
+                SELECT user_id, session_seq,
+                       MIN(CASE WHEN event_type = 'view' THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS t_view,
+                       MIN(CASE WHEN event_type = 'click' THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS t_click,
+                       MIN(CASE WHEN event_type = 'purchase' THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS t_purchase
+                FROM s GROUP BY user_id, session_seq
+            )
+            SELECT user_id, session_seq,
+                   (t_view IS NOT NULL) AS reached_view,
+                   COALESCE(t_view IS NOT NULL AND t_click > t_view, FALSE) AS reached_click,
+                   COALESCE(t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click, FALSE) AS reached_purchase,
+                   CAST(CASE
+                        WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click THEN 3
+                        WHEN t_view IS NOT NULL AND t_click > t_view THEN 2
+                        WHEN t_view IS NOT NULL THEN 1
+                        ELSE 0 END AS INTEGER) AS funnel_depth
+            FROM f ORDER BY user_id, session_seq
         """,
         # ---- similarity ---------------------------------------------------
         "embedding_near_duplicates": """

@@ -110,6 +110,53 @@ def session_stats(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     )
 
 
+def session_funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    gap_sec: int = 1800,
+) -> DataFrame:
+    """Ordered conversion funnel per user session: a session reaches stage
+    k iff each stage's first occurrence happens strictly after the previous
+    stage's first occurrence (the standard funnel semantic — out-of-order
+    events don't count). Emits one row per session with per-stage reach
+    flags and the depth reached.
+
+    Scale: reuses the sessionization shuffle (user, ts); the funnel itself
+    is a conditional MIN aggregation per session — no joins, no extra
+    shuffle beyond the session id assignment.
+    """
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    with_id = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0),
+    ).withColumn("session_seq", F.sum("new_session").over(w_user))
+    firsts = with_id.groupBy("user_id", "session_seq").agg(
+        *[
+            F.min(
+                F.when(F.col("event_type") == s, F.unix_timestamp("ts"))
+            ).alias(f"t_{s}")
+            for s in stages
+        ]
+    )
+    reached_prev = F.lit(True)
+    prev_t = None
+    depth = F.lit(0)
+    out_cols = []
+    for i, s in enumerate(stages):
+        t = F.col(f"t_{s}")
+        cond = t.isNotNull() if prev_t is None else (
+            reached_prev & t.isNotNull() & (t > prev_t)
+        )
+        reached_prev = cond
+        prev_t = t
+        depth = F.when(cond, i + 1).otherwise(depth)
+        out_cols.append(cond.alias(f"reached_{s}"))
+    return firsts.select(
+        "user_id", "session_seq", *out_cols, depth.alias("funnel_depth")
+    ).orderBy("user_id", "session_seq")
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming twins
 # ---------------------------------------------------------------------------

@@ -356,6 +356,36 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_session_funnel_ordering_semantics(spark):
+    from datetime import datetime
+
+    from inf_553_datamining_mapreduce_spark.streaming.windows import session_funnel
+
+    def ev(eid, uid, etype, sec):
+        return (eid, uid, etype, datetime(2024, 1, 1, 12, 0, sec), 1.0)
+
+    rows = [
+        # user 1: view -> click -> purchase in order => depth 3
+        ev(1, 1, "view", 0), ev(2, 1, "click", 10), ev(3, 1, "purchase", 20),
+        # user 2: purchase BEFORE the first view => purchase doesn't count
+        ev(4, 2, "purchase", 0), ev(5, 2, "view", 10), ev(6, 2, "click", 20),
+        # user 3: click only, no view => depth 0
+        ev(7, 3, "click", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: (r["reached_view"], r["reached_click"], r["reached_purchase"], r["funnel_depth"])
+        for r in session_funnel(df).collect()
+    }
+    assert got == {
+        1: (True, True, True, 3),
+        2: (True, True, False, 2),
+        3: (False, False, False, 0),
+    }
+
+
 def test_streaming_interval_join_matches_batch(spark, sf_dir, tmp_path):
     from inf_553_datamining_mapreduce_spark.streaming.windows import (
         streaming_errors_near_purchases,
