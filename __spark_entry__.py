@@ -401,6 +401,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (li,) = _t(spark, sf, "lineitem")
         return R.approx_distinct_parts(li)
 
+    def _approx_distinct_parts_bounds(spark, sf):
+        (li,) = _t(spark, sf, "lineitem")
+        return R.approx_distinct_parts_bounds(li)
+
     def _pricing_summary_sql(spark, sf):
         return SQLQ.run_sql(spark, sf, "pricing_summary_sql")
 
@@ -477,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_rollup"] = _orders_rollup
     q["orders_by_month"] = _orders_by_month
     q["approx_distinct_parts"] = _approx_distinct_parts
+    q["approx_distinct_parts_bounds"] = _approx_distinct_parts_bounds
     q["pricing_summary_sql"] = _pricing_summary_sql
     q["top_customers_sql"] = _top_customers_sql
     q["token_stats"] = _token_stats
@@ -1284,6 +1289,12 @@ def oracle_sql() -> dict[str, str]:
     d["topk_cosine_lsh"] = d["topk_cosine"]
     d["topk_cosine_ivf"] = d["topk_cosine"]
     d["pagerank_customers"] = _pagerank_oracle(iterations=10)
+    # The sketch VALUE has no cross-engine mirror; the BOUND does: the
+    # oracle asserts every supplier's sketch landed within 3 rsd of exact.
+    d["approx_distinct_parts_bounds"] = """
+        SELECT l_suppkey, TRUE AS within_bounds
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+    """
     return d
 
 

@@ -441,6 +441,38 @@ def approx_distinct_parts(lineitem: DataFrame, include_exact: bool = False) -> D
     return lineitem.groupBy("l_suppkey").agg(*aggs).orderBy("l_suppkey")
 
 
+def approx_distinct_parts_bounds(
+    lineitem: DataFrame, rsd: float = 0.02, tol_rsds: float = 3.0
+) -> DataFrame:
+    """Per-supplier assertion that the HLL++ sketch stays within
+    ``tol_rsds`` relative standard deviations of the exact distinct count —
+    the deterministic, oracle-able form of a sketch check (the sketch VALUE
+    can't be mirrored by another engine; the bound HOLDING can).
+
+    The two aggregations run SEPARATELY and join on the key: mixing a
+    distinct and a non-distinct aggregate in one groupBy forces Catalyst's
+    Expand (doubles the input rows); two plain aggregates + a join of two
+    supplier-sized tables is far cheaper.
+    """
+    approx = lineitem.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", rsd=rsd).alias("approx_parts")
+    )
+    exact = lineitem.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return (
+        approx.join(exact, "l_suppkey")
+        .select(
+            "l_suppkey",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= F.lit(tol_rsds * rsd) * F.col("exact_parts")
+            ).alias("within_bounds"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
 def event_props_stats(events: DataFrame) -> DataFrame:
     """JSON extraction over the ``props`` column (reference has no JSON
     functions — SURVEY.md §2.6): parse ``props.k`` as an int and aggregate
