@@ -102,7 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Shared materialized intermediate (same pattern/rationale as
         # _customer_graph_edges): SON and FPGrowth mine the identical
         # basket table; build its collect_set shuffle once per (session, sf).
-        key = (id(spark.sparkContext._jsc), sf, "baskets")
+        key = (spark.sparkContext.applicationId, sf, "baskets")
         b = _EDGE_MEMO.get(key)
         if b is None:
             (li,) = _t(spark, sf, "lineitem")
@@ -134,9 +134,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference likewise builds its graph once per run and computes
         # betweenness + communities from it, Betweenness.scala:19-40).
         # Results are identical with or without the memo; only repeated
-        # build cost is avoided. Keyed on the JVM context id so a new
-        # session never sees stale checkpoint blocks.
-        key = (id(spark.sparkContext._jsc), sf)
+        # build cost is avoided. Keyed on applicationId (unique per
+        # SparkContext, never recycled — unlike id(), which the allocator
+        # can reuse after GC) so a new session never sees stale
+        # checkpoint blocks.
+        key = (spark.sparkContext.applicationId, sf)
         edges = _EDGE_MEMO.get(key)
         if edges is None:
             cp = _customer_part_graph(spark, sf)
@@ -245,7 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Shared materialized intermediate (same pattern as
         # _customer_graph_edges): the pair stream feeds both the registered
         # pair query and the transitive cluster query.
-        key = (id(spark.sparkContext._jsc), sf, "jaccard_pairs")
+        key = (spark.sparkContext.applicationId, sf, "jaccard_pairs")
         p = _EDGE_MEMO.get(key)
         if p is None:
             (d,) = _t(spark, sf, "documents")

@@ -75,15 +75,24 @@ def jaccard_near_duplicates(
     """
     sh = word_shingles(documents, n, text_col)
     if max_shingle_df is not None:
-        # Group once per shingle, DROP hot shingles by list size, then emit
-        # each shingle's doc pairs directly from the grouped list. One
-        # aggregation replaces the anti-join + self-join, and per-shingle
-        # fan-out is bounded to max_shingle_df^2 BY CONSTRUCTION — no
-        # post-hoc skew handling needed at scale.
+        # Drop hot shingles BEFORE any collect_list: a count aggregation
+        # (map-side partial, one output row per distinct shingle) finds the
+        # surviving shingles, the join discards hot-shingle rows, and only
+        # then are doc lists collected — so no aggregation buffer ever holds
+        # a stop-shingle's full doc list (a single collect_list group is one
+        # in-memory array; at web scale a shingle like "the of the" would
+        # OOM the executor if collected first and filtered after). The join
+        # output keeps the shingle partitioning, so the groupBy that follows
+        # adds no exchange; per-shingle pair fan-out is then bounded to
+        # max_shingle_df^2 BY CONSTRUCTION.
+        shingle_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        kept_shingles = shingle_df.filter(F.col("df") <= max_shingle_df).select(
+            "shingle"
+        )
         grouped = (
-            sh.groupBy("shingle")
+            sh.join(kept_shingles, "shingle")
+            .groupBy("shingle")
             .agg(F.collect_list("doc_id").alias("docs"))
-            .filter(F.size("docs") <= max_shingle_df)
         )
         # One pass produces BOTH the pair stream and the per-doc size stream:
         # each shingle emits its doc pairs plus one (doc, NULL) marker per

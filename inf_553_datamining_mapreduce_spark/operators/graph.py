@@ -706,21 +706,22 @@ def girvan_newman_communities(
         # Under source sampling, edges touched by no sampled BFS carry zero
         # credit and are absent from `bet` — they are still graph edges.
         # Append them at the tail (betweenness 0, removed last, deterministic
-        # order); with exact betweenness every edge of a non-trivial
-        # component gets credit from its own endpoints' BFS, so this is a
-        # no-op there.
-        scheduled = set(ordered_edges)
-        tail = sorted(
-            (int(r["src"]), int(r["dst"]))
-            for r in edges_p.select(
-                F.least("src", "dst").alias("src"),
-                F.greatest("src", "dst").alias("dst"),
+        # order). With exact betweenness every edge of a non-trivial
+        # component gets credit from its own endpoints' BFS, so the tail is
+        # provably empty there — skip its distinct+collect on that hot path.
+        if sample_sources is not None:
+            scheduled = set(ordered_edges)
+            tail = sorted(
+                (int(r["src"]), int(r["dst"]))
+                for r in edges_p.select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                )
+                .distinct()
+                .collect()
+                if (int(r["src"]), int(r["dst"])) not in scheduled
             )
-            .distinct()
-            .collect()
-            if (int(r["src"]), int(r["dst"])) not in scheduled
-        )
-        ordered_edges.extend(tail)
+            ordered_edges.extend(tail)
         all_vertices: set[int] = {v for e in ordered_edges for v in e}
         if vertices is not None:
             all_vertices.update(int(r[0]) for r in vertices.collect())
