@@ -26,6 +26,7 @@ from inf_553_datamining_mapreduce_spark.operators import frequent_itemsets as FI
 from inf_553_datamining_mapreduce_spark.operators import graph as G
 from inf_553_datamining_mapreduce_spark.operators import relational as R
 from inf_553_datamining_mapreduce_spark.operators import similarity as SIM
+from inf_553_datamining_mapreduce_spark.operators import sketches as SKE
 from inf_553_datamining_mapreduce_spark.operators import text as T
 from inf_553_datamining_mapreduce_spark.plans import sql as SQLQ
 from inf_553_datamining_mapreduce_spark.sources.readers import read_parquet_table
@@ -530,6 +531,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tumbling_window_stats_stream_plan"] = _tumbling_stream_plan
     q["sliding_window_stats"] = _sliding
     q["session_stats"] = _sessions
+
+    def _cms_heavy_hitters(spark, sf):
+        e, c = _t(spark, sf, "events", "customer")
+        return SKE.cms_heavy_hitters(
+            e, "user_id", c.select(F.col("c_custkey").alias("user_id")), "user_id"
+        )
+
+    q["cms_heavy_hitters"] = _cms_heavy_hitters
+
+    def _bloom_filtered_revenue(spark, sf):
+        li, p = _t(spark, sf, "lineitem", "part")
+        return SKE.bloom_filtered_revenue(li, p, brand="Brand#23")
+
+    q["bloom_filtered_revenue"] = _bloom_filtered_revenue
 
     def _session_funnel(spark, sf):
         from inf_553_datamining_mapreduce_spark.streaming.windows import (
@@ -1296,6 +1311,40 @@ def oracle_sql() -> dict[str, str]:
     d["approx_distinct_parts_bounds"] = """
         SELECT l_suppkey, TRUE AS within_bounds
         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+    """
+    # Count-min sketch is fully deterministic (md5-seeded cells), so the
+    # WHOLE pipeline — sketch build, candidate probe, min-over-rows
+    # estimate, top-k readout — is mirrored in SQL, not just a bound.
+    d["cms_heavy_hitters"] = """
+        WITH seeds AS (SELECT UNNEST(range(4)) AS r),
+        sk AS (
+            SELECT r,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 15) AS BIGINT) % 512 AS cell,
+                   COUNT(*) AS cnt
+            FROM events CROSS JOIN seeds GROUP BY 1, 2
+        ),
+        probe AS (
+            SELECT c_custkey AS user_id, r,
+                   CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 15) AS BIGINT) % 512 AS cell
+            FROM customer CROSS JOIN seeds
+        ),
+        est AS (
+            SELECT p.user_id, MIN(COALESCE(s.cnt, 0)) AS est_count
+            FROM probe p LEFT JOIN sk s USING (r, cell) GROUP BY 1
+        )
+        SELECT user_id, est_count FROM est
+        ORDER BY est_count DESC, user_id LIMIT 20
+    """
+    # The bloom filter only PRUNES; the exact join after it removes any
+    # false positive, so the oracle is the plain join — equality here IS
+    # the no-false-negative proof at the driver's gate.
+    d["bloom_filtered_revenue"] = """
+        SELECT l_suppkey,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(12,6)) - CAST(l_discount AS DECIMAL(12,6)))) AS VARCHAR) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23'
+        GROUP BY l_suppkey ORDER BY l_suppkey
     """
     return d
 

@@ -1,0 +1,190 @@
+"""Fixed-size summary structures for unbounded key spaces — the sketch
+family a 100 TB pipeline leans on when exact per-key state no longer fits:
+
+  * Count-min sketch: heavy-hitter (frequent-key) estimation in O(d*w)
+    memory regardless of input size, with one map-side-combinable shuffle.
+  * Bloom runtime filter: build a bit set from a small (filtered) build
+    side, prune the big probe side BEFORE its shuffle/join — the pattern
+    Spark's own `spark.sql.optimizer.runtime.bloomFilter.enabled` injects,
+    expressed here explicitly so the plan is visible and testable.
+
+Complements the HLL++ distinct sketch in ``relational.approx_distinct_parts``
+(SURVEY.md §2.4's aggregation family taken to its at-scale form).
+
+Cross-engine determinism: every hash is the first 60 bits of md5 (exact in
+both Spark — ``conv(substring(md5(x),1,15),16,10)`` — and DuckDB —
+``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``), so the full sketch
+pipeline is oracle-able bit-for-bit, unlike seeded RNG or xxhash64 paths.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared 60-bit md5 hash (same construction as dedup.SIMHASH / text splits)
+# ---------------------------------------------------------------------------
+
+
+def _h60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative int64 — reproducible in any
+    engine with an md5 function; 60 bits keeps the value inside the
+    positive BIGINT range so `%` behaves identically everywhere."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _seeded(key: Column, seed: int) -> Column:
+    return _h60(F.concat_ws(":", key.cast("string"), F.lit(str(seed))))
+
+
+def _bit_mask(pos: Column) -> Column:
+    """``1L << (pos % 64)`` — via call_function because F.shiftleft only
+    accepts a literal shift amount."""
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+def cms_sketch(
+    df: DataFrame, key: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Build a count-min sketch over ``df[key]``: ``depth`` hash rows of
+    ``width`` counters, as a (r, cell, cnt) table of at most depth*width
+    rows — CONSTANT size no matter how many input rows or distinct keys.
+
+    One generator projection (each input row contributes ``depth`` cells)
+    and one groupBy whose partial aggregation collapses everything map-side
+    to <= depth*width rows per task before the shuffle. At 100 TB this is
+    the same single-pass shape as a global count — no per-key state.
+    """
+    cells = df.select(
+        F.posexplode(
+            F.array(*[_seeded(F.col(key), r) % width for r in range(depth)])
+        ).alias("r", "cell")
+    )
+    return cells.groupBy("r", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key: str,
+    candidates: DataFrame,
+    cand_key: str,
+    depth: int = 4,
+    width: int = 512,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` keys by count-min estimated frequency.
+
+    The estimate for a key is the MIN over its ``depth`` counters — an
+    upper bound on the true count (collisions only inflate), within
+    ``e/width * N`` of it with probability ``1 - e^-depth``. Candidates
+    come from a dimension table (broadcast), the sketch itself is broadcast
+    (<= depth*width rows), so the probe runs without any shuffle of the
+    fact table beyond the sketch build. Ties in the estimate are broken by
+    key so the LIMIT is deterministic.
+
+    The exact-count cross-check (est >= exact, est - exact <= bound) lives
+    in tests/test_sketches.py — bundling exact counts here would force the
+    per-key aggregation the sketch exists to avoid.
+    """
+    sketch = cms_sketch(df, key, depth=depth, width=width)
+    probe = candidates.select(
+        F.col(cand_key),
+        F.posexplode(
+            F.array(*[_seeded(F.col(cand_key), r) % width for r in range(depth)])
+        ).alias("r", "cell"),
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["r", "cell"], "left")
+        .groupBy(cand_key)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+    return est.orderBy(F.desc("est_count"), cand_key).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Bloom runtime filter
+# ---------------------------------------------------------------------------
+
+def bloom_bits(
+    build: DataFrame, key: str, num_bits: int = 1 << 16, num_hashes: int = 3
+) -> list[int]:
+    """Aggregate the build side's keys into a ``num_bits`` bloom bit set,
+    returned as ``num_bits/64`` int64 words.
+
+    The per-word OR happens distributed (groupBy word index + bit_or —
+    map-side combinable, at most ``num_bits/64`` rows shuffle); only the
+    finished word table is collected, which is FIXED-size (8 KiB here) by
+    construction — same contract as Spark's own runtime-filter collect.
+    """
+    positions = [_seeded(F.col(key), r) % num_bits for r in range(num_hashes)]
+    words = (
+        build.select(F.explode(F.array(*positions)).alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("w"),
+            _bit_mask(F.col("pos")).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("word"))
+        .collect()
+    )
+    arr = [0] * (num_bits // 64)
+    for row in words:
+        arr[row["w"]] = row["word"]
+    return arr
+
+
+def bloom_might_contain(
+    words: list[int], key: Column, num_bits: int = 1 << 16, num_hashes: int = 3
+) -> Column:
+    """Membership predicate over a collected bloom word array, as a pure
+    JVM-side expression (array literal + element_at + bit tests) — no UDF,
+    no join, evaluated inside the probe side's scan stage so the filter
+    sits BEFORE the shuffle."""
+    arr = F.lit(words)
+    tests = []
+    for r in range(num_hashes):
+        pos = _seeded(key, r) % num_bits
+        word = F.element_at(arr, (F.shiftright(pos, 6) + 1).cast("int"))
+        tests.append(word.bitwiseAND(_bit_mask(pos)) != 0)
+    return reduce(lambda a, b: a & b, tests)
+
+
+def bloom_filtered_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#23"
+) -> DataFrame:
+    """Per-supplier revenue over lineitems of one brand's parts, with the
+    big side pre-pruned by a bloom filter built from the small side.
+
+    Semantics are EXACTLY the plain join's (the broadcast equi-join after
+    the bloom filter removes any false positives); the bloom's job is to
+    drop ~selectivity of the fact table before the join/aggregate at the
+    scan, which at 100 TB is the difference between shuffling 100 TB and
+    shuffling the matching fraction. Mirrors Spark's injected runtime
+    bloom filter, made explicit.
+    """
+    build = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    words = bloom_bits(build, "p_partkey")
+    pruned = lineitem.filter(bloom_might_contain(words, F.col("l_partkey")))
+    revenue = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(12,6)") - F.col("l_discount").cast("decimal(12,6)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        pruned.join(F.broadcast(build), pruned.l_partkey == build.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(revenue, F.count(F.lit(1)).alias("n_items"))
+        .orderBy("l_suppkey")
+    )

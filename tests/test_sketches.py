@@ -1,8 +1,13 @@
 """Sketch accuracy: HLL++ approximate distinct counts must track the exact
-values within the configured relative standard deviation."""
+values within the configured relative standard deviation; the count-min
+sketch must upper-bound exact counts within its collision bound; the bloom
+runtime filter must be semantics-preserving and actually prune."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from inf_553_datamining_mapreduce_spark.operators import sketches as SK
 from inf_553_datamining_mapreduce_spark.operators.relational import (
     approx_distinct_parts,
 )
@@ -18,3 +23,65 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         assert abs(approx - exact) <= max(2.0, 0.1 * exact), (
             f"supplier {r['l_suppkey']}: approx {approx} vs exact {exact}"
         )
+
+
+def test_cms_estimate_upper_bounds_exact_within_collision_bound(spark, sf_dir):
+    """CMS estimates can only overestimate (collisions add), and with
+    depth=4/width=512 over ~N events the expected excess per counter is
+    N/512 — assert the one-sided bound plus a generous 5x collision slack."""
+    ev = read_parquet_table(spark, sf_dir, "events")
+    cand = (
+        read_parquet_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    hh = SK.cms_heavy_hitters(ev, "user_id", cand, "user_id", k=50).collect()
+    assert hh
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    slack = 5.0 * n_total / 512
+    for r in hh:
+        true = exact.get(r["user_id"], 0)
+        assert r["est_count"] >= true, (r["user_id"], r["est_count"], true)
+        assert r["est_count"] - true <= slack, (r["user_id"], r["est_count"], true)
+    # top-of-list must actually be a heavy hitter: its true count within
+    # slack of the global max.
+    top = hh[0]
+    assert exact[top["user_id"]] >= max(exact.values()) - slack
+
+
+def test_bloom_filtered_revenue_equals_plain_join(spark, sf_dir):
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    part = read_parquet_table(spark, sf_dir, "part")
+    got = SK.bloom_filtered_revenue(li, part, brand="Brand#23").collect()
+    rev = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(12,6)") - F.col("l_discount").cast("decimal(12,6)"))
+        ).cast("double").alias("revenue")
+    )
+    want = (
+        li.join(part.filter(F.col("p_brand") == "Brand#23"), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(rev, F.count(F.lit(1)).alias("n_items"))
+        .orderBy("l_suppkey")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """The bloom predicate must pass every true match (no false negatives)
+    and prune the probe side to near the exact selectivity."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    part = read_parquet_table(spark, sf_dir, "part")
+    build = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    words = SK.bloom_bits(build, "p_partkey")
+    passed = li.filter(SK.bloom_might_contain(words, F.col("l_partkey"))).count()
+    exact = li.join(F.broadcast(build), li.l_partkey == build.p_partkey).count()
+    total = li.count()
+    assert passed >= exact  # no false negatives, ever
+    # false-positive head-room: 64Ki bits vs ~100 keys keeps FP rate ~0
+    assert passed <= exact + 0.01 * total
