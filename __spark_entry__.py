@@ -540,6 +540,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cms_heavy_hitters"] = _cms_heavy_hitters
 
+    def _kcore_customers(spark, sf):
+        return G.kcore(_customer_graph_edges(spark, sf), k=20, max_rounds=10)
+
+    q["kcore_customers"] = _kcore_customers
+
+    def _repetition_stats(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.repetition_stats(d)
+
+    q["repetition_stats"] = _repetition_stats
+
+    def _stratified_sample(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return R.stratified_sample_events(e)
+
+    q["stratified_sample_events"] = _stratified_sample
+
     def _bloom_filtered_revenue(spark, sf):
         li, p = _t(spark, sf, "lineitem", "part")
         return SKE.bloom_filtered_revenue(li, p, brand="Brand#23")
@@ -1346,7 +1363,83 @@ def oracle_sql() -> dict[str, str]:
         WHERE p_brand = 'Brand#23'
         GROUP BY l_suppkey ORDER BY l_suppkey
     """
+    d["kcore_customers"] = _kcore_oracle(k=20, rounds=10)
+    d["repetition_stats"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        pos2 AS (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i FROM toks),
+        bi AS (SELECT doc_id, 2 AS n, t[i] || ' ' || t[i+1] AS g FROM pos2),
+        pos3 AS (SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i FROM toks),
+        tri AS (SELECT doc_id, 3 AS n, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM pos3),
+        counts AS (
+            SELECT doc_id, n, g, COUNT(*) AS c
+            FROM (SELECT * FROM bi UNION ALL SELECT * FROM tri) GROUP BY 1, 2, 3
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n_bigrams,
+                   CAST(MAX(CASE WHEN n = 2 THEN c END) AS BIGINT) AS top_bi,
+                   CAST(COALESCE(SUM(CASE WHEN n = 3 AND c > 1 THEN c END), 0) AS BIGINT) AS dup_tri,
+                   CAST(SUM(CASE WHEN n = 3 THEN c END) AS BIGINT) AS n_trigrams
+            FROM counts GROUP BY 1
+        )
+        SELECT doc_id, n_bigrams,
+               CAST(top_bi AS DOUBLE) / n_bigrams AS top_bigram_frac,
+               CAST(dup_tri AS DOUBLE) / n_trigrams AS dup_trigram_frac
+        FROM per_doc ORDER BY doc_id
+    """
+    d["stratified_sample_events"] = """
+        SELECT event_id, event_type, user_id
+        FROM events
+        WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+              < CASE event_type
+                    WHEN 'click' THEN 10
+                    WHEN 'view' THEN 5
+                    WHEN 'signup' THEN 20
+                    WHEN 'error' THEN 50
+                    WHEN 'purchase' THEN 100
+                    ELSE 0
+                END
+        ORDER BY event_id
+    """
     return d
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Chained-CTE oracle for k-core peeling: one (degree, filter) CTE pair
+    per round, unrolled to the same fixed cap as the Spark loop (recursive
+    CTEs forbid the aggregate in the recursive term). Extra rounds past the
+    fixpoint are the identity, so equality holds whether or not the engine
+    exits early."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+        d{i} AS MATERIALIZED (
+            SELECT v, COUNT(*) AS deg
+            FROM (SELECT src AS v FROM e{i - 1} UNION ALL SELECT dst FROM e{i - 1})
+            GROUP BY v
+        ),
+        e{i} AS MATERIALIZED (
+            SELECT src, dst FROM e{i - 1}
+            WHERE src IN (SELECT v FROM d{i} WHERE deg >= {k})
+              AND dst IN (SELECT v FROM d{i} WHERE deg >= {k})
+        )""")
+    return f"""
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+        ),{",".join(steps)}
+        SELECT v AS c, COUNT(*) AS kcore_degree
+        FROM (SELECT src AS v FROM e{rounds} UNION ALL SELECT dst FROM e{rounds})
+        GROUP BY v ORDER BY v
+    """
 
 
 def _pagerank_oracle(iterations: int, damping_pct: int = 85, scale: int = 1_000_000) -> str:

@@ -776,3 +776,48 @@ def girvan_newman_communities(
         start = max(count - step, 0)
         step = max(1, step // step_zoom)
         count = maximum_search(start, step)
+
+
+def kcore(edges: DataFrame, k: int = 20, max_rounds: int = 10) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop vertices
+    with degree < ``k`` (and their edges) until nothing changes, then emit
+    each surviving vertex with its in-core degree. Extends the degree/
+    subgraph family (ops A8/G4/G5) to the standard dense-substructure
+    primitive the reference stops short of.
+
+    Distributed shape: every round is one degree aggregation plus two
+    semi-joins on the edge list — O(E) work, no adjacency collection, so
+    unlike the betweenness kernel this has no driver-size gate. Lineage is
+    truncated per round (``localCheckpoint``) — without it each round would
+    re-evaluate the whole peel chain (the iterative-plan trap).
+
+    Rounds are capped at ``max_rounds`` so an equivalent fixed-unroll SQL
+    oracle exists; the early exit at the fixpoint cannot change the result
+    (further peels are the identity), it only skips dead work.
+    """
+    e = edges.select("src", "dst").localCheckpoint()
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("src").alias("v"))
+            .unionAll(e.select(F.col("dst").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("v")
+        e2 = (
+            e.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = e2, n2
+    return (
+        e.select(F.col("src").alias("c"))
+        .unionAll(e.select(F.col("dst").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("kcore_degree"))
+        .orderBy("c")
+    )

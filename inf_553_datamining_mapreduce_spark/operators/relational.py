@@ -628,3 +628,43 @@ def nations_with_both(customer: DataFrame, supplier: DataFrame, nation: DataFram
         .select("n_nationkey", "n_name")
         .orderBy("n_nationkey")
     )
+
+
+# Per-stratum keep percentages for the registered stratified-sampling query:
+# downsample the high-volume interaction types hard, keep every purchase.
+STRATIFIED_RATES: dict[str, int] = {
+    "click": 10,
+    "view": 5,
+    "signup": 20,
+    "error": 50,
+    "purchase": 100,
+}
+
+
+def stratified_sample_events(
+    events: DataFrame, rates: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic stratified Bernoulli sampling: keep ``rates[stratum]``
+    percent of each event type, selected by hashing the row key (first 60
+    bits of md5) into a percentage bucket — the curriculum/rebalancing
+    sampler for training pipelines. Content-keyed hashing (not seeded
+    ``sample()``) makes the selection reproducible across engines, runs,
+    and partitionings, exactly like ``text.corpus_splits``; rows not listed
+    in ``rates`` are dropped.
+
+    Pure narrow projection + filter — pushes to the scan, zero shuffles,
+    no RNG state to coordinate across 1000 executors.
+    """
+    rates = rates if rates is not None else STRATIFIED_RATES
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    rate: Column = F.lit(0)
+    for stratum, pct in rates.items():
+        rate = F.when(F.col("event_type") == stratum, pct).otherwise(rate)
+    return (
+        events.filter(bucket < rate)
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+    )

@@ -312,3 +312,47 @@ def winnow_fingerprint(text: str, k: int = 5, window: int = 4) -> list[int]:
     for i in range(0, max(1, len(hashes) - window + 1)):
         out.add(min(hashes[i : i + window]))
     return sorted(out)
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of word
+    bigrams taken by the single most frequent bigram and the fraction of
+    trigram occurrences that are duplicated — the two strongest
+    boilerplate/degenerate-text indicators in published quality-filter
+    stacks (Rae et al. 2021 §A1.1 use the same construction over word
+    n-grams).
+
+    Shape at scale: n-grams are built inside one projection (a transform
+    over the token array — no self-join on positions), exploded once, then
+    two key-partial aggregations on (doc_id, n, gram) and (doc_id). Both
+    counts are integers and the two output fractions are single IEEE
+    divisions, so results are bit-identical across engines and
+    partitionings.
+    """
+    docs = documents.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    bi = F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+    tri = F.expr(
+        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+    )
+    grams = docs.select(
+        "doc_id", F.lit(2).alias("n"), F.explode(bi).alias("g")
+    ).unionAll(docs.select("doc_id", F.lit(3).alias("n"), F.explode(tri).alias("g")))
+    counts = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("n_bigrams"),
+        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("top_bi"),
+        F.coalesce(
+            F.sum(F.when((F.col("n") == 3) & (F.col("c") > 1), F.col("c"))), F.lit(0)
+        ).alias("dup_tri"),
+        F.sum(F.when(F.col("n") == 3, F.col("c"))).alias("n_trigrams"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams"),
+        (F.col("top_bi").cast("double") / F.col("n_bigrams")).alias("top_bigram_frac"),
+        (F.col("dup_tri").cast("double") / F.col("n_trigrams")).alias(
+            "dup_trigram_frac"
+        ),
+    ).orderBy("doc_id")

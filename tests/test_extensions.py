@@ -575,3 +575,48 @@ def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM sessions_test").collect()
     }
     assert got == batch
+
+
+def test_repetition_stats_detects_planted_repetition(spark):
+    """A degenerate looping document must score far above a
+    distinct-word document on both repetition signals."""
+    from inf_553_datamining_mapreduce_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, ("spam ham " * 50).strip()),  # one bigram dominates
+            (2, " ".join(f"w{i}" for i in range(100))),  # all distinct
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["top_bigram_frac"] > 0.4
+    assert rows[1]["dup_trigram_frac"] == 1.0
+    assert rows[2]["top_bigram_frac"] < 0.05
+    assert rows[2]["dup_trigram_frac"] == 0.0
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    """Observed per-stratum keep rates must sit near the configured
+    percentages, purchases must all survive, and repeated runs must select
+    the identical row set (hash-keyed, not RNG)."""
+    from inf_553_datamining_mapreduce_spark.operators.relational import (
+        stratified_sample_events,
+    )
+    from inf_553_datamining_mapreduce_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    totals = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    s1 = stratified_sample_events(ev).collect()
+    s2 = stratified_sample_events(ev).collect()
+    assert s1 == s2
+    kept = {}
+    for r in s1:
+        kept[r["event_type"]] = kept.get(r["event_type"], 0) + 1
+    assert kept["purchase"] == totals["purchase"]
+    for stratum, pct in (("click", 10), ("view", 5), ("signup", 20), ("error", 50)):
+        observed = kept.get(stratum, 0) / totals[stratum]
+        assert abs(observed - pct / 100) < 0.1, (stratum, observed, pct)

@@ -215,3 +215,44 @@ def test_girvan_newman_planted_cliques_500k_edges(spark):
     assert len(rows) == 40
     assert sizes == [160] * 40
     assert sum(sizes) == 6400
+
+
+def test_kcore_invariants_and_local_agreement(spark, sf_dir):
+    """Every vertex in the k-core must have in-core degree >= k, and the
+    distributed peel must agree exactly with a local reference peeling."""
+    import collections
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        cooccurrence_edges,
+        kcore,
+    )
+    from inf_553_datamining_mapreduce_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    cp = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+    )
+    edges = cooccurrence_edges(cp, "c", "p", min_shared=4)
+    k = 20
+    got = {(r["c"], r["kcore_degree"]) for r in kcore(edges, k=k).collect()}
+    assert all(deg >= k for _, deg in got) or not got
+
+    E = {(r["src"], r["dst"]) for r in edges.collect()}
+    while True:
+        deg = collections.Counter()
+        for s, d in E:
+            deg[s] += 1
+            deg[d] += 1
+        keep = {v for v, c in deg.items() if c >= k}
+        e2 = {(s, d) for s, d in E if s in keep and d in keep}
+        if len(e2) == len(E):
+            break
+        E = e2
+    want = collections.Counter()
+    for s, d in E:
+        want[s] += 1
+        want[d] += 1
+    assert got == set(want.items())
