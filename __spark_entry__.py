@@ -557,6 +557,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_sample_events"] = _stratified_sample
 
+    def _approx_percentile_bounds(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return R.approx_price_percentile_bounds(o)
+
+    q["approx_price_percentile_bounds"] = _approx_percentile_bounds
+
+    def _doc_length_histogram(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.doc_length_histogram(d)
+
+    q["doc_length_histogram"] = _doc_length_histogram
+
     def _bloom_filtered_revenue(spark, sf):
         li, p = _t(spark, sf, "lineitem", "part")
         return SKE.bloom_filtered_revenue(li, p, brand="Brand#23")
@@ -1364,6 +1376,25 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_suppkey ORDER BY l_suppkey
     """
     d["kcore_customers"] = _kcore_oracle(k=20, rounds=10)
+    # Quantile-sketch twin of the HLL bound oracle: the Greenwald-Khanna
+    # VALUE can't be mirrored, the rank bound HOLDING can.
+    d["approx_price_percentile_bounds"] = """
+        SELECT o_orderstatus, p, TRUE AS within_bounds
+        FROM (SELECT DISTINCT o_orderstatus FROM orders)
+        CROSS JOIN (SELECT UNNEST([0.25, 0.5, 0.75]) AS p)
+        ORDER BY o_orderstatus, p
+    """
+    d["doc_length_histogram"] = """
+        WITH bounds AS (
+            SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents
+        )
+        SELECT (n_chars - lo) // GREATEST((hi - lo) // 10 + 1, 1) AS bucket,
+               COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents CROSS JOIN bounds
+        GROUP BY 1 ORDER BY 1
+    """
     d["repetition_stats"] = """
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents

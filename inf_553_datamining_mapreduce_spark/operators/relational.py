@@ -668,3 +668,50 @@ def stratified_sample_events(
         .select("event_id", "event_type", "user_id")
         .orderBy("event_id")
     )
+
+
+def approx_price_percentile_bounds(
+    orders: DataFrame, accuracy: int = 1000, ps: tuple[float, ...] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """Greenwald-Khanna quantile-sketch check: ``percentile_approx``
+    guarantees the returned value's rank is within ``N/accuracy`` of
+    ``p*N``. Like ``approx_distinct_parts_bounds``, the sketch VALUE has no
+    cross-engine mirror but the BOUND does — emit one boolean per
+    (group, p) asserting the true rank interval of the returned value
+    intersects the guaranteed window (±1 slack for the rank-vs-count
+    off-by-one conventions).
+
+    At 100 TB the quantile sketch is the only affordable percentile path
+    (``price_percentiles``' exact form sorts each group); the verification
+    join here is part of the CHECK, not the production query shape.
+    """
+    approx = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", list(ps), accuracy).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    exploded = approx.select(
+        "o_orderstatus", "n", F.posexplode("ap").alias("i", "v")
+    ).select(
+        "o_orderstatus",
+        "n",
+        F.element_at(F.lit(list(ps)), F.col("i").cast("int") + 1).alias("p"),
+        "v",
+    )
+    ranked = (
+        orders.select("o_orderstatus", "o_totalprice")
+        .join(F.broadcast(exploded), "o_orderstatus")
+        .groupBy("o_orderstatus", "p", "v", "n")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") < F.col("v"), 1).otherwise(0)).alias("rank_lt"),
+            F.sum(F.when(F.col("o_totalprice") <= F.col("v"), 1).otherwise(0)).alias("rank_le"),
+        )
+    )
+    tol = F.col("n") / accuracy + 1
+    return ranked.select(
+        "o_orderstatus",
+        "p",
+        (
+            (F.col("rank_lt") <= F.col("p") * F.col("n") + tol)
+            & (F.col("rank_le") >= F.col("p") * F.col("n") - tol)
+        ).alias("within_bounds"),
+    ).orderBy("o_orderstatus", "p")

@@ -356,3 +356,38 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             "dup_trigram_frac"
         ),
     ).orderBy("doc_id")
+
+
+def doc_length_histogram(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Corpus length histogram by fixed-width integer binning: bucket width
+    is derived from the global [min, max] char range in pure integer
+    arithmetic, then every document maps to a bucket in one projection.
+
+    This is the scale-honest histogram shape — a global ntile() would be a
+    single-partition window sort; here the range comes from one scalar
+    aggregate (broadcast back as a 1-row join) and the assignment is
+    embarrassingly parallel, so the plan is two map-side-combinable
+    aggregates regardless of corpus size. All-integer outputs: exact in
+    any engine.
+    """
+    bounds = documents.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    # Integer division only: double-divide-then-cast rounds differently
+    # across engines (Spark truncates, DuckDB rounds half-even).
+    return (
+        documents.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                f"(n_chars - lo) DIV greatest((hi - lo) DIV {n_buckets} + 1, 1)"
+            ).cast("long").alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )

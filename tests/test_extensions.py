@@ -620,3 +620,22 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
     for stratum, pct in (("click", 10), ("view", 5), ("signup", 20), ("error", 50)):
         observed = kept.get(stratum, 0) / totals[stratum]
         assert abs(observed - pct / 100) < 0.1, (stratum, observed, pct)
+
+
+def test_doc_length_histogram_partitions_corpus(spark, sf_dir):
+    """Histogram buckets must partition the corpus: counts sum to the doc
+    count, bucket ranges are disjoint and ordered, ids stay in [0, 10]."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        doc_length_histogram,
+    )
+    from inf_553_datamining_mapreduce_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    rows = doc_length_histogram(d).collect()
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    assert all(0 <= r["bucket"] <= 10 for r in rows)
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["max_chars"] < cur["min_chars"]
+        assert cur["min_chars"] <= cur["max_chars"]

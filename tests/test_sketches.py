@@ -85,3 +85,14 @@ def test_bloom_filter_prunes_probe_side(spark, sf_dir):
     assert passed >= exact  # no false negatives, ever
     # false-positive head-room: 64Ki bits vs ~100 keys keeps FP rate ~0
     assert passed <= exact + 0.01 * total
+
+
+def test_approx_percentile_within_rank_bounds(spark, sf_dir):
+    from inf_553_datamining_mapreduce_spark.operators.relational import (
+        approx_price_percentile_bounds,
+    )
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    rows = approx_price_percentile_bounds(o).collect()
+    assert len(rows) == 9  # 3 statuses x 3 percentiles
+    assert all(r["within_bounds"] for r in rows)
