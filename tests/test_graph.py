@@ -256,3 +256,28 @@ def test_kcore_invariants_and_local_agreement(spark, sf_dir):
         want[s] += 1
         want[d] += 1
     assert got == set(want.items())
+
+
+def test_kcore_planted_500k_edges_bounded_time(spark):
+    """k-core on a planted 515,200-edge graph: 40 cliques of 160 vertices
+    (in-clique degree 159) plus one pendant leaf per clique vertex, which
+    the first peel round must strip (dropping clique degrees from 160 back
+    to 159). Exercises multi-round peeling at scale — each round is O(E)
+    joins, no driver adjacency — and must recover exactly the cliques."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import kcore
+
+    v = spark.range(6400).select(
+        F.col("id").cast("long").alias("v"), (F.col("id") / 160).cast("long").alias("c")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    clique_edges = a.join(
+        b, (F.col("a.c") == F.col("b.c")) & (F.col("a.v") < F.col("b.v"))
+    ).select(F.col("a.v").alias("src"), F.col("b.v").alias("dst"))
+    leaves = spark.range(6400).select(
+        F.col("id").cast("long").alias("src"),
+        (F.col("id") + 10000).cast("long").alias("dst"),
+    )
+    edges = clique_edges.unionAll(leaves)
+    rows = kcore(edges, k=159, max_rounds=10).collect()
+    assert len(rows) == 6400
+    assert all(r["kcore_degree"] == 159 for r in rows)
