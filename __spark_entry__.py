@@ -569,6 +569,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_length_histogram"] = _doc_length_histogram
 
+    def _source_curation_report(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.source_curation_report(d)
+
+    q["source_curation_report"] = _source_curation_report
+
     def _bloom_filtered_revenue(spark, sf):
         li, p = _t(spark, sf, "lineitem", "part")
         return SKE.bloom_filtered_revenue(li, p, brand="Brand#23")
@@ -1394,6 +1400,22 @@ def oracle_sql() -> dict[str, str]:
                MAX(n_chars) AS max_chars
         FROM documents CROSS JOIN bounds
         GROUP BY 1 ORDER BY 1
+    """
+    d["source_curation_report"] = """
+        WITH t AS (
+            SELECT source, lang, md5(text) AS h,
+                   len(string_split(text, ' ')) AS nt
+            FROM documents
+        ),
+        dup AS (SELECT h, COUNT(*) AS cnt FROM t GROUP BY h)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT lang) AS n_langs,
+               CAST(SUM(nt) AS BIGINT) AS total_tokens,
+               CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_tokens,
+               CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs
+        FROM t JOIN dup USING (h)
+        GROUP BY source ORDER BY source
     """
     d["repetition_stats"] = """
         WITH toks AS (

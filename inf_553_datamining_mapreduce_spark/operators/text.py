@@ -391,3 +391,35 @@ def doc_length_histogram(documents: DataFrame, n_buckets: int = 10) -> DataFrame
         )
         .orderBy("bucket")
     )
+
+
+def source_curation_report(documents: DataFrame) -> DataFrame:
+    """Per-source curation rollup — the summary table a dataset curator
+    reads before mixing sources: document and language counts, token
+    volume, and how many documents are byte-exact duplicates of ANYTHING
+    in the corpus (cross-source duplication is the usual crawl pathology).
+
+    Two hash aggregations (corpus-wide md5 groups, then per-source rollup)
+    joined on the content hash; both partial-aggregate map-side. The join
+    key is the high-cardinality hash — it shuffles once, which at 100 TB
+    is the same cost class as the exact-dedup pass itself.
+    """
+    t = documents.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(tokens_col("text")).alias("nt"),
+    )
+    dup_groups = t.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        t.join(dup_groups, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("nt").alias("total_tokens"),
+            (F.sum("nt").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_exact_dup_docs"),
+        )
+        .orderBy("source")
+    )

@@ -67,3 +67,32 @@ def test_group_avg_broadcasts_dimension_tables(spark, sf_dir):
     # nation and region are classic broadcast dims; the customer side must
     # never shuffle for these lookups.
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_bloom_prune_sits_before_the_join(spark, sf_dir):
+    """The bloom membership predicate must be an expression-level Filter on
+    the probe side UPSTREAM of the join (so at scale it cuts the fact table
+    at the scan stage), and the exact verify join must be broadcast."""
+    from inf_553_datamining_mapreduce_spark.operators.sketches import (
+        bloom_filtered_revenue,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    part = read_parquet_table(spark, sf_dir, "part")
+    plan = _plan(bloom_filtered_revenue(li, part, brand="Brand#23"))
+    assert "BroadcastHashJoin" in plan, plan
+    # The probe branch (below the join) carries the md5-derived bit test.
+    probe_side = plan.split("BroadcastHashJoin", 1)[1]
+    assert "md5" in probe_side and "Filter" in probe_side, plan
+
+
+def test_cms_sketch_is_single_pass(spark, sf_dir):
+    """The sketch build must be one hash aggregation over the generator
+    projection — exactly one hashpartitioning exchange, no join, no second
+    pass over the events table."""
+    from inf_553_datamining_mapreduce_spark.operators.sketches import cms_sketch
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    plan = _plan(cms_sketch(ev, "user_id"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
