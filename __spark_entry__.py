@@ -545,6 +545,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kcore_customers"] = _kcore_customers
 
+    def _bfs_distances_customers(spark, sf):
+        return G.bfs_distances(
+            _customer_graph_edges(spark, sf), n_landmarks=4, max_hops=20
+        )
+
+    q["bfs_distances_customers"] = _bfs_distances_customers
+
     def _repetition_stats(spark, sf):
         (d,) = _t(spark, sf, "documents")
         return T.repetition_stats(d)
@@ -1382,6 +1389,34 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_suppkey ORDER BY l_suppkey
     """
     d["kcore_customers"] = _kcore_oracle(k=20, rounds=10)
+    # Landmark BFS: fixed-depth recursive walk; MIN over generated walk
+    # lengths = shortest hop count. The depth cap mirrors max_hops=20.
+    d["bfs_distances_customers"] = """
+        WITH RECURSIVE
+        cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS (
+            SELECT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+        ),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        lm AS (
+            SELECT DISTINCT src AS id FROM sym ORDER BY id LIMIT 4
+        ),
+        walk(id, landmark, dist) AS (
+            SELECT id, id, 0 FROM lm
+            UNION
+            SELECT sym.dst, walk.landmark, walk.dist + 1
+            FROM walk JOIN sym ON sym.src = walk.id
+            WHERE walk.dist < 20
+        )
+        SELECT id, landmark, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY id, landmark
+        ORDER BY landmark, id
+    """
     # Quantile-sketch twin of the HLL bound oracle: the Greenwald-Khanna
     # VALUE can't be mirrored, the rank bound HOLDING can.
     d["approx_price_percentile_bounds"] = """

@@ -821,3 +821,58 @@ def kcore(edges: DataFrame, k: int = 20, max_rounds: int = 10) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("kcore_degree"))
         .orderBy("c")
     )
+
+
+def bfs_distances(
+    edges: DataFrame, n_landmarks: int = 4, max_hops: int = 20
+) -> DataFrame:
+    """``(id, landmark, dist)`` — unweighted shortest-path hop counts from
+    each of the ``n_landmarks`` smallest vertex ids, over the undirected
+    graph. Extends the per-source BFS the betweenness kernel runs on the
+    driver (``Betweenness.scala:56-79``) to a fully distributed multi-source
+    frontier expansion — the landmark-distance primitive behind graph
+    embeddings and closeness estimates.
+
+    Distributed shape: each hop is ONE shuffle join (frontier ⋈ edges) plus
+    an anti-join against the settled set — O(E) per round, never an
+    adjacency collect, so there is no driver-size gate. All ``n_landmarks``
+    BFS trees advance in the SAME join (the landmark column rides along),
+    so the round count is the graph diameter, not diameter × landmarks.
+    Lineage is cut per round (``localCheckpoint``) — the iterative-plan
+    trap. The early exit at an empty frontier cannot change the result;
+    ``max_hops`` bounds the walk so a fixed-depth recursive-CTE oracle
+    expresses identical semantics.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint()
+    )
+    landmarks = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(n_landmarks)
+    )
+    settled = landmarks.select(
+        "id", F.col("id").alias("landmark"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        candidates = (
+            frontier.join(sym, frontier.id == sym.src)
+            .select(
+                F.col("dst").alias("id"),
+                "landmark",
+                F.lit(hop).cast("long").alias("dist"),
+            )
+            .distinct()
+        )
+        fresh = candidates.join(
+            settled, ["id", "landmark"], "left_anti"
+        ).localCheckpoint()
+        if fresh.isEmpty():
+            break
+        settled = settled.unionByName(fresh).localCheckpoint()
+        frontier = fresh
+    return settled.orderBy("landmark", "id")

@@ -281,3 +281,27 @@ def test_kcore_planted_500k_edges_bounded_time(spark):
     rows = kcore(edges, k=159, max_rounds=10).collect()
     assert len(rows) == 6400
     assert all(r["kcore_degree"] == 159 for r in rows)
+
+
+def test_bfs_distances_hand_computed(spark):
+    from inf_553_datamining_mapreduce_spark.operators.graph import bfs_distances
+
+    # Path 1-2-3-4 plus isolated edge 10-11; landmarks = 4 smallest = 1,2,3,4.
+    df = bfs_distances(
+        _edges_df(spark, [(1, 2), (2, 3), (3, 4), (10, 11)]), n_landmarks=4
+    )
+    got = {(r["landmark"], r["id"]): r["dist"] for r in df.collect()}
+    assert got[(1, 1)] == 0 and got[(1, 2)] == 1 and got[(1, 4)] == 3
+    assert got[(4, 1)] == 3 and got[(2, 3)] == 1
+    # The 10-11 component is unreachable from every landmark: no rows.
+    assert not any(v in (10, 11) for (_, v) in got)
+
+
+def test_bfs_distances_max_hops_caps_depth(spark):
+    from inf_553_datamining_mapreduce_spark.operators.graph import bfs_distances
+
+    df = bfs_distances(
+        _edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), n_landmarks=1, max_hops=2
+    )
+    got = {r["id"]: r["dist"] for r in df.collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
