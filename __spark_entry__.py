@@ -582,6 +582,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_curation_report"] = _source_curation_report
 
+    def _source_mixture_sample(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.source_mixture_sample(d)
+
+    q["source_mixture_sample"] = _source_mixture_sample
+
+    def _profile_orders(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return R.profile_table(o)
+
+    q["profile_orders"] = _profile_orders
+
     def _bloom_filtered_revenue(spark, sf):
         li, p = _t(spark, sf, "lineitem", "part")
         return SKE.bloom_filtered_revenue(li, p, brand="Brand#23")
@@ -1451,6 +1463,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs
         FROM t JOIN dup USING (h)
         GROUP BY source ORDER BY source
+    """
+    # Unpivoted per-column profile; min/max only for numeric columns (string
+    # rendering is engine-specific, and NULL floats NaN-poison the value
+    # hash, so non-numerics carry is_numeric=FALSE and 0.0 placeholders).
+    d["profile_orders"] = """
+        WITH a AS (
+            SELECT COUNT(*) AS n,
+                   COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+                   CAST(MIN(o_orderkey) AS DOUBLE) AS mn1, CAST(MAX(o_orderkey) AS DOUBLE) AS mx1,
+                   COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS nd2,
+                   CAST(MIN(o_custkey) AS DOUBLE) AS mn2, CAST(MAX(o_custkey) AS DOUBLE) AS mx2,
+                   COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3,
+                   COUNT(o_totalprice) AS nn4, COUNT(DISTINCT o_totalprice) AS nd4,
+                   MIN(o_totalprice) AS mn4, MAX(o_totalprice) AS mx4,
+                   COUNT(o_orderdate) AS nn5, COUNT(DISTINCT o_orderdate) AS nd5,
+                   COUNT(o_orderpriority) AS nn6, COUNT(DISTINCT o_orderpriority) AS nd6
+            FROM orders
+        )
+        SELECT col_name, n AS n_rows, CAST(n - nn AS BIGINT) AS n_nulls,
+               CAST(nd AS BIGINT) AS n_distinct, is_numeric, min_num, max_num
+        FROM (
+            SELECT 'o_orderkey' AS col_name, n, nn1 AS nn, nd1 AS nd, TRUE AS is_numeric, mn1 AS min_num, mx1 AS max_num FROM a
+            UNION ALL SELECT 'o_custkey', n, nn2, nd2, TRUE, mn2, mx2 FROM a
+            UNION ALL SELECT 'o_orderstatus', n, nn3, nd3, FALSE, 0.0, 0.0 FROM a
+            UNION ALL SELECT 'o_totalprice', n, nn4, nd4, TRUE, mn4, mx4 FROM a
+            UNION ALL SELECT 'o_orderdate', n, nn5, nd5, FALSE, 0.0, 0.0 FROM a
+            UNION ALL SELECT 'o_orderpriority', n, nn6, nd6, FALSE, 0.0, 0.0 FROM a
+        )
+        ORDER BY col_name
+    """
+    # Temperature-0.5 mixture: sqrt/divide/floor are correctly-rounded IEEE
+    # ops, so rate_ppm and every membership decision match Spark bit-exactly.
+    d["source_mixture_sample"] = """
+        WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        m AS (SELECT MIN(n_docs) AS n_min FROM c),
+        r AS (
+            SELECT source, n_docs,
+                   CAST(FLOOR(SQRT(CAST(n_min AS DOUBLE) / n_docs) * 1e6) AS BIGINT) AS rate_ppm
+            FROM c CROSS JOIN m
+        ),
+        s AS (
+            SELECT d.source, COUNT(*) AS n_sampled
+            FROM documents d JOIN r USING (source)
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < rate_ppm
+            GROUP BY d.source
+        )
+        SELECT r.source, n_docs, rate_ppm,
+               CAST(COALESCE(n_sampled, 0) AS BIGINT) AS n_sampled
+        FROM r LEFT JOIN s USING (source)
+        ORDER BY source
     """
     d["repetition_stats"] = """
         WITH toks AS (

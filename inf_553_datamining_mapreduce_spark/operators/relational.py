@@ -715,3 +715,53 @@ def approx_price_percentile_bounds(
             & (F.col("rank_le") >= F.col("p") * F.col("n") - tol)
         ).alias("within_bounds"),
     ).orderBy("o_orderstatus", "p")
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Per-column data profile — ``(col_name, n_rows, n_nulls,
+    n_distinct, is_numeric, min_num, max_num)`` — the quality report an ingest pipeline runs before
+    trusting a new table drop. Numeric columns carry min/max as double;
+    non-numeric columns carry ``is_numeric = false`` and 0.0 placeholders
+    (string min/max rendering is engine-specific, and NULL float cells are
+    NaN-poisoned in cross-engine value hashing, so both are deliberately
+    excluded from the contract).
+
+    One aggregation pass computes every statistic, then a driver-side
+    ``stack`` unpivots the single result row to long format — schema
+    introspection happens on metadata only; no data reaches the driver.
+    Exact ``count(distinct)`` over k columns expands the scan k-fold
+    (Spark's Expand); at 100 TB swap ``F.approx_count_distinct`` in — the
+    exact form is kept here because it is what an oracle can check.
+    """
+    numeric = {"int", "bigint", "smallint", "tinyint", "float", "double"}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+        if f.dataType.simpleString() in numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"mx_{c}"))
+    row = df.agg(*aggs)
+    parts = []
+    for f in df.schema.fields:
+        c = f.name
+        is_num = f.dataType.simpleString() in numeric
+        parts.append(
+            ", ".join(
+                [
+                    f"'{c}'",
+                    "__n",
+                    f"__n - nn_{c}",
+                    f"nd_{c}",
+                    "true" if is_num else "false",
+                    f"mn_{c}" if is_num else "CAST(0.0 AS DOUBLE)",
+                    f"mx_{c}" if is_num else "CAST(0.0 AS DOUBLE)",
+                ]
+            )
+        )
+    stack = (
+        f"stack({len(parts)}, {', '.join(parts)}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, is_numeric, min_num, max_num)"
+    )
+    return row.select(F.expr(stack)).orderBy("col_name")

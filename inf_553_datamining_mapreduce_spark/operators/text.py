@@ -423,3 +423,54 @@ def source_curation_report(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def source_mixture_sample(documents: DataFrame) -> DataFrame:
+    """Temperature-scaled source mixture report (t = 0.5): each source's
+    sampling rate is proportional to n_docs^(t-1) = 1/sqrt(n_docs),
+    normalized so the smallest source samples at rate 1.0 — the standard
+    multinomial temperature rebalancing LLM training mixtures use to keep
+    large crawl sources from drowning small curated ones. Membership is
+    decided by the same content-free md5(doc_id) threshold as
+    ``corpus_splits`` — reproducible across engines, runs, and
+    partitionings, unlike seeded ``sample()``.
+
+    t is fixed at 0.5 because sqrt/divide/floor are correctly-rounded IEEE
+    ops in every engine, so rate_ppm (and therefore every membership
+    decision) is bit-identical cross-engine; a general pow(n, t-1) is not.
+
+    Scale: pass 1 is a map-side-partial count per source (result is
+    source-cardinality-sized — tiny); rates broadcast-join back onto the
+    corpus for pass 2's filtered count. Two scans of the corpus, no
+    data-sized shuffle, no RNG state.
+    """
+    counts = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_docs")) * F.lit(1e6)
+        ).cast("long").alias("rate_ppm"),
+    )
+    hash_ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000000
+    )
+    sampled = (
+        documents.select("source", hash_ppm.alias("h"))
+        .join(F.broadcast(rates.select("source", "rate_ppm")), "source")
+        .filter(F.col("h") < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "rate_ppm",
+            F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
