@@ -594,6 +594,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["profile_orders"] = _profile_orders
 
+    def _bigram_counts(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.ngram_counts(d, n=2, min_count=5)
+
+    q["bigram_counts"] = _bigram_counts
+
+    def _curation_pipeline(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.curation_pipeline(d)
+
+    q["curation_pipeline"] = _curation_pipeline
+
     def _bloom_filtered_revenue(spark, sf):
         li, p = _t(spark, sf, "lineitem", "part")
         return SKE.bloom_filtered_revenue(li, p, brand="Brand#23")
@@ -1492,6 +1504,38 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'o_orderpriority', n, nn6, nd6, FALSE, 0.0, 0.0 FROM a
         )
         ORDER BY col_name
+    """
+    # Composed curation chain; per-stage booleans audited independently.
+    d["curation_pipeline"] = """
+        SELECT doc_id,
+               lang IN ('de', 'en', 'es', 'fr') AS keep_lang,
+               (len(string_split(text, ' ')) >= 20 AND
+                CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                    / len(string_split(text, ' ')) >= 0.02) AS keep_quality,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_dedup,
+               (lang IN ('de', 'en', 'es', 'fr')
+                AND (len(string_split(text, ' ')) >= 20 AND
+                     CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                         / len(string_split(text, ' ')) >= 0.02)
+                AND doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))) AS kept
+        FROM documents ORDER BY doc_id
+    """
+    # Word bigrams via inclusive array slicing (t[i:i+1] is 2 elements in
+    # DuckDB); docs with < 2 tokens produce no grams on either engine.
+    d["bigram_counts"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        g AS (
+            SELECT doc_id, array_to_string(t[u.i:u.i + 1], ' ') AS gram
+            FROM toks, UNNEST(range(1, GREATEST(len(t) - 1, 0) + 1)) AS u(i)
+        )
+        SELECT gram, COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM g GROUP BY gram HAVING COUNT(*) >= 5
+        ORDER BY gram
     """
     # Temperature-0.5 mixture: sqrt/divide/floor are correctly-rounded IEEE
     # ops, so rate_ppm and every membership decision match Spark bit-exactly.

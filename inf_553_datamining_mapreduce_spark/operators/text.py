@@ -11,7 +11,7 @@ fingerprint, which is a library helper rather than a query path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Fixed stopword list for quality scoring — deliberately tiny and stable so
@@ -474,3 +474,80 @@ def source_mixture_sample(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def ngram_counts(
+    documents: DataFrame, n: int = 2, min_count: int = 5
+) -> DataFrame:
+    """Corpus n-gram table — ``(gram, n_occurrences, n_docs)`` for every
+    word n-gram seen at least ``min_count`` times — the raw statistic
+    behind count-based language models, collocation mining, and the
+    boilerplate lists quality filters blocklist.
+
+    Shape at scale: grams are built inside one projection (a ``transform``
+    over the token array — no positional self-join), exploded once, and
+    counted in a single map-side-partial aggregation keyed on the gram.
+    The ``min_count`` cut happens in the same aggregate (HAVING), so the
+    long tail — the bulk of the distinct-gram mass at corpus scale —
+    never survives the shuffle boundary.
+    """
+    parts = ", ' ', ".join(f"t[i + {j}]" for j in range(n))
+    gram = F.expr(f"transform(sequence(0, size(t) - {n}), i -> concat({parts}))")
+    return (
+        documents.select("doc_id", tokens_col("text").alias("t"))
+        .filter(F.size("t") >= n)
+        .select("doc_id", F.explode(gram).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy("gram")
+    )
+
+
+def curation_pipeline(
+    documents: DataFrame,
+    allowed_langs: tuple[str, ...] = ("de", "en", "es", "fr"),
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.02,
+) -> DataFrame:
+    """End-to-end curation decision per document — the composed filter
+    chain (language allowlist → quality gates → exact-dedup keep) every
+    pre-training corpus goes through, emitted as one row per document with
+    per-stage booleans so curators can audit WHY a document dropped, not
+    just that it did.
+
+    Shape at scale: the language and quality gates are pure projections
+    (no shuffle); the dedup-keep stage is one window over md5(text) — the
+    same single content-hash shuffle an exact-dedup pass costs anyway.
+    Keeping rejected rows (flagged, not filtered) costs nothing extra: the
+    row count is the corpus size either way, and downstream consumers
+    filter on ``kept`` with predicate pushdown.
+    """
+    toks = tokens_col("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+        / n_tokens
+    )
+    w = Window.partitionBy(F.md5("text"))
+    flagged = documents.select(
+        "doc_id",
+        F.col("lang").isin(*allowed_langs).alias("keep_lang"),
+        ((n_tokens >= min_tokens) & (stop_ratio >= min_stopword_ratio)).alias(
+            "keep_quality"
+        ),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep_dedup"),
+    )
+    return flagged.select(
+        "doc_id",
+        "keep_lang",
+        "keep_quality",
+        "keep_dedup",
+        (F.col("keep_lang") & F.col("keep_quality") & F.col("keep_dedup")).alias(
+            "kept"
+        ),
+    ).orderBy("doc_id")
