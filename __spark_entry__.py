@@ -606,6 +606,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pipeline"] = _curation_pipeline
 
+    def _user_retention_cohorts(spark, sf):
+        (ev,) = _t(spark, sf, "events")
+        return R.user_retention_cohorts(ev)
+
+    q["user_retention_cohorts"] = _user_retention_cohorts
+
     def _bloom_filtered_revenue(spark, sf):
         li, p = _t(spark, sf, "lineitem", "part")
         return SKE.bloom_filtered_revenue(li, p, brand="Brand#23")
@@ -1504,6 +1510,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'o_orderpriority', n, nn6, nd6, FALSE, 0.0, 0.0 FROM a
         )
         ORDER BY col_name
+    """
+    d["user_retention_cohorts"] = """
+        WITH firsts AS (
+            SELECT user_id, strftime(MIN(ts), '%Y-%m-%d') AS cohort_day
+            FROM events GROUP BY user_id
+        )
+        SELECT cohort_day, strftime(ts, '%Y-%m-%d') AS activity_day,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
     # Composed curation chain; per-stage booleans audited independently.
     d["curation_pipeline"] = """

@@ -765,3 +765,27 @@ def profile_table(df: DataFrame) -> DataFrame:
         "(col_name, n_rows, n_nulls, n_distinct, is_numeric, min_num, max_num)"
     )
     return row.select(F.expr(stack)).orderBy("col_name")
+
+
+def user_retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix — ``(cohort_day, activity_day, n_users)``
+    where a user's cohort is the calendar day of their first event and
+    each row counts the cohort's distinct users active on a given later
+    (or same) day. The standard product-analytics rollup, at daily grain
+    (the test events span one month; swap the format string for monthly).
+
+    Shape at scale: pass 1 is a user-keyed min aggregation (map-side
+    partial, result is user-cardinality-sized); it re-joins the events
+    on the user key — both sides hash-partition on user_id, so AQE can
+    plan a co-partitioned join — then one distinct-user count per month
+    pair. No window over the full event stream, no driver state.
+    """
+    day = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    firsts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        events.select("user_id", day("ts").alias("activity_day"))
+        .join(firsts.select("user_id", day("first_ts").alias("cohort_day")), "user_id")
+        .groupBy("cohort_day", "activity_day")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "activity_day")
+    )
