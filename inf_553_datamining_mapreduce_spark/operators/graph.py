@@ -72,7 +72,11 @@ _BETWEENNESS_SCHEMA = StructType(
 # ---------------------------------------------------------------------------
 
 def cooccurrence_edges(
-    df: DataFrame, node_col: str, item_col: str, min_shared: int = 3
+    df: DataFrame,
+    node_col: str,
+    item_col: str,
+    min_shared: int = 3,
+    materialize_pairs: bool = True,
 ) -> DataFrame:
     """Edges between nodes sharing >= min_shared distinct items.
 
@@ -82,10 +86,18 @@ def cooccurrence_edges(
     meet, then count distinct pairs (SURVEY.md §7.2 M1). Returns
     ``(src, dst, shared)`` with src < dst (``sortedV`` canonicalization,
     ``Betweenness.scala:118-121``).
+
+    ``materialize_pairs`` localCheckpoints the deduplicated (node, item)
+    projection before the self-join: Spark plans no ReuseExchange across the
+    two aliased subtrees, so without it the upstream join + distinct runs
+    TWICE (measured ~30% of the build). Set False only when composing into
+    a plan that must stay fully lazy.
     """
     pairs = df.select(
         F.col(node_col).cast("long").alias("node"), F.col(item_col).alias("item")
     ).distinct()
+    if materialize_pairs:
+        pairs = pairs.localCheckpoint()
     a, b = pairs.alias("a"), pairs.alias("b")
     return (
         a.join(
