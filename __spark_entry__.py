@@ -627,6 +627,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_funnel(e)
 
     q["session_funnel"] = _session_funnel
+
+    def _shipping_priority(spark, sf):
+        c, o, li = _t(spark, sf, "customer", "orders", "lineitem")
+        return R.shipping_priority(c, o, li)
+
+    q["shipping_priority"] = _shipping_priority
+
+    def _promo_revenue(spark, sf):
+        li, p = _t(spark, sf, "lineitem", "part")
+        return R.promo_revenue(li, p)
+
+    q["promo_revenue"] = _promo_revenue
+
+    def _orders_grouping_sets(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return R.orders_grouping_sets(o)
+
+    q["orders_grouping_sets"] = _orders_grouping_sets
+
+    def _customer_revenue_deciles(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return R.customer_revenue_deciles(o)
+
+    q["customer_revenue_deciles"] = _customer_revenue_deciles
     return q
 
 
@@ -1613,6 +1637,77 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0
                 END
         ORDER BY event_id
+    """
+    d["shipping_priority"] = """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               o_orderpriority,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                             * (CAST(1 AS DECIMAL(12,6)) - CAST(l_discount AS DECIMAL(12,6))))
+                    AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-15'
+          AND l_shipdate > TIMESTAMP '1998-06-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, order_date, l_orderkey
+        LIMIT 10
+    """
+    # promo_share divides the two already-bit-identical doubles — one
+    # correctly-rounded IEEE op, so it matches Spark exactly.
+    d["promo_revenue"] = """
+        WITH f AS (
+            SELECT l_partkey,
+                   CAST(l_extendedprice AS DECIMAL(18,6))
+                   * (CAST(1 AS DECIMAL(12,6)) - CAST(l_discount AS DECIMAL(12,6))) AS disc
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate < TIMESTAMP '1997-10-01'
+        ),
+        a AS (
+            SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+                   CAST(CAST(SUM(disc) AS VARCHAR) AS DOUBLE) AS total_revenue
+            FROM f JOIN part ON l_partkey = p_partkey
+        )
+        SELECT promo_revenue, total_revenue,
+               promo_revenue / total_revenue AS promo_share
+        FROM a
+    """
+    d["orders_grouping_sets"] = f"""
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER)   AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS {_D})) AS VARCHAR) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+    """
+    # quantile_cont matches Spark's exact interpolated percentile bit-for-bit
+    # (proven by price_percentiles); the strict '>' boundary rule and the
+    # decimal re-accumulation mirror the engine expression exactly.
+    d["customer_revenue_deciles"] = f"""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(CAST(SUM(CAST(o_totalprice AS {_D})) AS VARCHAR) AS DOUBLE) AS revenue
+            FROM orders GROUP BY o_custkey
+        ),
+        b AS (
+            SELECT quantile_cont(revenue, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+            FROM rev
+        ),
+        assigned AS (
+            SELECT revenue,
+                   CAST(1 + len(list_filter(bounds, x -> revenue > x)) AS INTEGER) AS decile
+            FROM rev, b
+        )
+        SELECT decile, COUNT(*) AS n_customers,
+               CAST(CAST(SUM(CAST(revenue AS {_D})) AS VARCHAR) AS DOUBLE) AS decile_revenue
+        FROM assigned GROUP BY decile ORDER BY decile
     """
     return d
 

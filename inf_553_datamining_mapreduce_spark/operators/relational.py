@@ -789,3 +789,148 @@ def user_retention_cohorts(events: DataFrame) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_day", "activity_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic OLAP shapes: shipping priority (Q3), promo share (Q14),
+# custom grouping sets, and scale-honest decile assignment
+# ---------------------------------------------------------------------------
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H-Q3-shaped top-k: revenue of not-yet-shipped order lines for one
+    market segment (orders placed before ``cutoff``, lines shipped after it).
+
+    Extends the reference's join→agg→sort lifecycle (``task2.scala:27-45``)
+    with date predicates and a bounded top-k. Shape at scale: both date
+    filters push down to the parquet scans; customer (filtered to one
+    segment) broadcasts, so only the lineitem⋈orders fact join shuffles;
+    the final top-k is a TakeOrdered over k rows per partition — never a
+    global sort materialization.
+    """
+    cutoff_ts = F.lit(cutoff).cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff_ts)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff_ts),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == segment)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (F.lit(1).cast("decimal(12,6)") - F.col("l_discount").cast("decimal(12,6)"))
+            ).cast("double").alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "order_date", "l_orderkey")
+        .limit(k)
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame, part: DataFrame, start: str = "1997-09-01", end: str = "1997-10-01"
+) -> DataFrame:
+    """TPC-H-Q14-shaped promo share: fraction of one month's discounted
+    revenue coming from promotional part types.
+
+    The conditional numerator and the total accumulate in decimal (exact,
+    order-independent); the final share divides the two resulting doubles —
+    one correctly-rounded IEEE op, so the value is bit-identical across
+    engines. One broadcast dim join + one scalar aggregate; the month
+    predicate prunes the fact scan.
+    """
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1).cast("decimal(12,6)") - F.col("l_discount").cast("decimal(12,6)"))
+    )
+    agg = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc)).cast("double").alias("promo_revenue"),
+            F.sum(disc).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
+    )
+
+
+def orders_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Custom GROUPING SETS — the general form behind ROLLUP/CUBE: exactly
+    the four sets (status, priority), (status), (priority), () in ONE pass
+    (Catalyst expands them into a single Expand + hash aggregate, not four
+    scans). ``grouping()`` flags disambiguate real NULLs from grouped-out
+    columns; grouped-out keys render as 'ALL' like ``orders_cube``.
+    """
+    orders.createOrReplaceTempView("_ogs_orders")
+    return orders.sparkSession.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) AS INT)   AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*)                         AS n_orders,
+               CAST(sum(CAST(o_totalprice AS decimal(24,6))) AS double) AS total_price
+        FROM _ogs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+def customer_revenue_deciles(orders: DataFrame) -> DataFrame:
+    """Decile summary of per-customer revenue WITHOUT a global sort.
+
+    A global ``ntile(10)`` is a single-partition window — the classic
+    scale-killer for rank bucketing. Instead: (1) aggregate revenue per
+    customer (one shuffle), (2) compute the nine decile boundaries with the
+    exact ``percentile`` aggregate (single scalar reduce; swap in
+    ``approx_percentile`` at 100 TB), (3) broadcast the boundary array and
+    assign each customer's decile with a pure expression, (4) aggregate per
+    decile. Deciles are upper-bounded by occupancy, not forced-equal like
+    ntile — the honest distributed semantics.
+    """
+    taus = [i / 10 for i in range(1, 10)]
+    rev = orders.groupBy("o_custkey").agg(_dsum("o_totalprice").alias("revenue"))
+    bounds = rev.agg(
+        F.expr(f"percentile(revenue, array({', '.join(map(str, taus))}))").alias("bounds")
+    )
+    return (
+        rev.join(F.broadcast(bounds))
+        .select(
+            "revenue",
+            (
+                F.lit(1)
+                + F.expr("aggregate(bounds, 0, (acc, b) -> acc + IF(revenue > b, 1, 0))")
+            ).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("revenue").cast(_DEC)).cast("double").alias("decile_revenue"),
+        )
+        .orderBy("decile")
+    )
