@@ -651,6 +651,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return R.customer_revenue_deciles(o)
 
     q["customer_revenue_deciles"] = _customer_revenue_deciles
+
+    def _customer_reconciliation(spark, sf):
+        o, e = _t(spark, sf, "orders", "events")
+        return R.customer_reconciliation(o, e)
+
+    q["customer_reconciliation"] = _customer_reconciliation
+
+    def _salted_segment_revenue(spark, sf):
+        e, c = _t(spark, sf, "events", "customer")
+        return R.salted_segment_revenue(e, c)
+
+    q["salted_segment_revenue"] = _salted_segment_revenue
+
+    def _latest_events_snapshot(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return R.latest_events_snapshot(e)
+
+    q["latest_events_snapshot"] = _latest_events_snapshot
+
+    def _user_interevent_gaps(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return R.user_interevent_gaps(e)
+
+    q["user_interevent_gaps"] = _user_interevent_gaps
     return q
 
 
@@ -1708,6 +1732,65 @@ def oracle_sql() -> dict[str, str]:
         SELECT decile, COUNT(*) AS n_customers,
                CAST(CAST(SUM(CAST(revenue AS {_D})) AS VARCHAR) AS DOUBLE) AS decile_revenue
         FROM assigned GROUP BY decile ORDER BY decile
+    """
+    d["customer_reconciliation"] = f"""
+        WITH o AS (
+            SELECT o_custkey AS cust_id, COUNT(*) AS n_orders,
+                   CAST(CAST(SUM(CAST(o_totalprice AS {_D})) AS VARCHAR) AS DOUBLE) AS order_value
+            FROM orders GROUP BY o_custkey
+        ),
+        e AS (
+            SELECT user_id AS cust_id, COUNT(*) AS n_events,
+                   CAST(CAST(SUM(CAST(value AS {_D})) AS VARCHAR) AS DOUBLE) AS event_value
+            FROM events GROUP BY user_id
+        )
+        SELECT COALESCE(o.cust_id, e.cust_id) AS cust_id,
+               COALESCE(n_orders, 0)    AS n_orders,
+               COALESCE(order_value, 0.0) AS order_value,
+               COALESCE(n_events, 0)    AS n_events,
+               COALESCE(event_value, 0.0) AS event_value,
+               n_orders IS NOT NULL AS in_orders,
+               n_events IS NOT NULL AS in_events
+        FROM o FULL OUTER JOIN e ON o.cust_id = e.cust_id
+        ORDER BY cust_id
+    """
+    # The salted join is equivalent to the plain join by construction —
+    # the oracle IS the plain join.
+    d["salted_segment_revenue"] = f"""
+        SELECT c_mktsegment, COUNT(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS {_D})) AS VARCHAR) AS DOUBLE) AS segment_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+    d["latest_events_snapshot"] = """
+        SELECT user_id, event_id, epoch_us(ts) AS ts_epoch_us, event_type, value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        )
+        WHERE rn = 1 ORDER BY user_id
+    """
+    # Integer gaps; the mean divides two exact integers (BIGINT-cast SUM so
+    # DuckDB's HUGEINT never reaches the comparison) — one IEEE division,
+    # bit-identical to Spark's long/long.
+    d["user_interevent_gaps"] = """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               COUNT(gap_us) AS n_gaps,
+               CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+               MIN(gap_us) AS min_gap_us,
+               MAX(gap_us) AS max_gap_us,
+               CAST(SUM(gap_us) AS BIGINT) / COUNT(gap_us) AS avg_gap_us
+        FROM g GROUP BY user_id ORDER BY user_id
     """
     return d
 

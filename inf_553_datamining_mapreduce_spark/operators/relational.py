@@ -934,3 +934,127 @@ def customer_revenue_deciles(orders: DataFrame) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reconciliation, salted skew join, CDC compaction, inter-event gaps
+# ---------------------------------------------------------------------------
+
+def customer_reconciliation(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """Full-outer reconciliation of two independent per-key aggregates —
+    order spend (orders) vs product activity (events) — with explicit
+    presence flags. The audit query every pipeline needs when two systems
+    disagree about "all customers".
+
+    Shape at scale: each side aggregates to key cardinality BEFORE the
+    full-outer join (map-side partial aggregation), so the join input is
+    keys, not facts — never a fact⋈fact full outer.
+    """
+    o = orders.groupBy(F.col("o_custkey").alias("cust_id")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("order_value"),
+    )
+    e = events.groupBy(F.col("user_id").alias("cust_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum("value").alias("event_value"),
+    )
+    return (
+        o.join(e, "cust_id", "full_outer")
+        .select(
+            "cust_id",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("order_value", F.lit(0.0)).alias("order_value"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("event_value", F.lit(0.0)).alias("event_value"),
+            F.col("n_orders").isNotNull().alias("in_orders"),
+            F.col("n_events").isNotNull().alias("in_events"),
+        )
+        .orderBy("cust_id")
+    )
+
+
+def salted_segment_revenue(
+    events: DataFrame, customer: DataFrame, salt_buckets: int = 8
+) -> DataFrame:
+    """Explicitly salted fact⋈dim join for a skewed key: the fact side gets a
+    deterministic salt from its row id; the dim side is replicated across all
+    ``salt_buckets`` salts (explode over a literal range), so one hot user_id
+    spreads over ``salt_buckets`` reducers instead of one. Equivalent to the
+    plain join by construction — the oracle IS the plain join.
+
+    At 100 TB prefer AQE skew-join first; explicit salting is the remedy when
+    the skew is in the JOIN key itself and the dim is too big to broadcast
+    (replication multiplies the dim by salt_buckets, still ≪ fact size).
+    """
+    salted_facts = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(salt_buckets))
+    )
+    replicated_dim = customer.select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    ).withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return (
+        salted_facts.join(
+            replicated_dim,
+            (salted_facts.user_id == replicated_dim.c_custkey)
+            & (salted_facts.salt == replicated_dim.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("segment_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def latest_events_snapshot(events: DataFrame) -> DataFrame:
+    """CDC-style compaction: the latest event per user (ts, then event_id as
+    the deterministic tie-break) — the "current state" materialization every
+    changelog consumer runs. One hash shuffle on the key; ``row_number`` over
+    a per-key window (max-by semantics), never a global sort. At scale this
+    is the standard log-compaction query; with billions of keys the same plan
+    holds because the window partitions by the shuffle key.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_epoch_us"),
+            "event_type",
+            "value",
+        )
+        .orderBy("user_id")
+    )
+
+
+def user_interevent_gaps(events: DataFrame) -> DataFrame:
+    """Per-user inter-event gap statistics via ``lag`` — the arrival-cadence
+    profile (bot detection, session tuning, rate modeling). Timestamps stay
+    integral (epoch µs) so every gap is exact; the mean divides two exact
+    integers (one IEEE op, bit-identical cross-engine).
+
+    One shuffle: the lag window and the aggregation share the user_id
+    partitioning, so Catalyst plans a single exchange.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = events.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1))).alias("n_events"),
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            (F.sum("gap_us") / F.count("gap_us")).alias("avg_gap_us"),
+        )
+        .orderBy("user_id")
+    )
