@@ -675,6 +675,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return R.user_interevent_gaps(e)
 
     q["user_interevent_gaps"] = _user_interevent_gaps
+
+    def _doc_chunks(spark, sf):
+        (docs,) = _t(spark, sf, "documents")
+        return T.doc_chunks(docs)
+
+    q["doc_chunks"] = _doc_chunks
+
+    def _embedding_dim_stats(spark, sf):
+        (e,) = _t(spark, sf, "embeddings")
+        return SIM.embedding_dim_stats(e)
+
+    q["embedding_dim_stats"] = _embedding_dim_stats
     return q
 
 
@@ -1791,6 +1803,40 @@ def oracle_sql() -> dict[str, str]:
                MAX(gap_us) AS max_gap_us,
                CAST(SUM(gap_us) AS BIGINT) / COUNT(gap_us) AS avg_gap_us
         FROM g GROUP BY user_id ORDER BY user_id
+    """
+    # DuckDB list slices are 1-based inclusive: t[a : a+31] is the same 32
+    # tokens Spark's slice(t, a, 32) takes (both clip at the array end).
+    d["doc_chunks"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        c AS (
+            SELECT doc_id, u.i AS chunk_id, u.i * 24 AS start_token,
+                   t[u.i * 24 + 1 : u.i * 24 + 32] AS chunk
+            FROM toks,
+                 UNNEST(range(0, CAST(floor((len(t) - 1) / 24) AS BIGINT) + 1)) AS u(i)
+        )
+        SELECT doc_id, chunk_id, start_token,
+               CAST(len(chunk) AS INTEGER) AS n_tokens,
+               md5(array_to_string(chunk, ' ')) AS chunk_md5
+        FROM c ORDER BY doc_id, chunk_id
+    """
+    # Same fixed-point mirror as label_centroids: float32→decimal rounding
+    # has no ties, emulated by FLOOR(|v|*1e10 + 0.5) with the sign restored.
+    d["embedding_dim_stats"] = """
+        WITH x AS (
+            SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        )
+        SELECT dim, COUNT(*) AS n_values,
+               MIN(val) AS min_val,
+               MAX(val) AS max_val,
+               CAST(SUM(CASE WHEN val > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+               CAST(SUM(CAST(FLOOR(ABS(val) * 1e10 + 0.5) AS BIGINT)
+                        * CASE WHEN val < 0 THEN -1 ELSE 1 END) AS DOUBLE)
+                   / 1e10 / COUNT(*) AS mean_val
+        FROM x GROUP BY dim ORDER BY dim
     """
     return d
 

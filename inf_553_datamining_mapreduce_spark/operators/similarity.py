@@ -296,3 +296,31 @@ def lsh_top_k(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension feature profile of the embedding column — range, sign
+    balance, and a decimal-exact mean per coordinate. The sanity gate before
+    any ANN index build: a dimension with a collapsed range or a drifted
+    mean is a broken encoder.
+
+    Same scale shape as ``label_centroids``: posexplode fans rows out by the
+    (bounded) dimensionality, then ONE hash aggregate keyed by ``dim`` with
+    map-side partials; output cardinality = dims. min/max compare exactly in
+    binary; the mean accumulates in decimal (float32→decimal has no rounding
+    ties) so it is order-independent and bit-exact cross-engine.
+    """
+    exploded = embeddings.select(F.posexplode("embedding").alias("dim", "val"))
+    val_d = F.col("val").cast("double")
+    dec_sum = F.sum(F.col("val").cast("decimal(28,10)"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.min(val_d).alias("min_val"),
+            F.max(val_d).alias("max_val"),
+            F.sum(F.when(F.col("val") > 0, 1).otherwise(0)).alias("n_positive"),
+            (dec_sum.cast("double") / F.count(F.lit(1))).alias("mean_val"),
+        )
+        .orderBy("dim")
+    )

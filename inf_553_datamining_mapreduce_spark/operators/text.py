@@ -551,3 +551,40 @@ def curation_pipeline(
             "kept"
         ),
     ).orderBy("doc_id")
+
+
+def doc_chunks(
+    documents: DataFrame, chunk_size: int = 32, stride: int = 24
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the context-window packing
+    step of a pre-training pipeline: each document becomes
+    ``ceil`` windows of ``chunk_size`` tokens starting every ``stride``
+    tokens (``chunk_size - stride`` tokens of overlap), each with a stable
+    content hash for downstream chunk-level dedup.
+
+    Shape at scale: pure projection + one ``explode`` over a per-row
+    sequence — no shuffle, no UDF, output rows ≈ tokens/stride. The chunk
+    slice happens AFTER the explode (one slice per chunk row), so the plan
+    never builds an all-chunks array per document in a single expression
+    (the CollapseProject O(n²) trap with nested array-building lambdas).
+    """
+    toks = F.split(F.col("text"), " ")
+    n_starts_minus1 = F.expr(f"CAST(floor((size(t) - 1) / {stride}) AS INT)")
+    start = (F.col("chunk_id").cast("long") * stride).alias("start_token")
+    chunk = F.slice(F.col("t"), F.col("chunk_id") * stride + 1, chunk_size)
+    return (
+        documents.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0), n_starts_minus1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            start,
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
