@@ -687,6 +687,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.embedding_dim_stats(e)
 
     q["embedding_dim_stats"] = _embedding_dim_stats
+
+    def _link_prediction_customers(spark, sf):
+        return G.link_prediction_scores(_customer_graph_edges(spark, sf), k=20)
+
+    q["link_prediction_customers"] = _link_prediction_customers
+
+    def _fk_integrity_audit(spark, sf):
+        li, o, c, p, s = _t(
+            spark, sf, "lineitem", "orders", "customer", "part", "supplier"
+        )
+        return R.fk_integrity_audit(li, o, c, p, s)
+
+    q["fk_integrity_audit"] = _fk_integrity_audit
+
+    def _daily_event_spine(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return R.daily_event_spine(e)
+
+    q["daily_event_spine"] = _daily_event_spine
     return q
 
 
@@ -1837,6 +1856,89 @@ def oracle_sql() -> dict[str, str]:
                         * CASE WHEN val < 0 THEN -1 ELSE 1 END) AS DOUBLE)
                    / 1e10 / COUNT(*) AS mean_val
         FROM x GROUP BY dim ORDER BY dim
+    """
+    # Jaccard divides two exact BIGINTs — one IEEE division, identical to
+    # Spark's long/long. Candidates come from the same wedge enumeration.
+    d["link_prediction_customers"] = """
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS (
+            SELECT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+        ),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        cn AS (
+            SELECT w1.src AS a, w2.dst AS b, COUNT(*) AS common_neighbors
+            FROM sym w1 JOIN sym w2 ON w1.dst = w2.src
+            WHERE w1.src < w2.dst
+            GROUP BY w1.src, w2.dst
+        ),
+        ne AS (
+            SELECT cn.a, cn.b, cn.common_neighbors FROM cn
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e WHERE e.src = cn.a AND e.dst = cn.b
+            )
+        ),
+        deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src)
+        SELECT ne.a, ne.b, ne.common_neighbors,
+               ne.common_neighbors / (da.deg + db.deg - ne.common_neighbors) AS jaccard
+        FROM ne
+        JOIN deg da ON da.id = ne.a
+        JOIN deg db ON db.id = ne.b
+        ORDER BY jaccard DESC, ne.common_neighbors DESC, ne.a, ne.b
+        LIMIT 20
+    """
+    d["fk_integrity_audit"] = """
+        SELECT 'lineitem.l_orderkey->orders' AS relation,
+               (SELECT COUNT(*) FROM lineitem) AS n_rows,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        ORDER BY relation
+    """
+    d["daily_event_spine"] = f"""
+        WITH bounds AS (
+            SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+            FROM events
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(value AS {_D})) AS VARCHAR) AS DOUBLE) AS sv
+            FROM events GROUP BY 1, 2
+        )
+        SELECT strftime(s.day, '%Y-%m-%d') AS day, t.event_type,
+               COALESCE(n, 0) AS n_events,
+               COALESCE(sv, 0.0) AS sum_value
+        FROM spine s
+        CROSS JOIN types t
+        LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+        ORDER BY day, t.event_type
     """
     return d
 

@@ -1058,3 +1058,76 @@ def user_interevent_gaps(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def fk_integrity_audit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    child→parent key relation, the child row count and how many child rows
+    dangle (no matching parent). The first query any warehouse runs after a
+    load — silent FK drift is how joins start dropping rows.
+
+    Each orphan count is a left-anti join collapsed to a scalar: parent key
+    sets that fit broadcast do (customer/part/supplier); the fact→fact
+    relation (lineitem→orders) shuffles on the key like any other fact join.
+    Four tiny single-row aggregates union at the end — no data-sized result.
+    """
+
+    def _relation(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str):
+        total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        orphans = child.join(
+            parent, F.col(ckey) == F.col(pkey), "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        return total.crossJoin(orphans).select(
+            F.lit(name).alias("relation"), "n_rows", "n_orphans"
+        )
+
+    out = (
+        _relation(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionAll(_relation(lineitem, "l_partkey", part, "p_partkey", "lineitem.l_partkey->part"))
+        .unionAll(_relation(lineitem, "l_suppkey", supplier, "s_suppkey", "lineitem.l_suppkey->supplier"))
+        .unionAll(_relation(orders, "o_custkey", customer, "c_custkey", "orders.o_custkey->customer"))
+    )
+    return out.orderBy("relation")
+
+
+def daily_event_spine(events: DataFrame) -> DataFrame:
+    """Gap-filled daily time series per event type: every calendar day in
+    the table's [min, max] range appears for every type, zero-filled where
+    nothing happened. Dense spines are what dashboards, forecasting, and
+    anomaly baselines expect — "no row" and "zero events" are different
+    facts.
+
+    Shape at scale: the fact table aggregates FIRST (one shuffle to
+    days×types cardinality); the spine is a per-row ``sequence`` explode of
+    one min/max scalar row cross-joined with the distinct types — both tiny
+    — so the left join against the aggregate never touches raw facts.
+    """
+    day = F.to_date("ts")
+    daily = events.groupBy(day.alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum("value").alias("sum_value"),
+    )
+    bounds = events.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    types = events.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
