@@ -24,6 +24,10 @@ def main() -> None:
     import __spark_entry__ as em
     from inf_553_datamining_mapreduce_spark.session import get_spark
 
+    # Console progress bars write \r-frames to stdout; with 90 queries the
+    # frames once pushed the JSON line past the driver's stdout tail capture
+    # (BENCH_r02 parsed: null). showConsoleProgress=false is set in
+    # session.DEFAULT_CONFIGS (core conf — must be set at context build).
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -47,22 +51,29 @@ def main() -> None:
         except Exception as exc:  # keep benching other queries
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             dt = float("nan")
-        timings[name] = round(dt, 4)
+        timings[name] = round(dt, 2)
+        # per-query progress goes to stderr so stdout stays one parseable line
+        print(f"bench: {name} {timings[name]}s", file=sys.stderr)
         if dt == dt:
             total += dt
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # Totals-first compact encoding: even if a tail capture truncates the
+    # HEAD of the line, the trailing per-query map breaks first, and a line
+    # this size (~3 KB at 90 queries, separators-compact) stays intact.
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": round(total, 2),
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "queries": timings,
+        },
+        separators=(",", ":"),
     )
+    sys.stdout.flush()
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

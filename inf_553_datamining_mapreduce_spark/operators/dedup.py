@@ -75,22 +75,25 @@ def jaccard_near_duplicates(
     """
     sh = word_shingles(documents, n, text_col)
     if max_shingle_df is not None:
-        # Drop hot shingles BEFORE any collect_list: a count aggregation
-        # (map-side partial, one output row per distinct shingle) finds the
-        # surviving shingles, the join discards hot-shingle rows, and only
-        # then are doc lists collected — so no aggregation buffer ever holds
-        # a stop-shingle's full doc list (a single collect_list group is one
-        # in-memory array; at web scale a shingle like "the of the" would
-        # OOM the executor if collected first and filtered after). The join
-        # output keeps the shingle partitioning, so the groupBy that follows
-        # adds no exchange; per-shingle pair fan-out is then bounded to
-        # max_shingle_df^2 BY CONSTRUCTION.
-        shingle_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        kept_shingles = shingle_df.filter(F.col("df") <= max_shingle_df).select(
-            "shingle"
-        )
+        # Drop hot shingles BEFORE any collect_list, sharing ONE shuffle:
+        # a count window partitioned by shingle computes each shingle's df
+        # on the exploded stream (WindowExec buffers one group at a time in
+        # a spillable row array — safe even for a web-scale stop-shingle,
+        # unlike a collect_list buffer, which is a single in-memory array
+        # that would OOM if hot groups were collected first and filtered
+        # after). The filter then discards hot-shingle rows in place, and
+        # the groupBy reuses the window's hash partitioning on shingle, so
+        # df computation + cut + doc-list collection cost one exchange
+        # total (the previous aggregate+join formulation shuffled the
+        # shingle stream twice and scanned the documents twice).
+        # Per-shingle pair fan-out is bounded to max_shingle_df^2 BY
+        # CONSTRUCTION.
+        from pyspark.sql.window import Window
+
+        df_w = Window.partitionBy("shingle")
         grouped = (
-            sh.join(kept_shingles, "shingle")
+            sh.withColumn("df", F.count(F.lit(1)).over(df_w))
+            .filter(F.col("df") <= max_shingle_df)
             .groupBy("shingle")
             .agg(F.collect_list("doc_id").alias("docs"))
         )
@@ -493,12 +496,17 @@ def embedding_near_duplicates(
 
     spark = embeddings.sparkSession
     ensure_worker_imports(spark)
-    rows = embeddings.select("vec_id", "embedding").collect()
-    if len(rows) > MAX_BROADCAST_VECTORS:
+    # Gate BEFORE materializing: count() is a cheap distributed aggregate,
+    # while collect() of an over-sized table would OOM the driver before any
+    # guard could refuse. (count-then-collect is two scans, but the gated
+    # table is by contract small enough that the extra scan is noise.)
+    n_vectors = embeddings.count()
+    if n_vectors > MAX_BROADCAST_VECTORS:
         raise ValueError(
-            f"{len(rows)} vectors exceed the broadcast gate "
+            f"{n_vectors} vectors exceed the broadcast gate "
             f"({MAX_BROADCAST_VECTORS}); use the LSH prefilter path"
         )
+    rows = embeddings.select("vec_id", "embedding").collect()
     all_ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)

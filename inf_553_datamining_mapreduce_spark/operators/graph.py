@@ -460,6 +460,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     the local-clustering signal (spam subgraphs are triangle-dense, crawl
     link farms even more so).
 
+    Contract: ``edges`` must be DISTINCT canonically-oriented (src < dst)
+    pairs — symmetric or duplicated input double-counts triangles
+    (``cooccurrence_edges`` produces exactly this form).
+
     Canonical-orientation enumeration: with edges kept as ``src < dst``,
     each triangle {a<b<c} is found exactly once by joining (a,b)+(b,c) and
     probing for the closing edge (a,c). Two shuffle joins on vertex keys —
@@ -517,6 +521,10 @@ def pagerank(
 ) -> DataFrame:
     """Fixed-point integer PageRank over the symmetrized graph (a quality /
     centrality signal for link-graph-based corpus filtering).
+
+    Contract: ``edges`` must be DISTINCT canonically-oriented (src < dst)
+    pairs; symmetric or duplicated input inflates degrees and contributions
+    (``cooccurrence_edges`` produces exactly this form).
 
     Each vertex starts at ``scale`` (rank 1.0); one iteration is
     ``rank' = ((100-d)*scale) div 100 + (d * sum(contribs)) div 100`` with
@@ -605,6 +613,13 @@ def modularity_local(
         edge_set.add((s, d) if s < d else (d, s))
     intra: dict[int, int] = defaultdict(int)
     for u, v in edge_set:
+        # Self-loops are excluded from the pair sum: the reference's i<j
+        # pair loop (Community.scala:42-46) never visits (i, i), and the
+        # incremental degree-pair identity below likewise assumes no
+        # self-pairs. Callers pass canonical src<dst edges, but guard the
+        # public function anyway.
+        if u == v:
+            continue
         cu, cv = comp.get(u), comp.get(v)
         if cu is not None and cu == cv:
             intra[cu] += 1
@@ -648,9 +663,15 @@ def modularity(edges: DataFrame, components: DataFrame) -> float:
         F.sum(F.col("deg") * F.col("deg")).alias("deg_sq"),
     )
     comp_of = components.select("id", "component")
-    e_canon = edges.select(
-        F.least("src", "dst").alias("v1"), F.greatest("src", "dst").alias("v2")
-    ).distinct()
+    e_canon = (
+        edges.select(
+            F.least("src", "dst").alias("v1"), F.greatest("src", "dst").alias("v2")
+        )
+        # mirror modularity_local's self-loop exclusion (reference pair
+        # loop is strictly i<j)
+        .filter(F.col("v1") != F.col("v2"))
+        .distinct()
+    )
     intra = (
         e_canon.join(comp_of.withColumnsRenamed({"id": "v1", "component": "c1"}), "v1")
         .join(comp_of.withColumnsRenamed({"id": "v2", "component": "c2"}), "v2")
@@ -890,24 +911,49 @@ def bfs_distances(
     return settled.orderBy("landmark", "id")
 
 
-def link_prediction_scores(edges: DataFrame, k: int = 20) -> DataFrame:
+def link_prediction_scores(
+    edges: DataFrame, k: int = 20, max_neighbor_df: int = 4096
+) -> DataFrame:
     """Common-neighbor link prediction over the undirected graph: for every
     NON-adjacent pair sharing >= 1 neighbor, the common-neighbor count and
     neighborhood Jaccard ``cn / (deg_a + deg_b - cn)``; top-k by score with
     a total deterministic tie-break. The classic "who should be connected"
     query (recommendations, missing-edge detection).
 
+    Contract: ``edges`` must be DISTINCT canonically-oriented (src < dst)
+    pairs — duplicated or symmetric input double-counts degrees and common
+    neighbors (``cooccurrence_edges`` produces exactly this form).
+
     Shape at scale: candidate pairs come from the same wedge join the
     triangle count uses (two shuffle joins on vertex keys — never an
     all-pairs product); existing edges drop out with one anti join; degrees
-    attach via two key joins. Hot vertices fan out deg² wedges — at 100 TB
-    cap or sample super-node neighborhoods first (same mitigation as the
-    shingle df-cut in ``dedup``). Jaccard divides two exact longs — one IEEE
-    op, bit-identical cross-engine.
+    attach via two key joins. A wedge pivot vertex v fans out deg(v)^2
+    intermediate rows on one key, so super-node pivots (deg >
+    ``max_neighbor_df``) are dropped from the wedge enumeration BEFORE the
+    join — the same df-cut the shingle dedup applies. A hub shared by
+    everyone is non-discriminative for Jaccard ranking (it inflates cn by at
+    most 1 while its own deg term never enters), so the cut changes only
+    pairs whose SOLE witnesses are super-nodes; degrees (the Jaccard
+    denominator) are still computed over the full graph.
     """
     e = edges.select("src", "dst")
     sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    w1, w2 = sym.alias("w1"), sym.alias("w2")
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wedge_legs = sym
+    if max_neighbor_df is not None:
+        hot = deg.filter(F.col("deg") > max_neighbor_df).select(
+            F.col("src").alias("pivot")
+        )
+        # Both wedge legs meet at the pivot (w1.dst == w2.src == pivot), so
+        # one anti join on the leg's dst removes every wedge through a hot
+        # pivot; the hot set is tiny by construction → broadcast anti join.
+        wedge_legs = sym.join(
+            F.broadcast(hot), sym.dst == F.col("pivot"), "left_anti"
+        )
+    w1 = wedge_legs.alias("w1")
+    w2 = wedge_legs.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).alias("w2")
     cn = (
         w1.join(w2, F.col("w1.dst") == F.col("w2.src"))
         .filter(F.col("w1.src") < F.col("w2.dst"))
@@ -918,7 +964,6 @@ def link_prediction_scores(edges: DataFrame, k: int = 20) -> DataFrame:
     non_edges = cn.join(
         e, (cn.a == e.src) & (cn.b == e.dst), "left_anti"
     )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     return (
         non_edges.join(
             deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a")), "a"

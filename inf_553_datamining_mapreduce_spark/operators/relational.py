@@ -734,29 +734,33 @@ def profile_table(df: DataFrame) -> DataFrame:
     exact form is kept here because it is what an oracle can check.
     """
     numeric = {"int", "bigint", "smallint", "tinyint", "float", "double"}
+    # Generated aggregate aliases are INDEX-based (nn_0, nd_0, ...), never
+    # interpolated column names — a column named `weird"col` or `a b` can
+    # therefore never produce invalid stack() SQL. The only user data in the
+    # expression is the display literal, with single quotes doubled.
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for f in df.schema.fields:
-        c = f.name
-        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    for i, f in enumerate(df.schema.fields):
+        c = df[f.name]  # indexing resolves any name, no quoting needed
+        aggs.append(F.count(c).alias(f"nn_{i}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{i}"))
         if f.dataType.simpleString() in numeric:
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"mn_{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"mx_{c}"))
+            aggs.append(F.min(c).cast("double").alias(f"mn_{i}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{i}"))
     row = df.agg(*aggs)
     parts = []
-    for f in df.schema.fields:
-        c = f.name
+    for i, f in enumerate(df.schema.fields):
+        name_literal = f.name.replace("'", "''")
         is_num = f.dataType.simpleString() in numeric
         parts.append(
             ", ".join(
                 [
-                    f"'{c}'",
+                    f"'{name_literal}'",
                     "__n",
-                    f"__n - nn_{c}",
-                    f"nd_{c}",
+                    f"__n - nn_{i}",
+                    f"nd_{i}",
                     "true" if is_num else "false",
-                    f"mn_{c}" if is_num else "CAST(0.0 AS DOUBLE)",
-                    f"mx_{c}" if is_num else "CAST(0.0 AS DOUBLE)",
+                    f"mn_{i}" if is_num else "CAST(0.0 AS DOUBLE)",
+                    f"mx_{i}" if is_num else "CAST(0.0 AS DOUBLE)",
                 ]
             )
         )
@@ -1072,28 +1076,61 @@ def fk_integrity_audit(
     dangle (no matching parent). The first query any warehouse runs after a
     load — silent FK drift is how joins start dropping rows.
 
-    Each orphan count is a left-anti join collapsed to a scalar: parent key
-    sets that fit broadcast do (customer/part/supplier); the fact→fact
-    relation (lineitem→orders) shuffles on the key like any other fact join.
-    Four tiny single-row aggregates union at the end — no data-sized result.
+    Each child table is scanned ONCE: lineitem's three parent checks ride a
+    single pass — three left joins against distinct parent-key projections
+    (dims broadcast; the fact-sized orders key set shuffles on the key),
+    then one aggregate with three conditional null-marker counts. orders'
+    own customer check is likewise one pass. A per-relation anti-join
+    formulation would scan lineitem four times for the same answer; with a
+    100-TB fact table the scan count IS the cost.
     """
-
-    def _relation(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str):
-        total = child.agg(F.count(F.lit(1)).alias("n_rows"))
-        orphans = child.join(
-            parent, F.col(ckey) == F.col(pkey), "left_anti"
-        ).agg(F.count(F.lit(1)).alias("n_orphans"))
-        return total.crossJoin(orphans).select(
-            F.lit(name).alias("relation"), "n_rows", "n_orphans"
-        )
-
-    out = (
-        _relation(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders")
-        .unionAll(_relation(lineitem, "l_partkey", part, "p_partkey", "lineitem.l_partkey->part"))
-        .unionAll(_relation(lineitem, "l_suppkey", supplier, "s_suppkey", "lineitem.l_suppkey->supplier"))
-        .unionAll(_relation(orders, "o_custkey", customer, "c_custkey", "orders.o_custkey->customer"))
+    li = lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
+    o_keys = orders.select(F.col("o_orderkey").alias("pk_o")).distinct()
+    p_keys = F.broadcast(part.select(F.col("p_partkey").alias("pk_p")).distinct())
+    s_keys = F.broadcast(
+        supplier.select(F.col("s_suppkey").alias("pk_s")).distinct()
     )
-    return out.orderBy("relation")
+    li_row = (
+        li.join(o_keys, li.l_orderkey == o_keys.pk_o, "left")
+        .join(p_keys, li.l_partkey == p_keys.pk_p, "left")
+        .join(s_keys, li.l_suppkey == s_keys.pk_s, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.when(F.col("pk_o").isNull(), 1)), F.lit(0))
+            .cast("long")
+            .alias("orph_o"),
+            F.coalesce(F.sum(F.when(F.col("pk_p").isNull(), 1)), F.lit(0))
+            .cast("long")
+            .alias("orph_p"),
+            F.coalesce(F.sum(F.when(F.col("pk_s").isNull(), 1)), F.lit(0))
+            .cast("long")
+            .alias("orph_s"),
+        )
+    )
+    li_rows = li_row.select(
+        F.expr(
+            "stack(3, "
+            "'lineitem.l_orderkey->orders', n, orph_o, "
+            "'lineitem.l_partkey->part', n, orph_p, "
+            "'lineitem.l_suppkey->supplier', n, orph_s"
+            ") AS (relation, n_rows, n_orphans)"
+        )
+    )
+    c_keys = F.broadcast(
+        customer.select(F.col("c_custkey").alias("pk_c")).distinct()
+    )
+    o_row = (
+        orders.select("o_custkey")
+        .join(c_keys, F.col("o_custkey") == F.col("pk_c"), "left")
+        .agg(
+            F.lit("orders.o_custkey->customer").alias("relation"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum(F.when(F.col("pk_c").isNull(), 1)), F.lit(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+    )
+    return li_rows.unionAll(o_row).orderBy("relation")
 
 
 def daily_event_spine(events: DataFrame) -> DataFrame:

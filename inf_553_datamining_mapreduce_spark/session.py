@@ -36,6 +36,10 @@ DEFAULT_CONFIGS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # No \r progress frames on stdout — harnesses that tail-capture stdout
+    # (bench JSON line) must see clean output. Core conf, so it has to be
+    # set at context build time, not via spark.conf.set afterwards.
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

@@ -34,8 +34,16 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
         # driver builds its own SparkSession without engine configs).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Some driver generations write TIMESTAMP(MICROS, NTZ) instead of
+            # NANOS; watermarks and streaming state require the LTZ type, and
+            # under the UTC session the cast is a pure reinterpretation (same
+            # micros), so batch results are unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

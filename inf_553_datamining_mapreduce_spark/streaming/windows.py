@@ -168,10 +168,15 @@ def read_events_stream(
     nanos→micros normalization matches sources/readers.py."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.readStream.schema(schema).parquet(events_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # Integral div (exact on long) — see sources/readers.py for why a
         # double divide+floor is wrong at epoch-nanos magnitude.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # MICROS-NTZ generation: watermarks require the LTZ type; under the
+        # UTC session the cast reinterprets the same micros (readers.py).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
