@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from inf_553_datamining_mapreduce_spark.operators import dedup as D
 from inf_553_datamining_mapreduce_spark.operators import frequent_itemsets as FI
 from inf_553_datamining_mapreduce_spark.operators import graph as G
+from inf_553_datamining_mapreduce_spark.operators import olap as O
 from inf_553_datamining_mapreduce_spark.operators import relational as R
 from inf_553_datamining_mapreduce_spark.operators import similarity as SIM
 from inf_553_datamining_mapreduce_spark.operators import sketches as SKE
@@ -717,6 +718,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return R.daily_event_spine(e)
 
     q["daily_event_spine"] = _daily_event_spine
+
+    # ---- round-3 additions: classic OLAP / membership / sequence shapes ----
+    def _local_supplier_volume(spark, sf):
+        li, o, c, s, n, r = _t(
+            spark, sf, "lineitem", "orders", "customer", "supplier", "nation", "region"
+        )
+        return O.local_supplier_volume(li, o, c, s, n, r)
+
+    def _volume_shipping_by_year(spark, sf):
+        li, o, c, s, n = _t(
+            spark, sf, "lineitem", "orders", "customer", "supplier", "nation"
+        )
+        return O.volume_shipping_by_year(li, o, c, s, n)
+
+    def _returnflag_priority_counts(spark, sf):
+        li, o = _t(spark, sf, "lineitem", "orders")
+        return O.returnflag_priority_counts(li, o)
+
+    def _brand_supplier_counts(spark, sf):
+        li, p = _t(spark, sf, "lineitem", "part")
+        return O.brand_supplier_counts(li, p)
+
+    def _large_volume_customers(spark, sf):
+        li, o, c = _t(spark, sf, "lineitem", "orders", "customer")
+        return O.large_volume_customers(li, o, c)
+
+    def _discounted_revenue_band(spark, sf):
+        (li,) = _t(spark, sf, "lineitem")
+        return O.discounted_revenue_band(li)
+
+    def _idle_rich_customers(spark, sf):
+        c, o = _t(spark, sf, "customer", "orders")
+        return O.idle_rich_customers(c, o)
+
+    def _late_shipment_priority_counts(spark, sf):
+        li, o = _t(spark, sf, "lineitem", "orders")
+        return O.late_shipment_priority_counts(li, o)
+
+    def _cheapest_shipment_per_part(spark, sf):
+        (li,) = _t(spark, sf, "lineitem")
+        return O.cheapest_shipment_per_part(li)
+
+    def _parts_not_recently_ordered(spark, sf):
+        p, li = _t(spark, sf, "part", "lineitem")
+        return O.parts_not_recently_ordered(p, li)
+
+    def _customers_with_urgent_orders(spark, sf):
+        c, o = _t(spark, sf, "customer", "orders")
+        return O.customers_with_urgent_orders(c, o)
+
+    def _customer_order_gaps(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return O.customer_order_gaps(o)
+
+    def _order_price_percent_rank(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return O.order_price_percent_rank(o)
+
+    def _user_value_ntiles(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return O.user_value_ntiles(e)
+
+    def _event_type_transitions(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return O.event_type_transitions(e)
+
+    def _weekly_active_users(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return O.weekly_active_users(e)
+
+    def _orders_checksum(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return O.orders_checksum(o)
+
+    def _hapax_ratio(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.hapax_ratio(d)
+
+    def _embedding_norms(spark, sf):
+        (e,) = _t(spark, sf, "embeddings")
+        return SIM.embedding_norms(e)
+
+    q["local_supplier_volume"] = _local_supplier_volume
+    q["volume_shipping_by_year"] = _volume_shipping_by_year
+    q["returnflag_priority_counts"] = _returnflag_priority_counts
+    q["brand_supplier_counts"] = _brand_supplier_counts
+    q["large_volume_customers"] = _large_volume_customers
+    q["discounted_revenue_band"] = _discounted_revenue_band
+    q["idle_rich_customers"] = _idle_rich_customers
+    q["late_shipment_priority_counts"] = _late_shipment_priority_counts
+    q["cheapest_shipment_per_part"] = _cheapest_shipment_per_part
+    q["parts_not_recently_ordered"] = _parts_not_recently_ordered
+    q["customers_with_urgent_orders"] = _customers_with_urgent_orders
+    q["customer_order_gaps"] = _customer_order_gaps
+    q["order_price_percent_rank"] = _order_price_percent_rank
+    q["user_value_ntiles"] = _user_value_ntiles
+    q["event_type_transitions"] = _event_type_transitions
+    q["weekly_active_users"] = _weekly_active_users
+    q["orders_checksum"] = _orders_checksum
+    q["hapax_ratio"] = _hapax_ratio
+    q["embedding_norms"] = _embedding_norms
     return _driver_order(q)
 
 
@@ -759,6 +861,26 @@ _DRIVER_PRIORITY = [
     "link_prediction_customers",
     "fk_integrity_audit",
     "daily_event_spine",
+    # round-3 additions (31 + 19 = exactly the 50-slot window):
+    "local_supplier_volume",
+    "volume_shipping_by_year",
+    "returnflag_priority_counts",
+    "brand_supplier_counts",
+    "large_volume_customers",
+    "discounted_revenue_band",
+    "idle_rich_customers",
+    "late_shipment_priority_counts",
+    "cheapest_shipment_per_part",
+    "parts_not_recently_ordered",
+    "customers_with_urgent_orders",
+    "customer_order_gaps",
+    "order_price_percent_rank",
+    "user_value_ntiles",
+    "event_type_transitions",
+    "weekly_active_users",
+    "orders_checksum",
+    "hapax_ratio",
+    "embedding_norms",
 ]
 
 
@@ -1998,6 +2120,211 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN types t
         LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
         ORDER BY day, t.event_type
+    """
+    # ---- round-3 additions ------------------------------------------------
+    _REV = (
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))"
+        " * (CAST(1 AS DECIMAL(12,6)) - CAST(l_discount AS DECIMAL(12,6))))"
+        " AS VARCHAR) AS DOUBLE)"
+    )
+    d["local_supplier_volume"] = f"""
+        SELECT r_name, n_name,
+               {_REV} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """
+    d["volume_shipping_by_year"] = f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+               {_REV} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+    d["returnflag_priority_counts"] = """
+        SELECT l_returnflag,
+               CAST(COALESCE(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END), 0) AS BIGINT) AS high_line_count,
+               CAST(COALESCE(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END), 0) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+    d["brand_supplier_counts"] = """
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    d["large_volume_customers"] = f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(CAST(SUM(CAST(l_quantity AS {_D})) AS VARCHAR) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(CAST(SUM(CAST(l_quantity AS {_D})) AS VARCHAR) AS DOUBLE) > 250.0
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               o_totalprice, total_qty
+        FROM big JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY c_custkey, o_orderkey
+    """
+    d["discounted_revenue_band"] = f"""
+        SELECT l_returnflag, {_REV} AS revenue, COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_quantity BETWEEN 5.0 AND 15.0
+          AND l_discount BETWEEN 0.05 AND 0.07
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+    d["idle_rich_customers"] = f"""
+        WITH a AS (
+            SELECT CAST(CAST(SUM(CAST(c_acctbal AS {_D})) AS VARCHAR) AS DOUBLE)
+                   / COUNT(c_acctbal) AS avg_bal
+            FROM customer
+        ),
+        o AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
+        SELECT c_custkey, c_acctbal, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+        FROM customer CROSS JOIN a LEFT JOIN o ON c_custkey = o_custkey
+        WHERE c_acctbal > avg_bal AND COALESCE(n, 0) < 3
+        ORDER BY c_custkey
+    """
+    d["late_shipment_priority_counts"] = """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    d["cheapest_shipment_per_part"] = """
+        SELECT l_partkey, l_suppkey, l_extendedprice FROM (
+            SELECT l_partkey, l_suppkey, l_extendedprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_extendedprice, l_suppkey, l_orderkey, l_linenumber
+                   ) AS rn
+            FROM lineitem
+        ) WHERE rn = 1 ORDER BY l_partkey
+    """
+    d["parts_not_recently_ordered"] = """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+        )
+        ORDER BY p_partkey
+    """
+    d["customers_with_urgent_orders"] = """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+        ORDER BY c_custkey
+    """
+    d["customer_order_gaps"] = """
+        WITH g AS (
+            SELECT o_custkey,
+                   date_diff('day', CAST(LAG(o_orderdate) OVER w AS DATE),
+                             CAST(o_orderdate AS DATE)) AS gap_days
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        )
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               COUNT(gap_days) AS n_gaps,
+               MIN(gap_days) AS min_gap_days,
+               MAX(gap_days) AS max_gap_days,
+               CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days,
+               CAST(SUM(gap_days) AS BIGINT) / COUNT(gap_days) AS avg_gap_days
+        FROM g GROUP BY o_custkey
+        HAVING COUNT(gap_days) > 0
+        ORDER BY o_custkey
+    """
+    d["order_price_percent_rank"] = """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume_dist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+        ORDER BY o_orderkey
+    """
+    d["user_value_ntiles"] = f"""
+        WITH t AS (
+            SELECT user_id,
+                   CAST(CAST(SUM(CAST(value AS {_D})) AS VARCHAR) AS DOUBLE) AS total_value
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, total_value,
+               CAST(NTILE(4) OVER (ORDER BY total_value, user_id) AS INTEGER) AS value_quartile
+        FROM t ORDER BY user_id
+    """
+    d["event_type_transitions"] = """
+        WITH p AS (
+            SELECT user_id, event_type AS from_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        )
+        SELECT from_type, to_type,
+               COUNT(*) AS n_transitions,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM p WHERE to_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    d["weekly_active_users"] = """
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY 1
+    """
+    d["orders_checksum"] = """
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(
+                   CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 1000000007
+               ) AS BIGINT) AS checksum
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """
+    d["hapax_ratio"] = """
+        WITH tok AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+        ),
+        pt AS (SELECT doc_id, token, COUNT(*) AS freq FROM tok GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(freq) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(CASE WHEN freq = 1 THEN 1 END), 0) AS BIGINT) AS n_hapax,
+               CAST(COALESCE(SUM(CASE WHEN freq = 1 THEN 1 END), 0) AS BIGINT)
+                   / CAST(SUM(freq) AS BIGINT) AS hapax_ratio
+        FROM pt GROUP BY doc_id ORDER BY doc_id
+    """
+    d["embedding_norms"] = """
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS n_dims,
+               sqrt(list_reduce(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (a, b) -> a + b
+               )) AS l2_norm
+        FROM embeddings ORDER BY vec_id
     """
     return d
 

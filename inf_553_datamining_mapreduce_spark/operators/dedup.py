@@ -75,52 +75,64 @@ def jaccard_near_duplicates(
     """
     sh = word_shingles(documents, n, text_col)
     if max_shingle_df is not None:
-        # Drop hot shingles BEFORE any collect_list, sharing ONE shuffle:
-        # a count window partitioned by shingle computes each shingle's df
-        # on the exploded stream (WindowExec buffers one group at a time in
-        # a spillable row array — safe even for a web-scale stop-shingle,
-        # unlike a collect_list buffer, which is a single in-memory array
-        # that would OOM if hot groups were collected first and filtered
-        # after). The filter then discards hot-shingle rows in place, and
-        # the groupBy reuses the window's hash partitioning on shingle, so
-        # df computation + cut + doc-list collection cost one exchange
-        # total (the previous aggregate+join formulation shuffled the
-        # shingle stream twice and scanned the documents twice).
+        # One linear pipeline, THREE shuffles, no plan-subtree reuse (a
+        # DataFrame referenced k times re-executes its lineage k times —
+        # the join-back formulation this replaces read the corpus 3x):
+        #   1. doc_id window  — per-doc shingle count rides along each row
+        #   2. shingle window — per-shingle df, then the df-cut filter drops
+        #      hot-shingle rows in place (WindowExec buffers one group at a
+        #      time in a SPILLABLE row array — safe for a web-scale
+        #      stop-shingle, unlike collecting first and filtering after,
+        #      where a single collect_list buffer would hold the hot
+        #      shingle's whole doc list in memory); the groupBy that
+        #      follows reuses the window's hash partitioning (no exchange)
+        #   3. pair aggregate — pairs emitted WITH both sizes attached, so
+        #      no size table ever joins back
         # Per-shingle pair fan-out is bounded to max_shingle_df^2 BY
-        # CONSTRUCTION.
+        # CONSTRUCTION. Sizes are counted over the FULL shingle set (before
+        # the cut): the cut then only lowers the intersection term, making
+        # near-miss scores conservative rather than inflated; below the cut
+        # threshold the result is exactly the uncut Jaccard either way.
         from pyspark.sql.window import Window
 
-        df_w = Window.partitionBy("shingle")
+        doc_w = Window.partitionBy("doc_id")
+        sh_w = Window.partitionBy("shingle")
         grouped = (
-            sh.withColumn("df", F.count(F.lit(1)).over(df_w))
+            sh.withColumn("n_sh", F.count(F.lit(1)).over(doc_w))
+            .withColumn("df", F.count(F.lit(1)).over(sh_w))
             .filter(F.col("df") <= max_shingle_df)
             .groupBy("shingle")
-            .agg(F.collect_list("doc_id").alias("docs"))
+            .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
         )
-        # One pass produces BOTH the pair stream and the per-doc size stream:
-        # each shingle emits its doc pairs plus one (doc, NULL) marker per
-        # member, so a single groupBy covers co-occurrence counts (doc_b not
-        # null) and shingle counts (doc_b null) — the grouped plan is scanned
-        # once, not once per derived aggregate.
         emit_expr = (
-            "concat("
             "flatten(transform(docs, (x, i) -> "
-            "transform(slice(docs, i + 2, size(docs)), y -> "
-            "struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b)))), "
-            "transform(docs, x -> struct(x AS doc_a, CAST(NULL AS BIGINT) AS doc_b))"
-            ")"
+            "transform(slice(docs, i + 2, size(docs)), y -> struct("
+            "least(x.doc_id, y.doc_id) AS doc_a, "
+            "greatest(x.doc_id, y.doc_id) AS doc_b, "
+            "CASE WHEN x.doc_id <= y.doc_id THEN x.n_sh ELSE y.n_sh END AS size_a, "
+            "CASE WHEN x.doc_id <= y.doc_id THEN y.n_sh ELSE x.n_sh END AS size_b))))"
         )
-        counts = (
+        pairs = (
             grouped.select(F.explode(F.expr(emit_expr)).alias("p"))
-            .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .select("p.doc_a", "p.doc_b", "p.size_a", "p.size_b")
             .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.count(F.lit(1)).alias("common"),
+                F.first("size_a").alias("size_a"),
+                F.first("size_b").alias("size_b"),
+            )
         )
-        sizes = counts.filter(F.col("doc_b").isNull()).select(
-            F.col("doc_a").alias("doc_id"), F.col("cnt").alias("n_shingles")
-        )
-        common = counts.filter(F.col("doc_b").isNotNull()).select(
-            "doc_a", "doc_b", F.col("cnt").alias("common")
+        return (
+            pairs.select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("common")
+                    / (F.col("size_a") + F.col("size_b") - F.col("common"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= min_jaccard)
+            .orderBy("doc_a", "doc_b")
         )
     else:
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))

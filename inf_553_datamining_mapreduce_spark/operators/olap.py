@@ -1,0 +1,416 @@
+"""Classic warehouse query shapes beyond the reference's surface: TPC-H-style
+multi-join aggregates (Q4/Q5/Q7/Q12/Q16/Q18/Q19/Q22 analogues on the driver's
+star schema), semi/anti-join membership queries, per-group argmin, sequence
+analytics (lag gaps, lead transitions), distribution ranks (percent_rank /
+cume_dist / ntile), and a table-fingerprint checksum.
+
+No reference analog (SURVEY.md §2.9 extension surface) — these are the query
+shapes a production deployment of the engine runs daily, expressed so
+Catalyst keeps every dimension join broadcast and every aggregate partial.
+
+Scale stance (100 TB):
+  * Every dim join (part/supplier/nation/region/customer) carries an explicit
+    ``F.broadcast`` hint — fact tables never shuffle for dimension lookups.
+  * Fact-fact joins (lineitem⋈orders) are key-partitioned shuffles; AQE
+    handles skew splitting.
+  * Monetary aggregates use the decimal-exact accumulation idiom from
+    ``relational._dsum`` so results are bit-identical across engines and
+    row orders.
+  * Window shapes partition by bounded keys (customer, status, user); no
+    window ever spans the whole table unordered except the explicit
+    global ranks, which a 100-TB deployment would range-partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from inf_553_datamining_mapreduce_spark.operators.relational import (
+    _davg,
+    _DEC,
+    _dsum,
+)
+
+
+def _disc_price() -> F.Column:
+    """Exact discounted price term: decimal(18,6) * decimal(13,6) = (32,12),
+    sums within 38 digits — bit-identical cross-engine (relational.py:63)."""
+    return F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(12,6)") - F.col("l_discount").cast("decimal(12,6)")
+    )
+
+
+def local_supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue shipped between customers and suppliers of the
+    SAME nation, rolled up to (region, nation). The customer⋈supplier
+    co-nation constraint is the interesting part — it rides the lineitem row
+    (l_suppkey) meeting the order's customer, an equality on two dim
+    attributes, not a join explosion."""
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def volume_shipping_by_year(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume — revenue per (supplier
+    nation, customer nation, ship year) for DIFFERENT nations. Two broadcast
+    joins against the same nation dim under different aliases."""
+    n_supp = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n_cust = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def returnflag_priority_counts(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape (shipmode→returnflag, this schema has no shipmode):
+    per return flag, how many shipped items belong to high-priority orders
+    (1-URGENT / 2-HIGH) vs the rest, within a ship-date year. One fact-fact
+    join, conditional counts — no second pass."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.coalesce(F.sum(F.when(high, 1)), F.lit(0)).cast("long").alias("high_line_count"),
+            F.coalesce(F.sum(F.when(~high, 1)), F.lit(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def brand_supplier_counts(
+    lineitem: DataFrame, part: DataFrame, exclude_brand: str = "Brand#45"
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each (brand, size),
+    excluding one brand. Broadcast part dim; the distinct count is the only
+    shuffle (Expand over the group keys)."""
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_brand") != exclude_brand)),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy("p_brand", "p_size")
+    )
+
+
+def large_volume_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: float = 250.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a threshold,
+    with their customer. The HAVING aggregate runs FIRST (orderkey grain —
+    one shuffle of lineitem's two columns), and only qualifying keys join
+    back — at 100 TB the join input is the filtered key set, not lineitem."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(_dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+def discounted_revenue_band(
+    lineitem: DataFrame,
+    qty_lo: float = 5.0,
+    qty_hi: float = 15.0,
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+) -> DataFrame:
+    """TPC-H Q19 shape (single band, no part join): revenue from small
+    shipments in a discount corridor. Pure scan-filter-aggregate; both
+    predicates push to the parquet scan."""
+    return (
+        lineitem.filter(
+            F.col("l_quantity").between(qty_lo, qty_hi)
+            & F.col("l_discount").between(disc_lo, disc_hi)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, max_orders: int = 3
+) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average account balance but
+    fewer than ``max_orders`` orders — dormant high-value accounts. The
+    global average is one scalar row cross-joined in (broadcast-trivial);
+    order counts attach by key."""
+    avg_bal = customer.agg(_davg("c_acctbal").alias("avg_bal"))
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .join(counts, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .filter(
+            (F.col("c_acctbal") > F.col("avg_bal"))
+            & (F.coalesce(F.col("n_orders"), F.lit(0)) < max_orders)
+        )
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def late_shipment_priority_counts(
+    lineitem: DataFrame, orders: DataFrame, grace_days: int = 90
+) -> DataFrame:
+    """TPC-H Q4 shape: orders with AT LEAST ONE line shipped more than
+    ``grace_days`` after the order date, counted per priority. The EXISTS is
+    a left-semi join on the order key with the lateness predicate as a
+    residual — each order counts once no matter how many late lines."""
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (orders.o_orderkey == late.l_orderkey)
+            & (
+                late.l_shipdate
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {grace_days} DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def cheapest_shipment_per_part(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q2 shape (argmin per group): for every part, the cheapest
+    shipment line and which supplier sent it — total deterministic order via
+    the full key tie-break. One window over the part key; at 100 TB the
+    partition key count is the part cardinality, perfectly parallel."""
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("l_extendedprice").asc(),
+        F.col("l_suppkey").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return (
+        lineitem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .orderBy("l_partkey")
+    )
+
+
+def parts_not_recently_ordered(
+    part: DataFrame, lineitem: DataFrame, since: str = "2001-01-01"
+) -> DataFrame:
+    """Anti-join membership: parts with NO shipment since a cutoff — the
+    stale-inventory report. The recent-key set is filtered BEFORE the anti
+    join (predicate pushes to the scan), so the anti probe side is small."""
+    recent = lineitem.filter(
+        F.col("l_shipdate") >= F.lit(since).cast("timestamp")
+    ).select("l_partkey")
+    return (
+        part.join(recent, part.p_partkey == recent.l_partkey, "left_anti")
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+def customers_with_urgent_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi-join membership: customers having >= 1 URGENT order. Left-semi
+    keeps exactly one row per member with no aggregate state."""
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def customer_order_gaps(orders: DataFrame) -> DataFrame:
+    """Inter-order gap statistics per customer: days between consecutive
+    orders (lag over the customer partition), then min/max/sum/avg. The avg
+    divides two exact longs — one IEEE op, bit-identical cross-engine."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("gap_days"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("gap_days").alias("n_gaps"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+            F.sum("gap_days").alias("sum_gap_days"),
+            (F.sum("gap_days") / F.count("gap_days")).alias("avg_gap_days"),
+        )
+        .filter(F.col("n_gaps") > 0)
+        .orderBy("o_custkey")
+    )
+
+
+def order_price_percent_rank(orders: DataFrame) -> DataFrame:
+    """Distribution position of every order within its status:
+    ``percent_rank`` and ``cume_dist``. Both are exact rationals evaluated
+    in one IEEE division, so ties and values agree across engines
+    regardless of physical row order."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume_dist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def user_value_ntiles(events: DataFrame, n: int = 4) -> DataFrame:
+    """Per-user lifetime value quartiles: decimal-exact value totals, then
+    NTILE(n) over (total, user_id) — the tie-break makes bucket assignment
+    total-order deterministic. The classic LTV segmentation query."""
+    totals = events.groupBy("user_id").agg(_dsum("value").alias("total_value"))
+    w = Window.orderBy(F.col("total_value").asc(), F.col("user_id").asc())
+    return (
+        totals.select(
+            "user_id",
+            "total_value",
+            F.ntile(n).over(w).alias("value_quartile"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def event_type_transitions(events: DataFrame) -> DataFrame:
+    """First-order behavioral transitions: for each user's time-ordered
+    event stream, count (event_type → next event_type) pairs plus how many
+    distinct users made each transition — the Markov-matrix input for
+    funnel/session modeling. One window (user partition), one aggregate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def weekly_active_users(events: DataFrame) -> DataFrame:
+    """WAU rollup: distinct users and event volume per ISO week (Monday
+    start in both Spark and DuckDB). Time-bucketed distinct count — one
+    shuffle at week grain."""
+    wk = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    return (
+        events.groupBy(wk.alias("week_start"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("week_start")
+    )
+
+
+def orders_checksum(orders: DataFrame) -> DataFrame:
+    """Order-insensitive table fingerprint per status: row count plus the
+    sum of a 60-bit md5-derived hash of the (orderkey, custkey) identity,
+    folded mod 1e9+7 so ~9e9 rows sum without int64 overflow. Two replicas
+    (or two engines) holding the same rows produce the same checksum — the
+    cross-system reconciliation primitive that avoids shipping any data."""
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", "o_orderkey", "o_custkey")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1000000007
+    )
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h).alias("checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )

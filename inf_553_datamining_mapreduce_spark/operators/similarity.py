@@ -324,3 +324,27 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    """Per-vector L2 norm of the embedding column — the pre-flight check
+    before cosine math (a zero or wildly off-unit norm is a broken encoder
+    row; cosine silently mis-ranks such vectors).
+
+    Shape at scale: pure per-row expression — ``aggregate`` over the array
+    in array order (each float32 element cast to double first), no shuffle,
+    no UDF. The left-fold accumulation order is fixed by the array, so the
+    double result is bit-identical across engines and row orders.
+    """
+    sq_sum = F.aggregate(
+        F.transform(
+            "embedding", lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.sqrt(sq_sum).alias("l2_norm"),
+    ).orderBy("vec_id")

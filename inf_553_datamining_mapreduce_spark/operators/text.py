@@ -588,3 +588,39 @@ def doc_chunks(
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+def hapax_ratio(documents: DataFrame) -> DataFrame:
+    """Per-document hapax legomena profile: how many of a document's tokens
+    occur exactly once WITHIN it, and the hapax fraction of its token count.
+    A low hapax ratio flags templated/repetitive text (the complement of
+    ``repetition_stats``' n-gram view, at unigram grain); lexicographers use
+    the same statistic for vocabulary-richness estimates.
+
+    Shape at scale: explode tokens → one (doc, token) count aggregate → one
+    per-doc aggregate. Both shuffles are keyed aggregates with map-side
+    partials; the ratio divides two exact longs — one IEEE division,
+    bit-identical cross-engine.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    per_token = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    return (
+        per_token.groupBy("doc_id")
+        .agg(
+            F.sum("freq").alias("n_tokens"),
+            F.coalesce(F.sum(F.when(F.col("freq") == 1, 1)), F.lit(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_hapax",
+            (F.col("n_hapax") / F.col("n_tokens")).alias("hapax_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -639,3 +639,22 @@ def test_doc_length_histogram_partitions_corpus(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         assert prev["max_chars"] < cur["min_chars"]
         assert cur["min_chars"] <= cur["max_chars"]
+
+
+def test_embedding_near_dup_gate_fires_before_collect(spark, sf_dir, monkeypatch):
+    """The broadcast gate must refuse BEFORE materializing rows on the
+    driver: with collect() forbidden outright, an over-gate table still
+    raises the informative ValueError (from count()), not a collect."""
+    import pyspark.sql
+
+    from inf_553_datamining_mapreduce_spark.operators import dedup
+
+    e = read_parquet_table(spark, sf_dir, "embeddings")
+    monkeypatch.setattr(dedup, "MAX_BROADCAST_VECTORS", 10)
+
+    def _no_collect(self):
+        raise AssertionError("collect() reached before the gate")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", _no_collect)
+    with pytest.raises(ValueError, match="broadcast gate"):
+        dedup.embedding_near_duplicates(e)

@@ -305,3 +305,43 @@ def test_bfs_distances_max_hops_caps_depth(spark):
     )
     got = {r["id"]: r["dist"] for r in df.collect()}
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_sampled_betweenness_estimates_exact_on_planted_graph(spark):
+    """Brandes-Pich source sampling: on a two-cluster graph with known
+    bridge edges, the sampled estimator must (a) keep total credit mass
+    within a modest factor of exact and (b) rank the planted bridges on
+    top, exactly like the exact computation does."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import edge_betweenness
+
+    rng = random.Random(7)
+    edges = set()
+    for base in (0, 100):  # two dense 100-vertex clusters
+        while sum(1 for e in edges if e[0] >= base and e[1] < base + 100) < 400:
+            a, b = rng.randrange(base, base + 100), rng.randrange(base, base + 100)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    bridges = [(10, 110), (20, 120), (30, 130)]
+    edges.update(bridges)
+    edf = spark.createDataFrame(sorted(edges), ["src", "dst"])
+
+    exact = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(edf).collect()
+    }
+    est = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(edf, sample_sources=60, seed=17).collect()
+    }
+    assert set(est) == set(exact)  # same edge universe
+
+    total_exact = sum(exact.values())
+    total_est = sum(est.values())
+    assert 0.7 * total_exact < total_est < 1.3 * total_exact
+
+    top_exact = sorted(exact, key=exact.get, reverse=True)[:3]
+    top_est = sorted(est, key=est.get, reverse=True)[:3]
+    assert set(top_exact) == set(bridges)
+    assert set(top_est) == set(bridges)
