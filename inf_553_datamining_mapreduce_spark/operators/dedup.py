@@ -308,7 +308,29 @@ def minhash_lsh_near_duplicates(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
     sh = word_shingles(documents, n, text_col)
-    sig = minhash_signatures(sh, num_hashes)
+    # ONE pass over the shingle stream produces the signature AND the
+    # verification payload (shingle set + size) per doc, then the result is
+    # materialized (localCheckpoint — the same intra-operator reuse pattern
+    # pagerank uses): banding and the two verification joins all read the
+    # doc-grain table instead of re-shingling the corpus, which the previous
+    # formulation did four times (signatures, sizes, and both sides of the
+    # intersection join). The doc-grain table is corpus-cardinality with
+    # bounded per-row payload — the thing you WANT resident at 100 TB.
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*mins, F.collect_set("shingle").alias("sset"))
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+            "sset",
+            F.size("sset").cast("long").alias("n_sh"),
+        )
+        .localCheckpoint()
+    )
     band_rows = sig.select(
         "doc_id",
         F.explode(
@@ -342,27 +364,28 @@ def minhash_lsh_near_duplicates(
         )
         .distinct()
     )
-    # Exact verification: recompute Jaccard only for candidate pairs.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        candidates.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # Exact verification: each candidate pair pulls both materialized
+    # shingle sets (two key joins against the checkpointed doc-grain table)
+    # and intersects them in codegen — exact Jaccard, no corpus re-read.
+    a_side = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sset").alias("sset_a"),
+        F.col("n_sh").alias("size_a"),
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    b_side = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sset").alias("sset_b"),
+        F.col("n_sh").alias("size_b"),
+    )
+    common = F.size(F.array_intersect("sset_a", "sset_b")).cast("long")
     return (
-        common.join(za, "doc_a")
-        .join(zb, "doc_b")
+        candidates.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("common")
-                / (F.col("size_a") + F.col("size_b") - F.col("common"))
+                common / (F.col("size_a") + F.col("size_b") - common)
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
