@@ -819,6 +819,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_checksum"] = _orders_checksum
     q["hapax_ratio"] = _hapax_ratio
     q["embedding_norms"] = _embedding_norms
+
+    # ---- registered beyond the round-3 gate window (r04 rotation set) ----
+    def _top_brands_per_type_with_ties(spark, sf):
+        li, p = _t(spark, sf, "lineitem", "part")
+        return O.top_brands_per_type_with_ties(li, p)
+
+    def _most_common_event_per_user(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return O.most_common_event_per_user(e)
+
+    def _orders_yoy_growth(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return O.orders_yoy_growth(o)
+
+    def _daily_revenue_drawdown(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return O.daily_revenue_drawdown(o)
+
+    def _qty_price_correlation(spark, sf):
+        (li,) = _t(spark, sf, "lineitem")
+        return O.qty_price_correlation(li)
+
+    def _supplier_revenue_share(spark, sf):
+        li, s = _t(spark, sf, "lineitem", "supplier")
+        return O.supplier_revenue_share(li, s)
+
+    def _daily_priority_share(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return O.daily_priority_share(o)
+
+    def _user_first_last_events(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return O.user_first_last_events(e)
+
+    q["top_brands_per_type_with_ties"] = _top_brands_per_type_with_ties
+    q["most_common_event_per_user"] = _most_common_event_per_user
+    q["orders_yoy_growth"] = _orders_yoy_growth
+    q["daily_revenue_drawdown"] = _daily_revenue_drawdown
+    q["qty_price_correlation"] = _qty_price_correlation
+    q["supplier_revenue_share"] = _supplier_revenue_share
+    q["daily_priority_share"] = _daily_priority_share
+    q["user_first_last_events"] = _user_first_last_events
     return _driver_order(q)
 
 
@@ -2325,6 +2367,121 @@ def oracle_sql() -> dict[str, str]:
                    (a, b) -> a + b
                )) AS l2_norm
         FROM embeddings ORDER BY vec_id
+    """
+    d["top_brands_per_type_with_ties"] = """
+        WITH c AS (
+            SELECT p_type, p_brand, COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2
+        )
+        SELECT p_type, p_brand, n_items, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT *, DENSE_RANK() OVER (
+                PARTITION BY p_type ORDER BY n_items DESC
+            ) AS rank FROM c
+        ) WHERE rank <= 3
+        ORDER BY p_type, rank, p_brand
+    """
+    d["most_common_event_per_user"] = """
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, event_type, n_events FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC, event_type ASC
+            ) AS rn FROM c
+        ) WHERE rn = 1 ORDER BY user_id
+    """
+    d["orders_yoy_growth"] = f"""
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS month_start,
+                   CAST(CAST(SUM(CAST(o_totalprice AS {_D})) AS VARCHAR) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT strftime(a.month_start, '%Y-%m') AS month,
+               a.revenue,
+               b.revenue AS prev_revenue,
+               a.revenue / b.revenue AS yoy_ratio
+        FROM m a JOIN m b ON a.month_start = b.month_start + INTERVAL 12 MONTH
+        ORDER BY month
+    """
+    d["daily_revenue_drawdown"] = f"""
+        WITH daily AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   CAST(CAST(SUM(CAST(o_totalprice AS {_D})) AS VARCHAR) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT day, revenue,
+               MAX(revenue) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak_revenue,
+               MAX(revenue) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - revenue AS drawdown
+        FROM daily ORDER BY day
+    """
+    d["qty_price_correlation"] = """
+        WITH a AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n_items,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+                   -- operands widened to DECIMAL(24,6): DuckDB's 18-digit
+                   -- decimals multiply in int64 and overflow; 24 forces the
+                   -- int128 path. Result (38,12) is still exact, matching
+                   -- Spark's (18,6)x(18,6)->(37,12) products bit-for-bit.
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(24,6)) * CAST(l_extendedprice AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(24,6)) * CAST(l_quantity AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6)) * CAST(l_extendedprice AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS syy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n_items,
+               (CAST(n_items AS DOUBLE) * sxy - sx * sy)
+                   / (sqrt(CAST(n_items AS DOUBLE) * sxx - sx * sx)
+                      * sqrt(CAST(n_items AS DOUBLE) * syy - sy * sy)) AS corr_qty_price,
+               (sxy - sx * sy / CAST(n_items AS DOUBLE))
+                   / (CAST(n_items AS DOUBLE) - 1.0) AS cov_qty_price
+        FROM a ORDER BY l_returnflag
+    """
+    d["supplier_revenue_share"] = """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (CAST(1 AS DECIMAL(12,6)) - CAST(l_discount AS DECIMAL(12,6)))) AS rev_dec
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, s_nationkey,
+               CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+               CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(SUM(rev_dec) OVER (PARTITION BY s_nationkey) AS VARCHAR) AS DOUBLE) AS nation_share
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY l_suppkey
+    """
+    d["daily_priority_share"] = """
+        WITH c AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   o_orderpriority, COUNT(*) AS n_orders
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT day, o_orderpriority, n_orders,
+               CAST(n_orders AS DOUBLE)
+                   / CAST(SUM(n_orders) OVER (PARTITION BY day) AS DOUBLE) AS day_share
+        FROM c ORDER BY day, o_orderpriority
+    """
+    d["user_first_last_events"] = """
+        WITH m AS (
+            SELECT user_id, event_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS rn_first,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn_last
+            FROM events
+        )
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MAX(CASE WHEN rn_first = 1 THEN event_id END) AS first_event_id,
+               MAX(CASE WHEN rn_first = 1 THEN event_type END) AS first_event_type,
+               MAX(CASE WHEN rn_last = 1 THEN event_id END) AS last_event_id,
+               MAX(CASE WHEN rn_last = 1 THEN event_type END) AS last_event_type
+        FROM m GROUP BY user_id ORDER BY user_id
     """
     return d
 

@@ -414,3 +414,202 @@ def orders_checksum(orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def top_brands_per_type_with_ties(lineitem: DataFrame, part: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k brands per part type by shipment count, INCLUDING ties:
+    ``dense_rank`` ranks by the count value alone, so equally-popular brands
+    share a rank and all of them survive the k cut — the semantics business
+    reporting usually wants (vs ``row_number``'s arbitrary tie drop, O7).
+    dense_rank depends only on the value being ranked, so it is
+    deterministic without any tie-break column."""
+    counts = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    w = Window.partitionBy("p_type").orderBy(F.col("n_items").desc())
+    return (
+        counts.withColumn("rank", F.dense_rank().over(w))
+        .filter(F.col("rank") <= k)
+        .select("p_type", "p_brand", "n_items", "rank")
+        .orderBy("p_type", "rank", "p_brand")
+    )
+
+
+def most_common_event_per_user(events: DataFrame) -> DataFrame:
+    """Per-user modal event type (the MODE aggregate) with a total
+    deterministic tie-break (higher count, then lexicographic type): one
+    count aggregate, one row_number window over the user key."""
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "n_events")
+        .orderBy("user_id")
+    )
+
+
+def orders_yoy_growth(orders: DataFrame) -> DataFrame:
+    """Year-over-year monthly revenue growth: each month joins the month
+    exactly 12 months earlier (join on a shifted month key, NOT lag(12) —
+    a calendar gap would silently misalign a positional lag). The ratio
+    divides two already-bit-identical doubles; months with no prior-year
+    row are omitted."""
+    monthly = orders.groupBy(
+        F.trunc(F.col("o_orderdate"), "month").alias("month_start")
+    ).agg(_dsum("o_totalprice").alias("revenue"))
+    prev = monthly.select(
+        F.col("month_start").alias("prev_start"),
+        F.col("revenue").alias("prev_revenue"),
+    )
+    return (
+        monthly.join(
+            prev, monthly.month_start == F.add_months(prev.prev_start, 12)
+        )
+        .select(
+            F.date_format("month_start", "yyyy-MM").alias("month"),
+            "revenue",
+            "prev_revenue",
+            (F.col("revenue") / F.col("prev_revenue")).alias("yoy_ratio"),
+        )
+        .orderBy("month")
+    )
+
+
+def daily_revenue_drawdown(orders: DataFrame) -> DataFrame:
+    """Daily order revenue vs its running historical peak, and the drawdown
+    from that peak — the health-dashboard shape for any metric with a
+    high-water mark. The running max is order-independent (max of exact
+    doubles over an unbounded preceding frame), so the window is
+    deterministic; daily sums are decimal-exact first."""
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(_dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("peak_revenue", F.max("revenue").over(w))
+        .select(
+            "day",
+            "revenue",
+            "peak_revenue",
+            (F.col("peak_revenue") - F.col("revenue")).alias("drawdown"),
+        )
+        .orderBy("day")
+    )
+
+
+def qty_price_correlation(lineitem: DataFrame) -> DataFrame:
+    """Pearson correlation and sample covariance of quantity vs extended
+    price per return flag — computed from DECIMAL-EXACT co-moment sums
+    (n, Σx, Σy, Σxy, Σx², Σy²), then one fixed double expression. Spark's
+    built-in ``corr`` streams double co-moments whose value depends on
+    accumulation order; this formulation is order-independent and
+    bit-identical cross-engine, at the cost of wider aggregate state —
+    the right trade when results must be reproducible run-to-run."""
+    x = F.col("l_quantity").cast("decimal(18,6)")
+    y = F.col("l_extendedprice").cast("decimal(18,6)")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - F.lit(1.0))
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_items"),
+        corr.alias("corr_qty_price"),
+        cov.alias("cov_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+def supplier_revenue_share(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Each supplier's share of its nation's revenue: per-supplier
+    decimal-exact revenue, then a window total over the nation partition
+    (summed IN DECIMAL so the windowed total is order-independent too) and
+    one IEEE division. The share-of-parent shape every drill-down report
+    uses, with no second aggregation pass."""
+    rev = (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.sum(_disc_price()).alias("rev_dec"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("s_nationkey")
+    return rev.select(
+        "l_suppkey",
+        "s_nationkey",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double")
+        ).alias("nation_share"),
+    ).orderBy("l_suppkey")
+
+
+def daily_priority_share(orders: DataFrame) -> DataFrame:
+    """Daily order-priority mix: per (day, priority) counts plus each
+    priority's share of the day — the window count stays in exact longs,
+    the share is one IEEE division."""
+    counts = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.partitionBy("day")
+    return counts.select(
+        "day",
+        "o_orderpriority",
+        "n_orders",
+        (F.col("n_orders") / F.sum("n_orders").over(w)).alias("day_share"),
+    ).orderBy("day", "o_orderpriority")
+
+
+def user_first_last_events(events: DataFrame) -> DataFrame:
+    """Per-user first and last event (argmin AND argmax by event time with
+    an event_id tie-break) plus the total count, in one pass: two
+    row_number windows share the user exchange (one shuffle, two sorts),
+    then a conditional aggregate pivots the two marked rows into one."""
+    w_asc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number().over(w_asc).alias("rn_first"),
+        F.row_number().over(w_desc).alias("rn_last"),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rn_first") == 1, F.col("event_id"))).alias(
+                "first_event_id"
+            ),
+            F.max(F.when(F.col("rn_first") == 1, F.col("event_type"))).alias(
+                "first_event_type"
+            ),
+            F.max(F.when(F.col("rn_last") == 1, F.col("event_id"))).alias(
+                "last_event_id"
+            ),
+            F.max(F.when(F.col("rn_last") == 1, F.col("event_type"))).alias(
+                "last_event_type"
+            ),
+        )
+        .orderBy("user_id")
+    )
