@@ -96,3 +96,68 @@ def test_cms_sketch_is_single_pass(spark, sf_dir):
     plan = _plan(cms_sketch(ev, "user_id"))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_fk_integrity_audit_scans_lineitem_once(spark, sf_dir):
+    """The three lineitem parent checks must ride ONE scan of the fact
+    table (the whole point of the combined formulation); the dims must
+    arrive broadcast."""
+    import re
+
+    from inf_553_datamining_mapreduce_spark.operators.relational import (
+        fk_integrity_audit,
+    )
+
+    li, o, c, p, s = (
+        read_parquet_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "part", "supplier")
+    )
+    plan = _plan(fk_integrity_audit(li, o, c, p, s))
+    li_scans = len(re.findall(r"parquet[^\n]*?/lineitem\.parquet", plan))
+    assert li_scans == 1, f"lineitem scanned {li_scans}x\n{plan}"
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_jaccard_dfcut_is_one_linear_pipeline(spark, sf_dir):
+    """The df-cut Jaccard path must read the corpus ONCE (sizes ride the
+    pair emission; any join-back formulation re-executes the shingle
+    lineage per reference)."""
+    import re
+
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        jaccard_near_duplicates,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    plan = _plan(jaccard_near_duplicates(d, n=3, min_jaccard=0.5, max_shingle_df=32))
+    doc_scans = len(re.findall(r"parquet[^\n]*?/documents\.parquet", plan))
+    assert doc_scans == 1, f"documents scanned {doc_scans}x\n{plan}"
+
+
+def test_link_prediction_caps_hot_pivots_with_broadcast_anti_join(spark, sf_dir):
+    """The super-node cut must appear as a broadcast anti join on the wedge
+    legs — a shuffled anti join would defeat its purpose."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], ["src", "dst"]
+    )
+    plan = _plan(link_prediction_scores(edges, k=5, max_neighbor_df=64))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_local_supplier_volume_broadcasts_all_dims(spark, sf_dir):
+    """Q5 shape: customer, supplier, nation, region must all arrive
+    broadcast — only the lineitem⋈orders fact join may shuffle."""
+    from inf_553_datamining_mapreduce_spark.operators.olap import (
+        local_supplier_volume,
+    )
+
+    li, o, c, s, n, r = (
+        read_parquet_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    )
+    plan = _plan(local_supplier_volume(li, o, c, s, n, r))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
