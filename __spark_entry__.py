@@ -861,6 +861,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["supplier_revenue_share"] = _supplier_revenue_share
     q["daily_priority_share"] = _daily_priority_share
     q["user_first_last_events"] = _user_first_last_events
+
+    def _session_window_stats_plan(spark, sf):
+        # The native session_window builder (merging state windows) executed
+        # in batch — pins the gap-session plan itself under the oracle gate,
+        # not just the micro-batch equivalence test. Boundary semantics are
+        # session_window's exact-micros rule (split at gap >= 1800s), which
+        # the oracle mirrors in epoch_us.
+        from pyspark.sql.window import Window as _W
+
+        (e,) = _t(spark, sf, "events")
+        s = W.streaming_session_stats(e, gap_sec=1800)
+        seq = F.row_number().over(
+            _W.partitionBy("user_id").orderBy("session_start")
+        )
+        return (
+            s.withColumn("session_seq", seq)
+            .select(
+                "user_id",
+                "session_seq",
+                F.unix_micros("session_start").alias("start_epoch_us"),
+                "n_events",
+                "sum_value",
+            )
+            .orderBy("user_id", "session_seq")
+        )
+
+    q["session_window_stats_plan"] = _session_window_stats_plan
+
+    def _embedding_quantized_int8(spark, sf):
+        (e,) = _t(spark, sf, "embeddings")
+        return SIM.embedding_quantize_int8(e)
+
+    q["embedding_quantized_int8"] = _embedding_quantized_int8
     return _driver_order(q)
 
 
@@ -2482,6 +2515,49 @@ def oracle_sql() -> dict[str, str]:
                MAX(CASE WHEN rn_last = 1 THEN event_id END) AS last_event_id,
                MAX(CASE WHEN rn_last = 1 THEN event_type END) AS last_event_type
         FROM m GROUP BY user_id ORDER BY user_id
+    """
+    # session_window semantics in exact micros: a new session starts when
+    # the gap REACHES the 1800 s threshold (windows are half-open
+    # [start, last_ts + gap)), unlike session_stats' floored-seconds '>'
+    # contract — 4 near-boundary gaps at sf0.01 make the distinction real.
+    d["session_window_stats_plan"] = f"""
+        WITH o AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                >= 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT *, CAST(SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+            ) AS INTEGER) AS session_seq FROM o
+        )
+        SELECT user_id, session_seq,
+               epoch_us(MIN(ts)) AS start_epoch_us,
+               COUNT(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS {_D})) AS VARCHAR) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """
+    d["embedding_quantized_int8"] = """
+        WITH x AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT dim, MIN(val) AS d_min, MAX(val) AS d_max FROM x GROUP BY dim
+        )
+        SELECT vec_id, x.dim,
+               CAST(CASE WHEN d_max > d_min THEN
+                   LEAST(255, CAST(FLOOR((val - d_min) / (d_max - d_min) * 255.0) AS INTEGER))
+               ELSE 0 END AS INTEGER) AS level
+        FROM x JOIN stats ON x.dim = stats.dim
+        ORDER BY vec_id, x.dim
     """
     return d
 

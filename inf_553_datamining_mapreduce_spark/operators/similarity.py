@@ -348,3 +348,36 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
         F.size("embedding").alias("n_dims"),
         F.sqrt(sq_sum).alias("l2_norm"),
     ).orderBy("vec_id")
+
+
+def embedding_quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension min-max int8 quantization of the embedding column —
+    the standard memory-4x step before an ANN index build. Output is one
+    row per (vec_id, dim) with the quantized level 0..255.
+
+    Shape at scale: the per-dim (min, max) calibration is one bounded
+    aggregate (cardinality = dims) broadcast back onto the exploded
+    elements; the level expression is pure codegen. Every op (subtract,
+    divide, *255, floor) is correctly-rounded IEEE on doubles both engines
+    derive from the same float32 bits, so levels match exactly."""
+    exploded = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    stats = exploded.groupBy("dim").agg(
+        F.min("val").alias("d_min"), F.max("val").alias("d_max")
+    )
+    level = F.when(F.col("d_max") > F.col("d_min"),
+        F.least(
+            F.lit(255),
+            F.floor(
+                (F.col("val") - F.col("d_min"))
+                / (F.col("d_max") - F.col("d_min"))
+                * 255.0
+            ).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        exploded.join(F.broadcast(stats), "dim")
+        .select("vec_id", "dim", level.cast("int").alias("level"))
+        .orderBy("vec_id", "dim")
+    )
