@@ -340,3 +340,57 @@ def streaming_session_stats(
             "sum_value",
         )
     )
+
+
+def streaming_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state processor API (typed state variables managed by
+    a ``StatefulProcessor``, successor to ``applyInPandasWithState``'s
+    tuple state). Semantically identical to
+    ``streaming_user_running_totals``; kept as a separate operator so both
+    stateful surfaces stay exercised.
+
+    Environment note: the processor runner requires a working
+    ``google.protobuf`` (Spark's state-server protocol); in sandboxes where
+    that import is broken the query fails at initialization — the
+    equivalence test importorskips on it. ``applyInPandasWithState``
+    (above) has no such dependency and is the portable path.
+
+    State per user is one (count, sum) value — O(users) store size, no
+    growth with stream length; the decimal-free double sum is acceptable
+    here because the state is per-key sequential (single writer per key),
+    so accumulation order is deterministic given the source order.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = "user_id long, n_events long, sum_value double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -658,3 +658,45 @@ def test_embedding_near_dup_gate_fires_before_collect(spark, sf_dir, monkeypatch
     monkeypatch.setattr(pyspark.sql.DataFrame, "collect", _no_collect)
     with pytest.raises(ValueError, match="broadcast gate"):
         dedup.embedding_near_duplicates(e)
+
+
+def test_streaming_stateful_totals_tws_matches_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas processor: final per-user totals across
+    micro-batches must equal the batch aggregate (same contract as the
+    applyInPandasWithState twin). The Spark 4 processor runner speaks
+    protobuf to the JVM; skip where the sandbox's google.protobuf install
+    is broken (operator is env-gated, not stubbed)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from inf_553_datamining_mapreduce_spark.streaming.windows import (
+        streaming_user_totals_tws,
+    )
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    events_dir = _staged_events_dir(sf_dir, tmp_path)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = read_events_stream(spark, events_dir, raw_schema)
+    q = (
+        streaming_user_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("totals_tws_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, MAX(n_events) n, MAX(sum_value) s"
+        " FROM totals_tws_test GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n"], r["s"]) for r in rows}
+    assert set(got) == set(batch)
+    for uid, (n, s) in batch.items():
+        gn, gs = got[uid]
+        assert gn == n
+        assert abs(gs - s) < 1e-6
