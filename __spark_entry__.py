@@ -889,6 +889,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["session_window_stats_plan"] = _session_window_stats_plan
 
+    def _near_duplicate_keep_best(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return D.near_duplicate_keep_best(
+            d, pairs=_jaccard_pairs_shared(spark, sf)
+        )
+
+    q["near_duplicate_keep_best"] = _near_duplicate_keep_best
+
     def _embedding_quantized_int8(spark, sf):
         (e,) = _t(spark, sf, "embeddings")
         return SIM.embedding_quantize_int8(e)
@@ -2558,6 +2566,48 @@ def oracle_sql() -> dict[str, str]:
                ELSE 0 END AS INTEGER) AS level
         FROM x JOIN stats ON x.dim = stats.dim
         ORDER BY vec_id, x.dim
+    """
+    # Same recursive transitive closure as near_duplicate_clusters, then the
+    # keep decision switches from min-id to longest-doc (token count,
+    # doc_id tie-break).
+    d["near_duplicate_keep_best"] = """
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i+2], ' ') AS shingle
+            FROM toks, UNNEST(range(1, GREATEST(len(t) - 2, 0) + 1)) AS u(i)
+            WHERE array_to_string(t[u.i:u.i+2], ' ') <> ''
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        e AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ) p
+            JOIN sizes sa ON sa.doc_id = p.doc_a
+            JOIN sizes sb ON sb.doc_id = p.doc_b
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        ),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM e
+                UNION ALL SELECT doc_b, doc_a FROM e),
+        verts AS (SELECT DISTINCT src AS id FROM sym),
+        reach(id, r) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.id
+        ),
+        clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        tok_n AS (
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, cluster_id, n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id ASC
+               ) = 1 AS keep_best
+        FROM clusters JOIN tok_n USING (doc_id)
+        ORDER BY doc_id
     """
     return d
 

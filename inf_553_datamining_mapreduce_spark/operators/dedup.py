@@ -582,3 +582,43 @@ def embedding_near_duplicates(
         .mapInPandas(kernel, schema)
         .orderBy("id_a", "id_b")
     )
+
+
+def near_duplicate_keep_best(
+    documents: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    max_shingle_df: int | None = 32,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Quality-aware dedup selection: within each near-duplicate cluster,
+    keep the LONGEST document (token count, doc_id tie-break) instead of the
+    arbitrary min-id representative — what a curation pipeline actually
+    wants when duplicates differ in truncation or boilerplate stripping.
+
+    Output: ``(doc_id, cluster_id, n_tokens, keep_best)`` for every
+    clustered document. Builds on ``near_duplicate_clusters`` (same pair
+    stream, reusable via ``pairs``); the quality join is per-doc metadata
+    (token counts stay in codegen) and the selection is one row_number
+    window over the cluster key.
+    """
+    clusters = near_duplicate_clusters(
+        documents, n=n, min_jaccard=min_jaccard, text_col=text_col,
+        max_shingle_df=max_shingle_df, pairs=pairs,
+    ).select("doc_id", "cluster_id")
+    tok = documents.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(tok, "doc_id")
+        .withColumn("keep_best", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_tokens", "keep_best")
+        .orderBy("doc_id")
+    )

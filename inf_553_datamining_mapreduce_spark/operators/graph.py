@@ -335,6 +335,129 @@ def edge_betweenness(
     )
 
 
+def edge_betweenness_distributed(
+    edges: DataFrame,
+    sample_sources: int | None = None,
+    seed: int = 17,
+    max_hops: int = 50,
+) -> DataFrame:
+    """Edge betweenness with NO driver-side adjacency: the fully
+    distributed path for graphs beyond the ``MAX_DRIVER_EDGES`` broadcast
+    gate of ``edge_betweenness``. Same simplified-GN equal-split credit
+    rule (``Betweenness.scala:56-116``), same output contract
+    ``(src, dst, betweenness)``; the arithmetic is identical, so results
+    match the kernel to float round-off (different summation order only).
+
+    Formulation: multi-source level-synchronous BFS via frontier joins
+    (diameter rounds, the ``bfs_distances`` idiom), shortest-path-DAG
+    membership as one join predicate (``d_head == d_tail + 1``), ``route``
+    as a DAG in-degree aggregate, and the reverse sweep level-by-level —
+    each level is one join + one aggregate, and contributions to level
+    L-1 vertices come ONLY from level-L edges, so the carried state is a
+    single (source, vertex, weight) table per level.
+
+    Cost: every table is per-(source, x), i.e. s×E rows — the explicit
+    Brandes-Pich estimator budget. ``sample_sources`` draws a
+    deterministic md5-ordered source sample and scales credits by
+    n_active/s (the same unbiased estimator as the kernel path). Use the
+    broadcast-kernel ``edge_betweenness`` below the gate (it is ~10x
+    faster there); use this one when the graph itself is the big thing.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst")
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    active = sym.select(F.col("src").alias("id")).distinct()
+    n_active = active.count()
+    if n_active == 0:
+        return spark.createDataFrame([], _BETWEENNESS_SCHEMA)
+    scale = 1.0
+    src_df = active
+    if sample_sources is not None and sample_sources < n_active:
+        scale = n_active / sample_sources
+        src_df = active.orderBy(
+            F.md5(F.concat_ws(":", F.col("id"), F.lit(seed))), F.col("id")
+        ).limit(sample_sources)
+    sources = src_df.select(F.col("id").alias("source"))
+
+    dist = sources.select(
+        "source", F.col("source").alias("v"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier.v == sym.src)
+            .select("source", F.col("dst").alias("v"))
+            .distinct()
+            .join(dist, ["source", "v"], "left_anti")
+            .withColumn("dist", F.lit(hop))
+        ).localCheckpoint()
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+
+    t = dist.select(
+        "source", F.col("v").alias("tail"), F.col("dist").alias("d_tail")
+    )
+    hd = dist.select(
+        "source", F.col("v").alias("head"), F.col("dist").alias("d_head")
+    )
+    dag = (
+        sym.select(F.col("src").alias("tail"), F.col("dst").alias("head"))
+        .join(t, "tail")
+        .join(hd, ["source", "head"])
+        .filter(F.col("d_head") == F.col("d_tail") + 1)
+        .select("source", "tail", "head", F.col("d_head").alias("lvl"))
+    )
+    route = dag.groupBy("source", "head").agg(F.count(F.lit(1)).alias("route"))
+    dagr = dag.join(route, ["source", "head"]).localCheckpoint()
+    max_lvl = dagr.agg(F.max("lvl")).first()[0]
+    if max_lvl is None:
+        return spark.createDataFrame([], _BETWEENNESS_SCHEMA)
+
+    pending = None  # (source, v, w): credit mass arriving from one level deeper
+    credit_parts = []
+    for lvl in range(int(max_lvl), 0, -1):
+        lvl_e = dagr.filter(F.col("lvl") == lvl)
+        if pending is not None:
+            w = pending.select("source", F.col("v").alias("head"), "w")
+            lvl_e = lvl_e.join(w, ["source", "head"], "left")
+        else:
+            lvl_e = lvl_e.withColumn("w", F.lit(None).cast("double"))
+        cred = lvl_e.select(
+            "source",
+            "tail",
+            "head",
+            (
+                (F.lit(1.0) + F.coalesce(F.col("w"), F.lit(0.0)))
+                / F.col("route")
+            ).alias("credit"),
+        ).localCheckpoint()
+        credit_parts.append(cred)
+        pending = (
+            cred.select("source", F.col("tail").alias("v"), "credit")
+            .groupBy("source", "v")
+            .agg(F.sum("credit").alias("w"))
+            .localCheckpoint()
+        )
+
+    all_credits = credit_parts[0]
+    for part in credit_parts[1:]:
+        all_credits = all_credits.unionAll(part)
+    return (
+        all_credits.select(
+            F.least("tail", "head").alias("src"),
+            F.greatest("tail", "head").alias("dst"),
+            "credit",
+        )
+        .groupBy("src", "dst")
+        .agg((F.sum("credit") * F.lit(scale) / F.lit(2.0)).alias("betweenness"))
+        .orderBy("src", "dst")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Connected components (Community.scala:22; GraphX cc labels = min member id)
 # ---------------------------------------------------------------------------

@@ -345,3 +345,64 @@ def test_sampled_betweenness_estimates_exact_on_planted_graph(spark):
     top_est = sorted(est, key=est.get, reverse=True)[:3]
     assert set(top_exact) == set(bridges)
     assert set(top_est) == set(bridges)
+
+
+def test_distributed_betweenness_matches_kernel(spark):
+    """The join-based distributed betweenness must reproduce the broadcast
+    CSR kernel's credits to float round-off (identical arithmetic, only
+    the summation order differs) on a planted two-cluster graph."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        edge_betweenness,
+        edge_betweenness_distributed,
+    )
+
+    rng = random.Random(11)
+    edges = set()
+    for base in (0, 40):
+        while sum(1 for e in edges if e[0] >= base and e[1] < base + 40) < 120:
+            a, b = rng.randrange(base, base + 40), rng.randrange(base, base + 40)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    edges.update([(5, 45), (10, 50)])
+    edf = spark.createDataFrame(sorted(edges), ["src", "dst"])
+
+    exact = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(edf).collect()
+    }
+    dist = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness_distributed(edf).collect()
+    }
+    assert set(dist) == set(exact)
+    for k, v in exact.items():
+        assert abs(dist[k] - v) <= 1e-9 * max(1.0, abs(v)), (k, v, dist[k])
+
+
+def test_distributed_betweenness_sampled_scales_unbiased(spark):
+    """Sampled distributed betweenness: same edge universe and total credit
+    mass within a modest factor of exact (unbiased estimator, fixed seed)."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        edge_betweenness,
+        edge_betweenness_distributed,
+    )
+
+    rng = random.Random(3)
+    edges = set()
+    while len(edges) < 150:
+        a, b = rng.randrange(0, 60), rng.randrange(0, 60)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edf = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    exact_total = sum(
+        r["betweenness"] for r in edge_betweenness(edf).collect()
+    )
+    est_total = sum(
+        r["betweenness"]
+        for r in edge_betweenness_distributed(edf, sample_sources=30).collect()
+    )
+    assert 0.6 * exact_total < est_total < 1.4 * exact_total
