@@ -700,3 +700,63 @@ def test_streaming_stateful_totals_tws_matches_batch(spark, sf_dir, tmp_path):
         gn, gs = got[uid]
         assert gn == n
         assert abs(gs - s) < 1e-6
+
+
+def test_jaccard_operators_match_bruteforce_on_random_corpora(spark):
+    """All three shingle-dedup paths (exact join, df-cut pipeline,
+    MinHash-LSH) must agree with an independent pure-Python brute force on
+    randomized corpora with heavy vocabulary overlap (fixed seeds)."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        jaccard_near_duplicates,
+        minhash_lsh_near_duplicates,
+    )
+
+    def brute(docs, n=3, thr=0.5):
+        sh = {}
+        for i, txt in docs:
+            t = txt.split(" ")
+            sh[i] = {" ".join(t[j : j + n]) for j in range(len(t) - n + 1)}
+        out = {}
+        ids = sorted(sh)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = sh[ids[x]], sh[ids[y]]
+                if not a or not b:
+                    continue
+                c = len(a & b)
+                j = c / (len(a) + len(b) - c)
+                if j >= thr:
+                    out[(ids[x], ids[y])] = round(j, 9)
+        return out
+
+    vocab = [f"w{i}" for i in range(12)]
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        docs = []
+        base = " ".join(rng.choice(vocab) for _ in range(20))
+        for i in range(12):
+            if rng.random() < 0.5:
+                # perturbed near-duplicate of the base document
+                toks = base.split(" ")
+                k = rng.randrange(0, 3)
+                for _ in range(k):
+                    toks[rng.randrange(len(toks))] = rng.choice(vocab)
+                docs.append((i, " ".join(toks)))
+            else:
+                docs.append(
+                    (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 25))))
+                )
+        expected = brute(docs)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        for maker in (
+            lambda d: jaccard_near_duplicates(d, n=3, min_jaccard=0.5),
+            lambda d: jaccard_near_duplicates(d, n=3, min_jaccard=0.5, max_shingle_df=1000),
+            lambda d: minhash_lsh_near_duplicates(d, n=3, min_jaccard=0.5, num_hashes=64, bands=32),
+        ):
+            got = {
+                (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+                for r in maker(df).collect()
+            }
+            assert got == expected, (seed, got, expected)
