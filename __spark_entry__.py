@@ -897,6 +897,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["near_duplicate_keep_best"] = _near_duplicate_keep_best
 
+    def _orders_time_rollup(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return O.orders_time_rollup(o)
+
+    def _funnel_conversion_rates(spark, sf):
+        from inf_553_datamining_mapreduce_spark.streaming.windows import (
+            session_funnel,
+        )
+
+        (e,) = _t(spark, sf, "events")
+        return O.funnel_conversion_rates(session_funnel(e))
+
+    def _source_language_mix(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return O.source_language_mix(d)
+
+    def _clustering_coefficients_customers(spark, sf):
+        return G.clustering_coefficients(_customer_graph_edges(spark, sf))
+
+    q["orders_time_rollup"] = _orders_time_rollup
+    q["funnel_conversion_rates"] = _funnel_conversion_rates
+    q["source_language_mix"] = _source_language_mix
+    q["clustering_coefficients_customers"] = _clustering_coefficients_customers
+
     def _embedding_quantized_int8(spark, sf):
         (e,) = _t(spark, sf, "embeddings")
         return SIM.embedding_quantize_int8(e)
@@ -2608,6 +2632,85 @@ def oracle_sql() -> dict[str, str]:
                ) = 1 AS keep_best
         FROM clusters JOIN tok_n USING (doc_id)
         ORDER BY doc_id
+    """
+    d["orders_time_rollup"] = f"""
+        SELECT COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS INTEGER), -1) AS yr,
+               COALESCE(CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER), -1) AS qtr,
+               COALESCE(CAST(EXTRACT(month FROM o_orderdate) AS INTEGER), -1) AS mon,
+               CAST(GROUPING(EXTRACT(year FROM o_orderdate)) AS INTEGER) AS g_yr,
+               CAST(GROUPING(EXTRACT(quarter FROM o_orderdate)) AS INTEGER) AS g_qtr,
+               CAST(GROUPING(EXTRACT(month FROM o_orderdate)) AS INTEGER) AS g_mon,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS {_D})) AS VARCHAR) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate),
+                         EXTRACT(quarter FROM o_orderdate),
+                         EXTRACT(month FROM o_orderdate))
+        ORDER BY yr, qtr, mon, g_yr, g_qtr, g_mon
+    """
+    # Aggregate of the session_funnel query (reused verbatim as a CTE);
+    # NULLIF mirrors Spark's null-on-zero-divisor division semantics.
+    d["funnel_conversion_rates"] = f"""
+        WITH funnel AS ({d["session_funnel"]})
+        SELECT COUNT(*) AS n_sessions,
+               CAST(COALESCE(SUM(CASE WHEN reached_view THEN 1 END), 0) AS BIGINT) AS n_view,
+               CAST(COALESCE(SUM(CASE WHEN reached_click THEN 1 END), 0) AS BIGINT) AS n_click,
+               CAST(COALESCE(SUM(CASE WHEN reached_purchase THEN 1 END), 0) AS BIGINT) AS n_purchase,
+               CAST(COALESCE(SUM(CASE WHEN reached_view THEN 1 END), 0) AS DOUBLE)
+                   / NULLIF(COUNT(*), 0) AS view_rate,
+               CAST(COALESCE(SUM(CASE WHEN reached_click THEN 1 END), 0) AS DOUBLE)
+                   / NULLIF(COALESCE(SUM(CASE WHEN reached_view THEN 1 END), 0), 0) AS click_through_rate,
+               CAST(COALESCE(SUM(CASE WHEN reached_purchase THEN 1 END), 0) AS DOUBLE)
+                   / NULLIF(COALESCE(SUM(CASE WHEN reached_click THEN 1 END), 0), 0) AS purchase_rate
+        FROM funnel
+    """
+    d["source_language_mix"] = """
+        WITH c AS (
+            SELECT source, lang, COUNT(*) AS n_docs
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source, lang, n_docs,
+               CAST(n_docs AS DOUBLE)
+                   / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS source_share
+        FROM c ORDER BY source, lang
+    """
+    # Triangle-count CTE chain (as triangle_counts_customers) extended with
+    # degrees; the coefficient divides exact longs in one IEEE op.
+    d["clustering_coefficients_customers"] = """
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS (
+            SELECT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+        ),
+        tri AS (
+            SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+            FROM e ab
+            JOIN e bc ON bc.src = ab.dst
+            JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+        ),
+        corners AS (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ),
+        deg AS (
+            SELECT v AS id, COUNT(*) AS deg
+            FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+            GROUP BY v
+        ),
+        cnt AS (SELECT id, COUNT(*) AS n FROM corners GROUP BY id)
+        SELECT deg.id,
+               COALESCE(cnt.n, CAST(0 AS BIGINT)) AS n_triangles,
+               deg.deg,
+               CASE WHEN deg.deg >= 2 THEN
+                   CAST(COALESCE(cnt.n, 0) AS DOUBLE) / (deg.deg * (deg.deg - 1) / 2.0)
+               ELSE 0.0 END AS clustering_coeff
+        FROM deg LEFT JOIN cnt ON cnt.id = deg.id
+        ORDER BY deg.id
     """
     return d
 

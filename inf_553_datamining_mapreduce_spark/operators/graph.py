@@ -1104,3 +1104,36 @@ def link_prediction_scores(
         .orderBy(F.desc("jaccard"), F.desc("common_neighbors"), "a", "b")
         .limit(k)
     )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient: triangles(v) divided by
+    deg(v)·(deg(v)-1)/2 — how close each neighborhood is to a clique, the
+    standard spam-farm / community-density signal.
+
+    Contract: ``edges`` must be DISTINCT canonically-oriented (src < dst)
+    pairs (``cooccurrence_edges`` form). Composes the canonical triangle
+    count with one degree aggregate and a key join; degree-1 vertices emit
+    coefficient 0 (no possible wedge). The division is one IEEE op over
+    exact longs — bit-identical cross-engine.
+    """
+    tri = triangle_counts(edges)
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    possible = (F.col("deg") * (F.col("deg") - 1) / F.lit(2.0))
+    return (
+        tri.join(deg, "id")
+        .select(
+            "id",
+            "n_triangles",
+            "deg",
+            F.when(F.col("deg") >= 2, F.col("n_triangles") / possible)
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+        .orderBy("id")
+    )

@@ -613,3 +613,84 @@ def user_first_last_events(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def orders_time_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP over the time hierarchy year → quarter → month: one Expand +
+    hash aggregate produces all three grains plus the grand total, with
+    grouping() flags disambiguating NULL-vs-ALL — the calendar twin of the
+    status/priority rollup family."""
+    # grouping() must name a real grouping COLUMN (not a rollup alias of an
+    # expression), so the calendar parts are projected first.
+    parts = orders.select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+        "o_totalprice",
+    )
+    return (
+        parts.rollup("yr", "qtr", "mon")
+        .agg(
+            # grouping() is only resolvable INSIDE the rollup aggregate
+            F.grouping("yr").cast("int").alias("g_yr"),
+            F.grouping("qtr").cast("int").alias("g_qtr"),
+            F.grouping("mon").cast("int").alias("g_mon"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("yr"), F.lit(-1)).alias("yr"),
+            F.coalesce(F.col("qtr"), F.lit(-1)).alias("qtr"),
+            F.coalesce(F.col("mon"), F.lit(-1)).alias("mon"),
+            "g_yr",
+            "g_qtr",
+            "g_mon",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("yr", "qtr", "mon", "g_yr", "g_qtr", "g_mon")
+    )
+
+
+def funnel_conversion_rates(session_funnels: DataFrame) -> DataFrame:
+    """Aggregate conversion funnel from per-session depth flags
+    (``streaming.windows.session_funnel`` output): sessions reaching each
+    stage and the step conversion rate vs the previous stage — exact long
+    counts, one IEEE division per rate."""
+    agg = session_funnels.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.coalesce(F.sum(F.when(F.col("reached_view"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_view"),
+        F.coalesce(F.sum(F.when(F.col("reached_click"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_click"),
+        F.coalesce(F.sum(F.when(F.col("reached_purchase"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_purchase"),
+    )
+    return agg.select(
+        "n_sessions",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        (F.col("n_view") / F.col("n_sessions")).alias("view_rate"),
+        (F.col("n_click") / F.col("n_view")).alias("click_through_rate"),
+        (F.col("n_purchase") / F.col("n_click")).alias("purchase_rate"),
+    )
+
+
+def source_language_mix(documents: DataFrame) -> DataFrame:
+    """Per-source language composition: counts and each language's share of
+    its source (windowed share-of-parent over exact longs) — the corpus
+    governance report behind any mixture decision."""
+    counts = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("source")
+    return counts.select(
+        "source",
+        "lang",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("source_share"),
+    ).orderBy("source", "lang")
