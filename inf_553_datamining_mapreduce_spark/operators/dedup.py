@@ -542,6 +542,10 @@ def embedding_near_duplicates(
             f"({MAX_BROADCAST_VECTORS}); use the LSH prefilter path"
         )
     rows = embeddings.select("vec_id", "embedding").collect()
+    if not rows:
+        return spark.createDataFrame(
+            [], "id_a bigint, id_b bigint, cosine double"
+        )
     all_ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)

@@ -238,7 +238,13 @@ def frequent_itemsets_fpgrowth(
     b = baskets.select(basket_col).persist()
     try:
         n = b.count()
-        fp_min = max((support - 0.5) / max(n, 1), 1e-12)
+        if n == 0:
+            # FPGrowth rejects minSupport > 1, which the relative formula
+            # produces for an empty corpus — the answer is simply empty.
+            return baskets.sparkSession.createDataFrame(
+                [], "itemset array<bigint>, support bigint"
+            )
+        fp_min = min(max((support - 0.5) / n, 1e-12), 1.0)
         model = FPGrowth(itemsCol=basket_col, minSupport=fp_min, minConfidence=0.5).fit(b)
         result = model.freqItemsets.select(
             F.sort_array(F.col("items")).cast(ArrayType(LongType())).alias("itemset"),

@@ -199,6 +199,13 @@ def ivf_top_k(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).cast("array<double>").alias("e_emb"),
     ).withColumn("features", array_to_vector("e_emb"))
+    # KMeans cannot fit fewer points than clusters; an index over a corpus
+    # that small has nothing to prune — brute force IS the right plan there.
+    if e.limit(n_centroids).count() < n_centroids:
+        return brute_force_top_k(
+            embeddings, queries, k=k, id_col=id_col, emb_col=emb_col,
+            query_id_col=query_id_col,
+        )
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(e)
     assigned = model.transform(e).select(
         "neighbor_id", "e_emb", F.col("prediction").alias("cell")

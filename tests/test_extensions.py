@@ -4,6 +4,8 @@ and Structured Streaming twins validated against their batch goldens."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -760,3 +762,34 @@ def test_jaccard_operators_match_bruteforce_on_random_corpora(spark):
                 for r in maker(df).collect()
             }
             assert got == expected, (seed, got, expected)
+
+
+def test_all_queries_handle_empty_tables(spark, tmp_path):
+    """Every registered query must run (possibly to zero rows) against
+    EMPTY copies of all ten tables — at fleet scale empty partitions and
+    freshly-truncated tables are routine, and an operator that crashes on
+    them (divide-by-zero thresholds, ML fits, numpy axis errors) is a
+    production incident, not an edge case."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    src = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    dst = tmp_path / "sf_empty"
+    dst.mkdir()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') LIMIT 0)"
+            f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    failures = {}
+    for name, fn in em.queries().items():
+        try:
+            fn(spark, str(dst)).count()
+        except Exception as exc:  # collect all, report once
+            failures[name] = str(exc).split("\n")[0][:120]
+    assert not failures, failures
