@@ -921,6 +921,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["source_language_mix"] = _source_language_mix
     q["clustering_coefficients_customers"] = _clustering_coefficients_customers
 
+    def _events_daily_zscores(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return O.events_daily_zscores(e)
+
+    def _customer_rfm_segments(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return O.customer_rfm_segments(o)
+
+    def _session_paths(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return O.session_paths(e)
+
+    q["events_daily_zscores"] = _events_daily_zscores
+    q["customer_rfm_segments"] = _customer_rfm_segments
+    q["session_paths"] = _session_paths
+
     def _embedding_quantized_int8(spark, sf):
         (e,) = _t(spark, sf, "embeddings")
         return SIM.embedding_quantize_int8(e)
@@ -2711,6 +2727,85 @@ def oracle_sql() -> dict[str, str]:
                ELSE 0.0 END AS clustering_coeff
         FROM deg LEFT JOIN cnt ON cnt.id = deg.id
         ORDER BY deg.id
+    """
+    # Mirrors the Spark expression SHAPE exactly (operand-by-operand) so
+    # every double op is the same IEEE op: mean = double(sc)/double(n),
+    # var = (double(n)*scc - sc*sc) / (double(n)*double(n)).
+    d["events_daily_zscores"] = """
+        WITH daily AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   COUNT(*) AS n_days,
+                   CAST(SUM(n_events) AS BIGINT) AS sc,
+                   CAST(SUM(n_events * n_events) AS BIGINT) AS scc
+            FROM daily GROUP BY event_type
+        )
+        SELECT day, d.event_type, n_events,
+               CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+               CASE WHEN (CAST(n_days AS DOUBLE) * scc - sc * sc)
+                         / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)) > 0
+                    THEN (n_events - CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+                         / sqrt((CAST(n_days AS DOUBLE) * scc - sc * sc)
+                                / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)))
+                    ELSE 0.0 END AS zscore
+        FROM daily d JOIN stats USING (event_type)
+        ORDER BY day, d.event_type
+    """
+    d["customer_rfm_segments"] = f"""
+        WITH pc AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS frequency,
+                   CAST(CAST(SUM(CAST(o_totalprice AS {_D})) AS VARCHAR) AS DOUBLE) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        mx AS (SELECT MAX(last_order) AS max_date FROM pc),
+        base AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', CAST(last_order AS DATE), CAST(max_date AS DATE)) AS BIGINT) AS recency_days,
+                   frequency, monetary
+            FROM pc CROSS JOIN mx
+        ),
+        scored AS (
+            SELECT o_custkey, recency_days, frequency, monetary,
+                   CAST(NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INTEGER) AS r_score,
+                   CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INTEGER) AS f_score,
+                   CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INTEGER) AS m_score
+            FROM base
+        )
+        SELECT o_custkey, recency_days, frequency, monetary,
+               r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS rfm_code
+        FROM scored ORDER BY o_custkey
+    """
+    d["session_paths"] = """
+        WITH o AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, CAST(SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+            ) AS BIGINT) AS session_seq FROM o
+        ),
+        p AS (
+            SELECT user_id, session_seq,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM s GROUP BY user_id, session_seq
+        )
+        SELECT path, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+        FROM p GROUP BY path
+        ORDER BY n_sessions DESC, n_users DESC, path
+        LIMIT 50
     """
     return d
 

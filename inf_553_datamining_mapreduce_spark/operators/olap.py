@@ -694,3 +694,122 @@ def source_language_mix(documents: DataFrame) -> DataFrame:
         "n_docs",
         (F.col("n_docs") / F.sum("n_docs").over(w)).alias("source_share"),
     ).orderBy("source", "lang")
+
+
+def events_daily_zscores(events: DataFrame) -> DataFrame:
+    """Daily volume anomaly scores per event type: each (day, type) count's
+    z-score against that type's distribution over days. The co-moments
+    (n, Σc, Σc²) are sums of exact LONGS — order-independent — and the
+    mean/std/z-score is one fixed double expression, so the result is
+    bit-identical cross-engine (population σ; a zero-variance type emits
+    z=0.0 — NULL/NaN doubles would poison cross-engine value hashing). The
+    anomaly-baseline query every monitoring pipeline runs."""
+    daily = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("sc"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("scc"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("sc") / n
+    var = (n * F.col("scc") - F.col("sc") * F.col("sc")) / (n * n)
+    return (
+        daily.join(stats, "event_type")
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            mean.alias("mean_daily"),
+            F.when(var > 0, (F.col("n_events") - mean) / F.sqrt(var))
+            .otherwise(F.lit(0.0))
+            .alias("zscore"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def customer_rfm_segments(orders: DataFrame) -> DataFrame:
+    """Classic RFM segmentation: per customer, recency (days from last
+    order to the corpus max date), frequency (order count), monetary
+    (decimal-exact total), each scored into quartiles by NTILE with a
+    customer-id tie-break (total order → deterministic buckets), and the
+    three digits concatenated into the familiar segment code."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        _dsum("o_totalprice").alias("monetary"),
+    )
+    max_date = per_cust.agg(F.max("last_order").alias("max_date"))
+    base = per_cust.crossJoin(F.broadcast(max_date)).select(
+        "o_custkey",
+        F.datediff("max_date", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    return (
+        base.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.ntile(4).over(w_r).alias("r_score"),
+            F.ntile(4).over(w_f).alias("f_score"),
+            F.ntile(4).over(w_m).alias("m_score"),
+        )
+        .withColumn(
+            "rfm_code",
+            F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def session_paths(events: DataFrame, gap_sec: int = 1800, top_n: int = 50) -> DataFrame:
+    """Most common session journeys: events grouped into gap-sessions (the
+    ``session_stats`` floored-seconds contract), each session rendered as
+    its time-ordered event-type path string, then the top-N paths by
+    session count with full deterministic tie-breaks. The per-session path
+    builds via sort_array over (ts, event_id) structs inside one aggregate
+    — no second window pass."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lag("ts").over(w))
+    )
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0).alias("new_s"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = marked.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.expr(
+                "transform(sort_array(collect_list(struct(ts, event_id, event_type))),"
+                " x -> x.event_type)"
+            ),
+        ).alias("path")
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), F.desc("n_users"), "path")
+        .limit(top_n)
+    )
