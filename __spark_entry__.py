@@ -413,8 +413,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return R.orders_by_month(o)
 
     def _approx_distinct_parts(spark, sf):
+        # Gateable form: exact count + sketch-within-3σ assertion (the raw
+        # HLL value has no cross-engine oracle; this row used to be
+        # no_oracle). The pure single-pass sketch remains the library's
+        # R.approx_distinct_parts for the scale path.
         (li,) = _t(spark, sf, "lineitem")
-        return R.approx_distinct_parts(li)
+        return R.approx_distinct_parts_checked(li)
 
     def _approx_distinct_parts_bounds(spark, sf):
         (li,) = _t(spark, sf, "lineitem")
@@ -701,7 +705,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_dim_stats"] = _embedding_dim_stats
 
     def _link_prediction_customers(spark, sf):
-        return G.link_prediction_scores(_customer_graph_edges(spark, sf), k=20)
+        # The registered query opts into the super-node wedge cut (the
+        # library default is exact/None): at the driver's test scales no
+        # customer vertex approaches deg 4096, so the result is identical
+        # to the exact oracle while the hub-cut plan is the one exercised.
+        return G.link_prediction_scores(
+            _customer_graph_edges(spark, sf), k=20, max_neighbor_df=4096
+        )
 
     q["link_prediction_customers"] = _link_prediction_customers
 
@@ -942,6 +952,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.embedding_quantize_int8(e)
 
     q["embedding_quantized_int8"] = _embedding_quantized_int8
+
+    # --- round-4 additions -------------------------------------------------
+
+    def _customer_revenue_percent_rank(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return O.customer_revenue_percent_rank(o)
+
+    def _supplier_part_pareto(spark, sf):
+        (li,) = _t(spark, sf, "lineitem")
+        return O.supplier_part_pareto(li)
+
+    def _events_hourly_heatmap(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return O.events_hourly_heatmap(e)
+
+    def _tfidf_top_terms(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.tfidf_top_terms(d, k=5)
+
+    def _exact_duplicates_normalized(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return D.exact_duplicates_normalized(d)
+
+    def _degree_distribution_customers(spark, sf):
+        return G.degree_distribution(_customer_graph_edges(spark, sf))
+
+    q["customer_revenue_percent_rank"] = _customer_revenue_percent_rank
+    q["supplier_part_pareto"] = _supplier_part_pareto
+    q["events_hourly_heatmap"] = _events_hourly_heatmap
+    q["tfidf_top_terms"] = _tfidf_top_terms
+    q["exact_duplicates_normalized"] = _exact_duplicates_normalized
+    q["degree_distribution_customers"] = _degree_distribution_customers
     return _driver_order(q)
 
 
@@ -1765,6 +1807,14 @@ def oracle_sql() -> dict[str, str]:
     # oracle asserts every supplier's sketch landed within 3 rsd of exact.
     d["approx_distinct_parts_bounds"] = """
         SELECT l_suppkey, TRUE AS within_bounds
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+    """
+    # Gateable twin of the raw sketch: exact_parts is recomputed exactly by
+    # the oracle, within_bounds asserts the HLL landed inside 3 rsd.
+    d["approx_distinct_parts"] = """
+        SELECT l_suppkey,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS within_bounds
         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
     """
     # Count-min sketch is fully deterministic (md5-seeded cells), so the
@@ -2730,7 +2780,12 @@ def oracle_sql() -> dict[str, str]:
     """
     # Mirrors the Spark expression SHAPE exactly (operand-by-operand) so
     # every double op is the same IEEE op: mean = double(sc)/double(n),
-    # var = (double(n)*scc - sc*sc) / (double(n)*double(n)).
+    # var = (double(n)*double(scc) - double(sc)*double(sc))
+    #       / (double(n)*double(n)).
+    # scc accumulates as a DECIMAL (square widened BEFORE the sum) so a
+    # >3e9 daily count can't wrap int64; sc is squared only after the
+    # double cast, matching the Spark side. The scc decimal→double goes
+    # through VARCHAR (DuckDB's direct decimal→double cast is off by ulps).
     d["events_daily_zscores"] = """
         WITH daily AS (
             SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
@@ -2741,18 +2796,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    COUNT(*) AS n_days,
                    CAST(SUM(n_events) AS BIGINT) AS sc,
-                   CAST(SUM(n_events * n_events) AS BIGINT) AS scc
+                   SUM(CAST(n_events AS DECIMAL(18,0))
+                       * CAST(n_events AS DECIMAL(18,0))) AS scc
             FROM daily GROUP BY event_type
+        ),
+        statsd AS (
+            SELECT event_type, n_days, sc,
+                   CAST(CAST(scc AS VARCHAR) AS DOUBLE) AS scc_d
+            FROM stats
         )
         SELECT day, d.event_type, n_events,
                CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
-               CASE WHEN (CAST(n_days AS DOUBLE) * scc - sc * sc)
+               CASE WHEN (CAST(n_days AS DOUBLE) * scc_d
+                          - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
                          / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)) > 0
                     THEN (n_events - CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
-                         / sqrt((CAST(n_days AS DOUBLE) * scc - sc * sc)
+                         / sqrt((CAST(n_days AS DOUBLE) * scc_d
+                                 - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
                                 / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)))
                     ELSE 0.0 END AS zscore
-        FROM daily d JOIN stats USING (event_type)
+        FROM daily d JOIN statsd USING (event_type)
         ORDER BY day, d.event_type
     """
     d["customer_rfm_segments"] = f"""
@@ -2806,6 +2869,112 @@ def oracle_sql() -> dict[str, str]:
         FROM p GROUP BY path
         ORDER BY n_sessions DESC, n_users DESC, path
         LIMIT 50
+    """
+
+    # --- round-4 additions -------------------------------------------------
+    # The (revenue, custkey) composite order is unique, so PERCENT_RANK's
+    # peer groups are single rows and both engines evaluate the identical
+    # (rank-1)/(N-1) division.
+    d["customer_revenue_percent_rank"] = f"""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(CAST(SUM(CAST(o_totalprice AS {_D})) AS VARCHAR) AS DOUBLE) AS revenue
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, revenue,
+               PERCENT_RANK() OVER (ORDER BY revenue, o_custkey) AS pct_rank
+        FROM rev ORDER BY o_custkey
+    """
+    # Running decimal sums are exact in both engines; each decimal→double
+    # goes through VARCHAR on the DuckDB side (its direct cast is off by
+    # ulps), and the share is one IEEE division. ROWS frame is explicit —
+    # DuckDB's default RANGE frame would merge tied revenues.
+    d["supplier_part_pareto"] = f"""
+        WITH rev AS (
+            SELECT l_suppkey, l_partkey,
+                   SUM(CAST(l_extendedprice AS {_D})) AS rev_d
+            FROM lineitem GROUP BY l_suppkey, l_partkey
+        )
+        SELECT l_suppkey, l_partkey,
+               CAST(CAST(rev_d AS VARCHAR) AS DOUBLE) AS part_revenue,
+               CAST(CAST(SUM(rev_d) OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY rev_d DESC, l_partkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(rev_d) OVER (PARTITION BY l_suppkey) AS VARCHAR) AS DOUBLE)
+                   AS cum_share
+        FROM rev ORDER BY l_suppkey, l_partkey
+    """
+    # DuckDB's dow is 0=Sunday; Spark's dayofweek is 1=Sunday — shift here.
+    d["events_hourly_heatmap"] = """
+        SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INTEGER) AS dow,
+               CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # Same token pipeline as term_frequency_stats; the score is
+    # (occ/len)*(n_docs/df) evaluated with the identical operand shapes.
+    d["tfidf_top_terms"] = """
+        WITH exploded AS (
+            SELECT doc_id,
+                   UNNEST(string_split(text, ' ')) AS token,
+                   len(string_split(text, ' ')) AS doc_len
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, doc_len, COUNT(*) AS occurrences
+            FROM exploded GROUP BY doc_id, token, doc_len
+        ),
+        df AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   (CAST(tf.occurrences AS DOUBLE) / tf.doc_len)
+                   * (CAST(nd.n_docs AS DOUBLE) / df.doc_freq) AS tfidf
+            FROM tf JOIN df ON tf.token = df.token CROSS JOIN nd
+        ),
+        ranked AS (
+            SELECT doc_id, token, tfidf,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+                   ) AS INTEGER) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, token, tfidf, rnk
+        FROM ranked WHERE rnk <= 5
+        ORDER BY doc_id, rnk
+    """
+    # 'g' flag: DuckDB regexp_replace is first-match-only by default where
+    # Spark's replaces every occurrence.
+    d["exact_duplicates_normalized"] = """
+        SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS content_hash,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS keep_doc_id
+        FROM documents
+        GROUP BY 1 HAVING COUNT(*) > 1
+        ORDER BY content_hash
+    """
+    d["degree_distribution_customers"] = """
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS (
+            SELECT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+        ),
+        sym AS (
+            SELECT src, dst FROM e
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e
+        ),
+        deg AS (SELECT src, COUNT(*) AS degree FROM sym GROUP BY src)
+        SELECT degree, COUNT(*) AS n_vertices
+        FROM deg GROUP BY degree ORDER BY degree
     """
     return d
 

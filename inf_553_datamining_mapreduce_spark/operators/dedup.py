@@ -41,6 +41,29 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def exact_duplicates_normalized(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup after canonical text normalization — lowercase, non-
+    alphanumeric runs collapsed to single spaces, trimmed — the standard
+    first escalation when byte-identical dedup misses trivially reformatted
+    copies (case, punctuation, whitespace). Same hash-aggregate shape as
+    ``exact_duplicates``: one shuffle on the 16-byte digest, unbounded."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    return (
+        documents.select(F.md5(norm).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("content_hash")
+    )
+
+
 def word_shingles(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per document: ``(doc_id, shingle)``.
     Built with transform-over-sequence so shingling stays in codegen."""
@@ -69,9 +92,12 @@ def jaccard_near_duplicates(
 
     Exact algorithm: |A ∩ B| via self-equi-join on shingle, |A|, |B| from a
     per-doc size table, jaccard = common / (|A| + |B| - common). With
-    ``max_shingle_df`` set, shingles present in more docs are dropped first
-    (df-cut) — at that point the result is exact w.r.t. the reduced shingle
-    space, the standard web-scale trade.
+    ``max_shingle_df`` set, the scoring is a conservative hybrid: sizes
+    |A|, |B| are counted over the FULL shingle set while the intersection
+    only counts shingles at or below the df cut, so scores are only ever
+    LOWERED (never inflated) relative to the uncut Jaccard — pairs whose
+    overlap rides solely on stop-shingles fall out, the standard
+    web-scale trade.
     """
     sh = word_shingles(documents, n, text_col)
     if max_shingle_df is not None:

@@ -1035,7 +1035,7 @@ def bfs_distances(
 
 
 def link_prediction_scores(
-    edges: DataFrame, k: int = 20, max_neighbor_df: int = 4096
+    edges: DataFrame, k: int = 20, max_neighbor_df: int | None = None
 ) -> DataFrame:
     """Common-neighbor link prediction over the undirected graph: for every
     NON-adjacent pair sharing >= 1 neighbor, the common-neighbor count and
@@ -1051,13 +1051,16 @@ def link_prediction_scores(
     triangle count uses (two shuffle joins on vertex keys — never an
     all-pairs product); existing edges drop out with one anti join; degrees
     attach via two key joins. A wedge pivot vertex v fans out deg(v)^2
-    intermediate rows on one key, so super-node pivots (deg >
-    ``max_neighbor_df``) are dropped from the wedge enumeration BEFORE the
-    join — the same df-cut the shingle dedup applies. A hub shared by
-    everyone is non-discriminative for Jaccard ranking (it inflates cn by at
-    most 1 while its own deg term never enters), so the cut changes only
-    pairs whose SOLE witnesses are super-nodes; degrees (the Jaccard
-    denominator) are still computed over the full graph.
+    intermediate rows on one key, so with ``max_neighbor_df`` set,
+    super-node pivots (deg > cut) are dropped from the wedge enumeration
+    BEFORE the join — the same df-cut the shingle dedup applies. The cut is
+    LOSSY: every pair with at least one super-node common neighbor gets a
+    lowered cn (and Jaccard), which can reshuffle the top-k, and pairs
+    witnessed ONLY by super-nodes disappear; degrees (the Jaccard
+    denominator) are still computed over the full graph, so surviving
+    scores are conservative, never inflated. The library default is
+    ``None`` (exact); the registered query opts into the cut for the
+    hub-heavy scale path.
     """
     e = edges.select("src", "dst")
     sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -1103,6 +1106,26 @@ def link_prediction_scores(
         )
         .orderBy(F.desc("jaccard"), F.desc("common_neighbors"), "a", "b")
         .limit(k)
+    )
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """Degree histogram of the undirected graph: how many vertices have
+    each degree — the first sanity plot of any graph pipeline (power-law
+    check, super-node detection before choosing wedge cuts).
+
+    Contract: ``edges`` must be DISTINCT canonically-oriented (src < dst)
+    pairs (``cooccurrence_edges`` form). Two bounded aggregates — degrees
+    per vertex, then counts per degree; the second groups on a key whose
+    cardinality is at most max-degree."""
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("degree")
     )
 
 

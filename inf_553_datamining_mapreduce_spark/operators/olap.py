@@ -16,9 +16,10 @@ Scale stance (100 TB):
   * Monetary aggregates use the decimal-exact accumulation idiom from
     ``relational._dsum`` so results are bit-identical across engines and
     row orders.
-  * Window shapes partition by bounded keys (customer, status, user); no
-    window ever spans the whole table unordered except the explicit
-    global ranks, which a 100-TB deployment would range-partition.
+  * Window shapes partition by bounded keys (customer, status, user); global
+    orderings (NTILE scores, percent_rank) go through ``_global_ranks`` —
+    range-partitioned TeraSort-shape ranking — never a single-partition
+    ``Window.orderBy``.
 """
 
 from __future__ import annotations
@@ -32,6 +33,78 @@ from inf_553_datamining_mapreduce_spark.operators.relational import (
     _DEC,
     _dsum,
 )
+
+
+def _global_ranks(
+    df: DataFrame,
+    order_cols: list,
+    rank_name: str = "_rank",
+    total_name: str | None = None,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row numbers over a total order WITHOUT a
+    single-partition window — the TeraSort shape: range-repartition on the
+    sort key (sampled, balanced boundaries), ``row_number`` within each
+    range, then add each range's row-count offset via a broadcast join.
+
+    ``localCheckpoint`` pins the sampled range boundaries: the offset branch
+    and the rank branch must see the SAME partitioning, and a re-executed
+    range sampling job could draw different splits. Everything downstream of
+    the checkpoint is deterministic.
+
+    The caller makes the order TOTAL (unique tie-break column) when exact
+    per-row ranks matter; with ties, only tie-group {min,max} of the ranks
+    are deterministic (the range partitioner never splits equal keys across
+    partitions, so tie groups stay intact). The only single-task work is
+    the cumulative offset over ``num_parts`` rows — provably tiny.
+    ``total_name`` additionally attaches the total row count as a column
+    (computed from the same per-range counts, no extra scan).
+    """
+    spark = df.sparkSession
+    n_parts = num_parts or spark.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_cols = [
+        F.col("_pid"),
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    ]
+    if total_name is not None:
+        w_all = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("_cnt").over(w_all).alias(total_name))
+    offsets = counts.select(*off_cols)
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            rank_name,
+            (F.row_number().over(w_local) + F.col("_off")).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )
+
+
+def _ntile_from_rank(rank: F.Column, n_total: F.Column, n: int) -> F.Column:
+    """NTILE(n) bucket as a pure expression over an exact 1-based global
+    rank: the first (N mod n) buckets take ceil(N/n) rows, the rest take
+    floor(N/n) — the NTILE contract Spark and DuckDB share. Replaces the
+    single-partition ``ntile().over(Window.orderBy(...))`` with arithmetic
+    on ``_global_ranks`` output."""
+    q = F.floor(n_total / n)
+    rem = n_total % n
+    big = q + F.lit(1)
+    threshold = rem * big
+    return (
+        F.when(rank <= threshold, F.floor((rank - 1) / big))
+        .otherwise(rem + F.floor((rank - 1 - threshold) / q))
+        + F.lit(1)
+    ).cast("int")
 
 
 def _disc_price() -> F.Column:
@@ -326,15 +399,45 @@ def order_price_percent_rank(orders: DataFrame) -> DataFrame:
     """Distribution position of every order within its status:
     ``percent_rank`` and ``cume_dist``. Both are exact rationals evaluated
     in one IEEE division, so ties and values agree across engines
-    regardless of physical row order."""
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    regardless of physical row order.
+
+    Scale shape: ``o_orderstatus`` has ~3 distinct values, so a window
+    partitioned on it is three giant single-task sorts. Instead the rows get
+    exact global ranks over (status, price) via ``_global_ranks`` (range
+    partitioning never splits a tie group, so tie-group min/max ranks are
+    deterministic even though per-row numbers within a tie are not), and
+    percent_rank/cume_dist fall out as arithmetic:
+
+        pct_rank  = (min_rank_in_tie - status_offset)     / (n_status - 1)
+        cume_dist = (max_rank_in_tie - status_offset + 1) /  n_status
+
+    — each the same single IEEE long/long division the window functions
+    perform, so values stay bit-identical to the oracle."""
+    ranked = _global_ranks(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        [F.col("o_orderstatus").asc(), F.col("o_totalprice").asc()],
+        "_rank",
+    )
+    w_tie = Window.partitionBy("o_orderstatus", "o_totalprice")
+    per_status = ranked.groupBy("o_orderstatus").agg(
+        (F.min("_rank") - 1).alias("_s_off"),
+        F.count(F.lit(1)).alias("_s_n"),
+    )
     return (
-        orders.select(
+        ranked.withColumn("_rmin", F.min("_rank").over(w_tie))
+        .withColumn("_rmax", F.max("_rank").over(w_tie))
+        .join(F.broadcast(per_status), "o_orderstatus")
+        .select(
             "o_orderkey",
             "o_orderstatus",
             "o_totalprice",
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cume_dist"),
+            F.when(
+                F.col("_s_n") > 1,
+                (F.col("_rmin") - 1 - F.col("_s_off")) / (F.col("_s_n") - 1),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+            ((F.col("_rmax") - F.col("_s_off")) / F.col("_s_n")).alias("cume_dist"),
         )
         .orderBy("o_orderkey")
     )
@@ -342,17 +445,105 @@ def order_price_percent_rank(orders: DataFrame) -> DataFrame:
 
 def user_value_ntiles(events: DataFrame, n: int = 4) -> DataFrame:
     """Per-user lifetime value quartiles: decimal-exact value totals, then
-    NTILE(n) over (total, user_id) — the tie-break makes bucket assignment
-    total-order deterministic. The classic LTV segmentation query."""
+    NTILE(n) semantics over (total, user_id) — the tie-break makes bucket
+    assignment total-order deterministic. The classic LTV segmentation
+    query. NTILE is computed from exact distributed global ranks
+    (``_global_ranks`` + ``_ntile_from_rank``) instead of a
+    single-partition ``Window.orderBy`` — same buckets, TeraSort scaling."""
     totals = events.groupBy("user_id").agg(_dsum("value").alias("total_value"))
-    w = Window.orderBy(F.col("total_value").asc(), F.col("user_id").asc())
+    ranked = _global_ranks(
+        totals,
+        [F.col("total_value").asc(), F.col("user_id").asc()],
+        "_rank",
+        total_name="_n",
+    )
     return (
-        totals.select(
+        ranked.select(
             "user_id",
             "total_value",
-            F.ntile(n).over(w).alias("value_quartile"),
+            _ntile_from_rank(F.col("_rank"), F.col("_n"), n).alias(
+                "value_quartile"
+            ),
         )
         .orderBy("user_id")
+    )
+
+
+def customer_revenue_percent_rank(orders: DataFrame) -> DataFrame:
+    """Global distribution position of every customer's lifetime revenue:
+    decimal-exact per-customer totals, then ``percent_rank`` over the
+    (revenue, custkey) total order — computed from ``_global_ranks``
+    (TeraSort-shape exact ranking) instead of a single-partition window.
+    The composite order is unique, so each row is its own peer group and
+    pct_rank = (rank-1)/(N-1) — the same single IEEE division the window
+    function performs."""
+    rev = orders.groupBy("o_custkey").agg(_dsum("o_totalprice").alias("revenue"))
+    ranked = _global_ranks(
+        rev,
+        [F.col("revenue").asc(), F.col("o_custkey").asc()],
+        "_rank",
+        total_name="_n",
+    )
+    return (
+        ranked.select(
+            "o_custkey",
+            "revenue",
+            F.when(
+                F.col("_n") > 1, (F.col("_rank") - 1) / (F.col("_n") - 1)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def supplier_part_pareto(lineitem: DataFrame) -> DataFrame:
+    """Pareto (ABC) analysis per supplier: parts ranked by revenue within
+    their supplier, with each part's cumulative share of the supplier's
+    total. The window partitions on ``l_suppkey`` (bounded: one supplier's
+    part list) and the running decimal sum is made deterministic by the
+    (revenue desc, partkey) total order inside the partition; the share is
+    a single double division of two exactly-accumulated decimals."""
+    rev = lineitem.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("rev_d")
+    )
+    w_run = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.col("rev_d").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_suppkey")
+    return (
+        rev.select(
+            "l_suppkey",
+            "l_partkey",
+            F.col("rev_d").cast("double").alias("part_revenue"),
+            (
+                F.sum("rev_d").over(w_run).cast("double")
+                / F.sum("rev_d").over(w_all).cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy("l_suppkey", "l_partkey")
+    )
+
+
+def events_hourly_heatmap(events: DataFrame) -> DataFrame:
+    """Traffic heatmap: event volume and distinct users per (day-of-week,
+    hour-of-day) cell — the capacity-planning rollup. One aggregate at
+    168-cell grain; dow is 1=Sunday..7=Saturday in both engines (DuckDB's
+    0-based ``dow`` is shifted in the oracle). Timestamps are evaluated
+    under the UTC session pin so the bucketing is host-timezone-free."""
+    return (
+        events.groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hour")
     )
 
 
@@ -699,22 +890,29 @@ def source_language_mix(documents: DataFrame) -> DataFrame:
 def events_daily_zscores(events: DataFrame) -> DataFrame:
     """Daily volume anomaly scores per event type: each (day, type) count's
     z-score against that type's distribution over days. The co-moments
-    (n, Σc, Σc²) are sums of exact LONGS — order-independent — and the
-    mean/std/z-score is one fixed double expression, so the result is
-    bit-identical cross-engine (population σ; a zero-variance type emits
-    z=0.0 — NULL/NaN doubles would poison cross-engine value hashing). The
+    (n, Σc, Σc²) are exact order-independent sums — Σc a long, Σc² a
+    decimal so squaring a >3e9 daily count can never wrap int64 (Spark
+    wraps silently where DuckDB raises; widening keeps the engines
+    identical at any scale) — and the mean/std/z-score is one fixed double
+    expression evaluated on double operands (``sc`` is squared AFTER the
+    double cast for the same reason), so the result is bit-identical
+    cross-engine (population σ; a zero-variance type emits z=0.0 —
+    NULL/NaN doubles would poison cross-engine value hashing). The
     anomaly-baseline query every monitoring pipeline runs."""
     daily = events.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
+    sq = F.col("n_events").cast("decimal(18,0)")
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("n_events").alias("sc"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("scc"),
+        F.sum(sq * sq).alias("scc"),
     )
     n = F.col("n_days").cast("double")
+    sc_d = F.col("sc").cast("double")
+    scc_d = F.col("scc").cast("double")
     mean = F.col("sc") / n
-    var = (n * F.col("scc") - F.col("sc") * F.col("sc")) / (n * n)
+    var = (n * scc_d - sc_d * sc_d) / (n * n)
     return (
         daily.join(stats, "event_type")
         .select(
@@ -733,9 +931,16 @@ def events_daily_zscores(events: DataFrame) -> DataFrame:
 def customer_rfm_segments(orders: DataFrame) -> DataFrame:
     """Classic RFM segmentation: per customer, recency (days from last
     order to the corpus max date), frequency (order count), monetary
-    (decimal-exact total), each scored into quartiles by NTILE with a
-    customer-id tie-break (total order → deterministic buckets), and the
-    three digits concatenated into the familiar segment code."""
+    (decimal-exact total), each scored into quartiles with NTILE semantics
+    and a customer-id tie-break (total order → deterministic buckets), and
+    the three digits concatenated into the familiar segment code.
+
+    Scale shape: the three quartile scores are NTILE over three different
+    global orderings — as single-partition ``Window.orderBy`` NTILEs that
+    is three sequential whole-table one-task sorts. Instead each ordering
+    gets exact distributed global ranks (``_global_ranks``, chained so no
+    join-back on customer is needed) and the bucket falls out of
+    ``_ntile_from_rank`` — identical buckets, three parallel range sorts."""
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
@@ -748,18 +953,22 @@ def customer_rfm_segments(orders: DataFrame) -> DataFrame:
         "frequency",
         "monetary",
     )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    cust = F.col("o_custkey").asc()
+    ranked = _global_ranks(
+        base, [F.col("recency_days").asc(), cust], "_rr", total_name="_n"
+    )
+    ranked = _global_ranks(ranked, [F.col("frequency").desc(), cust], "_fr")
+    ranked = _global_ranks(ranked, [F.col("monetary").desc(), cust], "_mr")
+    n = F.col("_n")
     return (
-        base.select(
+        ranked.select(
             "o_custkey",
             "recency_days",
             "frequency",
             "monetary",
-            F.ntile(4).over(w_r).alias("r_score"),
-            F.ntile(4).over(w_f).alias("f_score"),
-            F.ntile(4).over(w_m).alias("m_score"),
+            _ntile_from_rank(F.col("_rr"), n, 4).alias("r_score"),
+            _ntile_from_rank(F.col("_fr"), n, 4).alias("f_score"),
+            _ntile_from_rank(F.col("_mr"), n, 4).alias("m_score"),
         )
         .withColumn(
             "rfm_code",

@@ -473,6 +473,38 @@ def approx_distinct_parts_bounds(
     )
 
 
+def approx_distinct_parts_checked(
+    lineitem: DataFrame, rsd: float = 0.02, tol_rsds: float = 3.0
+) -> DataFrame:
+    """The gateable form of ``approx_distinct_parts``: per supplier, the
+    EXACT distinct part count alongside the assertion that the HLL++ sketch
+    landed within ``tol_rsds`` relative standard deviations of it. The
+    sketch VALUE has no cross-engine mirror; the exact count and the bound
+    HOLDING do — so this variant is what the correctness driver gates (the
+    oracle recomputes ``exact_parts`` and expects ``within_bounds`` TRUE on
+    every row), while the raw single-pass sketch stays available as
+    ``approx_distinct_parts`` for the 100-TB path where the exact
+    ``countDistinct`` is unaffordable."""
+    approx = lineitem.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", rsd=rsd).alias("approx_parts")
+    )
+    exact = lineitem.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return (
+        approx.join(exact, "l_suppkey")
+        .select(
+            "l_suppkey",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= F.lit(tol_rsds * rsd) * F.col("exact_parts")
+            ).alias("within_bounds"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
 def event_props_stats(events: DataFrame) -> DataFrame:
     """JSON extraction over the ``props`` column (reference has no JSON
     functions — SURVEY.md §2.6): parse ``props.k`` as an int and aggregate

@@ -74,7 +74,15 @@ def term_frequency_stats(documents: DataFrame) -> DataFrame:
     """TF-IDF-ready statistics per (doc, token): term frequency as an exact
     ratio plus document frequency and corpus size as integer columns — the
     log() composition is left to consumers so every emitted value is
-    engine-exactly comparable (no libm dependence)."""
+    engine-exactly comparable (no libm dependence).
+
+    Single pipeline: corpus size rides in as a broadcast 1-row aggregate
+    (the ``source_mixture_sample`` idiom) instead of a separate
+    ``documents.count()`` action, so the documents table is scanned once
+    and the whole query is one job. ``doc_freq`` comes from a
+    count-per-token aggregate of the (doc, token) table — NOT a window
+    over the token partition, which for stopword-grade tokens would be a
+    single task holding most of the corpus."""
     exploded = documents.select(
         "doc_id",
         F.explode(tokens_col("text")).alias("token"),
@@ -83,18 +91,61 @@ def term_frequency_stats(documents: DataFrame) -> DataFrame:
     tf = exploded.groupBy("doc_id", "token", "doc_len").agg(
         F.count(F.lit(1)).alias("occurrences")
     )
-    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
-    n_docs = documents.count()
+    # tf rows are unique per (doc, token), so doc_freq is a plain count —
+    # no countDistinct Expand needed.
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    nd = documents.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     return (
         tf.join(df, "token")
+        .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
             "token",
             (F.col("occurrences").cast("double") / F.col("doc_len")).alias("tf"),
             "doc_freq",
-            F.lit(n_docs).cast("long").alias("n_docs"),
+            "n_docs",
         )
         .orderBy("doc_id", "token")
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k most characteristic tokens per document by a libm-free TF-IDF
+    surrogate: score = (occurrences/doc_len) * (n_docs/doc_freq) — the
+    log() is monotone in n_docs/doc_freq so the RANKING matches classic
+    TF-IDF while every emitted double is two divisions and one multiply,
+    bit-identical cross-engine. Reuses the ``term_frequency_stats``
+    pipeline; the top-k window partitions per doc (bounded by doc length),
+    never globally."""
+    exploded = documents.select(
+        "doc_id",
+        F.explode(tokens_col("text")).alias("token"),
+        F.size(tokens_col("text")).alias("doc_len"),
+    )
+    tf = exploded.groupBy("doc_id", "token", "doc_len").agg(
+        F.count(F.lit(1)).alias("occurrences")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    nd = documents.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            (
+                (F.col("occurrences").cast("double") / F.col("doc_len"))
+                * (F.col("n_docs").cast("double") / F.col("doc_freq"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("doc_id", "rnk")
     )
 
 

@@ -30,9 +30,14 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     can land one µs low near a boundary. Stays in whole-stage codegen.
     """
     if name == "events":
-        # Runtime SQL conf so this works under ANY session (the correctness
-        # driver builds its own SparkSession without engine configs).
+        # Runtime SQL confs so this works under ANY session (the correctness
+        # driver builds its own SparkSession without engine configs). UTC
+        # matters twice: the ntz→ltz cast below is a pure reinterpretation
+        # only under UTC, and date/epoch functions in downstream queries
+        # must agree with DuckDB (which always computes in UTC) regardless
+        # of the host timezone.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")

@@ -165,8 +165,11 @@ def read_events_stream(
     spark: SparkSession, events_dir: str, schema
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files. The
-    nanos→micros normalization matches sources/readers.py."""
+    nanos→micros normalization matches sources/readers.py, as does the
+    UTC session pin (the ntz→ltz cast and all event-time windowing must
+    not depend on the host timezone)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.readStream.schema(schema).parquet(events_dir)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":

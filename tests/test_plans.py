@@ -161,3 +161,84 @@ def test_local_supplier_volume_broadcasts_all_dims(spark, sf_dir):
     )
     plan = _plan(local_supplier_volume(li, o, c, s, n, r))
     assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_global_ranks_match_window_row_numbers(spark, sf_dir):
+    """The TeraSort-shape ranking must reproduce row_number() over the same
+    total order exactly — ranks 1..N with no gaps, assigned per the
+    composite sort key."""
+    from inf_553_datamining_mapreduce_spark.operators.olap import _global_ranks
+
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        (F.col("id") * 37 % 101).alias("v"),
+    )
+    got = {
+        r["id"]: (r["_rank"], r["_n"])
+        for r in _global_ranks(
+            df, [F.col("v").asc(), F.col("id").asc()], "_rank", total_name="_n"
+        ).collect()
+    }
+    expect = {
+        r["id"]: i + 1
+        for i, r in enumerate(df.orderBy(F.col("v").asc(), F.col("id").asc()).collect())
+    }
+    assert len(got) == 997
+    for k, rank in expect.items():
+        assert got[k] == (rank, 997), (k, got[k], rank)
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark, sf_dir):
+    """The closed-form NTILE arithmetic must agree with Spark's ntile()
+    for bucket counts that divide N evenly, unevenly, and exceed N."""
+    from pyspark.sql.window import Window
+
+    from inf_553_datamining_mapreduce_spark.operators.olap import (
+        _global_ranks,
+        _ntile_from_rank,
+    )
+
+    for n_rows, n_buckets in [(40, 4), (41, 4), (3, 7), (100, 9)]:
+        df = spark.range(0, n_rows).select(
+            F.col("id"), (F.col("id") * 13 % 29).alias("v")
+        )
+        order = [F.col("v").asc(), F.col("id").asc()]
+        ranked = _global_ranks(df, order, "_rank", total_name="_n")
+        ours = {
+            r["id"]: r["bucket"]
+            for r in ranked.select(
+                "id",
+                _ntile_from_rank(F.col("_rank"), F.col("_n"), n_buckets).alias(
+                    "bucket"
+                ),
+            ).collect()
+        }
+        w = Window.orderBy(*order)
+        theirs = {
+            r["id"]: r["bucket"]
+            for r in df.select(
+                "id", F.ntile(n_buckets).over(w).alias("bucket")
+            ).collect()
+        }
+        assert ours == theirs, (n_rows, n_buckets)
+
+
+def test_rfm_plan_has_no_single_partition_window(spark, sf_dir):
+    """The RFM NTILEs must ride range-partitioned global ranks — a
+    ``Window.orderBy`` without partitioning (SinglePartition exchange
+    feeding a Window) is the scale-killer this query was rewritten to
+    avoid."""
+    import re
+
+    from inf_553_datamining_mapreduce_spark.operators.olap import (
+        customer_rfm_segments,
+    )
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    plan = _plan(customer_rfm_segments(o))
+    windows = re.findall(r"Window \[[^\n]*", plan)
+    assert windows, "expected window nodes in the RFM plan"
+    for w in windows:
+        # Every window must be the per-range row_number (partitioned by
+        # _pid) or the tiny per-range offset cumsum — never an ntile.
+        assert "ntile" not in w, w
