@@ -988,64 +988,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. Rounds 1-2 cumulatively proved 59 queries green; the names below are
-# the ones still lacking a driver row (plus this round's additions), so they
-# are rotated to the front of the registration order. Semantics are
-# unchanged — this is pure dict ordering. Rotate again next round if the
-# registry outgrows another 50-slot window.
+# round. Rounds 1-3 cumulatively proved 101 queries green; the round-4 window
+# below puts first the 24 oracled queries that have never received a green
+# driver row (5 rotation-missed carry-overs + the 18 round-3 additions +
+# approx_distinct_parts, newly gateable), then this round's 6 new queries,
+# then the 4 queries whose implementations changed this round (re-confirm),
+# and fills the rest with the stalest greens (last confirmed r1/r2).
+# Semantics are unchanged — this is pure dict ordering. Rotate again next
+# round if the registry outgrows another 50-slot window.
 _DRIVER_PRIORITY = [
-    # round-1/2 queries with oracles but no CORRECTNESS_r01/r02 row:
-    "benchmark_contamination",
-    "label_centroids",
-    "tumbling_window_stats_stream_plan",
-    "cms_heavy_hitters",
-    "kcore_customers",
-    "bfs_distances_customers",
-    "repetition_stats",
-    "stratified_sample_events",
-    "approx_price_percentile_bounds",
-    "doc_length_histogram",
-    "source_curation_report",
-    "source_mixture_sample",
-    "profile_orders",
-    "bigram_counts",
-    "curation_pipeline",
-    "user_retention_cohorts",
-    "bloom_filtered_revenue",
-    "session_funnel",
-    "shipping_priority",
-    "promo_revenue",
-    "orders_grouping_sets",
-    "customer_revenue_deciles",
-    "customer_reconciliation",
-    "salted_segment_revenue",
-    "latest_events_snapshot",
-    "user_interevent_gaps",
-    "doc_chunks",
-    "embedding_dim_stats",
-    "link_prediction_customers",
-    "fk_integrity_audit",
-    "daily_event_spine",
-    # round-3 additions (31 + 19 = exactly the 50-slot window):
-    "local_supplier_volume",
-    "volume_shipping_by_year",
-    "returnflag_priority_counts",
-    "brand_supplier_counts",
-    "large_volume_customers",
-    "discounted_revenue_band",
-    "idle_rich_customers",
-    "late_shipment_priority_counts",
-    "cheapest_shipment_per_part",
-    "parts_not_recently_ordered",
-    "customers_with_urgent_orders",
-    "customer_order_gaps",
-    "order_price_percent_rank",
+    # never driver-green (oracles exist; all pass the local driver sim):
+    "minhash_lsh_near_duplicates",
+    "simhash_near_duplicates",
+    "topk_cosine_lsh",
+    "topk_cosine_ivf",
+    "session_stats",
+    "top_brands_per_type_with_ties",
+    "most_common_event_per_user",
+    "orders_yoy_growth",
+    "daily_revenue_drawdown",
+    "qty_price_correlation",
+    "supplier_revenue_share",
+    "daily_priority_share",
+    "user_first_last_events",
+    "session_window_stats_plan",
+    "near_duplicate_keep_best",
+    "orders_time_rollup",
+    "funnel_conversion_rates",
+    "source_language_mix",
+    "clustering_coefficients_customers",
+    "events_daily_zscores",
+    "customer_rfm_segments",
+    "session_paths",
+    "embedding_quantized_int8",
+    "approx_distinct_parts",
+    # round-4 additions:
+    "customer_revenue_percent_rank",
+    "supplier_part_pareto",
+    "events_hourly_heatmap",
+    "tfidf_top_terms",
+    "exact_duplicates_normalized",
+    "degree_distribution_customers",
+    # changed this round — re-confirm under the driver:
     "user_value_ntiles",
-    "event_type_transitions",
-    "weekly_active_users",
-    "orders_checksum",
-    "hapax_ratio",
-    "embedding_norms",
+    "order_price_percent_rank",
+    "term_frequency_stats",
+    "link_prediction_customers",
+    # stalest greens (last confirmed r1/r2) — rolling re-confirmation:
+    "embedding_near_duplicates",
+    "sliding_window_stats",
+    "topk_cosine",
+    "tumbling_window_stats",
+    "approx_distinct_parts_bounds",
+    "clicks_asof_views",
+    "connected_components_customers",
+    "cooccurrence_pairs",
+    "corpus_splits",
+    "customer_cooccurrence_edges",
+    "customer_order_activity",
+    "customers_without_orders",
+    "distinct_users_per_event_type",
+    "doc_fingerprints",
+    "errors_near_purchases",
+    "event_props_stats",
 ]
 
 
