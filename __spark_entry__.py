@@ -179,6 +179,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _betweenness_customers(spark, sf):
         return G.edge_betweenness(_customer_graph_edges(spark, sf))
 
+    def _betweenness_fixedpoint_customers(spark, sf):
+        # Parameters are pinned to the generated chained-CTE oracle
+        # (_betweenness_fp_oracle below): depth unroll 8, scale 1e9,
+        # every 10th customer as a BFS source.
+        return G.edge_betweenness_fixedpoint(
+            _customer_graph_edges(spark, sf),
+            max_depth=8,
+            scale=10**9,
+            source_mod=10,
+        )
+
     def _communities_customers(spark, sf):
         cp = _customer_part_graph(spark, sf)
         edges = _customer_graph_edges(spark, sf)
@@ -206,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank_customers"] = _pagerank_customers
     q["triangle_counts_customers"] = _triangle_counts_customers
     q["edge_betweenness_customers"] = _betweenness_customers
+    q["edge_betweenness_fixedpoint_customers"] = _betweenness_fixedpoint_customers
     q["communities_girvan_newman"] = _communities_customers
 
     # ---- text analysis -------------------------------------------------
@@ -1029,6 +1041,7 @@ _DRIVER_PRIORITY = [
     "tfidf_top_terms",
     "exact_duplicates_normalized",
     "degree_distribution_customers",
+    "edge_betweenness_fixedpoint_customers",
     # changed this round — re-confirm under the driver:
     "user_value_ntiles",
     "order_price_percent_rank",
@@ -1050,7 +1063,6 @@ _DRIVER_PRIORITY = [
     "distinct_users_per_event_type",
     "doc_fingerprints",
     "errors_near_purchases",
-    "event_props_stats",
 ]
 
 
@@ -1808,6 +1820,12 @@ def oracle_sql() -> dict[str, str]:
     d["topk_cosine_lsh"] = d["topk_cosine"]
     d["topk_cosine_ivf"] = d["topk_cosine"]
     d["pagerank_customers"] = _pagerank_oracle(iterations=10)
+    # The float betweenness kernel stays rows-only by nature (IEEE sums are
+    # order-dependent); this fixed-point twin proves the same BFS +
+    # equal-split credit algorithm cross-engine with exact integers.
+    d["edge_betweenness_fixedpoint_customers"] = _betweenness_fp_oracle(
+        max_depth=8, scale=10**9, source_mod=10
+    )
     # The sketch VALUE has no cross-engine mirror; the BOUND does: the
     # oracle asserts every supplier's sketch landed within 3 rsd of exact.
     d["approx_distinct_parts_bounds"] = """
@@ -3055,4 +3073,77 @@ def _pagerank_oracle(iterations: int, damping_pct: int = 85, scale: int = 1_000_
         r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM deg),
         {",".join(steps)}
         SELECT id, rank AS rank_fp FROM r{iterations} ORDER BY id
+    """
+
+
+def _betweenness_fp_oracle(
+    max_depth: int = 8, scale: int = 10**9, source_mod: int = 10
+) -> str:
+    """Depth-unrolled chained-CTE oracle for fixed-point edge betweenness
+    (``graph.edge_betweenness_fixedpoint``): a recursive walk CTE gives
+    first-reach BFS depths (MIN over generated path depths), the
+    shortest-path DAG and route counts are plain joins/aggregates, and the
+    reverse equal-split credit sweep unrolls one (pending, credit) CTE pair
+    per level from ``max_depth`` down to 1 — all-BIGINT floor-division
+    arithmetic matching the Spark loop bit-for-bit. Levels past the actual
+    eccentricity are empty in both engines, so equality holds for any
+    graph whose diameter fits the unroll. The final CAST collapses DuckDB's
+    HUGEINT SUM widening back to int64."""
+    steps = []
+    for lvl in range(max_depth, 0, -1):
+        if lvl == max_depth:
+            pend = "SELECT NULL AS s, NULL AS v, CAST(0 AS BIGINT) AS w WHERE FALSE"
+        else:
+            pend = (
+                f"SELECT s, tail AS v, CAST(SUM(c) AS BIGINT) AS w"
+                f" FROM c{lvl + 1} GROUP BY s, tail"
+            )
+        steps.append(f"""
+        p{lvl} AS ({pend}),
+        c{lvl} AS (
+            SELECT d.s, d.tail, d.head,
+                   (CAST({scale} AS BIGINT) + COALESCE(p.w, CAST(0 AS BIGINT)))
+                       // d.route AS c
+            FROM dagr d LEFT JOIN p{lvl} p ON p.s = d.s AND p.v = d.head
+            WHERE d.lvl = {lvl}
+        )""")
+    allc = " UNION ALL ".join(
+        f"SELECT * FROM c{lvl}" for lvl in range(1, max_depth + 1)
+    )
+    return f"""
+        WITH RECURSIVE cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS (
+            SELECT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+        ),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        srcs AS (SELECT DISTINCT src AS id FROM sym WHERE src % {source_mod} = 0),
+        walk(s, v, d) AS (
+            SELECT id, id, 0 FROM srcs
+            UNION
+            SELECT walk.s, sym.dst, walk.d + 1
+            FROM walk JOIN sym ON sym.src = walk.v
+            WHERE walk.d < {max_depth}
+        ),
+        dmin AS (SELECT s, v, MIN(d) AS d FROM walk GROUP BY s, v),
+        dag AS (
+            SELECT t.s, t.v AS tail, h.v AS head, h.d AS lvl
+            FROM sym
+            JOIN dmin t ON t.v = sym.src
+            JOIN dmin h ON h.s = t.s AND h.v = sym.dst AND h.d = t.d + 1
+        ),
+        route AS (SELECT s, head, COUNT(*) AS route FROM dag GROUP BY s, head),
+        dagr AS MATERIALIZED (
+            SELECT dag.s, dag.tail, dag.head, dag.lvl, route.route
+            FROM dag JOIN route ON route.s = dag.s AND route.head = dag.head
+        ),{",".join(steps)},
+        allc AS ({allc})
+        SELECT CAST(LEAST(tail, head) AS BIGINT) AS src,
+               CAST(GREATEST(tail, head) AS BIGINT) AS dst,
+               CAST(SUM(c) AS BIGINT) AS credit_sum_fp
+        FROM allc GROUP BY 1, 2 ORDER BY src, dst
     """

@@ -458,6 +458,129 @@ def edge_betweenness_distributed(
     )
 
 
+def edge_betweenness_fixedpoint(
+    edges: DataFrame,
+    max_depth: int = 8,
+    scale: int = 10**9,
+    source_mod: int | None = None,
+) -> DataFrame:
+    """Cross-engine-PROVABLE betweenness twin: the simplified-GN equal-split
+    credit rule (``Betweenness.scala:56-116``) evaluated in fixed-point
+    BIGINT arithmetic with floor division, over shortest paths of length
+    <= ``max_depth``.
+
+    Why it exists: the float kernels (``edge_betweenness`` and the
+    distributed twin above) sum ``weight/route`` fractions whose IEEE total
+    depends on accumulation order, so no other engine can reproduce their
+    doubles bit-for-bit and the driver row stays rows-only. Here every
+    credit is ``(scale + incoming) div route`` on integers — exact,
+    order-independent, and expressible as a depth-unrolled chained-CTE
+    DuckDB oracle (the pagerank fixed-point trick applied to betweenness).
+    Each division truncates < 1 fixed-point unit (1e-9 relative), so
+    rankings match the float kernel for any non-degenerate gap, and with
+    ``max_depth`` >= diameter the shortest-path DAG is the exact one.
+
+    ``source_mod`` keeps the all-pairs cost bounded deterministically:
+    only vertices with ``v % source_mod == 0`` serve as BFS sources — a
+    fixed, engine-agnostic source subset (the deterministic analogue of
+    Brandes-Pich sampling; estimates scale by the sample share). Output is
+    ``(src, dst, credit_sum_fp)`` — the RAW integer credit sum over
+    sources, i.e. 2*scale*betweenness when all sources run.
+
+    Distributed shape: identical to ``edge_betweenness_distributed`` —
+    frontier-join BFS, DAG membership by one join predicate, per-level
+    reverse sweep; every stage is a key-partitioned join or aggregate.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    active = sym.select(F.col("src").alias("id")).distinct()
+    src_df = active
+    if source_mod is not None:
+        src_df = active.filter(F.col("id") % source_mod == 0)
+    sources = src_df.select(F.col("id").alias("source"))
+
+    dist = sources.select(
+        "source", F.col("source").alias("v"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = dist
+    for hop in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym, frontier.v == sym.src)
+            .select("source", F.col("dst").alias("v"))
+            .distinct()
+            .join(dist, ["source", "v"], "left_anti")
+            .withColumn("dist", F.lit(hop))
+        ).localCheckpoint()
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+
+    t = dist.select(
+        "source", F.col("v").alias("tail"), F.col("dist").alias("d_tail")
+    )
+    hd = dist.select(
+        "source", F.col("v").alias("head"), F.col("dist").alias("d_head")
+    )
+    dag = (
+        sym.select(F.col("src").alias("tail"), F.col("dst").alias("head"))
+        .join(t, "tail")
+        .join(hd, ["source", "head"])
+        .filter(F.col("d_head") == F.col("d_tail") + 1)
+        .select("source", "tail", "head", F.col("d_head").alias("lvl"))
+    )
+    route = dag.groupBy("source", "head").agg(F.count(F.lit(1)).alias("route"))
+    dagr = dag.join(route, ["source", "head"]).localCheckpoint()
+    max_lvl = dagr.agg(F.max("lvl")).first()[0]
+    if max_lvl is None:
+        return spark.createDataFrame(
+            [], "src long, dst long, credit_sum_fp long"
+        )
+
+    pending = None  # (source, v, w): integer credit mass from one level down
+    credit_parts = []
+    for lvl in range(int(max_lvl), 0, -1):
+        lvl_e = dagr.filter(F.col("lvl") == lvl)
+        if pending is not None:
+            w = pending.select("source", F.col("v").alias("head"), "w")
+            lvl_e = lvl_e.join(w, ["source", "head"], "left")
+        else:
+            lvl_e = lvl_e.withColumn("w", F.lit(None).cast("long"))
+        cred = lvl_e.select(
+            "source",
+            "tail",
+            "head",
+            F.expr(
+                f"(CAST({scale} AS BIGINT) + coalesce(w, CAST(0 AS BIGINT)))"
+                " div route"
+            ).alias("credit"),
+        ).localCheckpoint()
+        credit_parts.append(cred)
+        pending = (
+            cred.select("source", F.col("tail").alias("v"), "credit")
+            .groupBy("source", "v")
+            .agg(F.sum("credit").alias("w"))
+            .localCheckpoint()
+        )
+
+    all_credits = credit_parts[0]
+    for part in credit_parts[1:]:
+        all_credits = all_credits.unionAll(part)
+    return (
+        all_credits.select(
+            F.least("tail", "head").alias("src"),
+            F.greatest("tail", "head").alias("dst"),
+            "credit",
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("credit").alias("credit_sum_fp"))
+        .orderBy("src", "dst")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Connected components (Community.scala:22; GraphX cc labels = min member id)
 # ---------------------------------------------------------------------------

@@ -406,3 +406,62 @@ def test_distributed_betweenness_sampled_scales_unbiased(spark):
         for r in edge_betweenness_distributed(edf, sample_sources=30).collect()
     )
     assert 0.6 * exact_total < est_total < 1.4 * exact_total
+
+
+def test_fixedpoint_betweenness_matches_float_kernel(spark):
+    """The BIGINT floor-division twin must agree with the float kernel to
+    truncation tolerance: credit_sum_fp / (2*scale) is the betweenness,
+    each division truncating < 1 fixed-point unit (1e-9)."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        edge_betweenness,
+        edge_betweenness_fixedpoint,
+    )
+
+    rng = random.Random(23)
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.randrange(0, 50), rng.randrange(0, 50)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edf = spark.createDataFrame(sorted(edges), ["src", "dst"])
+
+    scale = 10**9
+    exact = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(edf).collect()
+    }
+    fp = {
+        (r["src"], r["dst"]): r["credit_sum_fp"] / (2.0 * scale)
+        for r in edge_betweenness_fixedpoint(edf, max_depth=20, scale=scale).collect()
+    }
+    assert set(fp) == set(exact)
+    for k, v in exact.items():
+        assert abs(fp[k] - v) <= 1e-5 * max(1.0, abs(v)), (k, v, fp[k])
+
+
+def test_fixedpoint_betweenness_source_mod_subsets_sources(spark):
+    """source_mod must restrict BFS sources deterministically: on a path
+    graph 0-1-2-3, mod 2 keeps sources {0, 2} and credits only their
+    shortest-path trees."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        edge_betweenness_fixedpoint,
+    )
+
+    edf = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    scale = 10**6
+    got = {
+        (r["src"], r["dst"]): r["credit_sum_fp"]
+        for r in edge_betweenness_fixedpoint(
+            edf, max_depth=5, scale=scale, source_mod=2
+        ).collect()
+    }
+    # Source 0 (dists 0,1,2,3): credits (0,1)=3, (1,2)=2, (2,3)=1.
+    # Source 2 (dists 2:0, 1:1, 3:1, 0:2): credits (1,2)=2, (0,1)=1,
+    # (2,3)=1. Sums below are in fixed-point units (x scale).
+    assert got == {
+        (0, 1): 4 * scale,
+        (1, 2): 4 * scale,
+        (2, 3): 2 * scale,
+    }
