@@ -490,6 +490,13 @@ def edge_betweenness_fixedpoint(
     Distributed shape: identical to ``edge_betweenness_distributed`` —
     frontier-join BFS, DAG membership by one join predicate, per-level
     reverse sweep; every stage is a key-partitioned join or aggregate.
+    Materialization policy: every per-round table localCheckpoints
+    eagerly. Round k's BFS plan references round k-1 TWICE (the frontier
+    join and the dist anti-join), so without LogicalRDD truncation the
+    plan TREE doubles per round and explain/compile blows up
+    exponentially; and measured at the oracle gate, many small eager jobs
+    beat one lazily-persisted mega-job (AQE compiles each round's tiny
+    plan instead of one O(depth²)-nested one).
     """
     spark = edges.sparkSession
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
@@ -502,10 +509,11 @@ def edge_betweenness_fixedpoint(
         src_df = active.filter(F.col("id") % source_mod == 0)
     sources = src_df.select(F.col("id").alias("source"))
 
-    dist = sources.select(
+    dist0 = sources.select(
         "source", F.col("source").alias("v"), F.lit(0).alias("dist")
     ).localCheckpoint()
-    frontier = dist
+    dist = dist0
+    frontier = dist0
     for hop in range(1, max_depth + 1):
         nxt = (
             frontier.join(sym, frontier.v == sym.src)
@@ -516,7 +524,8 @@ def edge_betweenness_fixedpoint(
         ).localCheckpoint()
         if nxt.isEmpty():
             break
-        dist = dist.unionAll(nxt).localCheckpoint()
+        # The union is a free narrow op over checkpointed LogicalRDD parts.
+        dist = dist.unionAll(nxt)
         frontier = nxt
 
     t = dist.select(
