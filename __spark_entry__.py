@@ -996,6 +996,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tfidf_top_terms"] = _tfidf_top_terms
     q["exact_duplicates_normalized"] = _exact_duplicates_normalized
     q["degree_distribution_customers"] = _degree_distribution_customers
+
+    def _customer_running_spend(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return O.customer_running_spend(o)
+
+    def _first_purchase_attribution(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return O.first_purchase_attribution(e)
+
+    def _session_time_to_purchase(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return O.session_time_to_purchase(e)
+
+    def _prefix_duplicate_rate_by_source(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return D.prefix_duplicate_rate_by_source(d, prefix_tokens=20)
+
+    q["customer_running_spend"] = _customer_running_spend
+    q["first_purchase_attribution"] = _first_purchase_attribution
+    q["session_time_to_purchase"] = _session_time_to_purchase
+    q["prefix_duplicate_rate_by_source"] = _prefix_duplicate_rate_by_source
     return _driver_order(q)
 
 
@@ -1042,6 +1063,10 @@ _DRIVER_PRIORITY = [
     "exact_duplicates_normalized",
     "degree_distribution_customers",
     "edge_betweenness_fixedpoint_customers",
+    "customer_running_spend",
+    "first_purchase_attribution",
+    "session_time_to_purchase",
+    "prefix_duplicate_rate_by_source",
     # changed this round — re-confirm under the driver:
     "user_value_ntiles",
     "order_price_percent_rank",
@@ -1059,10 +1084,6 @@ _DRIVER_PRIORITY = [
     "corpus_splits",
     "customer_cooccurrence_edges",
     "customer_order_activity",
-    "customers_without_orders",
-    "distinct_users_per_event_type",
-    "doc_fingerprints",
-    "errors_near_purchases",
 ]
 
 
@@ -2998,6 +3019,84 @@ def oracle_sql() -> dict[str, str]:
         deg AS (SELECT src, COUNT(*) AS degree FROM sym GROUP BY src)
         SELECT degree, COUNT(*) AS n_vertices
         FROM deg GROUP BY degree ORDER BY degree
+    """
+    d["customer_running_spend"] = f"""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               o_totalprice AS order_price,
+               CAST(CAST(SUM(CAST(o_totalprice AS {_D})) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS VARCHAR) AS DOUBLE) AS running_spend
+        FROM orders
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+    """
+    d["first_purchase_attribution"] = """
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LAG(event_type) OVER w AS prev_type,
+                   ROW_NUMBER() OVER w AS seq_no
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        firsts AS (
+            SELECT user_id, ts, prev_type, seq_no,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY seq_no
+                   ) AS rn
+            FROM seq WHERE event_type = 'purchase'
+        )
+        SELECT user_id,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS first_purchase_epoch,
+               COALESCE(prev_type, '(none)') AS prev_event_type,
+               CAST(seq_no - 1 AS BIGINT) AS n_prior_events
+        FROM firsts WHERE rn = 1
+        ORDER BY user_id
+    """
+    d["session_time_to_purchase"] = """
+        WITH o AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                                - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, CAST(SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+            ) AS BIGINT) AS session_seq FROM o
+        ),
+        per AS (
+            SELECT user_id, session_seq,
+                   MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS start_epoch,
+                   MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+                       FILTER (WHERE event_type = 'purchase') AS purchase_epoch,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, session_seq
+        )
+        SELECT user_id, session_seq, start_epoch, purchase_epoch,
+               purchase_epoch - start_epoch AS secs_to_purchase,
+               n_events
+        FROM per WHERE purchase_epoch IS NOT NULL
+        ORDER BY user_id, session_seq
+    """
+    d["prefix_duplicate_rate_by_source"] = """
+        WITH h AS (
+            SELECT doc_id, source,
+                   md5(array_to_string(string_split(text, ' ')[1:20], ' ')) AS ph
+            FROM documents
+        ),
+        c AS (SELECT ph, COUNT(*) AS n_same_prefix FROM h GROUP BY ph)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_same_prefix > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_prefix_dup_docs,
+               CAST(SUM(CASE WHEN n_same_prefix > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   / CAST(COUNT(*) AS BIGINT) AS prefix_dup_rate
+        FROM h JOIN c USING (ph)
+        GROUP BY source ORDER BY source
     """
     return d
 

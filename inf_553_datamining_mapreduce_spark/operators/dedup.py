@@ -64,6 +64,37 @@ def exact_duplicates_normalized(
     )
 
 
+def prefix_duplicate_rate_by_source(
+    documents: DataFrame, prefix_tokens: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Per-source share of documents whose first ``prefix_tokens`` tokens
+    collide with another document — the cheap boilerplate/template
+    detector (shared headers, scraped navigation, licence preambles) run
+    before any full near-dup pass. One md5 over the token prefix, one
+    count per hash, one source rollup; the corpus is scanned once and
+    nothing wider than (doc, hash) ever shuffles."""
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.col(text_col), " "), 1, prefix_tokens)
+    )
+    h = documents.select("doc_id", "source", F.md5(prefix).alias("ph"))
+    counts = h.groupBy("ph").agg(F.count(F.lit(1)).alias("n_same_prefix"))
+    return (
+        h.join(counts, "ph")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_same_prefix") > 1, 1).otherwise(0)
+            ).alias("n_prefix_dup_docs"),
+        )
+        .withColumn(
+            "prefix_dup_rate",
+            F.col("n_prefix_dup_docs") / F.col("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 def word_shingles(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per document: ``(doc_id, shingle)``.
     Built with transform-over-sequence so shingling stays in codegen."""

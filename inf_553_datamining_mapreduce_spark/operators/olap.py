@@ -528,6 +528,112 @@ def supplier_part_pareto(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def customer_running_spend(orders: DataFrame) -> DataFrame:
+    """Cumulative spend per customer over their order history — the
+    running-LTV view behind churn and cohort models. The running decimal
+    sum is deterministic via the (orderdate, orderkey) total order inside
+    each bounded customer partition; each emitted double is one exact
+    decimal cast."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").alias("order_price"),
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .over(w)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+def first_purchase_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch attribution: for each user's FIRST purchase, the event
+    type that immediately preceded it and how many events came before —
+    the conversion-path query every growth team runs. One window pass
+    (user partition) produces both the lag attribution and the sequence
+    number; timestamps emit as floored epoch seconds (the engine-agnostic
+    session_stats convention)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("seq_no"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("seq_no")
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("first_purchase_epoch"),
+            F.coalesce(F.col("prev_type"), F.lit("(none)")).alias(
+                "prev_event_type"
+            ),
+            (F.col("seq_no") - 1).cast("long").alias("n_prior_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def session_time_to_purchase(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Seconds from session start to the session's first purchase, for
+    sessions that convert — the engagement-to-conversion latency metric.
+    Sessions follow the ``session_stats`` floored-seconds gap contract;
+    the per-session aggregate takes one conditional MIN, so converting
+    and non-converting sessions separate without a second pass."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0).alias("new_s"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = marked.groupBy("user_id", "session_seq").agg(
+        F.min(F.unix_timestamp("ts")).alias("start_epoch"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.unix_timestamp("ts")
+            )
+        ).alias("purchase_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_session.filter(F.col("purchase_epoch").isNotNull())
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "start_epoch",
+            "purchase_epoch",
+            (F.col("purchase_epoch") - F.col("start_epoch")).alias(
+                "secs_to_purchase"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 def events_hourly_heatmap(events: DataFrame) -> DataFrame:
     """Traffic heatmap: event volume and distinct users per (day-of-week,
     hour-of-day) cell — the capacity-planning rollup. One aggregate at
