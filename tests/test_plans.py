@@ -242,3 +242,59 @@ def test_rfm_plan_has_no_single_partition_window(spark, sf_dir):
         # Every window must be the per-range row_number (partitioned by
         # _pid) or the tiny per-range offset cumsum — never an ntile.
         assert "ntile" not in w, w
+
+
+def test_percent_rank_rewrite_handles_heavy_ties(spark, sf_dir):
+    """order_price_percent_rank derives percent_rank/cume_dist from
+    tie-group min/max global ranks. Heavy synthetic ties (7 distinct
+    prices across 500 orders, 3 statuses) must reproduce Spark's own
+    window functions exactly — the tie path barely occurs in the driver
+    tables, so pin it here."""
+    from pyspark.sql.window import Window
+
+    from inf_553_datamining_mapreduce_spark.operators.olap import (
+        order_price_percent_rank,
+    )
+
+    rows = [
+        (i, ["O", "F", "P"][i % 3], float(100 + (i * 11 % 7)))
+        for i in range(500)
+    ]
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    got = {
+        r["o_orderkey"]: (r["pct_rank"], r["cume_dist"])
+        for r in order_price_percent_rank(orders).collect()
+    }
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    want = {
+        r["o_orderkey"]: (r["pr"], r["cd"])
+        for r in orders.select(
+            "o_orderkey",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_ranks_scale_stress(spark, sf_dir):
+    """TeraSort-shape ranking on 200k rows with a skewed key: ranks are a
+    permutation of 1..N and agree with a collected sort."""
+    from inf_553_datamining_mapreduce_spark.operators.olap import _global_ranks
+
+    n = 200_000
+    df = spark.range(0, n).select(
+        F.col("id"), (F.col("id") * 7919 % 1000).alias("v")
+    )
+    ranked = _global_ranks(
+        df, [F.col("v").asc(), F.col("id").asc()], "_rank", total_name="_n"
+    )
+    rows = ranked.select("id", "v", "_rank", "_n").collect()
+    assert len(rows) == n
+    assert all(r["_n"] == n for r in rows[:100])
+    by_rank = sorted(rows, key=lambda r: r["_rank"])
+    assert [r["_rank"] for r in by_rank] == list(range(1, n + 1))
+    keys = [(r["v"], r["id"]) for r in by_rank]
+    assert keys == sorted(keys)
