@@ -504,9 +504,17 @@ def supplier_part_pareto(lineitem: DataFrame) -> DataFrame:
     total. The window partitions on ``l_suppkey`` (bounded: one supplier's
     part list) and the running decimal sum is made deterministic by the
     (revenue desc, partkey) total order inside the partition; the share is
-    a single double division of two exactly-accumulated decimals."""
-    rev = lineitem.groupBy("l_suppkey", "l_partkey").agg(
-        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("rev_d")
+    a single double division of two exactly-accumulated decimals.
+
+    One shuffle total: the explicit repartition on ``l_suppkey`` satisfies
+    BOTH the (suppkey, partkey) aggregate's clustering requirement (subset
+    rule) and the window's, so the plan shows a single hashpartitioning
+    exchange instead of aggregate-then-window re-shuffling the fact table
+    twice (pinned by a plan test)."""
+    rev = (
+        lineitem.repartition("l_suppkey")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("rev_d"))
     )
     w_run = (
         Window.partitionBy("l_suppkey")

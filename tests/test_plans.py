@@ -298,3 +298,16 @@ def test_global_ranks_scale_stress(spark, sf_dir):
     assert [r["_rank"] for r in by_rank] == list(range(1, n + 1))
     keys = [(r["v"], r["id"]) for r in by_rank]
     assert keys == sorted(keys)
+
+
+def test_supplier_part_pareto_is_single_shuffle(spark, sf_dir):
+    """The suppkey repartition must satisfy both the (suppkey, partkey)
+    aggregate and the suppkey window — exactly one hashpartitioning
+    exchange in the whole plan."""
+    from inf_553_datamining_mapreduce_spark.operators.olap import (
+        supplier_part_pareto,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    plan = _plan(supplier_part_pareto(li))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
