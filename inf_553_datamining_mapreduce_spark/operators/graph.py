@@ -710,7 +710,7 @@ def communities_from_components(components: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, degree_oriented: bool = True) -> DataFrame:
     """Per-vertex triangle participation counts over the undirected graph —
     the local-clustering signal (spam subgraphs are triangle-dense, crawl
     link farms even more so).
@@ -719,14 +719,45 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     pairs — symmetric or duplicated input double-counts triangles
     (``cooccurrence_edges`` produces exactly this form).
 
-    Canonical-orientation enumeration: with edges kept as ``src < dst``,
-    each triangle {a<b<c} is found exactly once by joining (a,b)+(b,c) and
-    probing for the closing edge (a,c). Two shuffle joins on vertex keys —
-    the standard distributed triangle count; no vertex ever needs its whole
+    Enumeration: every total order on vertices finds each triangle exactly
+    once — orient each edge from the earlier to the later endpoint, join
+    (u,v)+(v,w) wedges, probe for the closing oriented edge (u,w). Two
+    shuffle joins on vertex keys; no vertex ever needs its whole
     neighborhood in memory (vs the adjacency-intersection formulation).
+
+    ``degree_oriented`` picks WHICH total order: (degree, id) instead of
+    raw id. The wedge fan-out is Σ out_deg(v)² under the chosen order;
+    degree ordering caps every out-degree at O(√E) (a vertex can only
+    point at higher-degree vertices), bounding wedges at O(E^1.5) — the
+    classic fix for hub-heavy graphs, where an id-ordered hub with degree
+    d fans out d² rows on one key. Two broadcast-able degree joins buy
+    that bound. Results are identical either way (same triangle set).
     Output: ``(id, n_triangles)`` for every vertex on >= 1 edge.
     """
     e = edges.select("src", "dst")
+    if degree_oriented:
+        sym = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = sym.groupBy(F.col("src").alias("v")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        da = deg.select(F.col("v").alias("src"), F.col("d").alias("d_src"))
+        db = deg.select(F.col("v").alias("dst"), F.col("d").alias("d_dst"))
+        first = (F.col("d_src") < F.col("d_dst")) | (
+            (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
+        )
+        # No forced broadcast hint: Catalyst broadcasts deg when it fits
+        # the threshold and falls back to a key join at billion-vertex
+        # scale, where a forced broadcast would OOM the executors.
+        e = (
+            e.join(da, "src")
+            .join(db, "dst")
+            .select(
+                F.when(first, F.col("src")).otherwise(F.col("dst")).alias("src"),
+                F.when(first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+            )
+        )
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (
         ab.join(bc, F.col("ab.dst") == F.col("bc.src"))

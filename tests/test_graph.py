@@ -465,3 +465,34 @@ def test_fixedpoint_betweenness_source_mod_subsets_sources(spark):
         (1, 2): 4 * scale,
         (2, 3): 2 * scale,
     }
+
+
+def test_triangle_counts_orientation_invariant(spark):
+    """Degree-ordered and id-ordered wedge enumeration must count the
+    identical triangle set — orientation only changes the fan-out bound,
+    never the result."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import triangle_counts
+
+    rng = random.Random(41)
+    edges = set()
+    # a hub (vertex 0) plus random background — the shape where the
+    # orientations differ most
+    for v in range(1, 60):
+        edges.add((0, v))
+    while len(edges) < 220:
+        a, b = rng.randrange(0, 60), rng.randrange(0, 60)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edf = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    by_id = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(edf, degree_oriented=False).collect()
+    }
+    by_deg = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(edf, degree_oriented=True).collect()
+    }
+    assert by_id == by_deg
+    assert sum(by_id.values()) > 0
