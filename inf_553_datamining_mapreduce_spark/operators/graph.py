@@ -44,6 +44,7 @@ from collections.abc import Iterable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -77,6 +78,7 @@ def cooccurrence_edges(
     item_col: str,
     min_shared: int = 3,
     materialize_pairs: bool = True,
+    max_item_df: int | None = None,
 ) -> DataFrame:
     """Edges between nodes sharing >= min_shared distinct items.
 
@@ -92,10 +94,28 @@ def cooccurrence_edges(
     two aliased subtrees, so without it the upstream join + distinct runs
     TWICE (measured ~30% of the build). Set False only when composing into
     a plan that must stay fully lazy.
+
+    ``max_item_df``: the 100-TB lever. An item held by k nodes fans out
+    k²/2 pair rows on ONE join key — a universal item is the graph-build
+    twin of the hot shingle, and the exact build cannot avoid it (the
+    pairs ARE the evidence). With the cut set, items held by more nodes
+    are dropped BEFORE the self-join (window count over the item
+    partition, filter in place — the ``jaccard_near_duplicates`` df-cut
+    shape), bounding fan-out at max_item_df² per item. Lossy and
+    conservative: ``shared`` only ever decreases, so edges never appear
+    that the exact build lacks; near-threshold edges riding universal
+    items fall out. Default None = exact (the reference's semantics).
     """
     pairs = df.select(
         F.col(node_col).cast("long").alias("node"), F.col(item_col).alias("item")
     ).distinct()
+    if max_item_df is not None:
+        item_w = Window.partitionBy("item")
+        pairs = (
+            pairs.withColumn("_df", F.count(F.lit(1)).over(item_w))
+            .filter(F.col("_df") <= max_item_df)
+            .drop("_df")
+        )
     if materialize_pairs:
         pairs = pairs.localCheckpoint()
     a, b = pairs.alias("a"), pairs.alias("b")

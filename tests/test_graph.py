@@ -496,3 +496,40 @@ def test_triangle_counts_orientation_invariant(spark):
     }
     assert by_id == by_deg
     assert sum(by_id.values()) > 0
+
+
+def test_cooccurrence_edges_item_df_cut_is_conservative(spark):
+    """The hot-item cut must only LOWER shared counts (drop edges, never
+    add), and with the cut above the real max item-df the result equals
+    the exact build."""
+    rows = []
+    # item 100 is universal (held by all 10 nodes); items 1..5 held by
+    # pairs of nodes to create exact edges
+    for n in range(10):
+        rows.append((n, 100))
+    for i, (a, b) in enumerate([(0, 1), (0, 1), (0, 1), (2, 3), (2, 3), (2, 3)]):
+        rows.append((a, 200 + i))
+        rows.append((b, 200 + i))
+    df = spark.createDataFrame(rows, ["u", "it"])
+    exact = {
+        (r["src"], r["dst"]): r["shared"]
+        for r in cooccurrence_edges(df, "u", "it", min_shared=3).collect()
+    }
+    cut = {
+        (r["src"], r["dst"]): r["shared"]
+        for r in cooccurrence_edges(
+            df, "u", "it", min_shared=3, max_item_df=5
+        ).collect()
+    }
+    wide = {
+        (r["src"], r["dst"]): r["shared"]
+        for r in cooccurrence_edges(
+            df, "u", "it", min_shared=3, max_item_df=1000
+        ).collect()
+    }
+    assert wide == exact
+    assert set(cut) <= set(exact)
+    for k, v in cut.items():
+        assert v <= exact[k]
+    # with the universal item cut, only the 3-shared planted pairs survive
+    assert cut == {(0, 1): 3, (2, 3): 3}
