@@ -1017,6 +1017,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["first_purchase_attribution"] = _first_purchase_attribution
     q["session_time_to_purchase"] = _session_time_to_purchase
     q["prefix_duplicate_rate_by_source"] = _prefix_duplicate_rate_by_source
+
+    def _language_confusion_matrix(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.language_confusion_matrix(d)
+
+    def _open_order_backlog_by_month(spark, sf):
+        o, li = _t(spark, sf, "orders", "lineitem")
+        return O.open_order_backlog_by_month(o, li)
+
+    q["language_confusion_matrix"] = _language_confusion_matrix
+    q["open_order_backlog_by_month"] = _open_order_backlog_by_month
     return _driver_order(q)
 
 
@@ -1067,6 +1078,8 @@ _DRIVER_PRIORITY = [
     "first_purchase_attribution",
     "session_time_to_purchase",
     "prefix_duplicate_rate_by_source",
+    "language_confusion_matrix",
+    "open_order_backlog_by_month",
     # changed this round — re-confirm under the driver:
     "user_value_ntiles",
     "order_price_percent_rank",
@@ -1081,9 +1094,7 @@ _DRIVER_PRIORITY = [
     "clicks_asof_views",
     "connected_components_customers",
     "cooccurrence_pairs",
-    "corpus_splits",
     "customer_cooccurrence_edges",
-    "customer_order_activity",
 ]
 
 
@@ -3081,6 +3092,64 @@ def oracle_sql() -> dict[str, str]:
                n_events
         FROM per WHERE purchase_epoch IS NOT NULL
         ORDER BY user_id, session_seq
+    """
+    # Same marker logic and en<es<fr tie order as the language_id oracle;
+    # the matrix is its groupBy plus a share-of-label window.
+    d["language_confusion_matrix"] = """
+        WITH c AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS c_en,
+                   len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','que'))) AS c_es,
+                   len(list_filter(string_split(text, ' '), x -> x IN ('le','la','de','et'))) AS c_fr
+            FROM documents
+        ),
+        p AS (
+            SELECT lang AS labeled_lang,
+                   CASE WHEN GREATEST(c_en, c_es, c_fr) = 0 THEN 'und'
+                        WHEN c_en = GREATEST(c_en, c_es, c_fr) THEN 'en'
+                        WHEN c_es = GREATEST(c_en, c_es, c_fr) THEN 'es'
+                        ELSE 'fr' END AS predicted_lang
+            FROM c
+        ),
+        m AS (
+            SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+            FROM p GROUP BY 1, 2
+        )
+        SELECT labeled_lang, predicted_lang, n_docs,
+               CAST(n_docs AS BIGINT)
+               / CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT)
+                   AS label_share
+        FROM m ORDER BY labeled_lang, predicted_lang
+    """
+    # Interval stabbing as +1/-1 deltas and a cumsum over the month spine.
+    d["open_order_backlog_by_month"] = """
+        WITH close AS (
+            SELECT l_orderkey, MAX(l_shipdate) AS close_date
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        o AS (
+            SELECT orders.o_orderkey, o_orderdate, close.close_date
+            FROM orders LEFT JOIN close ON o_orderkey = l_orderkey
+        ),
+        deltas AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   1 AS d_open, 0 AS d_close
+            FROM o
+            UNION ALL
+            SELECT strftime(close_date, '%Y-%m') AS month, 0, 1
+            FROM o WHERE close_date IS NOT NULL
+        ),
+        m AS (
+            SELECT month,
+                   CAST(SUM(d_open) AS BIGINT) AS n_opened,
+                   CAST(SUM(d_close) AS BIGINT) AS n_closed
+            FROM deltas GROUP BY month
+        )
+        SELECT month, n_opened, n_closed,
+               CAST(SUM(n_opened - n_closed) OVER (
+                   ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS backlog
+        FROM m ORDER BY month
     """
     d["prefix_duplicate_rate_by_source"] = """
         WITH h AS (

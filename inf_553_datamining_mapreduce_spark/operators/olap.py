@@ -642,6 +642,59 @@ def session_time_to_purchase(events: DataFrame, gap_sec: int = 1800) -> DataFram
     )
 
 
+def open_order_backlog_by_month(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Monthly open-order backlog — the classic concurrent-intervals
+    (stabbing) operator: an order is open from its order month until the
+    month its LAST lineitem ships. Counting opens per month (+1) and
+    closes per month (−1) and running-summing the net turns an interval
+    overlap count into one aggregate plus a cumsum over the month spine —
+    no order⋈month interval join ever materializes. The only global
+    window runs over the distinct-months table (provably small: a
+    century of data is 1,200 rows). Orders with no shipped lineitem stay
+    open forever (no close event)."""
+    close = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("close_date")
+    )
+    o = orders.join(
+        close, orders.o_orderkey == close.l_orderkey, "left"
+    )
+    start_m = F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
+    close_m = F.date_format(F.date_trunc("month", F.col("close_date")), "yyyy-MM")
+    opens = o.select(
+        start_m.alias("month"),
+        F.lit(1).alias("d_open"),
+        F.lit(0).alias("d_close"),
+    )
+    closes = o.filter(F.col("close_date").isNotNull()).select(
+        close_m.alias("month"),
+        F.lit(0).alias("d_open"),
+        F.lit(1).alias("d_close"),
+    )
+    deltas = (
+        opens.unionAll(closes)
+        .groupBy("month")
+        .agg(
+            F.sum("d_open").alias("n_opened"),
+            F.sum("d_close").alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deltas.select(
+            "month",
+            F.col("n_opened").cast("long").alias("n_opened"),
+            F.col("n_closed").cast("long").alias("n_closed"),
+            F.sum(F.col("n_opened") - F.col("n_closed"))
+            .over(w)
+            .cast("long")
+            .alias("backlog"),
+        )
+        .orderBy("month")
+    )
+
+
 def events_hourly_heatmap(events: DataFrame) -> DataFrame:
     """Traffic heatmap: event volume and distinct users per (day-of-week,
     hour-of-day) cell — the capacity-planning rollup. One aggregate at

@@ -195,6 +195,26 @@ def language_id(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def language_confusion_matrix(documents: DataFrame) -> DataFrame:
+    """Confusion matrix of the marker-word language-ID heuristic against
+    the corpus labels: (labeled, predicted, count, share-of-label) — the
+    classifier-eval rollup run before trusting any model-assigned
+    metadata column. Reuses the ``language_id`` projection; the matrix
+    aggregate groups on a (langs × langs)-bounded key and the
+    share-of-label window partitions on the label — both tiny."""
+    preds = language_id(documents)
+    counts = preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return counts.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("label_share"),
+    ).orderBy("labeled_lang", "predicted_lang")
+
+
 def token_stats_regex(documents: DataFrame) -> DataFrame:
     """Per-document token counts under the BPE-ish regex tokenizer
     (alnum runs as tokens, everything else a boundary) — the companion to
