@@ -61,6 +61,10 @@ HEADLINE = [
     "word_frequencies",
     "exact_duplicates",
     "near_duplicate_clusters",
+    "clustering_coefficients_customers",
+    "edge_betweenness_fixedpoint_customers",
+    "supplier_part_pareto",
+    "tfidf_top_terms",
 ]
 
 
