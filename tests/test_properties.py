@@ -114,3 +114,33 @@ def test_modularity_bounded(edge_list):
     q = modularity_local(edge_list, comp)
     # modularity of any partition lies in [-1, 1]
     assert -1.0 <= q <= 1.0
+
+
+@given(
+    n_rows=st.integers(min_value=1, max_value=5000),
+    n_buckets=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_ntile_formula_matches_sql_ntile_semantics(n_rows, n_buckets):
+    """The closed-form bucket arithmetic behind olap._ntile_from_rank must
+    reproduce SQL NTILE for every (N, n): the first N mod n buckets take
+    ceil(N/n) rows, the rest floor(N/n), buckets contiguous over ranks
+    1..N. Evaluated here as pure integer math (the Spark Column version is
+    pinned against F.ntile separately in test_plans)."""
+    q, rem = divmod(n_rows, n_buckets)
+    big = q + 1
+    threshold = rem * big
+
+    def bucket_of(rank: int) -> int:
+        if rank <= threshold:
+            return (rank - 1) // big + 1
+        return rem + (rank - 1 - threshold) // q + 1
+
+    # reference: walk ranks handing out bucket sizes the SQL way
+    expected = []
+    for b in range(1, n_buckets + 1):
+        size = big if b <= rem else q
+        expected.extend([b] * size)
+    got = [bucket_of(r) for r in range(1, n_rows + 1)]
+    assert got == expected[:n_rows]
+    assert len(expected) == n_rows
