@@ -397,3 +397,41 @@ def streaming_user_totals_tws(stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def write_stream_idempotent_partitioned(
+    aggregated_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_col: str = "window_start",
+):
+    """Exactly-once streaming sink: ``foreachBatch`` + dynamic-partition
+    overwrite. Each micro-batch of a windowed aggregate (complete-mode
+    rows for the windows it touched) OVERWRITES exactly the output
+    partitions it carries, so replaying a batch after a failure rewrites
+    the same partitions with the same rows — idempotent effect on top of
+    the checkpoint's at-least-once delivery, the standard exactly-once
+    recipe for object-store sinks without a transaction log.
+
+    Contract: ``partition_col`` must partition the aggregate's output so
+    every group lands in exactly one partition value (window_start does,
+    for window grains); the batch must carry COMPLETE results for each
+    partition it writes (update-mode windowed aggregates with watermark
+    finalization do).
+
+    Returns the started-ready ``DataStreamWriter`` (caller picks the
+    trigger and calls ``start()``; tests use ``availableNow``).
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(out_dir)
+        )
+
+    return (
+        aggregated_stream.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )

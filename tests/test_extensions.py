@@ -793,3 +793,53 @@ def test_all_queries_handle_empty_tables(spark, tmp_path):
         except Exception as exc:  # collect all, report once
             failures[name] = str(exc).split("\n")[0][:120]
     assert not failures, failures
+
+
+def test_streaming_idempotent_partitioned_sink(spark, sf_dir, tmp_path):
+    """foreachBatch + dynamic-partition overwrite: the sink must land the
+    windowed aggregate as partitioned parquet matching the batch golden,
+    and REPLAYING the whole stream into the same directory (fresh
+    checkpoint, same data) must leave the result unchanged — the
+    exactly-once-effect contract."""
+    from inf_553_datamining_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+        streaming_tumbling_window_stats,
+        tumbling_window_stats,
+        write_stream_idempotent_partitioned,
+    )
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    batch = {
+        (r["wpart"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_window_stats(events)
+        .withColumn("wpart", F.unix_timestamp("window_start"))
+        .collect()
+    }
+    events_dir = _staged_events_dir(sf_dir, tmp_path)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    out_dir = str(tmp_path / "sink_out")
+    for attempt in (1, 2):  # second pass replays every partition
+        stream = read_events_stream(spark, events_dir, raw_schema)
+        agg = streaming_tumbling_window_stats(stream).withColumn(
+            "wpart", F.unix_timestamp("window_start")
+        )
+        q = (
+            write_stream_idempotent_partitioned(
+                agg,
+                out_dir,
+                str(tmp_path / f"ckpt_{attempt}"),
+                partition_col="wpart",
+            )
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["wpart"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        # streaming twin omits n_users (countDistinct is batch-only)
+        assert got == {
+            k: (v[0], v[1]) for k, v in batch.items()
+        }, f"attempt {attempt} diverged"
