@@ -702,6 +702,38 @@ def stratified_sample_events(
     )
 
 
+def exact_k_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k: int,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """EXACTLY k rows per stratum (or all of a smaller stratum), selected
+    by md5-rank of the row id — the fixed-budget companion to the
+    Bernoulli ``stratified_sample_events`` (which keeps a PERCENT and so
+    drifts with stratum size). Content-keyed hashing makes the k-subset
+    reproducible across engines, runs, and partitionings; the id tie-break
+    makes the rank total even under (astronomically unlikely) hash ties.
+
+    Shape at scale: one shuffle on the stratum key; the per-stratum window
+    is bounded by stratum size. For heavy-hitter strata at 100 TB, pre-cut
+    with the Bernoulli sampler at a few×k expected survivors, then apply
+    this for the exact budget — two narrow passes instead of one giant
+    window partition.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select(stratum_col, id_col, *keep_cols)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+        .orderBy(stratum_col, id_col)
+    )
+
+
 def approx_price_percentile_bounds(
     orders: DataFrame, accuracy: int = 1000, ps: tuple[float, ...] = (0.25, 0.5, 0.75)
 ) -> DataFrame:

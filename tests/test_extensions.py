@@ -843,3 +843,34 @@ def test_streaming_idempotent_partitioned_sink(spark, sf_dir, tmp_path):
         assert got == {
             k: (v[0], v[1]) for k, v in batch.items()
         }, f"attempt {attempt} diverged"
+
+
+def test_exact_k_per_stratum_budget_and_determinism(spark, sf_dir):
+    """Exactly k rows per event type (or the whole stratum when smaller),
+    identical across two independent evaluations, and equal to the
+    md5-rank prefix computed by brute force."""
+    import hashlib
+
+    from inf_553_datamining_mapreduce_spark.operators.relational import (
+        exact_k_per_stratum,
+    )
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    k = 7
+    out1 = exact_k_per_stratum(events, "event_type", "event_id", k).collect()
+    out2 = exact_k_per_stratum(events, "event_type", "event_id", k).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+
+    by_stratum: dict = {}
+    for r in out1:
+        by_stratum.setdefault(r["event_type"], []).append(r["event_id"])
+    all_rows = events.select("event_type", "event_id").collect()
+    full: dict = {}
+    for r in all_rows:
+        full.setdefault(r["event_type"], []).append(r["event_id"])
+    for stratum, ids in full.items():
+        want = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:k]
+        assert sorted(by_stratum.get(stratum, [])) == sorted(want), stratum
+        assert len(by_stratum.get(stratum, [])) == min(k, len(ids))
