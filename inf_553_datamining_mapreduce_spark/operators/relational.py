@@ -734,6 +734,36 @@ def exact_k_per_stratum(
     )
 
 
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: per-key row counts reduced to
+    the numbers that decide a salting strategy — distinct keys, total
+    rows, max/p99/p50 key weight, and the skew factor (max / p50). One
+    aggregate to key grain, one tiny scalar reduce; run it on the join
+    key BEFORE a 100-TB shuffle and feed the answer to the salted-join
+    remedy (``salted_segment_revenue``) when skew_factor says so.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        F.expr("CAST(percentile(cnt, 0.99) AS BIGINT)").alias("p99_key_rows"),
+        F.expr("CAST(percentile(cnt, 0.5) AS BIGINT)").alias("p50_key_rows"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        "p99_key_rows",
+        "p50_key_rows",
+        (
+            F.col("max_key_rows")
+            / F.greatest(F.col("p50_key_rows"), F.lit(1))
+        ).alias("skew_factor"),
+    )
+
+
 def approx_price_percentile_bounds(
     orders: DataFrame, accuracy: int = 1000, ps: tuple[float, ...] = (0.25, 0.5, 0.75)
 ) -> DataFrame:

@@ -874,3 +874,20 @@ def test_exact_k_per_stratum_budget_and_determinism(spark, sf_dir):
         )[:k]
         assert sorted(by_stratum.get(stratum, [])) == sorted(want), stratum
         assert len(by_stratum.get(stratum, [])) == min(k, len(ids))
+
+
+def test_key_skew_report_quantifies_planted_skew(spark):
+    """A planted 80/10/10 key distribution must report max, p50, and a
+    skew factor of max/p50 exactly."""
+    from inf_553_datamining_mapreduce_spark.operators.relational import (
+        key_skew_report,
+    )
+
+    rows = [("hot",)] * 80 + [("warm",)] * 10 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, ["k"])
+    r = key_skew_report(df, "k").collect()[0]
+    assert r["n_keys"] == 3
+    assert r["n_rows"] == 100
+    assert r["max_key_rows"] == 80
+    assert r["p50_key_rows"] == 10
+    assert r["skew_factor"] == 8.0
