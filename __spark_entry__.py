@@ -1028,6 +1028,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["language_confusion_matrix"] = _language_confusion_matrix
     q["open_order_backlog_by_month"] = _open_order_backlog_by_month
+
+    def _pmi_collocations(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.pmi_collocations(d)
+
+    def _inverted_index_postings(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.inverted_index(d)
+
+    def _training_batches(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.training_batches(d)
+
+    q["pmi_collocations"] = _pmi_collocations
+    q["inverted_index_postings"] = _inverted_index_postings
+    q["training_batches"] = _training_batches
+
+    def _winsorized_price_stats(spark, sf):
+        (o,) = _t(spark, sf, "orders")
+        return O.winsorized_price_stats(o)
+
+    def _user_state_intervals(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return O.user_state_intervals(e)
+
+    q["winsorized_price_stats"] = _winsorized_price_stats
+    q["user_state_intervals"] = _user_state_intervals
     return _driver_order(q)
 
 
@@ -1085,16 +1112,17 @@ _DRIVER_PRIORITY = [
     "order_price_percent_rank",
     "term_frequency_stats",
     "link_prediction_customers",
+    # late round-4 additions (new capability families — prove immediately):
+    "pmi_collocations",
+    "inverted_index_postings",
+    "training_batches",
+    "winsorized_price_stats",
+    "user_state_intervals",
     # stalest greens (last confirmed r1/r2) — rolling re-confirmation:
     "embedding_near_duplicates",
     "sliding_window_stats",
     "topk_cosine",
     "tumbling_window_stats",
-    "approx_distinct_parts_bounds",
-    "clicks_asof_views",
-    "connected_components_customers",
-    "cooccurrence_pairs",
-    "customer_cooccurrence_edges",
 ]
 
 
@@ -3166,6 +3194,125 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(COUNT(*) AS BIGINT) AS prefix_dup_rate
         FROM h JOIN c USING (ph)
         GROUP BY source ORDER BY source
+    """
+    # PMI surrogate: fixed five-op IEEE expression tree over exact longs —
+    # association order mirrors operators/text.py::pmi_collocations exactly.
+    d["pmi_collocations"] = """
+        WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        uni AS (
+            SELECT u.w AS w, COUNT(*) AS c
+            FROM toks, UNNEST(t) AS u(w) GROUP BY 1
+        ),
+        bi AS (
+            SELECT t[u.i] AS w1, t[u.i + 1] AS w2, COUNT(*) AS n_pair
+            FROM toks, UNNEST(range(1, GREATEST(len(t) - 1, 0) + 1)) AS u(i)
+            GROUP BY 1, 2
+        ),
+        nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni_total FROM uni),
+        nb AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bi_total FROM bi)
+        SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+               CAST(u1.c AS BIGINT) AS n_w1, CAST(u2.c AS BIGINT) AS n_w2,
+               (CAST(n_pair AS DOUBLE) * CAST(n_uni_total AS DOUBLE)
+                    * CAST(n_uni_total AS DOUBLE))
+               / (CAST(n_bi_total AS DOUBLE) * CAST(u1.c AS DOUBLE)
+                    * CAST(u2.c AS DOUBLE)) AS pmi_score
+        FROM bi
+        JOIN uni u1 ON bi.w1 = u1.w
+        JOIN uni u2 ON bi.w2 = u2.w, nu, nb
+        WHERE n_pair >= 5
+        ORDER BY pmi_score DESC, w1, w2 LIMIT 50
+    """
+    d["inverted_index_postings"] = """
+        WITH occ AS (
+            SELECT DISTINCT u.token AS token, doc_id
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 UNNEST(t) AS u(token)
+        ),
+        dfs AS (
+            SELECT token, COUNT(*) AS doc_freq FROM occ GROUP BY token
+            HAVING COUNT(*) BETWEEN 3 AND 40
+        ),
+        ranked AS (
+            SELECT occ.token, doc_freq, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY occ.token ORDER BY doc_id) AS rn
+            FROM occ JOIN dfs USING (token)
+        )
+        SELECT token, CAST(doc_freq AS BIGINT) AS doc_freq,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM ranked WHERE rn <= 10
+        GROUP BY token, doc_freq
+        ORDER BY token
+    """
+    d["training_batches"] = """
+        WITH keyed AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                   md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS skey
+            FROM documents
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS pos FROM keyed
+        )
+        SELECT CAST(FLOOR((pos - 1) / 64) AS BIGINT) AS batch_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+               MIN(skey) AS first_key
+        FROM ranked GROUP BY 1 ORDER BY batch_id
+    """
+    # Percentile-disc winsorization: boundary = value at rank ceil(tau*N)
+    # under the total order (price, orderkey). The tau*N product MUST be
+    # IEEE double (DuckDB parses 0.05 as DECIMAL and would compute an exact
+    # product where Spark rounds) — hence the explicit DOUBLE casts.
+    d["winsorized_price_stats"] = f"""
+        WITH ranked AS (
+            SELECT o_totalprice,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
+                   COUNT(*) OVER () AS n
+            FROM orders
+        ),
+        bounds AS (
+            SELECT MIN(CASE WHEN r = CAST(CEIL(CAST(0.05 AS DOUBLE) * n) AS BIGINT)
+                            THEN o_totalprice END) AS lo_val,
+                   MIN(CASE WHEN r = CAST(CEIL(CAST(0.95 AS DOUBLE) * n) AS BIGINT)
+                            THEN o_totalprice END) AS hi_val
+            FROM ranked
+            WHERE r = CAST(CEIL(CAST(0.05 AS DOUBLE) * n) AS BIGINT)
+               OR r = CAST(CEIL(CAST(0.95 AS DOUBLE) * n) AS BIGINT)
+        ),
+        clipped AS (
+            SELECT LEAST(GREATEST(o_totalprice, lo_val), hi_val) AS wprice,
+                   o_totalprice < lo_val AS below,
+                   o_totalprice > hi_val AS above,
+                   lo_val, hi_val
+            FROM ranked CROSS JOIN bounds
+        )
+        SELECT lo_val, hi_val,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(wprice AS {_D})) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS winsorized_mean,
+               CAST(SUM(CASE WHEN below THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_low,
+               CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_high
+        FROM clipped GROUP BY lo_val, hi_val
+    """
+    d["user_state_intervals"] = """
+        WITH o AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LAG(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        ch AS (
+            SELECT * FROM o
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id, event_type AS state,
+               epoch_us(ts) AS valid_from_us,
+               COALESCE(LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), -1) AS valid_to_us
+        FROM ch
+        ORDER BY user_id, valid_from_us, state
     """
     return d
 

@@ -1189,3 +1189,107 @@ def session_paths(events: DataFrame, gap_sec: int = 1800, top_n: int = 50) -> Da
         .orderBy(F.desc("n_sessions"), F.desc("n_users"), "path")
         .limit(top_n)
     )
+
+
+def winsorized_price_stats(
+    orders: DataFrame, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Robust (winsorized) order-price statistics: clip the price column at
+    the exact ``lo``/``hi`` quantile DATA VALUES, then report the clipped
+    mean and clip counts — the outlier-resistant summary every metrics
+    pipeline wants when a few corrupt rows would otherwise drag the mean.
+
+    Determinism: the boundaries are percentile-disc style — the value at
+    global rank ceil(tau·N) under the total order (price, orderkey) — so
+    they are actual column values, never interpolated doubles; clipping is
+    pure least/greatest (no arithmetic), and the clipped mean uses the
+    decimal-exact accumulation idiom. Every emitted number is bit-identical
+    cross-engine.
+
+    Shape at scale: ranks come from ``_global_ranks`` (TeraSort shape — no
+    single-partition sort); the two boundary rows reduce to one broadcast
+    1-row aggregate; the clip + final stats are one more pass over the
+    ranked rows. At 100 TB swap the exact ranks for ``approx_percentile``
+    boundaries — the clip pass is unchanged.
+    """
+    ranked = _global_ranks(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        "_rank",
+        total_name="_n",
+    )
+    lo_rank = F.ceil(F.lit(lo) * F.col("_n"))
+    hi_rank = F.ceil(F.lit(hi) * F.col("_n"))
+    bounds = ranked.filter(
+        (F.col("_rank") == lo_rank) | (F.col("_rank") == hi_rank)
+    ).agg(
+        F.min(
+            F.when(F.col("_rank") == lo_rank, F.col("o_totalprice"))
+        ).alias("lo_val"),
+        F.min(
+            F.when(F.col("_rank") == hi_rank, F.col("o_totalprice"))
+        ).alias("hi_val"),
+    )
+    clipped = ranked.join(F.broadcast(bounds)).select(
+        F.least(
+            F.greatest(F.col("o_totalprice"), F.col("lo_val")), F.col("hi_val")
+        ).alias("wprice"),
+        (F.col("o_totalprice") < F.col("lo_val")).alias("below"),
+        (F.col("o_totalprice") > F.col("hi_val")).alias("above"),
+        "lo_val",
+        "hi_val",
+    )
+    return clipped.groupBy("lo_val", "hi_val").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum(F.col("wprice").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("winsorized_mean"),
+        F.sum(F.when(F.col("below"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("above"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+    )
+
+
+def user_state_intervals(events: DataFrame) -> DataFrame:
+    """SCD-Type-2 interval reconstruction: collapse each user's event
+    stream into contiguous ``event_type`` state intervals —
+    ``[valid_from_us, valid_to_us)`` rows where the state differs from the
+    previous event's, the dimension-history build every warehouse runs to
+    turn a change log into queryable validity ranges (open intervals — each
+    user's current state — carry ``valid_to_us = -1``, keeping the output
+    NULL-free so cross-engine value hashing never sees NaN).
+
+    Shape at scale: two windows, both partitioned by ``user_id`` (bounded
+    partitions) and sharing one exchange; change rows are filtered BEFORE
+    the lead window, so the second window only sees state changes, not the
+    raw stream. Timestamps emit as epoch microseconds (exact longs — the
+    ``session_paths`` convention) so no float ever enters the row.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = marked.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.coalesce(
+                F.lead(F.unix_micros("ts")).over(w2), F.lit(-1).cast("long")
+            ).alias("valid_to_us"),
+        )
+        .orderBy("user_id", "valid_from_us", "state")
+    )

@@ -695,3 +695,167 @@ def hapax_ratio(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def pmi_collocations(
+    documents: DataFrame, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by a PMI surrogate — the
+    statistic that separates genuine multi-word expressions ("San
+    Francisco") from merely frequent pairs ("of the"); corpus curators use
+    it to build tokenizer merge hints and boilerplate phrase lists.
+
+    The score is the PMI ratio WITHOUT the log: with joint p = c_pair/N_bi
+    and marginals p_i = c_i/N_uni,
+
+        score = (c_pair · N_uni · N_uni) / (N_bi · c_w1 · c_w2)
+
+    log() is monotone, so the RANKING equals classic PMI while every
+    operand stays an exact long and the score is a fixed five-op IEEE
+    expression tree — bit-identical cross-engine (the ``tfidf_top_terms``
+    libm-free trick applied to collocations).
+
+    Shape at scale: unigram and bigram counts are two keyed aggregates
+    with map-side partials; the ``min_count`` cut lands BEFORE the two
+    vocabulary joins, so the long bigram tail never joins; the corpus
+    totals come from one scalar aggregate over each (already tiny) count
+    table, not a rescan; the final top-k is a TakeOrdered, never a global
+    sort.
+    """
+    toks = documents.select(tokens_col("text").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair = F.expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(pair).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("long").alias("n_uni_total"))
+    n_bi = bi.agg(F.sum("n_pair").cast("long").alias("n_bi_total"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("n_w2"))
+    nu = F.col("n_uni_total").cast("double")
+    score = (
+        (F.col("n_pair").cast("double") * nu * nu)
+        / (
+            F.col("n_bi_total").cast("double")
+            * F.col("n_w1").cast("double")
+            * F.col("n_w2").cast("double")
+        )
+    )
+    return (
+        bi.filter(F.col("n_pair") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_w1").cast("long").alias("n_w1"),
+            F.col("n_w2").cast("long").alias("n_w2"),
+            score.alias("pmi_score"),
+        )
+        .orderBy(F.desc("pmi_score"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def inverted_index(
+    documents: DataFrame,
+    min_df: int = 3,
+    max_df: int = 40,
+    max_postings: int = 10,
+) -> DataFrame:
+    """Capped inverted-index postings — for every token whose document
+    frequency falls in ``[min_df, max_df]``, the document frequency and
+    the first ``max_postings`` doc ids (ascending) as a comma-joined
+    posting list. The IR-index build step: the df band drops both
+    stopword-grade terms (too common to index) and hapax noise, and the
+    cap bounds every posting list the way real index shards page them.
+
+    Shape at scale: presence pairs are one distinct aggregate; the df
+    band is computed on the aggregated (token, df) table and semi-joins
+    the pairs BEFORE the ranking window, so the window only ever sees
+    partitions of at most ``max_df`` rows — bounded by construction, no
+    skew. ``collect_list`` materializes at most ``max_postings`` longs
+    per group.
+    """
+    occ = documents.select(
+        F.explode(tokens_col("text")).alias("token"), "doc_id"
+    ).distinct()
+    dfs = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(
+            (F.col("doc_freq") >= min_df) & (F.col("doc_freq") <= max_df)
+        )
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    return (
+        occ.join(dfs, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_postings)
+        .groupBy("token", "doc_freq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+        .select("token", F.col("doc_freq").cast("long").alias("doc_freq"), "postings")
+        .orderBy("token")
+    )
+
+
+def training_batches(documents: DataFrame, batch_size: int = 64) -> DataFrame:
+    """Deterministic corpus shuffle + fixed-size training-batch packing:
+    every document gets a reproducible pseudo-random position (md5 of its
+    id under a fixed salt — the ``corpus_splits`` determinism trick), the
+    positions become exact global ranks, and rank``//batch_size`` is the
+    batch id. Emits per-batch document and token totals plus the first
+    shuffle key — the manifest a data-loader shards by.
+
+    Shape at scale: the global ordering goes through
+    ``olap._global_ranks`` (range-partitioned TeraSort shape — sampled
+    boundaries, per-range row_number, broadcast offsets), NEVER a
+    single-partition window; the per-batch rollup is one keyed aggregate.
+    This is the write-side of epoch shuffling: reshuffling an epoch is a
+    salt change, not a new random state.
+    """
+    from inf_553_datamining_mapreduce_spark.operators.olap import _global_ranks
+
+    keyed = documents.select(
+        "doc_id",
+        F.size(tokens_col("text")).alias("n_tokens"),
+        F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))).alias(
+            "skey"
+        ),
+    )
+    ranked = _global_ranks(keyed, ["skey", "doc_id"], rank_name="pos")
+    return (
+        ranked.select(
+            F.floor((F.col("pos") - 1) / batch_size).cast("long").alias("batch_id"),
+            "n_tokens",
+            "skey",
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("batch_tokens"),
+            F.min("skey").alias("first_key"),
+        )
+        .orderBy("batch_id")
+    )
