@@ -65,6 +65,9 @@ HEADLINE = [
     "edge_betweenness_fixedpoint_customers",
     "supplier_part_pareto",
     "tfidf_top_terms",
+    "pmi_collocations",
+    "training_batches",
+    "winsorized_price_stats",
 ]
 
 

@@ -82,3 +82,26 @@ def read_csv_with_header(
 def with_columns_cast(df: DataFrame, casts: dict[str, str]) -> DataFrame:
     """Bulk cast helper (reference F6: ``.toInt`` / ``.toDouble``)."""
     return df.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """Newline-delimited JSON with an EXPLICIT schema — the corpus-pipeline
+    interchange format (every public web-scale text dump ships as jsonl).
+
+    The explicit schema matters twice at scale: it skips Spark's
+    whole-dataset schema-inference pre-pass (a full extra scan at 100 TB),
+    and it pins column types so a malformed minority of rows cannot flip a
+    column to string. Corrupt records land in ``_corrupt_record`` when the
+    caller includes it in the schema (PERMISSIVE mode default) instead of
+    failing the job.
+    """
+    return spark.read.json(path, schema=schema)
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (Catalyst emits PushedFilters into the ORC reader), for deployments
+    standardized on the Hive-side format."""
+    return spark.read.orc(path)

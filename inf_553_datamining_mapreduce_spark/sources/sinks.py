@@ -140,3 +140,22 @@ def write_single_csv(df: DataFrame, path: str, header: bool = True) -> None:
     (``task1.scala:83`` ``coalesce(1).saveAsTextFile``). Only for
     contract-bound small outputs; large sinks keep natural parallelism."""
     df.coalesce(1).write.mode("overwrite").csv(path, header=header)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, compression: str | None = "gzip"
+) -> None:
+    """Newline-delimited JSON sink — one shard per task (fully parallel,
+    no coalesce), optionally compressed. The export format downstream
+    tokenizer/training jobs consume; at 100 TB the per-file size is
+    governed by the upstream partitioning, so repartition before writing
+    if the target system wants bounded shards."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink with the same overwrite contract as the parquet writers."""
+    df.write.mode("overwrite").orc(path)

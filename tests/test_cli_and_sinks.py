@@ -99,3 +99,40 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_jsonl_round_trip(spark, sf_dir, tmp_path):
+    """jsonl write → read with explicit schema reproduces the table exactly
+    (modulo row order) — the corpus-interchange contract."""
+    from inf_553_datamining_mapreduce_spark.sources.readers import read_jsonl
+    from inf_553_datamining_mapreduce_spark.sources.sinks import write_jsonl
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, docs.schema)
+    assert back.schema == docs.schema
+    a = sorted(docs.collect())
+    b = sorted(back.collect())
+    assert a == b
+
+
+def test_orc_round_trip_pushes_filters(spark, sf_dir, tmp_path):
+    """ORC write → read round-trips, and a filter on the read side reaches
+    the ORC scan as a pushed filter (same pruning contract as parquet)."""
+    from inf_553_datamining_mapreduce_spark.sources.readers import read_orc_table
+    from inf_553_datamining_mapreduce_spark.sources.sinks import write_orc
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc_table(spark, path)
+    assert back.count() == orders.count()
+    plan = (
+        back.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan
