@@ -1055,6 +1055,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winsorized_price_stats"] = _winsorized_price_stats
     q["user_state_intervals"] = _user_state_intervals
+
+    def _label_propagation_customers(spark, sf):
+        return G.label_propagation(_customer_graph_edges(spark, sf), rounds=5)
+
+    def _lineitem_key_skew_report(spark, sf):
+        (li,) = _t(spark, sf, "lineitem")
+        return R.key_skew_report(li, "l_partkey")
+
+    def _stratum_sample_exact_k(spark, sf):
+        (e,) = _t(spark, sf, "events")
+        return R.exact_k_per_stratum(e, "event_type", "event_id", k=100)
+
+    q["label_propagation_customers"] = _label_propagation_customers
+    q["lineitem_key_skew_report"] = _lineitem_key_skew_report
+    q["stratum_sample_exact_k"] = _stratum_sample_exact_k
     return _driver_order(q)
 
 
@@ -1118,11 +1133,11 @@ _DRIVER_PRIORITY = [
     "training_batches",
     "winsorized_price_stats",
     "user_state_intervals",
-    # stalest greens (last confirmed r1/r2) — rolling re-confirmation:
+    "label_propagation_customers",
+    "lineitem_key_skew_report",
+    "stratum_sample_exact_k",
+    # stalest green (last confirmed r1) — rolling re-confirmation:
     "embedding_near_duplicates",
-    "sliding_window_stats",
-    "topk_cosine",
-    "tumbling_window_stats",
 ]
 
 
@@ -3314,7 +3329,85 @@ def oracle_sql() -> dict[str, str]:
         FROM ch
         ORDER BY user_id, valid_from_us, state
     """
+    d["label_propagation_customers"] = _labelprop_oracle(rounds=5)
+    # Percentiles of the per-key count distribution: FLOOR before the
+    # BIGINT cast because DuckDB CAST rounds where Spark truncates; counts
+    # are positive so floor == truncate-toward-zero.
+    d["lineitem_key_skew_report"] = """
+        WITH c AS (
+            SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+        ),
+        a AS (
+            SELECT COUNT(*) AS n_keys,
+                   CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   MAX(cnt) AS max_key_rows,
+                   CAST(FLOOR(quantile_cont(cnt, 0.99)) AS BIGINT) AS p99_key_rows,
+                   CAST(FLOOR(quantile_cont(cnt, 0.5)) AS BIGINT) AS p50_key_rows
+            FROM c
+        )
+        SELECT n_keys, n_rows, max_key_rows, p99_key_rows, p50_key_rows,
+               max_key_rows / GREATEST(p50_key_rows, 1) AS skew_factor
+        FROM a
+    """
+    d["stratum_sample_exact_k"] = """
+        WITH r AS (
+            SELECT event_type, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                   ) AS rk
+            FROM events
+        )
+        SELECT event_type, event_id FROM r WHERE rk <= 100
+        ORDER BY event_type, event_id
+    """
     return d
+
+
+def _labelprop_oracle(rounds: int, min_shared: int = 4) -> str:
+    """Chained-CTE oracle for deterministic label propagation: one
+    (neighbor-count, argmax) CTE pair per round over the same co-occurrence
+    graph build as the Spark query. The (count DESC, label ASC) ROW_NUMBER
+    argmax is the same total order the Spark window uses, so every round is
+    value-identical; unlike k-core, extra rounds are NOT a fixpoint
+    identity, so the unroll count must equal the Spark loop's (it does by
+    construction)."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+        n{i} AS MATERIALIZED (
+            SELECT s.src AS v, l.label, COUNT(*) AS c
+            FROM sym s JOIN l{i - 1} l ON s.dst = l.v
+            GROUP BY 1, 2
+        ),
+        l{i} AS MATERIALIZED (
+            SELECT v, label FROM (
+                SELECT v, label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v ORDER BY c DESC, label
+                       ) AS rn
+                FROM n{i}
+            ) WHERE rn = 1
+        )""")
+    return f"""
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= {min_shared}
+        ),
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e0
+        ),
+        l0 AS (SELECT DISTINCT src AS v, src AS label FROM sym),{",".join(steps)}
+        SELECT v AS c, CAST(label AS BIGINT) AS community
+        FROM l{rounds} ORDER BY c
+    """
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:

@@ -1343,3 +1343,50 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 5) -> DataFrame:
+    """Semi-synchronous label propagation communities over DISTINCT
+    canonically-oriented edges (``cooccurrence_edges`` form): every vertex
+    starts as its own label; each round every vertex simultaneously adopts
+    the most frequent label among its neighbors, ties broken by the
+    SMALLEST label — the deterministic LPA variant (raw LPA's random tie
+    order is irreproducible across engines and runs). Unlike connected
+    components (which merge everything reachable), bounded-round LPA keeps
+    densely-connected cores together while sparse bridges stay separate —
+    the cheap community detector between CC and Girvan–Newman.
+
+    Shape at scale: each round is one join (neighbor labels), one count
+    aggregate, and one per-vertex argmax window over label-count rows
+    (bounded by the vertex's distinct neighbor labels ≤ degree);
+    ``localCheckpoint`` truncates lineage per round exactly as the
+    pagerank/k-core loops do. The fixed round count makes the whole
+    algorithm expressible as a depth-unrolled chained-CTE oracle — the
+    ``_pagerank_oracle`` provability trick (extra rounds past a fixpoint
+    are NOT the identity here, so the oracle must unroll the same count,
+    which it does by construction).
+    """
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        nb = sym.join(
+            labels.withColumnRenamed("v", "dst"), "dst"
+        ).select(F.col("src").alias("v"), "label")
+        cnt = nb.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("v", "label")
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("v").alias("c"), F.col("label").alias("community")
+    ).orderBy("c")
