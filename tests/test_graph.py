@@ -533,3 +533,45 @@ def test_cooccurrence_edges_item_df_cut_is_conservative(spark):
         assert v <= exact[k]
     # with the universal item cut, only the 3-shared planted pairs survive
     assert cut == {(0, 1): 3, (2, 3): 3}
+
+
+def test_label_propagation_planted_two_cliques(spark):
+    """Two 6-cliques joined by one bridge edge: CC would merge them into
+    one component, but 5-round deterministic LPA must keep two communities
+    (each clique converges to its own minimum label) — the property that
+    makes LPA the density-aware middle ground between CC and GN."""
+    from itertools import combinations
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        label_propagation,
+    )
+
+    a = list(range(0, 6))
+    b = list(range(10, 16))
+    edges = sorted(
+        {(x, y) for x, y in combinations(a, 2)}
+        | {(x, y) for x, y in combinations(b, 2)}
+        | {(5, 10)}  # bridge
+    )
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["c"]: r["community"] for r in label_propagation(edf, rounds=5).collect()}
+    assert set(got) == set(a) | set(b)
+    # every clique member carries its clique's minimum label
+    assert {got[v] for v in a} == {0}
+    assert {got[v] for v in b} == {10}
+
+
+def test_label_propagation_one_round_adopts_neighbor_mode(spark):
+    """One round on a star: every leaf adopts the hub's label only if the
+    hub is its most frequent neighbor label (it is — leaves see one
+    neighbor); the hub adopts the minimum leaf label (all counts tie at
+    1, smallest label wins) — pinning the deterministic tie-break."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(0, i) for i in range(1, 5)]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["c"]: r["community"] for r in label_propagation(edf, rounds=1).collect()}
+    assert got[0] == 1  # hub: ties at count 1 → min leaf label
+    assert all(got[i] == 0 for i in range(1, 5))  # leaves: hub label

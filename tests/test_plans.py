@@ -311,3 +311,57 @@ def test_supplier_part_pareto_is_single_shuffle(spark, sf_dir):
     li = read_parquet_table(spark, sf_dir, "lineitem")
     plan = _plan(supplier_part_pareto(li))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_training_batches_has_no_single_partition_exchange(spark, sf_dir):
+    """The epoch shuffler must rank through range partitioning — an
+    ``Exchange SinglePartition`` feeding a Window would mean the whole
+    corpus sorts in one task. Only the per-range offset cumsum (over
+    ``num_parts`` rows, post-aggregate) may be single-partition."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        training_batches,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    plan = _plan(training_batches(d, batch_size=64))
+    # The ranked side must carry a range exchange; the only windows allowed
+    # are the per-range row_number (partitioned by _pid) and the offset
+    # cumsum over the tiny per-partition count table.
+    assert "rangepartitioning" in plan
+    import re
+
+    for w in re.findall(r"Window \[[^\n]*", plan):
+        assert "row_number" in w or "_cnt" in w, w
+
+
+def test_inverted_index_band_filter_precedes_ranking_window(spark, sf_dir):
+    """The df band must reach the presence pairs BEFORE the per-token
+    ranking window (bounding window partitions at max_df rows): the join
+    with the banded df table and both band predicates must sit below the
+    Window node in the executed plan."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        inverted_index,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    plan = _plan(inverted_index(d, min_df=3, max_df=40, max_postings=10))
+    win_at = plan.index("Window ")
+    join_at = plan.index("BroadcastHashJoin")
+    assert join_at > win_at, "join with the banded df table should appear " \
+        "below the window in toString order (children print after parents)"
+    # Catalyst additionally inserts a map-side top-k (WindowGroupLimit
+    # Partial) so at most max_postings rows per token cross the shuffle —
+    # keep that property pinned.
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_winsorized_bounds_join_is_broadcast(spark, sf_dir):
+    """The clip pass joins a 1-row boundary aggregate — it must be a
+    broadcast nested loop, never a shuffle of the ranked fact side."""
+    from inf_553_datamining_mapreduce_spark.operators.olap import (
+        winsorized_price_stats,
+    )
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    plan = _plan(winsorized_price_stats(o))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
