@@ -1070,6 +1070,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["label_propagation_customers"] = _label_propagation_customers
     q["lineitem_key_skew_report"] = _lineitem_key_skew_report
     q["stratum_sample_exact_k"] = _stratum_sample_exact_k
+
+    def _weighted_corpus_sample(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.weighted_corpus_sample(d, k=50)
+
+    q["weighted_corpus_sample"] = _weighted_corpus_sample
     return _driver_order(q)
 
 
@@ -1136,8 +1142,7 @@ _DRIVER_PRIORITY = [
     "label_propagation_customers",
     "lineitem_key_skew_report",
     "stratum_sample_exact_k",
-    # stalest green (last confirmed r1) — rolling re-confirmation:
-    "embedding_near_duplicates",
+    "weighted_corpus_sample",
 ]
 
 
@@ -3360,6 +3365,31 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_type, event_id FROM r WHERE rk <= 100
         ORDER BY event_type, event_id
+    """
+    # All-integer PPS selection: DuckDB's windowed SUM widens to HUGEINT,
+    # Spark stays in long — both exact; // and div are the same floor
+    # division on the positive operands here.
+    d["weighted_corpus_sample"] = """
+        WITH keyed AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+                   md5('wsample:' || CAST(doc_id AS VARCHAR)) AS skey
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, weight,
+                   SUM(weight) OVER (
+                       ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING
+                   ) AS cum_after,
+                   SUM(weight) OVER () AS w_total
+            FROM keyed
+        )
+        SELECT doc_id, weight,
+               CAST(((cum_after - weight) * 50) // w_total AS BIGINT) AS slot
+        FROM cum
+        WHERE ((cum_after - weight) * 50) // w_total
+              < (cum_after * 50) // w_total
+        ORDER BY slot
     """
     return d
 

@@ -1293,3 +1293,54 @@ def user_state_intervals(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_us", "state")
     )
+
+
+def _global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    cum_name: str = "_cum",
+    total_name: str = "_total",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Exact inclusive running total of ``val_col`` over a global order
+    WITHOUT a single-partition window — ``_global_ranks``' sibling:
+    range-repartition on the sort key, running sum within each range, then
+    add each range's value-sum offset via a broadcast join (and attach the
+    grand total from the same per-range sums — no extra scan).
+
+    Same determinism contract as ``_global_ranks``: the caller supplies a
+    TOTAL order when per-row cumulative values matter; the
+    ``localCheckpoint`` pins the sampled range boundaries so the offset
+    and running-sum branches see one partitioning.
+    """
+    spark = df.sparkSession
+    n_parts = num_parts or spark.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = parts.groupBy("_pid").agg(F.sum(val_col).alias("_psum"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = sums.select(
+        "_pid",
+        F.coalesce(F.sum("_psum").over(w_off), F.lit(0)).cast("long").alias("_off"),
+        F.sum("_psum").over(w_all).cast("long").alias(total_name),
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            cum_name,
+            (F.sum(val_col).over(w_local) + F.col("_off")).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )

@@ -859,3 +859,49 @@ def training_batches(documents: DataFrame, batch_size: int = 64) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+def weighted_corpus_sample(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Weighted systematic (probability-proportional-to-size) corpus
+    sample: order documents by a reproducible md5 shuffle key, take the
+    exact running token-count total, and select the document covering each
+    of the ``k`` equally-spaced weight thresholds — long documents are
+    proportionally more likely to be picked, short ones can still win a
+    slot, and the whole draw is a pure function of the corpus (the
+    deterministic alternative to Efraimidis–Spirakis keys, whose ln()
+    ranking is libm-dependent and so not bit-reproducible across engines).
+
+    Selection is all-integer: a document is chosen iff
+    ``(cum_before·k) div W < (cum_after·k) div W`` — it crosses a slot
+    boundary — and its (strictly increasing) starting slot is emitted, so
+    at most ``k`` rows come back, every one exact cross-engine.
+
+    Shape at scale: the running total rides ``olap._global_cumsum``
+    (range-partition, per-range running sums, broadcast offsets — the
+    TeraSort shape; no single-partition window); selection and slot
+    assignment are pure expressions.
+    """
+    from inf_553_datamining_mapreduce_spark.operators.olap import _global_cumsum
+
+    keyed = documents.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("long").alias("weight"),
+        F.md5(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))).alias(
+            "skey"
+        ),
+    )
+    cum = _global_cumsum(
+        keyed, ["skey", "doc_id"], "weight",
+        cum_name="cum_after", total_name="w_total",
+    )
+    before_slot = F.expr(f"((cum_after - weight) * {k}) div w_total")
+    after_slot = F.expr(f"(cum_after * {k}) div w_total")
+    return (
+        cum.filter(before_slot < after_slot)
+        .select(
+            "doc_id",
+            "weight",
+            before_slot.cast("long").alias("slot"),
+        )
+        .orderBy("slot")
+    )
