@@ -435,3 +435,39 @@ def write_stream_idempotent_partitioned(
         aggregated_stream.writeStream.foreachBatch(_write_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def streaming_enriched_window_counts(
+    stream: DataFrame,
+    customer: DataFrame,
+    width_sec: int = 300,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to the (batch)
+    customer dimension BEFORE the event-time window aggregate — the
+    standard streaming star-schema pattern. A stream-static equi-join
+    carries NO state (the static side broadcasts per micro-batch; only
+    the windowed aggregate holds state, bounded by the watermark), so
+    this composes with any dimension size a broadcast can carry; beyond
+    that, pre-bucket the dim and let the join shuffle the micro-batch
+    only."""
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", f"{width_sec} seconds"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -891,3 +891,56 @@ def test_key_skew_report_quantifies_planted_skew(spark):
     assert r["max_key_rows"] == 80
     assert r["p50_key_rows"] == 10
     assert r["skew_factor"] == 8.0
+
+
+def test_streaming_enrichment_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static dimension join + windowed aggregate equals the same
+    plan run in batch — the streaming star-schema enrichment contract
+    (the static side holds no state; only the window does)."""
+    from inf_553_datamining_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+        streaming_enriched_window_counts,
+        _DEC,
+    )
+    from pyspark.sql import functions as F
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    customer = read_parquet_table(spark, sf_dir, "customer")
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = {
+        (r["window_start"], r["c_mktsegment"]): (r["n_events"], r["sum_value"])
+        for r in (
+            events.join(dim, "user_id")
+            .groupBy(F.window("ts", "300 seconds"), "c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "c_mktsegment",
+                "n_events",
+                "sum_value",
+            )
+            .collect()
+        )
+    }
+    events_dir = _staged_events_dir(sf_dir, tmp_path)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = read_events_stream(spark, events_dir, raw_schema)
+    q = (
+        streaming_enriched_window_counts(stream, customer)
+        .writeStream.format("memory")
+        .queryName("enriched_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["c_mktsegment"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM enriched_test").collect()
+    }
+    assert got == batch
