@@ -717,10 +717,12 @@ def pmi_collocations(
 
     Shape at scale: unigram and bigram counts are two keyed aggregates
     with map-side partials; the ``min_count`` cut lands BEFORE the two
-    vocabulary joins, so the long bigram tail never joins; the corpus
-    totals come from one scalar aggregate over each (already tiny) count
-    table, not a rescan; the final top-k is a TakeOrdered, never a global
-    sort.
+    vocabulary joins, so the long bigram tail never joins; BOTH corpus
+    totals (Σn tokens, Σmax(n−1,0) bigrams) ride one extra 1-row scalar
+    aggregate over the pruned text column — Spark does not share
+    un-materialized branches, so deriving totals from the count tables
+    would silently re-scan the corpus once per total; the final top-k is
+    a TakeOrdered, never a global sort.
     """
     toks = documents.select(tokens_col("text").alias("t"))
     uni = (
@@ -738,8 +740,12 @@ def pmi_collocations(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )
-    n_uni = uni.agg(F.sum("c").cast("long").alias("n_uni_total"))
-    n_bi = bi.agg(F.sum("n_pair").cast("long").alias("n_bi_total"))
+    totals = toks.select(F.size("t").alias("n")).agg(
+        F.sum("n").cast("long").alias("n_uni_total"),
+        F.sum(F.greatest(F.col("n") - 1, F.lit(0)))
+        .cast("long")
+        .alias("n_bi_total"),
+    )
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("n_w1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("n_w2"))
     nu = F.col("n_uni_total").cast("double")
@@ -755,8 +761,7 @@ def pmi_collocations(
         bi.filter(F.col("n_pair") >= min_count)
         .join(u1, "w1")
         .join(u2, "w2")
-        .join(F.broadcast(n_uni))
-        .join(F.broadcast(n_bi))
+        .join(F.broadcast(totals))
         .select(
             "w1",
             "w2",
