@@ -1083,11 +1083,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # round. Rounds 1-3 cumulatively proved 101 queries green; the round-4 window
 # below puts first the 24 oracled queries that have never received a green
 # driver row (5 rotation-missed carry-overs + the 18 round-3 additions +
-# approx_distinct_parts, newly gateable), then this round's 6 new queries,
-# then the 4 queries whose implementations changed this round (re-confirm),
-# and fills the rest with the stalest greens (last confirmed r1/r2).
-# Semantics are unchanged — this is pure dict ordering. Rotate again next
-# round if the registry outgrows another 50-slot window.
+# approx_distinct_parts, newly gateable), then the 13 early round-4
+# additions, then the 4 queries whose implementations changed this round
+# (re-confirm), then the 9 late round-4 additions — exactly 50 slots, all
+# proof-bearing (every round-4 addition is inside the window). Semantics
+# are unchanged — this is pure dict ordering. Round 5: front-load whatever
+# it adds or changes, and fill remaining slots with the stalest greens.
 _DRIVER_PRIORITY = [
     # never driver-green (oracles exist; all pass the local driver sim):
     "minhash_lsh_near_duplicates",
