@@ -365,3 +365,51 @@ def test_winsorized_bounds_join_is_broadcast(spark, sf_dir):
     o = read_parquet_table(spark, sf_dir, "orders")
     plan = _plan(winsorized_price_stats(o))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_global_cumsum_matches_window_running_total(spark, sf_dir):
+    """The distributed running total must equal SUM() OVER (ORDER BY ...)
+    on the same total order — inclusive, exact, with the grand total
+    attached to every row."""
+    from inf_553_datamining_mapreduce_spark.operators.olap import _global_cumsum
+
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        (F.col("id") * 37 % 101).alias("v"),
+        (F.col("id") % 13 + 1).alias("w"),
+    )
+    got = {
+        r["id"]: (r["_cum"], r["_total"])
+        for r in _global_cumsum(
+            df, [F.col("v").asc(), F.col("id").asc()], "w"
+        ).collect()
+    }
+    running = 0
+    expect = {}
+    rows = df.orderBy(F.col("v").asc(), F.col("id").asc()).collect()
+    total = sum(r["w"] for r in rows)
+    for r in rows:
+        running += r["w"]
+        expect[r["id"]] = (running, total)
+    assert got == expect
+
+
+def test_weighted_corpus_sample_invariants(spark, sf_dir):
+    """PPS selection invariants on the real documents table: at most k
+    rows, strictly increasing slots in [0, k), every selected document
+    actually crosses its slot boundary, and the draw is a pure function
+    of the corpus (two runs identical)."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        weighted_corpus_sample,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    k = 17
+    rows = weighted_corpus_sample(d, k=k).collect()
+    assert 0 < len(rows) <= k
+    slots = [r["slot"] for r in rows]
+    assert slots == sorted(slots) and len(set(slots)) == len(slots)
+    assert all(0 <= s < k for s in slots)
+    assert all(r["weight"] > 0 for r in rows)
+    again = weighted_corpus_sample(d, k=k).collect()
+    assert rows == again
