@@ -3388,7 +3388,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, weight,
                CAST(((cum_after - weight) * 50) // w_total AS BIGINT) AS slot
         FROM cum
-        WHERE ((cum_after - weight) * 50) // w_total
+        WHERE w_total > 0
+          AND ((cum_after - weight) * 50) // w_total
               < (cum_after * 50) // w_total
         ORDER BY slot
     """

@@ -901,8 +901,11 @@ def weighted_corpus_sample(documents: DataFrame, k: int = 50) -> DataFrame:
     )
     before_slot = F.expr(f"((cum_after - weight) * {k}) div w_total")
     after_slot = F.expr(f"(cum_after * {k}) div w_total")
+    # Explicit all-zero-weight guard: both engines' integer div-by-zero
+    # yields NULL (so such rows are filtered anyway) — the predicate makes
+    # the no-rows contract visible rather than an artifact of NULL logic.
     return (
-        cum.filter(before_slot < after_slot)
+        cum.filter((F.col("w_total") > 0) & (before_slot < after_slot))
         .select(
             "doc_id",
             "weight",
