@@ -71,6 +71,47 @@ HEADLINE = [
 ]
 
 
+def _warmup(spark, queries, sf_dir) -> None:
+    """Pay the session's one-time costs BEFORE the first measured query, so
+    they aren't booked to whichever query happens to run first (the round-4
+    'regressions' — minhash/simhash/topk_lsh/topk_ivf — were exactly the four
+    queries a registry reorder moved to the front of the sweep: measured
+    cold-vs-warm at sf0.1, run1 was 1.4-3.5x run2 with zero code change).
+
+    One-time costs exercised: JVM/codegen + first shuffle (a small query),
+    the Python worker pool (a trivial mapInPandas), and the ML codepath
+    (a tiny KMeans fit — class loading + treeAggregate machinery).
+    """
+    try:
+        queries["group_avg_nation_region"](spark, sf_dir).count()
+    except Exception:
+        pass
+    try:
+        import pandas as pd
+
+        def _ident(batches):
+            yield from batches
+
+        spark.range(100).mapInPandas(_ident, "id long").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.sql import functions as F
+
+        tiny = spark.range(64).select(
+            array_to_vector(
+                F.array((F.col("id") % 7).cast("double"), F.lit(1.0))
+            ).alias("features")
+        )
+        KMeans(k=2, seed=1, maxIter=2).fit(tiny)
+    except Exception:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as em
@@ -85,15 +126,28 @@ def main() -> None:
     timings: dict[str, float | None] = {}
     failed: list[str] = []
 
-    # Warm the JVM/codegen once with the cheapest query so the first measured
-    # number isn't dominated by session startup.
-    try:
-        queries["group_avg_nation_region"](spark, sf_dir).count()
-    except Exception:
-        pass
+    _warmup(spark, queries, sf_dir)
+
+    # Shared memoized intermediates are built (and timed) as their own line
+    # items so each query's number measures the query, not a cold memo some
+    # other query would otherwise pay for (round-4 verdict item 1).
+    shared: dict[str, float | None] = {}
+    for name, fn in getattr(em, "shared_intermediates", dict)().items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            shared[name] = round(time.perf_counter() - t0, 2)
+        except Exception as exc:
+            print(f"bench: shared {name} failed: {exc}", file=sys.stderr)
+            shared[name] = None
+        print(f"bench: shared {name} {shared[name]}s", file=sys.stderr)
 
     total = 0.0
-    for name, fn in queries.items():
+    # Fixed alphabetical execution order: registry order changes round to
+    # round (the driver-priority rotation), and run position shifts costs
+    # (cache residency, AQE stats reuse). Sorted order keeps per-query
+    # numbers comparable across rounds regardless of registry churn.
+    for name, fn in sorted(queries.items()):
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -108,6 +162,10 @@ def main() -> None:
         # per-query progress goes to stderr so stdout stays one parseable line
         print(f"bench: {name} {timings[name]}s", file=sys.stderr)
 
+    # Shared builds are real work — count them in the headline total so it
+    # stays comparable with rounds where queries paid the builds inline.
+    total += sum(v for v in shared.values() if v)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     summary = {
@@ -117,6 +175,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_failed": len(failed),
+        "shared_intermediates": shared,
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "full": "BENCH_FULL.json",
     }

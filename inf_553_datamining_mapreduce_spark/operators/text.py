@@ -719,7 +719,8 @@ def pmi_collocations(
     with map-side partials; the ``min_count`` cut lands BEFORE the two
     vocabulary joins, so the long bigram tail never joins; BOTH corpus
     totals (Σn tokens, Σmax(n−1,0) bigrams) ride one extra 1-row scalar
-    aggregate over the pruned text column — Spark does not share
+    aggregate over the full tokenized corpus (all documents, including
+    size<2 ones — their bigram term is 0) — Spark does not share
     un-materialized branches, so deriving totals from the count tables
     would silently re-scan the corpus once per total; the final top-k is
     a TakeOrdered, never a global sort.
@@ -879,7 +880,11 @@ def weighted_corpus_sample(documents: DataFrame, k: int = 50) -> DataFrame:
     Selection is all-integer: a document is chosen iff
     ``(cum_before·k) div W < (cum_after·k) div W`` — it crosses a slot
     boundary — and its (strictly increasing) starting slot is emitted, so
-    at most ``k`` rows come back, every one exact cross-engine.
+    at most ``k`` rows come back, every one exact cross-engine while the
+    products stay in range: Spark computes ``cum·k`` in 64-bit long
+    (DuckDB widens to HUGEINT), so exactness requires total corpus weight
+    W·k < 2^63 — ~9.2e18/k tokens, far beyond the 100-TB design point
+    (~2.5e13 tokens); past it, widen the product to decimal.
 
     Shape at scale: the running total rides ``olap._global_cumsum``
     (range-partition, per-range running sums, broadcast offsets — the

@@ -328,10 +328,19 @@ def test_training_batches_has_no_single_partition_exchange(spark, sf_dir):
     # are the per-range row_number (partitioned by _pid) and the offset
     # cumsum over the tiny per-partition count table.
     assert "rangepartitioning" in plan
+    # At most ONE single-partition exchange may appear, and only for the
+    # tiny per-range offset cumsum (its window spec sums `_cnt` over
+    # `num_parts` rows) — a corpus-wide window would show up as a second
+    # SinglePartition exchange feeding a row_number window.
+    assert plan.count("Exchange SinglePartition") <= 1, plan
     import re
 
     for w in re.findall(r"Window \[[^\n]*", plan):
-        assert "row_number" in w or "_cnt" in w, w
+        if "row_number" in w:
+            # the full-data ranking window must be partitioned by _pid
+            assert "windowspecdefinition(_pid" in w, w
+        else:
+            assert "_cnt" in w, w
 
 
 def test_inverted_index_band_filter_precedes_ranking_window(spark, sf_dir):
