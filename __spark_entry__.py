@@ -255,8 +255,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank_customers"] = _pagerank_customers
     q["triangle_counts_customers"] = _triangle_counts_customers
     q["edge_betweenness_customers"] = _betweenness_customers
+    def _communities_gn_fixedpoint(spark, sf):
+        # Parameters pinned to the generated oracle (_gn_fp_oracle below);
+        # the schedule is the proven fixed-point betweenness with the same
+        # (depth 8, scale 1e9, source_mod 10) as
+        # edge_betweenness_fixedpoint_customers.
+        return G.girvan_newman_fixedpoint(
+            _customer_graph_edges(spark, sf),
+            max_depth=8,
+            scale=10**9,
+            source_mod=10,
+            n_grid=32,
+            label_rounds=8,
+        )
+
     q["edge_betweenness_fixedpoint_customers"] = _betweenness_fixedpoint_customers
     q["communities_girvan_newman"] = _communities_customers
+    q["communities_girvan_newman_fixedpoint"] = _communities_gn_fixedpoint
 
     # ---- text analysis -------------------------------------------------
     def _token_stats(spark, sf):
@@ -1100,70 +1115,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. Rounds 1-3 cumulatively proved 101 queries green; the round-4 window
-# below puts first the 24 oracled queries that have never received a green
-# driver row (5 rotation-missed carry-overs + the 18 round-3 additions +
-# approx_distinct_parts, newly gateable), then the 13 early round-4
-# additions, then the 4 queries whose implementations changed this round
-# (re-confirm), then the 9 late round-4 additions — exactly 50 slots, all
-# proof-bearing (every round-4 addition is inside the window). Semantics
-# are unchanged — this is pure dict ordering. Round 5: front-load whatever
-# it adds or changes, and fill remaining slots with the stalest greens.
+# round. The round-5 window: (1) the new fixed-point GN twin — the query
+# that takes no_oracle from 2 to 0 — plus the two queries whose
+# implementation changed this round (the shared degree-table refactor);
+# (2) the 4 queries green only in round 1, stale for three rounds
+# (verdict item 4); (3) 43 of the 46 queries last proven in round 2 — the
+# stalest greens. The 3 round-2 greens left out (pricing_summary_sql,
+# orders_by_month, triangle-family helper orders variants) are the ones
+# with an independently-exercised twin in the window (pricing_summary is
+# the driver-smoke entry() flagship; orders_rollup covers the
+# orders_by_month aggregate family) — they rotate next round. Semantics
+# are unchanged — this is pure dict ordering.
 _DRIVER_PRIORITY = [
-    # never driver-green (oracles exist; all pass the local driver sim):
-    "minhash_lsh_near_duplicates",
-    "simhash_near_duplicates",
-    "topk_cosine_lsh",
-    "topk_cosine_ivf",
-    "session_stats",
-    "top_brands_per_type_with_ties",
-    "most_common_event_per_user",
-    "orders_yoy_growth",
-    "daily_revenue_drawdown",
-    "qty_price_correlation",
-    "supplier_revenue_share",
-    "daily_priority_share",
-    "user_first_last_events",
-    "session_window_stats_plan",
-    "near_duplicate_keep_best",
-    "orders_time_rollup",
-    "funnel_conversion_rates",
-    "source_language_mix",
+    # new this round / changed this round — prove first:
+    "communities_girvan_newman_fixedpoint",
     "clustering_coefficients_customers",
-    "events_daily_zscores",
-    "customer_rfm_segments",
-    "session_paths",
-    "embedding_quantized_int8",
-    "approx_distinct_parts",
-    # round-4 additions:
-    "customer_revenue_percent_rank",
-    "supplier_part_pareto",
-    "events_hourly_heatmap",
-    "tfidf_top_terms",
-    "exact_duplicates_normalized",
-    "degree_distribution_customers",
-    "edge_betweenness_fixedpoint_customers",
-    "customer_running_spend",
-    "first_purchase_attribution",
-    "session_time_to_purchase",
-    "prefix_duplicate_rate_by_source",
-    "language_confusion_matrix",
-    "open_order_backlog_by_month",
-    # changed this round — re-confirm under the driver:
-    "user_value_ntiles",
-    "order_price_percent_rank",
-    "term_frequency_stats",
-    "link_prediction_customers",
-    # late round-4 additions (new capability families — prove immediately):
-    "pmi_collocations",
-    "inverted_index_postings",
-    "training_batches",
-    "winsorized_price_stats",
-    "user_state_intervals",
-    "label_propagation_customers",
-    "lineitem_key_skew_report",
-    "stratum_sample_exact_k",
-    "weighted_corpus_sample",
+    "triangle_counts_customers",
+    # round-1-only greens (three rounds stale):
+    "embedding_near_duplicates",
+    "topk_cosine",
+    "tumbling_window_stats",
+    "sliding_window_stats",
+    # stalest (round-2) greens:
+    "pricing_summary",
+    "group_avg_brand_status",
+    "group_avg_nation_region",
+    "filter_having",
+    "distinct_users_per_event_type",
+    "order_baskets",
+    "supplier_degrees",
+    "cooccurrence_pairs",
+    "customer_order_activity",
+    "top_orders_per_customer",
+    "nations_with_both",
+    "frequent_itemsets_son",
+    "frequent_itemsets_fpgrowth",
+    "customer_cooccurrence_edges",
+    "connected_components_customers",
+    "pagerank_customers",
+    "rolling_event_values",
+    "price_percentiles",
+    "errors_near_purchases",
+    "clicks_asof_views",
+    "event_props_stats",
+    "salted_event_counts",
+    "customers_without_orders",
+    "orders_cube",
+    "orders_rollup",
+    "approx_distinct_parts_bounds",
+    "top_customers_sql",
+    "token_stats",
+    "word_frequencies",
+    "quality_scores",
+    "language_id",
+    "doc_fingerprints",
+    "token_stats_regex",
+    "rolling_hash_fingerprints",
+    "winnow_fingerprints",
+    "token_rarity_stats",
+    "corpus_splits",
+    "user_event_type_pivot",
+    "media_fingerprints",
+    "media_frame_samples",
+    "exact_duplicates",
+    "jaccard_near_duplicates",
+    "near_duplicate_clusters",
 ]
 
 
@@ -1926,6 +1942,13 @@ def oracle_sql() -> dict[str, str]:
     # equal-split credit algorithm cross-engine with exact integers.
     d["edge_betweenness_fixedpoint_customers"] = _betweenness_fp_oracle(
         max_depth=8, scale=10**9, source_mod=10
+    )
+    # Full GN loop as integers: the fixed-point schedule + grid argmax of
+    # original-graph modularity — takes the last no_oracle pair down to a
+    # driver-checkable row (the float GN stays golden-proven, byte-for-byte
+    # vs the reference's committed communities.txt).
+    d["communities_girvan_newman_fixedpoint"] = _gn_fp_oracle(
+        max_depth=8, scale=10**9, source_mod=10, n_grid=32, label_rounds=8
     )
     # The sketch VALUE has no cross-engine mirror; the BOUND does: the
     # oracle asserts every supplier's sketch landed within 3 rsd of exact.
@@ -3533,6 +3556,164 @@ def _pagerank_oracle(iterations: int, damping_pct: int = 85, scale: int = 1_000_
         r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM deg),
         {",".join(steps)}
         SELECT id, rank AS rank_fp FROM r{iterations} ORDER BY id
+    """
+
+
+def _gn_fp_oracle(
+    max_depth: int = 8,
+    scale: int = 10**9,
+    source_mod: int = 10,
+    n_grid: int = 32,
+    label_rounds: int = 8,
+) -> str:
+    """Chained-CTE oracle for the integer Girvan–Newman twin
+    (``graph.girvan_newman_fixedpoint``): the fixed-point betweenness CTE
+    chain (shared with ``_betweenness_fp_oracle``) produces the removal
+    schedule; a deterministic grid of removal counts rides as a ``k`` key
+    through ``label_rounds`` unrolled rounds of min-label propagation +
+    pointer jumping; the winner is the integer argmax of
+    ``Σ_c [4·m·e_c − (S_c² − Q2_c)]`` (original-graph modularity × 8m²),
+    ties to the smallest k. Every step is BIGINT-exact, so equality with
+    the Spark loop is bit-for-bit."""
+    steps = []
+    for lvl in range(max_depth, 0, -1):
+        if lvl == max_depth:
+            pend = "SELECT NULL AS s, NULL AS v, CAST(0 AS BIGINT) AS w WHERE FALSE"
+        else:
+            pend = (
+                f"SELECT s, tail AS v, CAST(SUM(c) AS BIGINT) AS w"
+                f" FROM c{lvl + 1} GROUP BY s, tail"
+            )
+        steps.append(f"""
+        p{lvl} AS ({pend}),
+        c{lvl} AS (
+            SELECT d.s, d.tail, d.head,
+                   (CAST({scale} AS BIGINT) + COALESCE(p.w, CAST(0 AS BIGINT)))
+                       // d.route AS c
+            FROM dagr d LEFT JOIN p{lvl} p ON p.s = d.s AND p.v = d.head
+            WHERE d.lvl = {lvl}
+        )""")
+    allc = " UNION ALL ".join(
+        f"SELECT * FROM c{lvl}" for lvl in range(1, max_depth + 1)
+    )
+    rounds = []
+    for r in range(1, label_rounds + 1):
+        prev = f"l{r - 1}"
+        rounds.append(f"""
+        n{r} AS MATERIALIZED (
+            SELECT s.k, s.src AS v, MIN(l.lbl) AS nm
+            FROM symr s JOIN {prev} l ON l.k = s.k AND l.v = s.dst
+            GROUP BY s.k, s.src
+        ),
+        a{r} AS MATERIALIZED (
+            SELECT l.k, l.v, LEAST(l.lbl, COALESCE(n.nm, l.lbl)) AS lbl
+            FROM {prev} l LEFT JOIN n{r} n ON n.k = l.k AND n.v = l.v
+        ),
+        l{r} AS MATERIALIZED (
+            SELECT a.k, a.v, m.lbl FROM a{r} a
+            JOIN a{r} m ON m.k = a.k AND m.v = a.lbl
+        )""")
+    return f"""
+        WITH RECURSIVE cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+        ),
+        sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        srcs AS (SELECT DISTINCT src AS id FROM sym WHERE src % {source_mod} = 0),
+        walk(s, v, d) AS (
+            SELECT id, id, 0 FROM srcs
+            UNION
+            SELECT walk.s, sym.dst, walk.d + 1
+            FROM walk JOIN sym ON sym.src = walk.v
+            WHERE walk.d < {max_depth}
+        ),
+        dmin AS (SELECT s, v, MIN(d) AS d FROM walk GROUP BY s, v),
+        dag AS (
+            SELECT t.s, t.v AS tail, h.v AS head, h.d AS lvl
+            FROM sym
+            JOIN dmin t ON t.v = sym.src
+            JOIN dmin h ON h.s = t.s AND h.v = sym.dst AND h.d = t.d + 1
+        ),
+        route AS (SELECT s, head, COUNT(*) AS route FROM dag GROUP BY s, head),
+        dagr AS MATERIALIZED (
+            SELECT dag.s, dag.tail, dag.head, dag.lvl, route.route
+            FROM dag JOIN route ON route.s = dag.s AND route.head = dag.head
+        ),{",".join(steps)},
+        allc AS ({allc}),
+        bet AS MATERIALIZED (
+            SELECT CAST(LEAST(tail, head) AS BIGINT) AS src,
+                   CAST(GREATEST(tail, head) AS BIGINT) AS dst,
+                   CAST(SUM(c) AS BIGINT) AS credit
+            FROM allc GROUP BY 1, 2
+        ),
+        m0 AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+        gsv AS MATERIALIZED (SELECT GREATEST(CAST(1 AS BIGINT), m // {n_grid}) AS gs FROM m0),
+        sched AS MATERIALIZED (
+            SELECT CAST(e0.src AS BIGINT) AS src, CAST(e0.dst AS BIGINT) AS dst,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY COALESCE(b.credit, 0) DESC, e0.src, e0.dst
+                   ) AS BIGINT) AS rnk
+            FROM e0 LEFT JOIN bet b
+              ON b.src = e0.src AND b.dst = e0.dst
+        ),
+        ks AS MATERIALIZED (
+            -- top-level UNION would lose dedup semantics here: inside a
+            -- WITH RECURSIVE clause DuckDB parses any CTE's top-level
+            -- UNION as the recursion construct (no distinct), so the
+            -- set-union must live in a subquery under SELECT DISTINCT
+            SELECT DISTINCT k FROM (
+                SELECT (rnk // gs) * gs AS k FROM sched, gsv
+                UNION ALL SELECT CAST(0 AS BIGINT)
+            ) u
+        ),
+        verts AS MATERIALIZED (
+            SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0
+            ) u
+        ),
+        rem AS MATERIALIZED (SELECT ks.k, s.src, s.dst FROM ks, sched s WHERE s.rnk > ks.k),
+        symr AS MATERIALIZED (
+            SELECT k, src, dst FROM rem UNION ALL SELECT k, dst, src FROM rem
+        ),
+        l0 AS MATERIALIZED (SELECT ks.k, CAST(v AS BIGINT) AS v, CAST(v AS BIGINT) AS lbl
+               FROM ks, verts),{",".join(rounds)},
+        lab AS MATERIALIZED (SELECT * FROM l{label_rounds}),
+        deg0 AS MATERIALIZED (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0)
+            GROUP BY v
+        ),
+        dega AS MATERIALIZED (
+            SELECT lab.k, lab.lbl, CAST(SUM(d.d) AS BIGINT) AS s_deg,
+                   CAST(SUM(d.d * d.d) AS BIGINT) AS q2_deg
+            FROM lab JOIN deg0 d ON d.v = lab.v GROUP BY lab.k, lab.lbl
+        ),
+        intra AS MATERIALIZED (
+            SELECT a.k, a.lbl, CAST(COUNT(*) AS BIGINT) AS ec
+            FROM e0 JOIN lab a ON a.v = e0.src
+                    JOIN lab b ON b.k = a.k AND b.v = e0.dst
+            WHERE a.lbl = b.lbl GROUP BY a.k, a.lbl
+        ),
+        score AS MATERIALIZED (
+            SELECT g.k,
+                   CAST(SUM(4 * m.m * COALESCE(i.ec, 0)
+                            - (g.s_deg * g.s_deg - g.q2_deg)) AS BIGINT)
+                       AS score
+            FROM dega g LEFT JOIN intra i ON i.k = g.k AND i.lbl = g.lbl, m0 m
+            GROUP BY g.k
+        ),
+        best AS MATERIALIZED (SELECT k FROM score ORDER BY score DESC, k ASC LIMIT 1)
+        SELECT CAST(lab.lbl AS BIGINT) AS community,
+               STRING_AGG(CAST(lab.v AS VARCHAR), ',' ORDER BY lab.v)
+                   AS members_str,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM lab JOIN best ON best.k = lab.k
+        GROUP BY lab.lbl ORDER BY community
     """
 
 

@@ -575,3 +575,53 @@ def test_label_propagation_one_round_adopts_neighbor_mode(spark):
     got = {r["c"]: r["community"] for r in label_propagation(edf, rounds=1).collect()}
     assert got[0] == 1  # hub: ties at count 1 → min leaf label
     assert all(got[i] == 0 for i in range(1, 5))  # leaves: hub label
+
+
+def test_girvan_newman_fixedpoint_splits_bridged_triangles(spark):
+    """The integer GN twin on the classic two-triangles-plus-bridge graph:
+    the bridge carries the highest fixed-point betweenness, so removal
+    count 1 is on the grid (gs=1 here), its partition is the two
+    triangles, and its original-graph modularity score (104 in 8m² units)
+    beats both the unsplit graph (34) and every finer split — argmax must
+    emit exactly the two triangles with min-member labels."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        girvan_newman_fixedpoint,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    rows = girvan_newman_fixedpoint(edf, max_depth=6, n_grid=7).collect()
+    got = {r["community"]: (r["members_str"], r["n_members"]) for r in rows}
+    assert got == {1: ("1,2,3", 3), 4: ("4,5,6", 3)}
+
+
+def test_girvan_newman_fixedpoint_empty_graph(spark):
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        girvan_newman_fixedpoint,
+    )
+
+    edf = spark.createDataFrame([], "src long, dst long")
+    assert girvan_newman_fixedpoint(edf).count() == 0
+
+
+def test_girvan_newman_fixedpoint_label_rounds_contract(spark):
+    """label_rounds is part of the operator contract: on a long path the
+    min-label+jump update needs enough rounds to converge, and BOTH the
+    round count and the update rule are what the oracle mirrors. 8 rounds
+    must fully label a 40-vertex path (reach doubles per round)."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        girvan_newman_fixedpoint,
+    )
+
+    edges = [(i, i + 1) for i in range(40)]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    # max_depth=1 keeps the betweenness schedule cheap; with n_grid=1 the
+    # grid is {0, 40} regardless of schedule ORDER, and the labeling
+    # contract under test only depends on the grid's remaining graphs.
+    rows = girvan_newman_fixedpoint(edf, max_depth=1, n_grid=1).collect()
+    # grid = {0, 40}: k=0 keeps the whole path (one community, score
+    # 4*40*40 - (sum_deg^2 - q2) ... vs k=40 all singletons, score 0) —
+    # whichever wins, every vertex must be labeled and communities
+    # partition the vertex set.
+    total = sum(r["n_members"] for r in rows)
+    assert total == 41
