@@ -103,7 +103,12 @@ def _bucket_table(
     """One pass computing every table's bucket id for every row: a single
     numpy matmul per Arrow batch against (tables*planes) hyperplanes, sign
     bits packed into an int64 bucket per table. Output:
-    ``(id, embedding, table, bucket)``.
+    ``(row_id, table_id, bucket)`` — IDS ONLY. The embedding itself never
+    leaves the kernel: emitting it would replicate every vector
+    ``num_tables`` times through Arrow and the bucket-join shuffle (at 32
+    tables that is 32 corpus copies — measured ~2x the whole query's warm
+    time at sf0.1); the rerank joins vectors back by id for the candidate
+    pairs only.
 
     The hyperplanes are derived lazily INSIDE the kernel from the first
     batch's dimensionality — every task rebuilds the identical (seeded,
@@ -116,8 +121,6 @@ def _bucket_table(
 
     from inf_553_datamining_mapreduce_spark.deploy import ensure_worker_imports
     from pyspark.sql.types import (
-        ArrayType,
-        DoubleType,
         IntegerType,
         LongType,
         StructField,
@@ -129,7 +132,6 @@ def _bucket_table(
     schema = StructType(
         [
             StructField("row_id", LongType(), False),
-            StructField("emb", ArrayType(DoubleType()), False),
             StructField("table_id", IntegerType(), False),
             StructField("bucket", LongType(), False),
         ]
@@ -146,19 +148,16 @@ def _bucket_table(
             ids = pdf[id_alias].to_numpy(dtype=np.int64)
             m = np.array(list(pdf[emb_alias]), dtype=np.float64)
             bits = (m @ planes.T) >= 0  # (rows, tables*planes)
-            out_ids, out_emb, out_tab, out_bkt = [], [], [], []
-            embs = list(m)
+            out_ids, out_tab, out_bkt = [], [], []
             for t in range(num_tables):
                 chunk = bits[:, t * num_planes : (t + 1) * num_planes]
                 buckets = chunk @ weights
                 out_ids.extend(ids)
-                out_emb.extend(embs)
                 out_tab.extend([t] * len(ids))
                 out_bkt.extend(buckets)
             yield pd.DataFrame(
                 {
                     "row_id": out_ids,
-                    "emb": out_emb,
                     "table_id": out_tab,
                     "bucket": out_bkt,
                 }
@@ -179,6 +178,7 @@ def ivf_top_k(
     emb_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 7,
+    max_iter: int = 5,
 ) -> DataFrame:
     """IVF-style approximate top-k: a k-means coarse quantizer
     (``pyspark.ml.clustering.KMeans``) assigns every embedding to a cell;
@@ -189,6 +189,12 @@ def ivf_top_k(
     1.0, recall governed by how often true neighbors share a probed cell.
     Centroids are driver-small; the cell assignment is one ml transform over
     the big side, and the probe join is a broadcast of (query, cell) pairs.
+
+    ``max_iter`` defaults well below the ml-lib default (20): a COARSE
+    quantizer only needs cells balanced enough to bound the scan
+    fraction — extra Lloyd iterations each cost a full pass over the
+    corpus and measurably dominate the query (2.1 s of a 4.5 s warm run
+    at sf0.1 at 20 iterations) while recall is governed by n_probe.
     """
     import numpy as np
 
@@ -206,7 +212,9 @@ def ivf_top_k(
             embeddings, queries, k=k, id_col=id_col, emb_col=emb_col,
             query_id_col=query_id_col,
         )
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(e)
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter
+    ).fit(e)
     assigned = model.transform(e).select(
         "neighbor_id", "e_emb", F.col("prediction").alias("cell")
     )
@@ -260,6 +268,9 @@ def lsh_top_k(
     At scale this replaces the all-pairs scan with a bucket-equi-join whose
     fan-in is the bucket occupancy — the standard IVF/LSH trade: recall
     depends on (planes, tables); precision of returned scores is exact.
+    The LSH join carries IDS ONLY (``_bucket_table``); vectors join back
+    for the deduplicated candidate pairs, so the corpus payload crosses
+    the wire once, not once per table.
     """
     e_buckets = _bucket_table(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col)),
@@ -267,33 +278,36 @@ def lsh_top_k(
         emb_col,
         num_planes,
         num_tables,
-    ).select(
-        F.col("row_id").alias("neighbor_id"),
-        F.col("emb").alias("e_emb"),
-        "table_id",
-        "bucket",
-    )
+    ).select(F.col("row_id").alias("neighbor_id"), "table_id", "bucket")
     q_buckets = _bucket_table(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(emb_col)),
         "query_id",
         emb_col,
         num_planes,
         num_tables,
-    ).select(
-        F.col("row_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        "table_id",
-        "bucket",
-    )
+    ).select(F.col("row_id").alias("query_id"), "table_id", "bucket")
     cand = (
         e_buckets.join(F.broadcast(q_buckets), ["table_id", "bucket"])
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("q_emb"), F.col("e_emb")).alias("cosine"),
+    e_side = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).cast("array<double>").alias("e_emb"),
+    )
+    q_side = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(emb_col).cast("array<double>").alias("q_emb"),
+    )
+    scored = (
+        cand.join(e_side, "neighbor_id")
+        .join(F.broadcast(q_side), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_emb"), F.col("e_emb")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
