@@ -126,6 +126,21 @@ def _jaccard_pairs_shared(spark, sf):
     return _memo(spark, (sf, "jaccard_pairs"), build)
 
 
+def _betweenness_fp_shared(spark, sf):
+    # The fixed-point betweenness query and the GN twin run the schedule
+    # with IDENTICAL pinned parameters (depth 8, scale 1e9, source_mod 10,
+    # matching both generated oracles) — compute it once per (session, sf).
+    def build():
+        return G.edge_betweenness_fixedpoint(
+            _customer_graph_edges(spark, sf),
+            max_depth=8,
+            scale=10**9,
+            source_mod=10,
+        )
+
+    return _memo(spark, (sf, "betweenness_fp"), build)
+
+
 def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Builders for the memoized intermediates shared across queries.
 
@@ -139,6 +154,7 @@ def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "baskets": _order_baskets_shared,
         "edges": _customer_graph_edges,
         "jaccard_pairs": _jaccard_pairs_shared,
+        "betweenness_fp": _betweenness_fp_shared,
     }
 
 
@@ -220,13 +236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _betweenness_fixedpoint_customers(spark, sf):
         # Parameters are pinned to the generated chained-CTE oracle
         # (_betweenness_fp_oracle below): depth unroll 8, scale 1e9,
-        # every 10th customer as a BFS source.
-        return G.edge_betweenness_fixedpoint(
-            _customer_graph_edges(spark, sf),
-            max_depth=8,
-            scale=10**9,
-            source_mod=10,
-        )
+        # every 10th customer as a BFS source. Shared with the GN twin
+        # via the betweenness_fp memo.
+        return _betweenness_fp_shared(spark, sf).orderBy("src", "dst")
 
     def _communities_customers(spark, sf):
         cp = _customer_part_graph(spark, sf)
@@ -267,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             source_mod=10,
             n_grid=32,
             label_rounds=8,
+            betweenness=_betweenness_fp_shared(spark, sf),
         )
 
     q["edge_betweenness_fixedpoint_customers"] = _betweenness_fixedpoint_customers

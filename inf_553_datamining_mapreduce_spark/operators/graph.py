@@ -1139,6 +1139,7 @@ def girvan_newman_fixedpoint(
     source_mod: int | None = None,
     n_grid: int = 32,
     label_rounds: int = 8,
+    betweenness: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-engine-PROVABLE Girvan–Newman twin: the full remove-by-
     betweenness / pick-best-modularity loop (``Community.scala:67-138``)
@@ -1180,6 +1181,11 @@ def girvan_newman_fixedpoint(
     is two bounded aggregates + one membership join; the argmax is a
     2-column sort of ~n_grid rows. Output: one row per community of the
     winning partition — ``(community, members_str, n_members)``.
+
+    ``betweenness`` optionally supplies a precomputed
+    ``edge_betweenness_fixedpoint`` result for the same (max_depth,
+    scale, source_mod) — the shared-intermediate pattern: a deployment
+    that also serves the betweenness query computes the schedule once.
     """
     from inf_553_datamining_mapreduce_spark.operators.olap import _global_ranks
 
@@ -1193,9 +1199,11 @@ def girvan_newman_fixedpoint(
         return spark.createDataFrame(
             [], "community long, members_str string, n_members long"
         )
-    bet = edge_betweenness_fixedpoint(
-        e, max_depth=max_depth, scale=scale, source_mod=source_mod
-    )
+    bet = betweenness
+    if bet is None:
+        bet = edge_betweenness_fixedpoint(
+            e, max_depth=max_depth, scale=scale, source_mod=source_mod
+        )
     sched = e.join(bet, ["src", "dst"], "left").select(
         "src",
         "dst",

@@ -162,15 +162,22 @@ def session_funnel(
 # ---------------------------------------------------------------------------
 
 def read_events_stream(
-    spark: SparkSession, events_dir: str, schema
+    spark: SparkSession, events_dir: str, schema,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files. The
     nanos→micros normalization matches sources/readers.py, as does the
     UTC session pin (the ntz→ltz cast and all event-time windowing must
-    not depend on the host timezone)."""
+    not depend on the host timezone). ``max_files_per_trigger`` bounds
+    each micro-batch to that many source files — the knob the recovery
+    tests use to force real multi-batch progression (and the production
+    knob that bounds batch memory against a backlog of files)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.readStream.schema(schema).parquet(events_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(events_dir)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         # Integral div (exact on long) — see sources/readers.py for why a

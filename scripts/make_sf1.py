@@ -1,0 +1,106 @@
+"""Synthesize a ~sf1 dataset (10x sf0.1) for the scale sweep.
+
+The driver testdata stops at sf0.1; SCALE.md's measured sweep needs one
+more decade for the headline subset (SON, MinHash, fixed-point
+betweenness, training batches, supplier/part Pareto). This replicates
+the sf0.1 `lineitem`, `orders`, and `documents` tables 10x with
+deterministic key offsets so every headline query sees 10x rows with
+per-replica statistics identical to sf0.1:
+
+* key columns shift by `replica * OFFSET` (offsets far above the max
+  base key), so joins never cross replicas — the co-occurrence graph,
+  baskets, and supplier/part groups become 10 disjoint copies;
+* document tokens are bijectively renamed per replica (suffix `_i` on
+  every token for replica i>0), so shingle/minhash statistics WITHIN a
+  replica are unchanged while no shingle ever matches across replicas —
+  without this, identical cross-replica texts would turn every
+  duplicate group of size g into one of size 10g and grow the pair
+  output ~45x, which would masquerade as super-linear scaling;
+* token COUNT and doc length are preserved (training_batches packs the
+  same token totals per replica).
+
+Output: ``.localdata/sf1/{lineitem,orders,documents}.parquet`` under the
+repo root (gitignored — ~10x sf0.1 on disk; regenerate with
+``python scripts/make_sf1.py``). Only the tables the headline subset
+reads are generated.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F
+
+from inf_553_datamining_mapreduce_spark.session import get_spark
+from inf_553_datamining_mapreduce_spark.sources.readers import read_parquet_table
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(REPO, ".localdata", "sf1")
+REPLICAS = 10
+OFF = 10_000_000  # far above every base key in sf0.1
+
+
+def main() -> None:
+    spark = get_spark("make_sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(DST, exist_ok=True)
+
+    orders = read_parquet_table(spark, SRC, "orders")
+    lineitem = read_parquet_table(spark, SRC, "lineitem")
+    documents = read_parquet_table(spark, SRC, "documents")
+
+    reps = spark.range(REPLICAS).select(F.col("id").cast("long").alias("_rep"))
+
+    o = orders.crossJoin(reps).select(
+        (F.col("o_orderkey") + F.col("_rep") * OFF).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("_rep") * OFF).alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    o.write.mode("overwrite").parquet(os.path.join(DST, "orders.parquet"))
+
+    li_cols = [
+        (F.col("l_orderkey") + F.col("_rep") * OFF).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("_rep") * OFF).alias("l_partkey"),
+        (F.col("l_suppkey") + F.col("_rep") * OFF).alias("l_suppkey"),
+    ]
+    passthrough = [c for c in lineitem.columns if c not in (
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )]
+    li = lineitem.crossJoin(reps).select(*li_cols, *passthrough)
+    li.write.mode("overwrite").parquet(os.path.join(DST, "lineitem.parquet"))
+
+    # Bijective per-replica token rename: replica 0 keeps the original
+    # text; replica i appends `_i` to every token. Token count, length
+    # distribution, and within-replica shingle statistics are preserved.
+    renamed = F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(t, F.lit("_"), F.col("_rep").cast("string")),
+            ),
+            " ",
+        )
+    )
+    d = documents.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("_rep") * OFF).alias("doc_id"),
+        renamed.alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    d.write.mode("overwrite").parquet(os.path.join(DST, "documents.parquet"))
+
+    for t in ("orders", "lineitem", "documents"):
+        n = spark.read.parquet(os.path.join(DST, f"{t}.parquet")).count()
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -944,3 +944,177 @@ def test_streaming_enrichment_join_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM enriched_test").collect()
     }
     assert got == batch
+
+
+def test_streaming_checkpoint_recovery_resumes_without_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """Kill-and-resume through the idempotent sink: run 1 processes only
+    the first half of the events (real multi-batch progression via
+    maxFilesPerTrigger=1), terminates, and run 2 restarts from the SAME
+    checkpoint with the second half staged. The file source's checkpoint
+    skips the already-processed files, so run 2's equality with the
+    full-data batch golden proves the aggregation STATE was recovered
+    (run 2 never re-reads half 1) and the dynamic-partition overwrite
+    wrote every window exactly once."""
+    from inf_553_datamining_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+        streaming_tumbling_window_stats,
+        tumbling_window_stats,
+        write_stream_idempotent_partitioned,
+    )
+
+    events = read_parquet_table(spark, sf_dir, "events")
+
+    def golden(df):
+        return {
+            (r["wpart"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in tumbling_window_stats(df)
+            .withColumn("wpart", F.unix_timestamp("window_start"))
+            .collect()
+        }
+
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events_dir = tmp_path / "events_stream"
+    events_dir.mkdir()
+    # two files per half => two micro-batches per run at 1 file/trigger
+    raw.filter(F.col("event_id") % 4 == 0).coalesce(1).write.parquet(
+        str(events_dir / "a")
+    )
+    raw.filter(F.col("event_id") % 4 == 2).coalesce(1).write.parquet(
+        str(events_dir / "b")
+    )
+    out_dir = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = read_events_stream(
+            spark,
+            f"{events_dir}/*",
+            raw.schema,
+            max_files_per_trigger=1,
+        )
+        agg = streaming_tumbling_window_stats(stream).withColumn(
+            "wpart", F.unix_timestamp("window_start")
+        )
+        q = (
+            write_stream_idempotent_partitioned(
+                agg, out_dir, ckpt, partition_col="wpart"
+            )
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    q1 = run_stream()
+    assert q1.lastProgress is not None
+    got_half = {
+        (r["wpart"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    gh = golden(half1)
+    assert got_half == {k: (v[0], v[1]) for k, v in gh.items()}
+
+    # stage the second half and RESUME from the same checkpoint
+    raw.filter(F.col("event_id") % 4 == 1).coalesce(1).write.parquet(
+        str(events_dir / "c")
+    )
+    raw.filter(F.col("event_id") % 4 == 3).coalesce(1).write.parquet(
+        str(events_dir / "d")
+    )
+    run_stream()
+    got_all = {
+        (r["wpart"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    ga = golden(events)
+    assert got_all == {k: (v[0], v[1]) for k, v in ga.items()}
+
+
+def test_streaming_session_stats_recovery_appends_each_session_once(
+    spark, sf_dir, tmp_path
+):
+    """End-to-end sessionization with kill-and-resume: events are split by
+    TIME (sessions spanning the split can only merge if the session state
+    survives the restart), run 1 processes the early half and terminates,
+    run 2 restarts from the same checkpoint with the late half plus two
+    far-future sentinel events that push the watermark past every real
+    session. Append mode through the exactly-once file sink must emit
+    every batch-golden session exactly once across both runs."""
+    from inf_553_datamining_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+        session_stats,
+        streaming_session_stats,
+    )
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    golden = {
+        (r["user_id"], r["start_epoch"]): (r["n_events"], r["sum_value"])
+        for r in session_stats(events, gap_sec=1800)
+        .withColumn("start_epoch", F.unix_timestamp("session_start"))
+        .collect()
+    }
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_is_nanos = dict(raw.dtypes)["ts"] == "bigint"
+    mid, hi = (
+        raw.agg(
+            F.percentile_approx("ts", 0.5).alias("mid"), F.max("ts").alias("hi")
+        ).first()
+    )
+    events_dir = tmp_path / "events_stream"
+    events_dir.mkdir()
+    raw.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+        str(events_dir / "early")
+    )
+    out_dir = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt_sessions")
+
+    def run_stream():
+        stream = read_events_stream(
+            spark, f"{events_dir}/*", raw.schema, max_files_per_trigger=1
+        )
+        q = (
+            streaming_session_stats(stream, gap_sec=1800)
+            .withColumn("start_epoch", F.unix_timestamp("session_start"))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_stream()  # early half only, then "killed"
+
+    # The file source processes files oldest-modification-first: the late
+    # half must land BEFORE the sentinels so the sentinel batches run last
+    # and their watermark flushes every real session.
+    raw.filter(F.col("ts") >= mid).coalesce(1).write.parquet(
+        str(events_dir / "late")
+    )
+    hour = 3_600_000_000_000 if ts_is_nanos else None
+    for i, name in ((2, "sentinel_a"), (3, "sentinel_b")):
+        sent = raw.limit(1).withColumn("user_id", F.lit(-1).cast("long"))
+        if ts_is_nanos:
+            sent = sent.withColumn("ts", F.lit(hi + i * hour).cast("long"))
+        else:
+            sent = sent.withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {i * 1000} HOURS")
+            )
+        sent.coalesce(1).write.parquet(str(events_dir / name))
+
+    run_stream()  # resume: late half + sentinels flush the watermark
+
+    got = {
+        (r["user_id"], r["start_epoch"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+        .collect()
+    }
+    assert got == golden
