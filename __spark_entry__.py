@@ -888,6 +888,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["weekly_active_users"] = _weekly_active_users
     q["orders_checksum"] = _orders_checksum
     q["hapax_ratio"] = _hapax_ratio
+
+    def _chunk_dedup_stats(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.chunk_dedup_stats(d, chunk_size=32, stride=32)
+
+    def _token_gini_diversity(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.token_gini_diversity(d)
+
+    q["chunk_dedup_stats"] = _chunk_dedup_stats
+    q["token_gini_diversity"] = _token_gini_diversity
     q["embedding_norms"] = _embedding_norms
 
     # ---- registered beyond the round-3 gate window (r04 rotation set) ----
@@ -1134,14 +1145,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (2) the 4 queries green only in round 1, stale for three rounds
 # (verdict item 4); (3) 43 of the 46 queries last proven in round 2 — the
 # stalest greens. The 3 round-2 greens left out (pricing_summary_sql,
-# orders_by_month, triangle-family helper orders variants) are the ones
-# with an independently-exercised twin in the window (pricing_summary is
-# the driver-smoke entry() flagship; orders_rollup covers the
-# orders_by_month aggregate family) — they rotate next round. Semantics
+# orders_by_month, corpus_splits, user_event_type_pivot, plus the
+# orders_by_month family twin) are pure-codegen queries untouched since
+# round 2 with an independently-exercised relative in the window
+# (pricing_summary is the driver-smoke entry() flagship; orders_rollup
+# covers the orders_by_month aggregates) — they rotate next round. Semantics
 # are unchanged — this is pure dict ordering.
 _DRIVER_PRIORITY = [
     # new this round / changed this round — prove first:
     "communities_girvan_newman_fixedpoint",
+    "chunk_dedup_stats",
+    "token_gini_diversity",
     "clustering_coefficients_customers",
     "triangle_counts_customers",
     # round-1-only greens (three rounds stale):
@@ -1186,8 +1200,6 @@ _DRIVER_PRIORITY = [
     "rolling_hash_fingerprints",
     "winnow_fingerprints",
     "token_rarity_stats",
-    "corpus_splits",
-    "user_event_type_pivot",
     "media_fingerprints",
     "media_frame_samples",
     "exact_duplicates",
@@ -2649,6 +2661,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(SUM(CASE WHEN freq = 1 THEN 1 END), 0) AS BIGINT)
                    / CAST(SUM(freq) AS BIGINT) AS hapax_ratio
         FROM pt GROUP BY doc_id ORDER BY doc_id
+    """
+    d["chunk_dedup_stats"] = """
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source,
+                   md5(array_to_string(t[u.i * 32 + 1 : u.i * 32 + 32], ' '))
+                       AS chunk_md5
+            FROM toks,
+                 UNNEST(range(0, CAST(floor((len(t) - 1) / 32) AS BIGINT) + 1)) AS u(i)
+        ),
+        occ AS (SELECT chunk_md5, COUNT(*) AS n_occ FROM c GROUP BY 1)
+        SELECT c.source,
+               COUNT(*) AS n_chunks,
+               CAST(COALESCE(SUM(CASE WHEN occ.n_occ > 1 THEN 1 END), 0) AS BIGINT)
+                   AS n_dup_chunks,
+               CAST(COUNT(DISTINCT CASE WHEN occ.n_occ > 1 THEN c.chunk_md5 END)
+                   AS BIGINT) AS n_dup_groups,
+               CAST(COALESCE(SUM(CASE WHEN occ.n_occ > 1 THEN 1 END), 0) AS DOUBLE)
+                   / COUNT(*) AS dup_chunk_frac
+        FROM c JOIN occ USING (chunk_md5)
+        GROUP BY c.source ORDER BY c.source
+    """
+    d["token_gini_diversity"] = """
+        WITH tok AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+        ),
+        c AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+        dd AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(c * c) AS BIGINT) AS sum_c2
+            FROM c GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct,
+               1.0 - CAST(sum_c2 AS DOUBLE)
+                     / CAST(n_tokens * n_tokens AS DOUBLE) AS gini_diversity
+        FROM dd ORDER BY doc_id
     """
     d["embedding_norms"] = """
         SELECT vec_id,

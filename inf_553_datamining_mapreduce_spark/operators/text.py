@@ -661,6 +661,95 @@ def doc_chunks(
     )
 
 
+def chunk_dedup_stats(
+    documents: DataFrame, chunk_size: int = 32, stride: int = 32
+) -> DataFrame:
+    """Corpus-level SUBSTRING duplication report per source: chunk every
+    document into fixed token windows (``doc_chunks`` hashes, default
+    non-overlapping), count how many chunk occurrences are copies of a
+    chunk seen elsewhere in the corpus, and report each source's
+    duplicated-chunk fraction. This is the metric between exact-doc dedup
+    (misses partial copies) and shingle near-dup (pairwise): boilerplate
+    headers, license blocks, and templated spans show up here first.
+
+    Stride defaults to chunk_size (non-overlapping) so every token is
+    counted once and the fraction is a true share of the corpus.
+
+    Shape at scale: one explode to chunk rows, ONE (chunk_md5) hash
+    aggregate for global occurrence counts, broadcast-or-shuffle join
+    back, then a bounded per-source aggregate. No pairwise join — cost is
+    linear in total chunks regardless of how duplicated the corpus is
+    (the pathological all-identical corpus costs the same as the
+    all-unique one).
+    """
+    chunks = doc_chunks(documents, chunk_size=chunk_size, stride=stride).join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    occ = chunks.groupBy("chunk_md5").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        chunks.join(occ, "chunk_md5")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+            F.countDistinct(
+                F.when(F.col("n_occ") > 1, F.col("chunk_md5"))
+            ).alias("n_dup_groups"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            F.col("n_dup_chunks").cast("long").alias("n_dup_chunks"),
+            "n_dup_groups",
+            (F.col("n_dup_chunks").cast("double") / F.col("n_chunks")).alias(
+                "dup_chunk_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def token_gini_diversity(documents: DataFrame) -> DataFrame:
+    """Per-document lexical diversity as Gini impurity ``1 − Σ(c/n)²``
+    over the token distribution — the libm-free surrogate for token
+    entropy (same ordering for the degenerate-text screen: a one-token
+    loop scores 0, maximal diversity approaches 1). Entropy itself needs
+    ``ln`` whose last-ulp rounding differs across libm builds, so it can
+    never be bit-exact cross-engine; Gini is integer sums and one IEEE
+    division — exact everywhere (the ``tfidf_top_terms`` surrogate
+    pattern).
+
+    Shape at scale: one explode, one (doc_id, token) count aggregate with
+    map-side partials, one (doc_id) aggregate of c² — linear, bounded
+    key cardinality, pure codegen.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            (
+                F.lit(1.0)
+                - F.col("sum_c2").cast("double")
+                / (F.col("n_tokens") * F.col("n_tokens")).cast("double")
+            ).alias("gini_diversity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def hapax_ratio(documents: DataFrame) -> DataFrame:
     """Per-document hapax legomena profile: how many of a document's tokens
     occur exactly once WITHIN it, and the hapax fraction of its token count.

@@ -1118,3 +1118,52 @@ def test_streaming_session_stats_recovery_appends_each_session_once(
         .collect()
     }
     assert got == golden
+
+
+def test_token_gini_diversity_extremes(spark):
+    """Degenerate one-token loop scores 0; all-distinct tokens score
+    1 − 1/n; counts are exact."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        token_gini_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),
+            (2, "a b c d"),
+            (3, "a a b b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_gini_diversity(docs).collect()}
+    assert got[1]["gini_diversity"] == 0.0
+    assert got[1]["n_distinct"] == 1
+    assert got[2]["gini_diversity"] == 1.0 - 4 / 16
+    assert got[3]["gini_diversity"] == 1.0 - 8 / 16
+    assert all(got[i]["n_tokens"] == 4 for i in (1, 2, 3))
+
+
+def test_chunk_dedup_stats_counts_cross_doc_copies(spark):
+    """Three docs of one 2-token chunk each: two identical, one unique —
+    the duplicated group contributes 2 occurrence rows and 1 group; the
+    all-identical corpus costs the same plan (no pairwise join)."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        chunk_dedup_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y", "s1"),
+            (2, "x y", "s1"),
+            (3, "p q", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in chunk_dedup_stats(docs, chunk_size=2, stride=2).collect()}
+    assert got["s1"]["n_chunks"] == 2
+    assert got["s1"]["n_dup_chunks"] == 2
+    assert got["s1"]["n_dup_groups"] == 1
+    assert got["s1"]["dup_chunk_frac"] == 1.0
+    assert got["s2"]["n_chunks"] == 1
+    assert got["s2"]["n_dup_chunks"] == 0
+    assert got["s2"]["dup_chunk_frac"] == 0.0
