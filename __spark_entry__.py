@@ -579,6 +579,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exact_duplicates"] = _exact_duplicates
     q["jaccard_near_duplicates"] = _jaccard_near_duplicates
     q["near_duplicate_clusters"] = _near_duplicate_clusters
+
+    def _cross_source_overlap(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return D.cross_source_overlap(d, _jaccard_pairs_shared(spark, sf))
+
+    q["cross_source_overlap"] = _cross_source_overlap
     q["benchmark_contamination"] = _benchmark_contamination
     q["minhash_lsh_near_duplicates"] = _minhash_lsh_near_duplicates
     q["simhash_near_duplicates"] = _simhash_near_duplicates
@@ -1145,8 +1151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (2) the 4 queries green only in round 1, stale for three rounds
 # (verdict item 4); (3) 43 of the 46 queries last proven in round 2 — the
 # stalest greens. The 3 round-2 greens left out (pricing_summary_sql,
-# orders_by_month, corpus_splits, user_event_type_pivot, plus the
-# orders_by_month family twin) are pure-codegen queries untouched since
+# orders_by_month, corpus_splits, user_event_type_pivot,
+# token_stats_regex) are pure-codegen queries untouched since
 # round 2 with an independently-exercised relative in the window
 # (pricing_summary is the driver-smoke entry() flagship; orders_rollup
 # covers the orders_by_month aggregates) — they rotate next round. Semantics
@@ -1156,6 +1162,7 @@ _DRIVER_PRIORITY = [
     "communities_girvan_newman_fixedpoint",
     "chunk_dedup_stats",
     "token_gini_diversity",
+    "cross_source_overlap",
     "clustering_coefficients_customers",
     "triangle_counts_customers",
     # round-1-only greens (three rounds stale):
@@ -1196,7 +1203,6 @@ _DRIVER_PRIORITY = [
     "quality_scores",
     "language_id",
     "doc_fingerprints",
-    "token_stats_regex",
     "rolling_hash_fingerprints",
     "winnow_fingerprints",
     "token_rarity_stats",
@@ -1956,6 +1962,20 @@ def oracle_sql() -> dict[str, str]:
     # shares that oracle verbatim. (The registered jaccard query's df-cut
     # doesn't bite at sf0.01: max shingle df there is 7 < 32.)
     d["minhash_lsh_near_duplicates"] = d["jaccard_near_duplicates"]
+    # The pair stream is the jaccard oracle verbatim (sans its ORDER BY),
+    # wrapped as a subquery and joined to each side's source.
+    _jacc_pairs = d["jaccard_near_duplicates"].rsplit("ORDER BY", 1)[0]
+    d["cross_source_overlap"] = f"""
+        SELECT LEAST(da.source, db.source) AS source_x,
+               GREATEST(da.source, db.source) AS source_y,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               MIN(p.jaccard) AS min_jaccard,
+               MAX(p.jaccard) AS max_jaccard
+        FROM ({_jacc_pairs}) p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+        GROUP BY 1, 2 ORDER BY source_x, source_y
+    """
     # Both ANN paths run at measured recall 1.0 on this corpus at the oracle
     # gates (see the query comments) and exact-rerank candidates with the
     # same cosine expression as brute force — identical output, same oracle.

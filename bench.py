@@ -68,6 +68,9 @@ HEADLINE = [
     "pmi_collocations",
     "training_batches",
     "winsorized_price_stats",
+    "communities_girvan_newman_fixedpoint",
+    "chunk_dedup_stats",
+    "token_gini_diversity",
 ]
 
 

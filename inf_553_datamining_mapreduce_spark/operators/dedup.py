@@ -282,6 +282,52 @@ def benchmark_contamination(
     )
 
 
+def cross_source_overlap(
+    documents: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Provenance-leakage matrix: how many near-duplicate pairs connect
+    each (source, source) combination, with the min/max pair similarity.
+    The report that tells you WHICH ingestion feeds are copying from each
+    other (mirrors, scrapes of scrapes) before you burn dedup budget on
+    them — off-diagonal mass is cross-feed leakage, diagonal mass is
+    within-feed boilerplate.
+
+    ``pairs`` is any near-dup pair stream with (doc_a, doc_b, jaccard) —
+    the shared Jaccard pair memo in the registry, so this costs two id
+    joins and one bounded aggregate on top of work already done. min/max
+    (not sums or means) keep the similarity columns order-independent:
+    each pair's jaccard is a single IEEE division both engines compute
+    identically, and MIN/MAX over exact values is exact; a double SUM
+    would be accumulation-order-dependent.
+
+    Output: ``(source_x, source_y, n_pairs, min_jaccard, max_jaccard)``
+    with source_x <= source_y (unordered source pair, counted once).
+    """
+    src = documents.select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")
+    )
+    b = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("source_a", "source_b").alias("source_x"),
+            F.greatest("source_a", "source_b").alias("source_y"),
+            "jaccard",
+        )
+        .groupBy("source_x", "source_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("source_x", "source_y")
+    )
+
+
 def near_duplicate_clusters(
     documents: DataFrame,
     n: int = 3,

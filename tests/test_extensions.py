@@ -1167,3 +1167,31 @@ def test_chunk_dedup_stats_counts_cross_doc_copies(spark):
     assert got["s2"]["n_chunks"] == 1
     assert got["s2"]["n_dup_chunks"] == 0
     assert got["s2"]["dup_chunk_frac"] == 0.0
+
+
+def test_cross_source_overlap_planted(spark):
+    """Two sources, one cross-source near-dup pair and one within-source
+    pair: the matrix must count the unordered source pair once each, with
+    exact min/max jaccard."""
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        cross_source_overlap,
+        jaccard_near_duplicates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "feed_a"),
+            (2, base, "feed_b"),  # cross-source exact copy
+            (3, base.replace("dog", "cat"), "feed_a"),  # within-a near dup of 1
+            (4, "totally unrelated text about engines", "feed_b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    pairs = jaccard_near_duplicates(docs, min_jaccard=0.5)
+    got = {
+        (r["source_x"], r["source_y"]): r["n_pairs"]
+        for r in cross_source_overlap(docs, pairs).collect()
+    }
+    # pairs: (1,2) a-b, (1,3) a-a, (2,3) a-b
+    assert got == {("feed_a", "feed_b"): 2, ("feed_a", "feed_a"): 1}
