@@ -675,25 +675,35 @@ def chunk_dedup_stats(
     Stride defaults to chunk_size (non-overlapping) so every token is
     counted once and the fraction is a true share of the corpus.
 
-    Shape at scale: one explode to chunk rows, ONE (chunk_md5) hash
-    aggregate for global occurrence counts, broadcast-or-shuffle join
-    back, then a bounded per-source aggregate. No pairwise join — cost is
-    linear in total chunks regardless of how duplicated the corpus is
-    (the pathological all-identical corpus costs the same as the
-    all-unique one).
+    Shape at scale: the corpus is chunked ONCE (a naive
+    count-then-join-back formulation evaluates the explode twice — Spark
+    does not share un-materialized branches, and ReuseExchange does not
+    fire across the differently-partitioned branches), immediately
+    aggregated to (chunk_md5, source) grain with map-side partials
+    (which also absorbs hot-chunk skew), and the global occurrence count
+    rides a window over ``chunk_md5`` whose partitions hold at most
+    n_sources rows — no self-join, so the chunk subtree is evaluated
+    exactly once. No pairwise join — cost is linear in total chunks
+    regardless of how duplicated the corpus is (the pathological
+    all-identical corpus costs the same as the all-unique one).
     """
+    from pyspark.sql.window import Window
+
     chunks = doc_chunks(documents, chunk_size=chunk_size, stride=stride).join(
         documents.select("doc_id", "source"), "doc_id"
     )
-    occ = chunks.groupBy("chunk_md5").agg(F.count(F.lit(1)).alias("n_occ"))
+    g = chunks.groupBy("chunk_md5", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("chunk_md5")
     return (
-        chunks.join(occ, "chunk_md5")
+        g.withColumn("n_occ", F.sum("c").over(w))
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias(
-                "n_dup_chunks"
-            ),
+            F.sum("c").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
             F.countDistinct(
                 F.when(F.col("n_occ") > 1, F.col("chunk_md5"))
             ).alias("n_dup_groups"),
@@ -701,7 +711,7 @@ def chunk_dedup_stats(
         .select(
             "source",
             "n_chunks",
-            F.col("n_dup_chunks").cast("long").alias("n_dup_chunks"),
+            "n_dup_chunks",
             "n_dup_groups",
             (F.col("n_dup_chunks").cast("double") / F.col("n_chunks")).alias(
                 "dup_chunk_frac"

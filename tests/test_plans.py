@@ -422,3 +422,18 @@ def test_weighted_corpus_sample_invariants(spark, sf_dir):
     assert all(r["weight"] > 0 for r in rows)
     again = weighted_corpus_sample(d, k=k).collect()
     assert rows == again
+
+
+def test_chunk_dedup_stats_chunks_corpus_once(spark, sf_dir):
+    """The global occurrence count must ride a window on the aggregated
+    (chunk_md5, source) grain, not a count-and-join-back self-reference:
+    the corpus-chunking explode (Generate) must appear exactly once in
+    the executed plan — a second Generate means the heaviest stage runs
+    twice at 100 TB."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        chunk_dedup_stats,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    plan = _plan(chunk_dedup_stats(d))
+    assert plan.count("Generate") == 1, plan
