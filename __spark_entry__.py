@@ -266,6 +266,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["connected_components_customers"] = _components_customers
     q["pagerank_customers"] = _pagerank_customers
     q["triangle_counts_customers"] = _triangle_counts_customers
+    # GOLDEN-ONLY BY DESIGN (no oracle_sql entry): the float betweenness
+    # and float GN below keep the reference's IEEE credit arithmetic,
+    # whose sums are accumulation-order-dependent — no other engine can
+    # reproduce them bit-for-bit. They are proven by hand goldens and the
+    # byte-for-byte communities.txt end-to-end run (test_graph.py); their
+    # driver-checkable twins are edge_betweenness_fixedpoint_customers
+    # and communities_girvan_newman_fixedpoint.
     q["edge_betweenness_customers"] = _betweenness_customers
     def _communities_gn_fixedpoint(spark, sf):
         # Parameters pinned to the generated oracle (_gn_fp_oracle below);
