@@ -625,3 +625,36 @@ def test_girvan_newman_fixedpoint_label_rounds_contract(spark):
     # partition the vertex set.
     total = sum(r["n_members"] for r in rows)
     assert total == 41
+
+
+def test_girvan_newman_fixedpoint_recovers_planted_cliques(spark):
+    """Quality evidence for the integer twin beyond the minimal bridge
+    fixture: four planted 6-cliques chained by single bridge edges. The
+    bridges carry the highest fixed-point betweenness, gs=1 puts every
+    removal count on the grid, and the original-graph-modularity argmax
+    must pick exactly the four cliques (each labeled by its min member).
+    """
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        girvan_newman_fixedpoint,
+    )
+
+    edges = []
+    for c in range(4):
+        base = c * 10
+        members = list(range(base, base + 6))
+        edges += [
+            (a, b) for i, a in enumerate(members) for b in members[i + 1 :]
+        ]
+    edges += [(5, 10), (15, 20), (25, 30)]  # bridges
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    # depth 4 covers every shortest path that decides the bridge ranking
+    # (bridges dominate at any radius >= 2); fewer BFS rounds keeps the
+    # test fast
+    rows = girvan_newman_fixedpoint(edf, max_depth=4, n_grid=len(edges)).collect()
+    got = {r["community"]: r["members_str"] for r in rows}
+    assert got == {
+        0: "0,1,2,3,4,5",
+        10: "10,11,12,13,14,15",
+        20: "20,21,22,23,24,25",
+        30: "30,31,32,33,34,35",
+    }
