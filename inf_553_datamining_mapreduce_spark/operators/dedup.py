@@ -497,6 +497,200 @@ def minhash_lsh_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# Incremental index dedup: new documents vs a prebuilt MinHash index.
+# Stateless per-row signatures -> works unchanged under Structured
+# Streaming via stream-static joins (the ingestion-time dedup shape).
+# ---------------------------------------------------------------------------
+
+def _shingle_array_expr(toks_col: str, n: int) -> Column:
+    """Per-row DISTINCT word-n-gram shingle array over a pre-split token
+    array column — same semantics as ``word_shingles`` (short docs →
+    empty, empty shingles dropped) but as one expression with NO
+    explode/aggregate, so it is streaming-safe. Takes the TOKEN column
+    (an attribute, cheap to reference thrice) rather than re-splitting
+    the text inside each sub-expression."""
+    return F.expr(
+        f"filter(array_distinct("
+        f"CASE WHEN size({toks_col}) >= {n} THEN "
+        f"transform(sequence(1, size({toks_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks_col}, i, {n}))) "
+        f"ELSE array() END), s -> s <> '')"
+    )
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    sig_col: str = "signature",
+    shingles_col: str = "sset",
+) -> DataFrame:
+    """Append per-ROW MinHash signature + shingle-set columns — no
+    aggregation, no shuffle, so the same code runs on a batch table and a
+    streaming micro-batch. Component k is ``min over shingles of
+    xxhash64(shingle, k)`` — bit-identical to the aggregated
+    ``minhash_signatures`` (both hash the (shingle, k) column pair; min
+    over a distinct array equals min over the exploded multiset).
+    Documents with no shingle (< n tokens) get an empty shingle array and
+    a NULL signature; downstream joins drop them, matching the aggregated
+    pipeline where such docs produce no shingle rows at all.
+
+    The token split and the shingle array are each bound to their own
+    projection before downstream expressions reference them —
+    CollapseProject keeps the boundary rather than duplicating a
+    non-cheap expression into every lambda, so the corpus is split and
+    shingled once per row, not num_hashes times.
+    """
+    tmp = (
+        df.withColumn("_mh_toks", F.split(F.col(text_col), " "))
+        .withColumn(shingles_col, _shingle_array_expr("_mh_toks", n))
+        .drop("_mh_toks")
+    )
+    sig = F.when(
+        F.size(shingles_col) > 0,
+        F.expr(
+            f"transform(sequence(0, {num_hashes - 1}), "
+            f"k -> array_min(transform({shingles_col}, s -> xxhash64(s, k))))"
+        ),
+    )
+    return tmp.withColumn(sig_col, sig)
+
+
+def _band_struct_expr(sig_col: str, bands: int, rows: int) -> Column:
+    """Array of (band, bucket) structs from a signature column; bucket is
+    the '_'-joined signature slice — identical encoding to the aggregated
+    LSH path."""
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, "
+        f"array_join(transform(slice({sig_col}, b * {rows} + 1, {rows}), "
+        f"x -> CAST(x AS STRING)), '_') AS bucket))"
+    )
+
+
+def build_minhash_index(
+    index_docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the two tables of a MinHash dedup index over an
+    existing corpus: the banded bucket table (IDS ONLY — carrying
+    payloads through the band replication was the measured 2x cost in
+    the ANN LSH kernel) and the payload table (signature + shingle set +
+    size per doc, joined back for candidates only). Both are
+    localCheckpoint'ed: an index is built once and probed many times.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    payload = (
+        with_minhash_signature(index_docs, text_col, n, num_hashes)
+        .filter(F.size("sset") > 0)
+        .select(
+            F.col("doc_id").alias("index_doc_id"),
+            "signature",
+            "sset",
+            F.size("sset").cast("long").alias("n_sh"),
+        )
+        .localCheckpoint()
+    )
+    band_tbl = (
+        payload.select(
+            "index_doc_id",
+            F.explode(_band_struct_expr("signature", bands, rows)).alias("bb"),
+        )
+        .select(
+            "index_doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        .localCheckpoint()
+    )
+    return band_tbl, payload
+
+
+def index_near_duplicates(
+    new_docs: DataFrame,
+    index_band_tbl: DataFrame,
+    index_payload: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingestion-time near-dup check: for each NEW document, the index
+    documents with exact shingle-Jaccard >= threshold among banded
+    MinHash candidates — ``(new_doc_id, index_doc_id, jaccard)``.
+
+    Every step is STATELESS on the new side (per-row signature, band
+    explode, two joins against static tables), so the identical
+    composition runs under Structured Streaming as stream-static joins —
+    no watermark, no state store — which is the shape ingestion dedup
+    needs: the corpus index is a slowly-refreshed static artifact, the
+    stream is the firehose.
+
+    Candidate de-duplication is structural, not stateful: a pair is
+    emitted only from its FIRST colliding band (computed per row from
+    the two signatures — ``filter(bands)[0] == band``), which replaces
+    the batch pipeline's ``distinct()`` with a pure expression a stream
+    can evaluate. Verification is exact (array_intersect on the carried
+    shingle sets), so precision is exact and only recall depends on
+    (bands, rows) — same contract as ``minhash_lsh_near_duplicates``.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    ns = (
+        with_minhash_signature(new_docs, text_col, n, num_hashes)
+        .filter(F.size("sset") > 0)
+        .select(
+            F.col("doc_id").alias("new_doc_id"),
+            F.col("signature").alias("sig_new"),
+            F.col("sset").alias("sset_new"),
+            F.size("sset").cast("long").alias("n_new"),
+        )
+    )
+    banded = ns.select(
+        "new_doc_id",
+        "sig_new",
+        "sset_new",
+        "n_new",
+        F.explode(_band_struct_expr("sig_new", bands, rows)).alias("bb"),
+    ).select(
+        "new_doc_id",
+        "sig_new",
+        "sset_new",
+        "n_new",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    cand = banded.join(index_band_tbl, ["band", "bucket"]).join(
+        index_payload, "index_doc_id"
+    )
+    # first colliding band: signature slices compared directly — emitting
+    # a pair only at its smallest colliding band is the stateless
+    # replacement for distinct()
+    first_band = F.expr(
+        f"filter(sequence(0, {bands - 1}), b -> "
+        f"slice(sig_new, b * {rows} + 1, {rows}) = "
+        f"slice(signature, b * {rows} + 1, {rows}))[0]"
+    )
+    common = F.size(F.array_intersect("sset_new", "sset")).cast("long")
+    return (
+        cand.filter(F.col("band") == first_band)
+        .select(
+            "new_doc_id",
+            "index_doc_id",
+            (common / (F.col("n_new") + F.col("n_sh") - common)).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (64-bit, bit-counting aggregation, banded Hamming candidates)
 # ---------------------------------------------------------------------------
 

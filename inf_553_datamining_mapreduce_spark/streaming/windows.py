@@ -478,3 +478,38 @@ def streaming_enriched_window_counts(
             "sum_value",
         )
     )
+
+
+def streaming_index_near_duplicates(
+    docs_stream: DataFrame,
+    index_band_tbl: DataFrame,
+    index_payload: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Ingestion-time near-dup filter on a DOCUMENT stream: every stage
+    of ``dedup.index_near_duplicates`` is stateless on the stream side —
+    per-row MinHash signature, band explode, two stream-static joins
+    against the prebuilt index, and the first-colliding-band rule
+    replacing ``distinct()`` with a pure expression — so the BATCH
+    function runs unchanged on the stream: no watermark, no state store,
+    append mode. This is the production ingestion-dedup shape: the
+    corpus index is a slowly-refreshed static artifact, the stream is
+    the firehose, and each micro-batch's cost is its own size times the
+    bucket fan-in.
+    """
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        index_near_duplicates,
+    )
+
+    return index_near_duplicates(
+        docs_stream,
+        index_band_tbl,
+        index_payload,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        min_jaccard=min_jaccard,
+    )

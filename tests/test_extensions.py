@@ -1195,3 +1195,57 @@ def test_cross_source_overlap_planted(spark):
     }
     # pairs: (1,2) a-b, (1,3) a-a, (2,3) a-b
     assert got == {("feed_a", "feed_b"): 2, ("feed_a", "feed_a"): 1}
+
+
+def test_streaming_index_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """The ingestion-time near-dup filter must produce the BATCH result
+    when the new documents arrive as a stream: per-row signatures +
+    stream-static joins + the first-colliding-band rule need no state,
+    so append mode over multiple micro-batches (maxFilesPerTrigger=1)
+    emits each near-dup pair exactly once."""
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        build_minhash_index,
+        index_near_duplicates,
+    )
+    from inf_553_datamining_mapreduce_spark.streaming.windows import (
+        streaming_index_near_duplicates,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    idx_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    bt, pl = build_minhash_index(idx_docs)
+    batch = {
+        (r["new_doc_id"], r["index_doc_id"]): r["jaccard"]
+        for r in index_near_duplicates(new_docs, bt, pl).collect()
+    }
+    assert batch, "expected planted cross-half near-dups"
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    # two files => two micro-batches at 1 file per trigger
+    new_docs.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+        str(stream_dir / "a")
+    )
+    new_docs.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+        str(stream_dir / "b")
+    )
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")
+    )
+    q = (
+        streaming_index_near_duplicates(stream, bt, pl)
+        .writeStream.format("memory")
+        .queryName("stream_index_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["new_doc_id"], r["index_doc_id"]): r["jaccard"]
+        for r in spark.sql("SELECT * FROM stream_index_dedup").collect()
+    }
+    assert got == batch
