@@ -793,6 +793,16 @@ def triangle_counts(
                 F.when(first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
             )
         )
+    if degree_oriented:
+        # The wedge join references the oriented table THREE times and the
+        # vertex union twice; un-materialized, every reference replays the
+        # two orientation joins + the degree aggregate (measured: a
+        # ~58-exchange, 29-sort-merge-join plan that leans entirely on
+        # ReuseExchange firing). Materializing the oriented edges — same
+        # cardinality as the input, the table any production triangle
+        # count keeps resident — collapses the plan to the three wedge
+        # joins over a LogicalRDD leaf.
+        e = e.localCheckpoint()
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (
         ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
@@ -807,13 +817,15 @@ def triangle_counts(
             F.col("bc.dst").alias("c"),
         )
     )
-    corners = (
-        tri.select(F.col("a").alias("id"))
-        .unionAll(tri.select(F.col("b").alias("id")))
-        .unionAll(tri.select(F.col("c").alias("id")))
+    # One evaluation of the triangle join: explode the three corners
+    # instead of a 3-way unionAll of tri (which would evaluate the whole
+    # wedge cascade three times — Spark shares no un-materialized
+    # branches).
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("id")
     )
-    verts = e.select(F.col("src").alias("id")).union(
-        e.select(F.col("dst").alias("id"))
+    verts = e.select(
+        F.explode(F.array("src", "dst")).alias("id")
     ).distinct()
     counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
     return (
