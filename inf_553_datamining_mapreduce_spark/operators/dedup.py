@@ -732,8 +732,14 @@ def simhash_near_duplicates(
     """Pairs with SimHash Hamming distance <= max_hamming. Candidates via
     16-bit band collision (any pair within Hamming 3 of a <=64-bit signature
     agrees exactly on at least one of the 4 bands — pigeonhole), then exact
-    popcount verification."""
-    sig = simhash_signatures(documents, text_col)
+    popcount verification.
+
+    The signature table is materialized (localCheckpoint — doc-grain,
+    two columns) because the band self-join references it on BOTH sides:
+    un-materialized, the token explode + 60-column bit-count aggregate —
+    the heaviest stage — evaluates twice (same reuse policy as the
+    MinHash one-pass table)."""
+    sig = simhash_signatures(documents, text_col).localCheckpoint()
     bands = sig.select(
         "doc_id",
         "simhash",
