@@ -104,3 +104,20 @@ def test_all_oracle_sql_parses_in_duckdb():
         except Exception as exc:
             bad.append((name, str(exc).splitlines()[0]))
     assert not bad, f"oracle SQL fails to plan: {bad}"
+
+
+def test_shared_intermediates_cover_every_memo_key():
+    """bench.py times each memoized shared intermediate as its own line
+    item; a _memo key missing from shared_intermediates() would silently
+    book its build cost to whichever query runs it first (the round-4
+    attribution bug). Pin the two lists together by scanning the source."""
+    import re
+
+    import __spark_entry__ as em
+
+    src = open(em.__file__).read()
+    memo_keys = set(re.findall(r'_memo\(spark, \(sf, "(\w+)"\)', src))
+    assert memo_keys, "expected _memo call sites"
+    assert memo_keys == set(em.shared_intermediates()), (
+        memo_keys, set(em.shared_intermediates())
+    )
