@@ -126,6 +126,31 @@ def _jaccard_pairs_shared(spark, sf):
     return _memo(spark, (sf, "jaccard_pairs"), build)
 
 
+def _minhash_index_shared(spark, sf):
+    # The prebuilt MinHash index over the even-doc_id half (the
+    # "already-ingested corpus" of incremental_index_dedup) — the
+    # definitionally build-once-probe-many artifact. build_minhash_index
+    # localCheckpoints both tables; memoizing the PAIR under one key
+    # keeps them consistent (payload and bands from the same build).
+    def build_pair():
+        (d,) = _t(spark, sf, "documents")
+        return D.build_minhash_index(d.filter(F.col("doc_id") % 2 == 0))
+
+    app_id = spark.sparkContext.applicationId
+    full_key = (app_id, sf, "mh_index")
+    v = _EDGE_MEMO.get(full_key)
+    if v is None:
+        for k in [k for k in _EDGE_MEMO if k[0] != app_id]:
+            del _EDGE_MEMO[k]
+        v = build_pair()  # both tables already checkpointed inside
+        _EDGE_MEMO[full_key] = v
+    return v
+
+
+def _mh_index_bands_shared(spark, sf):
+    return _minhash_index_shared(spark, sf)[0]
+
+
 def _betweenness_fp_shared(spark, sf):
     # The fixed-point betweenness query and the GN twin run the schedule
     # with IDENTICAL pinned parameters (depth 8, scale 1e9, source_mod 10,
@@ -155,6 +180,7 @@ def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "edges": _customer_graph_edges,
         "jaccard_pairs": _jaccard_pairs_shared,
         "betweenness_fp": _betweenness_fp_shared,
+        "mh_index": _mh_index_bands_shared,
     }
 
 
@@ -602,9 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the identical composition runs under Structured Streaming
         # (streaming_index_near_duplicates; stream-static joins).
         (d,) = _t(spark, sf, "documents")
-        idx = d.filter(F.col("doc_id") % 2 == 0)
         new = d.filter(F.col("doc_id") % 2 == 1)
-        bt, pl = D.build_minhash_index(idx)
+        bt, pl = _minhash_index_shared(spark, sf)
         return D.index_near_duplicates(new, bt, pl).orderBy(
             "new_doc_id", "index_doc_id"
         )

@@ -118,6 +118,8 @@ def test_shared_intermediates_cover_every_memo_key():
     src = open(em.__file__).read()
     memo_keys = set(re.findall(r'_memo\(spark, \(sf, "(\w+)"\)', src))
     assert memo_keys, "expected _memo call sites"
-    assert memo_keys == set(em.shared_intermediates()), (
+    # superset: builders that memoize a PAIR inline (mh_index) appear in
+    # shared_intermediates without a matching single-key _memo call
+    assert memo_keys <= set(em.shared_intermediates()), (
         memo_keys, set(em.shared_intermediates())
     )
