@@ -315,7 +315,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             betweenness=_betweenness_fp_shared(spark, sf),
         )
 
+    def _betweenness_brandes_customers(spark, sf):
+        # Textbook-Brandes mode of the fixed-point kernel (SURVEY.md
+        # §7.4.3's optional mode): same graph/params as the equal-split
+        # twin, σ-proportional splitting, own generated oracle.
+        return G.edge_betweenness_fixedpoint(
+            _customer_graph_edges(spark, sf),
+            max_depth=8,
+            scale=10**9,
+            source_mod=10,
+            rule="brandes",
+        )
+
     q["edge_betweenness_fixedpoint_customers"] = _betweenness_fixedpoint_customers
+    q["edge_betweenness_brandes_customers"] = _betweenness_brandes_customers
     q["communities_girvan_newman"] = _communities_customers
     q["communities_girvan_newman_fixedpoint"] = _communities_gn_fixedpoint
 
@@ -1202,8 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (verdict item 4); (3) 43 of the 46 queries last proven in round 2 — the
 # stalest greens. The 3 round-2 greens left out (pricing_summary_sql,
 # orders_by_month, corpus_splits, user_event_type_pivot,
-# token_stats_regex, rolling_hash_fingerprints) are pure-codegen or
-# per-row queries untouched since
+# token_stats_regex, rolling_hash_fingerprints, media_frame_samples)
+# are pure-codegen or per-row queries untouched since
 # round 2 with an independently-exercised relative in the window
 # (pricing_summary is the driver-smoke entry() flagship; orders_rollup
 # covers the orders_by_month aggregates) — they rotate next round. Semantics
@@ -1215,6 +1228,7 @@ _DRIVER_PRIORITY = [
     "token_gini_diversity",
     "cross_source_overlap",
     "incremental_index_dedup",
+    "edge_betweenness_brandes_customers",
     "clustering_coefficients_customers",
     "triangle_counts_customers",
     # round-1-only greens (three rounds stale):
@@ -1258,7 +1272,6 @@ _DRIVER_PRIORITY = [
     "winnow_fingerprints",
     "token_rarity_stats",
     "media_fingerprints",
-    "media_frame_samples",
     "exact_duplicates",
     "jaccard_near_duplicates",
     "near_duplicate_clusters",
@@ -2063,6 +2076,9 @@ def oracle_sql() -> dict[str, str]:
     # equal-split credit algorithm cross-engine with exact integers.
     d["edge_betweenness_fixedpoint_customers"] = _betweenness_fp_oracle(
         max_depth=8, scale=10**9, source_mod=10
+    )
+    d["edge_betweenness_brandes_customers"] = _betweenness_fp_oracle(
+        max_depth=8, scale=10**9, source_mod=10, rule="brandes"
     )
     # Full GN loop as integers: the fixed-point schedule + grid argmax of
     # original-graph modularity — takes the last no_oracle pair down to a
@@ -3878,18 +3894,64 @@ def _gn_fp_oracle(
 
 
 def _betweenness_fp_oracle(
-    max_depth: int = 8, scale: int = 10**9, source_mod: int = 10
+    max_depth: int = 8,
+    scale: int = 10**9,
+    source_mod: int = 10,
+    rule: str = "equal_split",
 ) -> str:
     """Depth-unrolled chained-CTE oracle for fixed-point edge betweenness
     (``graph.edge_betweenness_fixedpoint``): a recursive walk CTE gives
     first-reach BFS depths (MIN over generated path depths), the
     shortest-path DAG and route counts are plain joins/aggregates, and the
-    reverse equal-split credit sweep unrolls one (pending, credit) CTE pair
-    per level from ``max_depth`` down to 1 — all-BIGINT floor-division
-    arithmetic matching the Spark loop bit-for-bit. Levels past the actual
+    reverse credit sweep unrolls one (pending, credit) CTE pair per level
+    from ``max_depth`` down to 1 — all-BIGINT floor-division arithmetic
+    matching the Spark loop bit-for-bit. Levels past the actual
     eccentricity are empty in both engines, so equality holds for any
     graph whose diameter fits the unroll. The final CAST collapses DuckDB's
-    HUGEINT SUM widening back to int64."""
+    HUGEINT SUM widening back to int64.
+
+    ``rule="brandes"`` additionally unrolls a forward σ sweep (g0..gN:
+    shortest-path counts per level, sig_all their union) and divides
+    σ-proportionally — mirroring the operator's Brandes mode CTE-for-CTE.
+    """
+    if rule == "brandes":
+        sigma_ctes = [
+            f""",
+        g0 AS MATERIALIZED (SELECT id AS s, id AS v,
+                            CAST(1 AS BIGINT) AS sigma FROM srcs)"""
+        ]
+        for lvl in range(1, max_depth + 1):
+            sigma_ctes.append(f""",
+        g{lvl} AS MATERIALIZED (
+            SELECT d.s, d.head AS v, CAST(SUM(g.sigma) AS BIGINT) AS sigma
+            FROM dagr d JOIN g{lvl - 1} g ON g.s = d.s AND g.v = d.tail
+            WHERE d.lvl = {lvl} GROUP BY d.s, d.head
+        )""")
+        sig_union = " UNION ALL ".join(
+            f"SELECT * FROM g{lvl}" for lvl in range(0, max_depth + 1)
+        )
+        sigma_ctes.append(f""",
+        sig_all AS MATERIALIZED ({sig_union}),
+        dagrs AS MATERIALIZED (
+            SELECT d.s, d.tail, d.head, d.lvl, d.route,
+                   st.sigma AS sigma_tail, sh.sigma AS sigma_head
+            FROM dagr d
+            JOIN sig_all st ON st.s = d.s AND st.v = d.tail
+            JOIN sig_all sh ON sh.s = d.s AND sh.v = d.head
+        )""")
+        sigma_sql = "".join(sigma_ctes)
+        credit_src = "dagrs"
+        credit_expr = (
+            f"(d.sigma_tail * (CAST({scale} AS BIGINT)"
+            " + COALESCE(p.w, CAST(0 AS BIGINT)))) // d.sigma_head"
+        )
+    else:
+        sigma_sql = ""
+        credit_src = "dagr"
+        credit_expr = (
+            f"(CAST({scale} AS BIGINT) + COALESCE(p.w, CAST(0 AS BIGINT)))"
+            " // d.route"
+        )
     steps = []
     for lvl in range(max_depth, 0, -1):
         if lvl == max_depth:
@@ -3903,9 +3965,8 @@ def _betweenness_fp_oracle(
         p{lvl} AS ({pend}),
         c{lvl} AS (
             SELECT d.s, d.tail, d.head,
-                   (CAST({scale} AS BIGINT) + COALESCE(p.w, CAST(0 AS BIGINT)))
-                       // d.route AS c
-            FROM dagr d LEFT JOIN p{lvl} p ON p.s = d.s AND p.v = d.head
+                   {credit_expr} AS c
+            FROM {credit_src} d LEFT JOIN p{lvl} p ON p.s = d.s AND p.v = d.head
             WHERE d.lvl = {lvl}
         )""")
     allc = " UNION ALL ".join(
@@ -3941,7 +4002,7 @@ def _betweenness_fp_oracle(
         dagr AS MATERIALIZED (
             SELECT dag.s, dag.tail, dag.head, dag.lvl, route.route
             FROM dag JOIN route ON route.s = dag.s AND route.head = dag.head
-        ),{",".join(steps)},
+        ){sigma_sql},{",".join(steps)},
         allc AS ({allc})
         SELECT CAST(LEAST(tail, head) AS BIGINT) AS src,
                CAST(GREATEST(tail, head) AS BIGINT) AS dst,

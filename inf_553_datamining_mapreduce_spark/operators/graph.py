@@ -483,6 +483,7 @@ def edge_betweenness_fixedpoint(
     max_depth: int = 8,
     scale: int = 10**9,
     source_mod: int | None = None,
+    rule: str = "equal_split",
 ) -> DataFrame:
     """Cross-engine-PROVABLE betweenness twin: the simplified-GN equal-split
     credit rule (``Betweenness.scala:56-116``) evaluated in fixed-point
@@ -506,6 +507,24 @@ def edge_betweenness_fixedpoint(
     Brandes-Pich sampling; estimates scale by the sample share). Output is
     ``(src, dst, credit_sum_fp)`` — the RAW integer credit sum over
     sources, i.e. 2*scale*betweenness when all sources run.
+
+    ``rule`` selects the credit arithmetic (SURVEY.md §7.4.3: the
+    reference rule for parity, textbook Brandes as an optional mode):
+
+    * ``"equal_split"`` (default) — the reference's simplified-GN rule:
+      a head's mass splits EQUALLY among its predecessor edges,
+      ``credit = (scale + incoming) div route``.
+    * ``"brandes"`` — textbook Brandes edge betweenness: mass splits in
+      proportion to shortest-path counts,
+      ``credit(tail→head) = (σ_tail · (scale + incoming_head)) div σ_head``
+      with σ accumulated level-by-level in one extra forward sweep
+      (σ_head = Σ σ_tail over DAG in-edges). Still all-BIGINT floor
+      division — the Brandes twin carries its own chained-CTE oracle.
+      Magnitude bound: the product σ_tail·(scale + incoming) must stay
+      under 2^63; incoming ≤ (reachable subtree size)·scale, so with
+      scale=1e9 the mode is exact while σ·subtree < ~9.2e9 — far beyond
+      the depth-bounded neighborhoods it runs on (overflow would need a
+      ~1e4-path-multiplicity DAG over a ~1e6-vertex subtree).
 
     Distributed shape: identical to ``edge_betweenness_distributed`` —
     frontier-join BFS, DAG membership by one join predicate, per-level
@@ -569,6 +588,56 @@ def edge_betweenness_fixedpoint(
             [], "src long, dst long, credit_sum_fp long"
         )
 
+    if rule == "brandes":
+        # Forward σ sweep: shortest-path counts level by level over the
+        # DAG (σ_source = 1; σ_head = Σ σ_tail over in-edges). One join +
+        # one aggregate per level, checkpointed like the BFS rounds.
+        sig_lvl = sources.select(
+            "source",
+            F.col("source").alias("v"),
+            F.lit(1).cast("long").alias("sigma"),
+        ).localCheckpoint()
+        sigma_all = sig_lvl
+        for lvl in range(1, int(max_lvl) + 1):
+            st = sig_lvl.select("source", F.col("v").alias("tail"), "sigma")
+            sig_lvl = (
+                dagr.filter(F.col("lvl") == lvl)
+                .join(st, ["source", "tail"])
+                .groupBy("source", F.col("head").alias("v"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .localCheckpoint()
+            )
+            sigma_all = sigma_all.unionAll(sig_lvl)
+        sigma_all = sigma_all.localCheckpoint()
+        dagr = (
+            dagr.join(
+                sigma_all.select(
+                    "source", F.col("v").alias("tail"),
+                    F.col("sigma").alias("sigma_tail"),
+                ),
+                ["source", "tail"],
+            )
+            .join(
+                sigma_all.select(
+                    "source", F.col("v").alias("head"),
+                    F.col("sigma").alias("sigma_head"),
+                ),
+                ["source", "head"],
+            )
+            .localCheckpoint()
+        )
+        credit_expr = (
+            f"(sigma_tail * (CAST({scale} AS BIGINT)"
+            " + coalesce(w, CAST(0 AS BIGINT)))) div sigma_head"
+        )
+    elif rule == "equal_split":
+        credit_expr = (
+            f"(CAST({scale} AS BIGINT) + coalesce(w, CAST(0 AS BIGINT)))"
+            " div route"
+        )
+    else:
+        raise ValueError(f"unknown rule {rule!r}")
+
     pending = None  # (source, v, w): integer credit mass from one level down
     credit_parts = []
     for lvl in range(int(max_lvl), 0, -1):
@@ -582,10 +651,7 @@ def edge_betweenness_fixedpoint(
             "source",
             "tail",
             "head",
-            F.expr(
-                f"(CAST({scale} AS BIGINT) + coalesce(w, CAST(0 AS BIGINT)))"
-                " div route"
-            ).alias("credit"),
+            F.expr(credit_expr).alias("credit"),
         ).localCheckpoint()
         credit_parts.append(cred)
         pending = (

@@ -658,3 +658,72 @@ def test_girvan_newman_fixedpoint_recovers_planted_cliques(spark):
         20: "20,21,22,23,24,25",
         30: "30,31,32,33,34,35",
     }
+
+
+def test_fixedpoint_brandes_rule_hand_computed(spark):
+    """Brandes mode on a DAG with unequal path multiplicities (σ_u=2 vs
+    σ_v=1 feeding t with σ_t=3): mass must split σ-proportionally, not
+    equally. Expected values come from an independent Python mirror of
+    the integer recurrence; the same graph under equal_split gives a
+    DIFFERENT split at the junction, pinning that the two rules really
+    diverge. source_mod=7 keeps vertex 0 as the only BFS source."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        edge_betweenness_fixedpoint,
+    )
+
+    # levels: 0:{0} 1:{1,2} 2:{3,4} 3:{5}; σ: 1,1,1,2,1,3
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (1, 4), (3, 5), (4, 5)]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    S = 10**9
+    # independent integer mirror (floor division at every step)
+    c35 = (2 * S) // 3
+    c45 = S // 3
+    c13 = (S + c35) // 2
+    c23 = (S + c35) // 2
+    c14 = S + c45
+    c01 = S + c13 + c14
+    c02 = S + c23
+    expected = {
+        (3, 5): c35, (4, 5): c45, (1, 3): c13, (2, 3): c23,
+        (1, 4): c14, (0, 1): c01, (0, 2): c02,
+    }
+    got = {
+        (r["src"], r["dst"]): r["credit_sum_fp"]
+        for r in edge_betweenness_fixedpoint(
+            edf, max_depth=5, scale=S, source_mod=7, rule="brandes"
+        ).collect()
+    }
+    assert got == expected
+    eq = {
+        (r["src"], r["dst"]): r["credit_sum_fp"]
+        for r in edge_betweenness_fixedpoint(
+            edf, max_depth=5, scale=S, source_mod=7, rule="equal_split"
+        ).collect()
+    }
+    # equal_split halves t's mass regardless of σ — the rules diverge
+    assert eq[(3, 5)] == S // 2 and eq[(4, 5)] == S // 2
+    assert got[(3, 5)] != eq[(3, 5)]
+
+
+def test_fixedpoint_brandes_matches_networkx_convention_on_path(spark):
+    """On a path graph every σ is 1, so Brandes and equal_split coincide
+    — both must give the classic per-source path credits."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        edge_betweenness_fixedpoint,
+    )
+
+    edf = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    S = 10**6
+    a = {
+        (r["src"], r["dst"]): r["credit_sum_fp"]
+        for r in edge_betweenness_fixedpoint(
+            edf, max_depth=5, scale=S, rule="brandes"
+        ).collect()
+    }
+    b = {
+        (r["src"], r["dst"]): r["credit_sum_fp"]
+        for r in edge_betweenness_fixedpoint(
+            edf, max_depth=5, scale=S, rule="equal_split"
+        ).collect()
+    }
+    assert a == b == {(0, 1): 6 * S, (1, 2): 8 * S, (2, 3): 6 * S}
