@@ -3741,6 +3741,7 @@ def _gn_fp_oracle(
     source_mod: int = 10,
     n_grid: int = 32,
     label_rounds: int = 8,
+    edges_sql: str | None = None,
 ) -> str:
     """Chained-CTE oracle for the integer Girvan–Newman twin
     (``graph.girvan_newman_fixedpoint``): the fixed-point betweenness CTE
@@ -3789,15 +3790,25 @@ def _gn_fp_oracle(
             SELECT a.k, a.v, m.lbl FROM a{r} a
             JOIN a{r} m ON m.k = a.k AND m.v = a.lbl
         )""")
-    return f"""
-        WITH RECURSIVE cp AS (
+    # edges_sql overrides the customer co-occurrence graph with any
+    # (src, dst) relation — the randomized cross-engine property test
+    # injects VALUES lists here. The cp CTE is omitted entirely in that
+    # case: DuckDB's binder resolves table names even in dead CTEs.
+    if edges_sql is None:
+        cp_cte = """cp AS (
             SELECT DISTINCT o_custkey AS c, l_partkey AS p
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         ),
-        e0 AS MATERIALIZED (
+        """
+        e0_body = """
             SELECT a.c AS src, b.c AS dst
             FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
-            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4"""
+    else:
+        cp_cte = ""
+        e0_body = edges_sql
+    return f"""
+        WITH RECURSIVE {cp_cte}e0 AS MATERIALIZED ({e0_body}
         ),
         sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
         srcs AS (SELECT DISTINCT src AS id FROM sym WHERE src % {source_mod} = 0),

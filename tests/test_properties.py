@@ -144,3 +144,54 @@ def test_ntile_formula_matches_sql_ntile_semantics(n_rows, n_buckets):
     got = [bucket_of(r) for r in range(1, n_rows + 1)]
     assert got == expected[:n_rows]
     assert len(expected) == n_rows
+
+
+def test_gn_fixedpoint_matches_duckdb_on_random_graphs(spark):
+    """Randomized cross-engine property: the integer GN twin and its
+    generated chained-CTE oracle (with a VALUES edge list injected) must
+    agree bit-for-bit on arbitrary small graphs — schedules, grids,
+    label rounds, modularity argmax, member strings, everything. This is
+    the oracle-parity test freed from the fixed customer graph, so tie
+    handling and non-converged labelings get exercised on adversarial
+    shapes too."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as em
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        girvan_newman_fixedpoint,
+    )
+
+    for seed in (3, 17, 91):
+        rng = random.Random(seed)
+        n_verts = rng.randint(8, 24)
+        pairs = set()
+        for _ in range(rng.randint(10, 48)):
+            a, b = rng.randrange(n_verts), rng.randrange(n_verts)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        pairs = sorted(pairs)
+        edf = spark.createDataFrame(pairs, "src long, dst long")
+        got = sorted(
+            (r["community"], r["members_str"], r["n_members"])
+            for r in girvan_newman_fixedpoint(
+                edf, max_depth=6, source_mod=3, n_grid=8, label_rounds=8
+            ).collect()
+        )
+        values = ", ".join(f"({a}, {b})" for a, b in pairs)
+        sql = em._gn_fp_oracle(
+            max_depth=6,
+            source_mod=3,
+            n_grid=8,
+            label_rounds=8,
+            edges_sql=(
+                f"SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT)"
+                f" AS dst FROM (VALUES {values}) t(src, dst)"
+            ),
+        )
+        want = sorted(
+            (int(r[0]), r[1], int(r[2]))
+            for r in duckdb.connect().execute(sql).fetchall()
+        )
+        assert got == want, f"seed {seed} diverged"
