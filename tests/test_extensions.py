@@ -1249,3 +1249,32 @@ def test_streaming_index_dedup_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM stream_index_dedup").collect()
     }
     assert got == batch
+
+
+def test_per_row_minhash_signature_matches_aggregated(spark, sf_dir):
+    """The stateless per-row signature (streaming path) must be
+    BIT-IDENTICAL to the aggregated groupBy form on every document —
+    same hash inputs (shingle, seed), min over a distinct array equals
+    min over the exploded multiset."""
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        minhash_signatures,
+        with_minhash_signature,
+        word_shingles,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents").limit(200)
+    agg = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(word_shingles(docs, n=3)).collect()
+    }
+    per_row = {
+        r["doc_id"]: list(r["signature"]) if r["signature"] else None
+        for r in with_minhash_signature(docs).collect()
+    }
+    assert agg, "expected signatures"
+    for doc_id, sig in agg.items():
+        assert per_row[doc_id] == sig, doc_id
+    # docs too short to shingle: NULL per-row signature, absent from agg
+    for doc_id, sig in per_row.items():
+        if sig is None:
+            assert doc_id not in agg
