@@ -90,8 +90,6 @@ def _warmup(spark, queries, sf_dir) -> None:
     except Exception:
         pass
     try:
-        import pandas as pd
-
         def _ident(batches):
             yield from batches
 
