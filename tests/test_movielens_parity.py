@@ -180,3 +180,27 @@ def test_son_basket_orientation(spark, ml_fixture):
     female_users = {x for x, g, *_ in users if g == "F"}
     for row in b2:
         assert set(row["basket"]) <= female_users
+
+
+def test_format_avg_11_reproduces_reference_golden_bytes():
+    """Every average in the reference's COMMITTED task1/task2 outputs
+    (14k+ lines of real `"%.11f".format(v).toDouble.toString` values)
+    must round-trip through format_avg_11 byte-for-byte — the strongest
+    available check that the Python repr path matches Scala's
+    Double.toString across the full observed value range (the raw
+    ratings.dat behind these files is absent from the snapshot, so the
+    VALUES can't be recomputed, but the FORMAT contract can be proven
+    on all of them)."""
+    from inf_553_datamining_mapreduce_spark.sources.sinks import format_avg_11
+
+    ref = "/root/reference/1-Group Average Calculation"
+    n = 0
+    for fn in ("result_task1.txt", "result_task2.txt"):
+        for line in open(f"{ref}/{fn}"):
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            val = line.rsplit(",", 1)[1]
+            assert format_avg_11(float(val)) == val, line
+            n += 1
+    assert n > 10_000
