@@ -184,7 +184,7 @@ def test_son_basket_orientation(spark, ml_fixture):
 
 def test_format_avg_11_reproduces_reference_golden_bytes():
     """Every average in the reference's COMMITTED task1/task2 outputs
-    (14k+ lines of real `"%.11f".format(v).toDouble.toString` values)
+    (7.7k lines of real `"%.11f".format(v).toDouble.toString` values)
     must round-trip through format_avg_11 byte-for-byte — the strongest
     available check that the Python repr path matches Scala's
     Double.toString across the full observed value range (the raw
@@ -203,4 +203,4 @@ def test_format_avg_11_reproduces_reference_golden_bytes():
             val = line.rsplit(",", 1)[1]
             assert format_avg_11(float(val)) == val, line
             n += 1
-    assert n > 10_000
+    assert n > 7_000
