@@ -968,6 +968,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_dedup_stats"] = _chunk_dedup_stats
     q["token_gini_diversity"] = _token_gini_diversity
+
+    def _split_drift_report(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.split_drift_report(d, min_count=10, top_k=100)
+
+    q["split_drift_report"] = _split_drift_report
     q["embedding_norms"] = _embedding_norms
 
     # ---- registered beyond the round-3 gate window (r04 rotation set) ----
@@ -1215,8 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (verdict item 4); (3) 43 of the 46 queries last proven in round 2 — the
 # stalest greens. The 3 round-2 greens left out (pricing_summary_sql,
 # orders_by_month, corpus_splits, user_event_type_pivot,
-# token_stats_regex, rolling_hash_fingerprints, media_frame_samples)
-# are pure-codegen or per-row queries untouched since
+# token_stats_regex, rolling_hash_fingerprints, media_frame_samples,
+# doc_fingerprints) are pure-codegen or per-row queries untouched since
 # round 2 with an independently-exercised relative in the window
 # (pricing_summary is the driver-smoke entry() flagship; orders_rollup
 # covers the orders_by_month aggregates) — they rotate next round. Semantics
@@ -1229,6 +1235,7 @@ _DRIVER_PRIORITY = [
     "cross_source_overlap",
     "incremental_index_dedup",
     "edge_betweenness_brandes_customers",
+    "split_drift_report",
     "clustering_coefficients_customers",
     "triangle_counts_customers",
     # round-1-only greens (three rounds stale):
@@ -1268,7 +1275,6 @@ _DRIVER_PRIORITY = [
     "word_frequencies",
     "quality_scores",
     "language_id",
-    "doc_fingerprints",
     "winnow_fingerprints",
     "token_rarity_stats",
     "media_fingerprints",
@@ -2796,6 +2802,41 @@ def oracle_sql() -> dict[str, str]:
                    / COUNT(*) AS dup_chunk_frac
         FROM c JOIN occ USING (chunk_md5)
         GROUP BY c.source ORDER BY c.source
+    """
+    # Token drift between hash splits: integer cross products, one
+    # vocabulary aggregate, χ²-style score as single IEEE ops. The
+    # LIMIT/ORDER must match the Spark TakeOrdered exactly — ties broken
+    # by token.
+    d["split_drift_report"] = """
+        WITH toks AS (
+            SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 AS BIGINT) AS bucket,
+                   UNNEST(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        counts AS (
+            SELECT tok,
+                   CAST(SUM(CASE WHEN bucket < 90 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c_train,
+                   CAST(SUM(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c_val
+            FROM toks WHERE bucket < 95 GROUP BY tok
+        ),
+        totals AS (
+            SELECT CAST(SUM(c_train) AS BIGINT) AS n_train,
+                   CAST(SUM(c_val) AS BIGINT) AS n_val
+            FROM counts
+        )
+        SELECT tok, c_train, c_val,
+               CAST(c_train * n_val - c_val * n_train AS BIGINT) AS drift_num,
+               (CAST(c_train * n_val - c_val * n_train AS DOUBLE)
+                * CAST(c_train * n_val - c_val * n_train AS DOUBLE))
+               / (CAST(c_train + c_val AS DOUBLE)
+                  * CAST(n_train AS DOUBLE) * CAST(n_val AS DOUBLE))
+                   AS drift_score
+        FROM counts, totals
+        WHERE c_train + c_val >= 10
+        ORDER BY drift_score DESC, tok ASC LIMIT 100
     """
     d["token_gini_diversity"] = """
         WITH tok AS (

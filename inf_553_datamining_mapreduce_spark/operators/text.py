@@ -274,6 +274,83 @@ def corpus_splits(
     ).orderBy("doc_id")
 
 
+def split_drift_report(
+    documents: DataFrame,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    min_count: int = 10,
+    top_k: int = 100,
+) -> DataFrame:
+    """Token-distribution drift between the train and val splits — the
+    split-health check before trusting a validation loss: a token whose
+    rate differs wildly between splits means the content-free hash split
+    collided with content structure (time-ordered ids, per-source id
+    ranges) and the val set no longer measures generalization.
+
+    Per token with ≥ ``min_count`` total occurrences:
+    ``drift_num = c_train·N_val − c_val·N_train`` (exact in a long — the
+    cross product is 0 iff the token's rate is identical in both splits)
+    and a χ²-style score
+    ``drift_num² / ((c_train+c_val) · N_train · N_val)`` computed as
+    single IEEE ops over the exact integers — deterministic cross-engine
+    (same inputs → same doubles; no accumulation order involved). Top-k
+    by score then token.
+
+    Shape at scale: the split column is a pure projection
+    (``corpus_splits`` bucketing inlined — zero extra joins), ONE
+    (token) aggregate with map-side partials builds the two counts, the
+    two totals ride one 1-row aggregate over the (vocabulary-sized)
+    count table, and the top-k is a TakeOrdered, never a global sort.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    toks = documents.select(
+        bucket.alias("bucket"), F.explode(tokens_col("text")).alias("tok")
+    ).filter(F.col("bucket") < train_pct + val_pct)
+    counts = (
+        toks.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("bucket") < train_pct, 1).otherwise(0))
+            .cast("long")
+            .alias("c_train"),
+            F.sum(F.when(F.col("bucket") >= train_pct, 1).otherwise(0))
+            .cast("long")
+            .alias("c_val"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("c_train").cast("long").alias("n_train"),
+        F.sum("c_val").cast("long").alias("n_val"),
+    )
+    drift_num = (
+        F.col("c_train") * F.col("n_val") - F.col("c_val") * F.col("n_train")
+    )
+    score = (
+        drift_num.cast("double")
+        * drift_num.cast("double")
+        / (
+            (F.col("c_train") + F.col("c_val")).cast("double")
+            * F.col("n_train").cast("double")
+            * F.col("n_val").cast("double")
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("c_train") + F.col("c_val") >= min_count)
+        .select(
+            "tok",
+            "c_train",
+            "c_val",
+            drift_num.cast("long").alias("drift_num"),
+            score.alias("drift_score"),
+        )
+        .orderBy(F.desc("drift_score"), F.asc("tok"))
+        .limit(top_k)
+    )
+
+
 def token_rarity_stats(documents: DataFrame, rare_max_freq: int = 2) -> DataFrame:
     """Per-document rare-token statistics: the minimum corpus frequency
     among the document's tokens and how many of its token occurrences are

@@ -1278,3 +1278,38 @@ def test_per_row_minhash_signature_matches_aggregated(spark, sf_dir):
     for doc_id, sig in per_row.items():
         if sig is None:
             assert doc_id not in agg
+
+
+def test_split_drift_report_detects_planted_drift(spark):
+    """A token appearing only in val-bucket documents must outrank evenly
+    distributed tokens; rate-identical tokens score exactly 0 (the
+    integer cross product vanishes)."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        corpus_splits,
+        split_drift_report,
+    )
+
+    base = spark.range(400).select(F.col("id").alias("doc_id"))
+    splits = {
+        r["doc_id"]: r["split"] for r in corpus_splits(base).collect()
+    }
+    rows = []
+    for doc_id, split in splits.items():
+        # 'common' everywhere at the same rate; 'leak' only in val docs
+        text = "common common filler"
+        if split == "val":
+            text += " leak leak leak"
+        rows.append((doc_id, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["tok"]: r
+        for r in split_drift_report(docs, min_count=3, top_k=10).collect()
+    }
+    assert "leak" in got and got["leak"]["c_train"] == 0
+    ranked = sorted(got.values(), key=lambda r: -r["drift_score"])
+    assert ranked[0]["tok"] == "leak"
+    # 'common' and 'filler' have identical rates in both splits -> the
+    # cross product is exactly zero
+    for tok in ("common", "filler"):
+        if tok in got:
+            assert got[tok]["drift_num"] != 0 or got[tok]["drift_score"] == 0.0
