@@ -71,6 +71,9 @@ HEADLINE = [
     "communities_girvan_newman_fixedpoint",
     "chunk_dedup_stats",
     "token_gini_diversity",
+    "incremental_index_dedup",
+    "edge_betweenness_brandes_customers",
+    "split_drift_report",
 ]
 
 
