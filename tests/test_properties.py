@@ -195,3 +195,60 @@ def test_gn_fixedpoint_matches_duckdb_on_random_graphs(spark):
             for r in duckdb.connect().execute(sql).fetchall()
         )
         assert got == want, f"seed {seed} diverged"
+
+
+def test_chunk_dedup_stats_matches_bruteforce_on_random_corpora(spark):
+    """Property: the windowed-aggregate formulation equals an independent
+    Python brute force (chunk, hash by content, count cross-corpus
+    copies per source) on seeded random corpora with planted repeats."""
+    import random
+    from collections import Counter, defaultdict
+
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        chunk_dedup_stats,
+    )
+
+    for seed in (5, 29):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = []
+        for i in range(60):
+            n = rng.randint(0, 80)
+            words = [rng.choice(vocab) for _ in range(n)]
+            docs.append((i, " ".join(words), f"s{rng.randint(0, 3)}"))
+        # plant exact copies across sources
+        docs.append((100, docs[0][1], "s9"))
+        docs.append((101, docs[1][1], docs[1][2]))
+
+        chunk_size = 8
+        occ = Counter()
+        per_doc_chunks = {}
+        for doc_id, text, source in docs:
+            toks = text.split(" ")
+            chunks = [
+                " ".join(toks[s : s + chunk_size])
+                for s in range(0, max(len(toks) - 1, 0) + 1, chunk_size)
+            ] or [""]
+            # mirror doc_chunks: starts at 0, stride=chunk_size, last
+            # partial window included; empty text yields one "" chunk
+            per_doc_chunks[doc_id] = chunks
+            for c in chunks:
+                occ[c] += 1
+        want = defaultdict(lambda: [0, 0, set()])
+        for doc_id, text, source in docs:
+            for c in per_doc_chunks[doc_id]:
+                want[source][0] += 1
+                if occ[c] > 1:
+                    want[source][1] += 1
+                    want[source][2].add(c)
+        df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+        got = {
+            r["source"]: (r["n_chunks"], r["n_dup_chunks"], r["n_dup_groups"])
+            for r in chunk_dedup_stats(
+                df, chunk_size=chunk_size, stride=chunk_size
+            ).collect()
+        }
+        expect = {
+            s: (v[0], v[1], len(v[2])) for s, v in want.items()
+        }
+        assert got == expect, f"seed {seed}"
