@@ -3950,6 +3950,7 @@ def _betweenness_fp_oracle(
     scale: int = 10**9,
     source_mod: int = 10,
     rule: str = "equal_split",
+    edges_sql: str | None = None,
 ) -> str:
     """Depth-unrolled chained-CTE oracle for fixed-point edge betweenness
     (``graph.edge_betweenness_fixedpoint``): a recursive walk CTE gives
@@ -4024,15 +4025,24 @@ def _betweenness_fp_oracle(
     allc = " UNION ALL ".join(
         f"SELECT * FROM c{lvl}" for lvl in range(1, max_depth + 1)
     )
-    return f"""
-        WITH RECURSIVE cp AS (
+    # edges_sql injection: same contract as _gn_fp_oracle (the randomized
+    # property tests run both rules over VALUES edge lists; the dead cp
+    # CTE must be omitted because DuckDB binds table names in dead CTEs).
+    if edges_sql is None:
+        cp_cte = """cp AS (
             SELECT DISTINCT o_custkey AS c, l_partkey AS p
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         ),
-        e AS (
+        """
+        e_body = """
             SELECT a.c AS src, b.c AS dst
             FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
-            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4"""
+    else:
+        cp_cte = ""
+        e_body = edges_sql
+    return f"""
+        WITH RECURSIVE {cp_cte}e AS ({e_body}
         ),
         sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
         srcs AS (SELECT DISTINCT src AS id FROM sym WHERE src % {source_mod} = 0),

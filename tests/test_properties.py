@@ -252,3 +252,52 @@ def test_chunk_dedup_stats_matches_bruteforce_on_random_corpora(spark):
             s: (v[0], v[1], len(v[2])) for s, v in want.items()
         }
         assert got == expect, f"seed {seed}"
+
+
+def test_betweenness_fixedpoint_matches_duckdb_on_random_graphs_both_rules(spark):
+    """Randomized cross-engine property for BOTH credit rules of the
+    fixed-point betweenness: the Spark loop and the generated CTE chain
+    (VALUES edge list injected) must agree bit-for-bit — BFS depths, DAG
+    membership, route counts, σ accumulation (brandes), and the reverse
+    integer sweep — on arbitrary small graphs."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as em
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        edge_betweenness_fixedpoint,
+    )
+
+    for seed, rule in ((7, "equal_split"), (7, "brandes"), (41, "brandes")):
+        rng = random.Random(seed)
+        n_verts = rng.randint(8, 20)
+        pairs = set()
+        for _ in range(rng.randint(10, 40)):
+            a, b = rng.randrange(n_verts), rng.randrange(n_verts)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        pairs = sorted(pairs)
+        edf = spark.createDataFrame(pairs, "src long, dst long")
+        got = sorted(
+            (r["src"], r["dst"], r["credit_sum_fp"])
+            for r in edge_betweenness_fixedpoint(
+                edf, max_depth=6, scale=10**9, source_mod=3, rule=rule
+            ).collect()
+        )
+        values = ", ".join(f"({a}, {b})" for a, b in pairs)
+        sql = em._betweenness_fp_oracle(
+            max_depth=6,
+            scale=10**9,
+            source_mod=3,
+            rule=rule,
+            edges_sql=(
+                f"SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT)"
+                f" AS dst FROM (VALUES {values}) t(src, dst)"
+            ),
+        )
+        want = sorted(
+            (int(r[0]), int(r[1]), int(r[2]))
+            for r in duckdb.connect().execute(sql).fetchall()
+        )
+        assert got == want, f"seed {seed} rule {rule} diverged"
