@@ -301,6 +301,10 @@ def split_drift_report(
     (token) aggregate with map-side partials builds the two counts, the
     two totals ride one 1-row aggregate over the (vocabulary-sized)
     count table, and the top-k is a TakeOrdered, never a global sort.
+    The count table is materialized (localCheckpoint — vocabulary-sized)
+    because both the totals and the scored output read it: un-pinned,
+    the corpus explode+aggregate would evaluate twice (Spark shares no
+    un-materialized branches).
     """
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
@@ -319,6 +323,7 @@ def split_drift_report(
             .cast("long")
             .alias("c_val"),
         )
+        .localCheckpoint()
     )
     totals = counts.agg(
         F.sum("c_train").cast("long").alias("n_train"),
