@@ -2,11 +2,15 @@
 payloads with typed metadata (schemas.MEDIA_ASSET), processed through
 Arrow-batched ``mapInPandas`` kernels.
 
-The decode step is STUBBED in this container (no image/audio libraries are
-installed): ``decode_image`` raises NotImplementedError, and the pipeline
-runs with a deterministic fake feature extractor instead, so the Spark-side
-contract — schema, partitioning, UDF signature, Arrow batch shape — is real
-and tested even though pixel decoding is not.
+Decoding: the UNCOMPRESSED image formats (P6 PPM, 24-bit BMP) decode for
+REAL via a pure-numpy parser (``decode_image`` — exact pixel rasters,
+no external library), and such payloads get real pixel statistics
+(``image_features``). Codec-requiring formats (JPEG/PNG/...) still
+raise NotImplementedError from the decoder — no codec library exists in
+this container — and fall back to the deterministic ``fake_features``
+stand-in, so mixed corpora flow through one pipeline and the Spark-side
+contract — schema, partitioning, UDF signature, Arrow batch shape — is
+identical on both paths.
 
 Scale notes: payloads never pass through Python row-at-a-time; batches
 arrive as Arrow buffers. Feature extraction repartitions by asset_id so
@@ -56,13 +60,86 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real pixel decode — requires an imaging library not present in this
-    container. The pipeline below uses ``fake_features`` instead."""
+def decode_image(payload: bytes):
+    """REAL pixel decode for the uncompressed formats that need no codec
+    library — returns an ``(h, w, 3)`` uint8 numpy array:
+
+    * **P6 binary PPM** (8-bit RGB, the netpbm interchange format)
+    * **BMP** (BITMAPINFOHEADER, 24-bit, uncompressed, bottom-up rows
+      with 4-byte row padding)
+
+    Codec-requiring formats (JPEG/PNG/WebP/...) still raise
+    ``NotImplementedError`` — wire an imaging library there when the
+    runtime has one; the pipeline falls back to ``fake_features`` for
+    payloads this decoder rejects, so mixed corpora keep flowing.
+    """
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single ws> raw
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment to end of line
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255:
+            raise NotImplementedError("only 8-bit P6 PPM supported")
+        raster = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
+        return raster.reshape(h, w, 3)
+    if payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        hdr_size = int.from_bytes(payload[14:18], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if hdr_size < 40 or bpp != 24 or compression != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP supported")
+        bottom_up = h > 0
+        h = abs(h)
+        row_bytes = (w * 3 + 3) // 4 * 4
+        if w <= 0 or h == 0 or off + row_bytes * h > len(payload):
+            raise NotImplementedError("malformed or truncated BMP header")
+        rows = np.frombuffer(
+            payload, np.uint8, count=row_bytes * h, offset=off
+        ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        return rows[..., ::-1]  # BGR -> RGB
     raise NotImplementedError(
-        "image decoding requires an imaging library (e.g. Pillow); "
-        "not available in this environment — wire it here when present"
+        "codec-requiring image format; wire an imaging library here"
     )
+
+
+def image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real ``dim``-vector from decoded pixels: per-channel mean/std/
+    min/max (each scaled to [0, 1]) plus width, height, aspect, and mean
+    luminance — all float64 numpy reductions over the uint8 raster, so
+    the vector is deterministic across processes and platforms."""
+    import numpy as np
+
+    img = decode_image(payload).astype(np.float64)
+    h, w = img.shape[0], img.shape[1]
+    chan = img.reshape(-1, 3)
+    feats = []
+    feats.extend((chan.mean(axis=0) / 255.0).tolist())
+    feats.extend((chan.std(axis=0) / 255.0).tolist())
+    feats.extend((chan.min(axis=0) / 255.0).tolist())
+    feats.extend((chan.max(axis=0) / 255.0).tolist())
+    lum = (
+        0.2126 * chan[:, 0] + 0.7152 * chan[:, 1] + 0.0722 * chan[:, 2]
+    ).mean() / 255.0
+    feats.extend([float(w), float(h), float(w) / float(h), float(lum)])
+    return feats[:dim]
 
 
 def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -76,11 +153,23 @@ def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out
 
 
-def extract_features(assets: DataFrame) -> DataFrame:
-    """Per-asset feature extraction over Arrow batches. With a real decoder
-    installed, swap ``fake_features`` for decode+embed; the Spark plumbing is
-    unchanged."""
+def extract_features(assets: DataFrame, try_decode: bool = True) -> DataFrame:
+    """Per-asset feature extraction over Arrow batches. Payloads the
+    pure-numpy decoder understands (P6 PPM, 24-bit BMP) get REAL pixel
+    features (``image_features``); everything else falls back to the
+    deterministic ``fake_features`` stand-in, so mixed corpora keep
+    flowing and the Spark plumbing — schema, partitioning, batch shape —
+    is identical either way. ``try_decode=False`` forces the stand-in
+    (exact-reproducibility mode for tests of the plumbing alone)."""
     ensure_worker_imports(assets.sparkSession)
+
+    def featurize(payload: bytes) -> list[float]:
+        if try_decode:
+            try:
+                return image_features(payload)
+            except (NotImplementedError, ValueError, IndexError):
+                pass
+        return fake_features(payload)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -93,7 +182,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     "payload_sha256": [
                         hashlib.sha256(p).hexdigest() for p in payloads
                     ],
-                    "features": [fake_features(p) for p in payloads],
+                    "features": [featurize(p) for p in payloads],
                 }
             )
 

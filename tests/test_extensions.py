@@ -1313,3 +1313,78 @@ def test_split_drift_report_detects_planted_drift(spark):
     for tok in ("common", "filler"):
         if tok in got:
             assert got[tok]["drift_num"] != 0 or got[tok]["drift_score"] == 0.0
+
+
+def _make_ppm(pixels):
+    """pixels: list of rows of (r,g,b) tuples -> P6 binary PPM bytes."""
+    h = len(pixels)
+    w = len(pixels[0])
+    raster = bytes(c for row in pixels for px in row for c in px)
+    return f"P6\n{w} {h}\n255\n".encode() + raster
+
+
+def _make_bmp(pixels):
+    """pixels: rows of (r,g,b), top-down input -> 24-bit bottom-up BMP."""
+    h = len(pixels)
+    w = len(pixels[0])
+    row_bytes = (w * 3 + 3) // 4 * 4
+    raster = b""
+    for row in reversed(pixels):  # bottom-up storage
+        line = bytes(c for px in row for c in (px[2], px[1], px[0]))  # BGR
+        raster += line + b"\x00" * (row_bytes - len(line))
+    off = 14 + 40
+    size = off + len(raster)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00" * 4 + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little") + b"\x00" * 16
+    )
+    return header + raster
+
+
+def test_decode_image_ppm_and_bmp_exact_pixels():
+    """The pure-numpy decoder must return the exact pixel raster for both
+    supported uncompressed formats, and reject codec formats."""
+    import numpy as np
+    import pytest as _pytest
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    pixels = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (10, 20, 30)],
+    ]
+    want = np.array(pixels, dtype=np.uint8)
+    assert np.array_equal(decode_image(_make_ppm(pixels)), want)
+    assert np.array_equal(decode_image(_make_bmp(pixels)), want)
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG not decodable here")
+
+
+def test_extract_features_uses_real_pixels_for_decodable_payloads(spark):
+    """Decodable payloads must flow through image_features (hand-checked
+    channel means), while undecodable ones keep the fake_features
+    fallback — mixed corpora in one batch."""
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        extract_features,
+        fake_features,
+        image_features,
+    )
+
+    pixels = [[(100, 200, 50), (100, 200, 50)]]
+    ppm = _make_ppm(pixels)
+    rows = [
+        Row(asset_id=1, media_type="image", payload=ppm),
+        Row(asset_id=2, media_type="image", payload=b"\x89PNG fake"),
+    ]
+    df = spark.createDataFrame(rows)
+    feats = {r["asset_id"]: list(r["features"]) for r in extract_features(df).collect()}
+    assert feats[1] == image_features(ppm)
+    assert feats[1][0] == 100 / 255.0  # mean R of a constant raster
+    assert feats[1][1] == 200 / 255.0  # mean G
+    assert feats[1][2] == 50 / 255.0   # mean B
+    assert feats[2] == fake_features(b"\x89PNG fake")
