@@ -2,15 +2,17 @@
 payloads with typed metadata (schemas.MEDIA_ASSET), processed through
 Arrow-batched ``mapInPandas`` kernels.
 
-Decoding: the UNCOMPRESSED image formats (P6 PPM, 24-bit BMP) decode for
-REAL via a pure-numpy parser (``decode_image`` — exact pixel rasters,
-no external library), and such payloads get real pixel statistics
-(``image_features``). Codec-requiring formats (JPEG/PNG/...) still
-raise NotImplementedError from the decoder — no codec library exists in
-this container — and fall back to the deterministic ``fake_features``
-stand-in, so mixed corpora flow through one pipeline and the Spark-side
-contract — schema, partitioning, UDF signature, Arrow batch shape — is
-identical on both paths.
+Decoding: the UNCOMPRESSED formats decode for REAL via pure-numpy
+parsers with no external library — P6 PPM and 24-bit BMP images
+(``decode_image`` — exact pixel rasters, real per-channel statistics)
+and RIFF/WAVE 16-bit PCM audio (``decode_audio`` — exact sample
+matrices, real RMS/peak/zero-crossing features). Codec-requiring
+formats (JPEG/PNG/MP3/...) still raise NotImplementedError from the
+decoders — no codec library exists in this container — and fall back to
+the deterministic ``fake_features`` stand-in, so mixed corpora flow
+through one pipeline and the Spark-side contract — schema,
+partitioning, UDF signature, Arrow batch shape — is identical on every
+path.
 
 Scale notes: payloads never pass through Python row-at-a-time; batches
 arrive as Arrow buffers. Feature extraction repartitions by asset_id so
@@ -120,6 +122,66 @@ def decode_image(payload: bytes):
     )
 
 
+def decode_audio(payload: bytes):
+    """REAL sample decode for canonical RIFF/WAVE PCM — returns
+    ``(samples, channels)`` int16 numpy array plus the sample rate:
+    ``(array, rate)``. Walks the chunk list (fmt / data may be preceded
+    by LIST/fact chunks), accepts 16-bit integer PCM only; compressed
+    or float encodings raise ``NotImplementedError`` (wire a codec
+    library there when available)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or n_channels < 1:
+        raise NotImplementedError("only 16-bit integer PCM supported")
+    n = len(data) // (2 * n_channels) * n_channels
+    samples = np.frombuffer(data, np.int16, count=n).reshape(-1, n_channels)
+    return samples, rate
+
+
+def audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real ``dim``-vector from decoded PCM: RMS, peak, mean (each scaled
+    by 2¹⁵), zero-crossing rate, duration, rate, channel count, sample
+    count — deterministic float64 numpy reductions."""
+    import numpy as np
+
+    samples, rate = decode_audio(payload)
+    if samples.size == 0:
+        raise NotImplementedError("empty PCM payload")
+    x = samples.astype(np.float64) / 32768.0
+    mono = x.mean(axis=1)
+    zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    feats = [
+        float(np.sqrt((x * x).mean())),
+        float(np.abs(x).max()),
+        float(x.mean()),
+        zc,
+        samples.shape[0] / float(rate),
+        float(rate),
+        float(samples.shape[1]),
+        float(samples.shape[0]),
+    ]
+    feats += [0.0] * (dim - len(feats))
+    return feats[:dim]
+
+
 def image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Real ``dim``-vector from decoded pixels: per-channel mean/std/
     min/max (each scaled to [0, 1]) plus width, height, aspect, and mean
@@ -165,10 +227,11 @@ def extract_features(assets: DataFrame, try_decode: bool = True) -> DataFrame:
 
     def featurize(payload: bytes) -> list[float]:
         if try_decode:
-            try:
-                return image_features(payload)
-            except (NotImplementedError, ValueError, IndexError):
-                pass
+            for real in (image_features, audio_features):
+                try:
+                    return real(payload)
+                except (NotImplementedError, ValueError, IndexError):
+                    continue
         return fake_features(payload)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1388,3 +1388,47 @@ def test_extract_features_uses_real_pixels_for_decodable_payloads(spark):
     assert feats[1][1] == 200 / 255.0  # mean G
     assert feats[1][2] == 50 / 255.0   # mean B
     assert feats[2] == fake_features(b"\x89PNG fake")
+
+
+def _make_wav(samples_int16, rate=8000, channels=1):
+    import struct
+
+    data = struct.pack(f"<{len(samples_int16)}h", *samples_int16)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_audio_square_wave_exact_features(spark):
+    """Canonical PCM WAV decodes to the exact sample matrix; a +/-8192
+    square wave has hand-computable features: RMS = peak = 0.25, mean 0,
+    zero-crossing rate 1.0. The mixed batch keeps image and fallback
+    payloads on their own paths."""
+    import numpy as np
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        audio_features,
+        decode_audio,
+        extract_features,
+        fake_features,
+    )
+
+    sq = [8192, -8192] * 40
+    wav = _make_wav(sq, rate=8000)
+    samples, rate = decode_audio(wav)
+    assert rate == 8000 and samples.shape == (80, 1)
+    assert np.array_equal(samples[:, 0], np.array(sq, dtype=np.int16))
+    feats = audio_features(wav)
+    assert feats[0] == 0.25 and feats[1] == 0.25 and feats[2] == 0.0
+    assert feats[3] == 1.0 and feats[4] == 80 / 8000.0
+
+    rows = [
+        Row(asset_id=1, media_type="audio", payload=wav),
+        Row(asset_id=2, media_type="audio", payload=b"ID3 mp3-ish junk"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["asset_id"]: list(r["features"]) for r in extract_features(df).collect()}
+    assert got[1] == audio_features(wav)
+    assert got[2] == fake_features(b"ID3 mp3-ish junk")
