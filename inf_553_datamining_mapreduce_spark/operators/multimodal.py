@@ -182,6 +182,59 @@ def audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return feats[:dim]
 
 
+def decode_video_frames(payload: bytes):
+    """REAL frame extraction for RIFF/AVI containers carrying
+    uncompressed 24-bit DIB frames — returns a list of ``(h, w, 3)``
+    uint8 RGB rasters (same raster handling as the BMP branch of
+    ``decode_image``: bottom-up rows, 4-byte padding, BGR order). The
+    chunk walker recurses through LIST chunks to find the video
+    ``strf`` header and the ``movi`` frame chunks; compressed codecs
+    raise ``NotImplementedError``."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI payload")
+    dims: dict = {}
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])
+            elif cid == b"strf" and not dims:
+                dims.update(
+                    w=int.from_bytes(body[4:8], "little", signed=True),
+                    h=int.from_bytes(body[8:12], "little", signed=True),
+                    bpp=int.from_bytes(body[14:16], "little"),
+                    comp=int.from_bytes(body[16:20], "little"),
+                )
+            elif cid[2:4] in (b"db", b"dc") and size > 0:
+                frames.append(body)
+            pos += 8 + size + (size & 1)  # word-aligned chunks
+
+    walk(payload[12:])
+    if not dims or dims["bpp"] != 24 or dims["comp"] != 0 or dims["w"] <= 0:
+        raise NotImplementedError("only uncompressed 24-bit DIB AVI supported")
+    w, bottom_up = dims["w"], dims["h"] > 0
+    h = abs(dims["h"])
+    row_bytes = (w * 3 + 3) // 4 * 4
+    out = []
+    for body in frames:
+        if h == 0 or len(body) < row_bytes * h:
+            raise NotImplementedError("malformed or truncated frame chunk")
+        arr = np.frombuffer(body, np.uint8, count=row_bytes * h).reshape(
+            h, row_bytes
+        )[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            arr = arr[::-1]
+        out.append(arr[..., ::-1])  # BGR -> RGB
+    return out
+
+
 def image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Real ``dim``-vector from decoded pixels: per-channel mean/std/
     min/max (each scaled to [0, 1]) plus width, height, aspect, and mean
@@ -255,9 +308,13 @@ def extract_features(assets: DataFrame, try_decode: bool = True) -> DataFrame:
 
 
 def sample_frames(assets: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
-    """Frame sampling for video payloads: deterministic byte-stride chunking
-    standing in for time-based frame extraction. One output row per sampled
-    'frame' — the UDTF (explode) shape a real decoder would produce."""
+    """Frame sampling for video payloads. Payloads the pure-numpy AVI
+    parser understands (uncompressed 24-bit DIB frames) get REAL frame
+    sampling: up to ``max_frames`` evenly-strided actual frames,
+    ``frame_index`` = the true frame number, hash over the decoded RGB
+    raster bytes. Everything else keeps the deterministic byte-stride
+    chunking stand-in (same output schema), so mixed corpora flow and
+    the UDTF (explode) shape is identical on both paths."""
     ensure_worker_imports(assets.sparkSession)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -265,6 +322,18 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 1024, max_frames: int 
             ids, idxs, hashes = [], [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 p = bytes(payload) if payload is not None else b""
+                try:
+                    frames = decode_video_frames(p)
+                    step = max(1, -(-len(frames) // max_frames))
+                    for i in range(0, len(frames), step)[:max_frames]:
+                        ids.append(int(aid))
+                        idxs.append(i)
+                        hashes.append(
+                            hashlib.sha256(frames[i].tobytes()).hexdigest()
+                        )
+                    continue
+                except (NotImplementedError, ValueError, IndexError):
+                    pass
                 for i in range(min(max_frames, max(1, len(p) // every_n_bytes))):
                     chunk = p[i * every_n_bytes : (i + 1) * every_n_bytes]
                     ids.append(int(aid))

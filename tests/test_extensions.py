@@ -1432,3 +1432,65 @@ def test_decode_audio_square_wave_exact_features(spark):
     got = {r["asset_id"]: list(r["features"]) for r in extract_features(df).collect()}
     assert got[1] == audio_features(wav)
     assert got[2] == fake_features(b"ID3 mp3-ish junk")
+
+
+def _make_avi(frames_rgb, w, h):
+    """frames_rgb: list of rows-of-(r,g,b) 2D lists (top-down) -> minimal
+    RIFF/AVI with uncompressed 24-bit bottom-up DIB frames."""
+    def chunk(cid, body):
+        return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) % 2 else b"")
+
+    strf = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + (0).to_bytes(4, "little") + b"\x00" * 20
+    )
+    hdrl = b"hdrl" + chunk(b"strf", strf)
+    row_bytes = (w * 3 + 3) // 4 * 4
+    movi = b"movi"
+    for fr in frames_rgb:
+        raster = b""
+        for row in reversed(fr):  # bottom-up
+            line = bytes(c for px in row for c in (px[2], px[1], px[0]))
+            raster += line + b"\x00" * (row_bytes - len(line))
+        movi += chunk(b"00db", raster)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_sample_frames_decodes_real_avi_frames(spark):
+    """An uncompressed AVI yields REAL sampled frames: true frame
+    indices, hashes over the decoded RGB rasters; non-AVI payloads keep
+    the byte-stride fallback in the same batch."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        decode_video_frames,
+        sample_frames,
+    )
+
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    frames = [[[c, c], [c, c]] for c in colors]  # three 2x2 solid frames
+    avi = _make_avi(frames, 2, 2)
+    decoded = decode_video_frames(avi)
+    assert len(decoded) == 3
+    for arr, c in zip(decoded, colors):
+        assert np.array_equal(arr, np.full((2, 2, 3), c, dtype=np.uint8)), c
+
+    rows = [
+        Row(asset_id=1, media_type="video", payload=avi),
+        Row(asset_id=2, media_type="video", payload=b"\x00\x01" * 3000),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {}
+    for r in sample_frames(df, every_n_bytes=1024, max_frames=8).collect():
+        got.setdefault(r["asset_id"], {})[r["frame_index"]] = r["frame_sha256"]
+    assert sorted(got[1]) == [0, 1, 2]
+    for i, c in enumerate(colors):
+        want = _hashlib.sha256(
+            np.full((2, 2, 3), c, dtype=np.uint8).tobytes()
+        ).hexdigest()
+        assert got[1][i] == want
+    assert sorted(got[2]) == [0, 1, 2, 3, 4]  # byte-stride fallback intact
