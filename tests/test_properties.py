@@ -301,3 +301,37 @@ def test_betweenness_fixedpoint_matches_duckdb_on_random_graphs_both_rules(spark
             for r in duckdb.connect().execute(sql).fetchall()
         )
         assert got == want, f"seed {seed} rule {rule} diverged"
+
+
+def test_per_row_minhash_matches_aggregated_on_adversarial_text(spark):
+    """Random short/degenerate texts (empty, single token, repeated
+    tokens, multi-space-free vocab) — the stateless per-row signature
+    must equal the aggregated groupBy form everywhere, with NULL exactly
+    where the doc has no shingle."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        minhash_signatures,
+        with_minhash_signature,
+        word_shingles,
+    )
+
+    rng = random.Random(13)
+    vocab = ["a", "bb", "ccc", "dddd", "e1", ""]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8))))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    agg = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(word_shingles(df, n=3)).collect()
+    }
+    per_row = {
+        r["doc_id"]: (list(r["signature"]) if r["signature"] else None)
+        for r in with_minhash_signature(df).collect()
+    }
+    assert len(per_row) == 120
+    for doc_id, sig in per_row.items():
+        if sig is None:
+            assert doc_id not in agg, doc_id
+        else:
+            assert agg[doc_id] == sig, doc_id
