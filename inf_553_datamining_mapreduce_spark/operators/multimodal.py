@@ -93,8 +93,10 @@ def decode_image(payload: bytes):
             fields.append(int(payload[start:pos]))
         pos += 1  # the single whitespace after maxval
         w, h, maxval = fields
-        if maxval != 255:
-            raise NotImplementedError("only 8-bit P6 PPM supported")
+        if maxval != 255 or w <= 0 or h <= 0:
+            raise NotImplementedError(
+                "only 8-bit P6 PPM with positive dimensions supported"
+            )
         raster = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
         return raster.reshape(h, w, 3)
     if payload[:2] == b"BM":
@@ -149,7 +151,7 @@ def decode_audio(payload: bytes):
     n_channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16 or n_channels < 1:
+    if audio_format != 1 or bits != 16 or n_channels < 1 or rate <= 0:
         raise NotImplementedError("only 16-bit integer PCM supported")
     n = len(data) // (2 * n_channels) * n_channels
     samples = np.frombuffer(data, np.int16, count=n).reshape(-1, n_channels)

@@ -335,3 +335,40 @@ def test_per_row_minhash_matches_aggregated_on_adversarial_text(spark):
             assert doc_id not in agg, doc_id
         else:
             assert agg[doc_id] == sig, doc_id
+
+
+def test_media_kernels_never_crash_on_fuzzed_payloads(spark):
+    """Random byte payloads — including garbage bodies behind every
+    decoder's magic prefix — must never crash the feature or frame
+    kernels: undecodable inputs fall back to the deterministic stand-ins
+    and every asset produces output rows. (This fuzz found two real
+    ZeroDivisionError paths: PPM headers with zero dimensions and WAV
+    fmt chunks with rate 0 — both now rejected by the decoders.)"""
+    import random
+
+    from pyspark.sql import Row
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+    )
+
+    rng = random.Random(99)
+    prefixes = [b"", b"BM", b"P6", b"P6\n0 0\n255\n", b"P6\n2 2\n255\n",
+                b"RIFF", b"RIFF\x10\x00\x00\x00WAVE", b"RIFF\x10\x00\x00\x00AVI "]
+    rows = []
+    for i in range(60):
+        body = bytes(rng.randrange(256) for _ in range(rng.randint(0, 200)))
+        rows.append(
+            Row(
+                asset_id=i,
+                media_type=rng.choice(["image", "audio", "video"]),
+                payload=rng.choice(prefixes) + body,
+            )
+        )
+    df = spark.createDataFrame(rows)
+    feats = extract_features(df).collect()
+    assert len(feats) == 60
+    assert all(len(r["features"]) == 16 for r in feats)
+    frames = sample_frames(df).collect()  # video-typed assets only
+    assert all(r["frame_sha256"] for r in frames)
