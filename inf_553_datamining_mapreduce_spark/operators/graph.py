@@ -1267,10 +1267,23 @@ def girvan_newman_fixedpoint(
     """
     from inf_553_datamining_mapreduce_spark.operators.olap import _global_ranks
 
-    e = edges.select(
-        F.least(F.col("src").cast("long"), F.col("dst").cast("long")).alias("src"),
-        F.greatest(F.col("src").cast("long"), F.col("dst").cast("long")).alias("dst"),
-    ).localCheckpoint()  # consumed by betweenness, schedule, degrees, intra
+    e = (
+        edges.select(
+            F.least(F.col("src").cast("long"), F.col("dst").cast("long")).alias(
+                "src"
+            ),
+            F.greatest(
+                F.col("src").cast("long"), F.col("dst").cast("long")
+            ).alias("dst"),
+        )
+        # duplicate or reversed-duplicate input edges would inflate m0,
+        # the degree sums, and the rank schedule; the generated oracle's
+        # e0 is duplicate-free (GROUP BY), so dedup here keeps library
+        # semantics and oracle semantics identical for ARBITRARY callers,
+        # not just pre-deduped graphs like the registered cooccurrence one.
+        .distinct()
+        .localCheckpoint()  # consumed by betweenness, schedule, degrees, intra
+    )
     m0 = e.count()
     spark = edges.sparkSession
     if m0 == 0:

@@ -169,7 +169,14 @@ def audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
         raise NotImplementedError("empty PCM payload")
     x = samples.astype(np.float64) / 32768.0
     mono = x.mean(axis=1)
-    zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    # A valid 1-sample WAV has no adjacent pair: np.mean over the empty
+    # comparison would return NaN (not raise), silently poisoning the
+    # features column — define the zero-crossing rate as 0.0 instead.
+    zc = (
+        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        if mono.shape[0] >= 2
+        else 0.0
+    )
     feats = [
         float(np.sqrt((x * x).mean())),
         float(np.abs(x).max()),
@@ -326,6 +333,12 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 1024, max_frames: int 
                 p = bytes(payload) if payload is not None else b""
                 try:
                     frames = decode_video_frames(p)
+                    if not frames:
+                        # A structurally valid AVI with zero frame chunks
+                        # would otherwise emit ZERO rows (the `continue`
+                        # skips the stand-in), breaking the one-plus-row-
+                        # per-asset contract every other payload honors.
+                        raise NotImplementedError("AVI with no frame chunks")
                     step = max(1, -(-len(frames) // max_frames))
                     for i in range(0, len(frames), step)[:max_frames]:
                         ids.append(int(aid))

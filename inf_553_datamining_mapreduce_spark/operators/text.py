@@ -288,9 +288,15 @@ def split_drift_report(
     ranges) and the val set no longer measures generalization.
 
     Per token with ≥ ``min_count`` total occurrences:
-    ``drift_num = c_train·N_val − c_val·N_train`` (exact in a long — the
-    cross product is 0 iff the token's rate is identical in both splits)
-    and a χ²-style score
+    ``drift_num = c_train·N_val − c_val·N_train`` (the cross product is 0
+    iff the token's rate is identical in both splits). **Validity bound**:
+    the products are bounded by ``N_train·N_val``, so the long arithmetic
+    is exact only while ``N_train·N_val < 2^63`` — roughly 3e9 tokens per
+    split (~a 10-TB-of-text corpus at this 90/5 split). Past that bound
+    Spark's long would wrap where DuckDB widens to HUGEINT; widen both
+    factors to ``decimal(38,0)`` (same pattern as
+    ``weighted_corpus_sample``'s documented bound) before running at
+    larger scale. Also a χ²-style score
     ``drift_num² / ((c_train+c_val) · N_train · N_val)`` computed as
     single IEEE ops over the exact integers — deterministic cross-engine
     (same inputs → same doubles; no accumulation order involved). Top-k

@@ -1494,3 +1494,47 @@ def test_sample_frames_decodes_real_avi_frames(spark):
         ).hexdigest()
         assert got[1][i] == want
     assert sorted(got[2]) == [0, 1, 2, 3, 4]  # byte-stride fallback intact
+
+
+def test_audio_features_single_sample_wav_real_path_no_nan(spark):
+    """A valid 1-sample PCM WAV has no adjacent sample pair; the
+    zero-crossing rate must be defined as 0.0 (not the silent NaN an
+    empty np.mean would produce) and the payload must stay on the REAL
+    audio path, with every feature finite."""
+    import math
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        audio_features,
+        extract_features,
+    )
+
+    wav = _make_wav([1234], rate=8000)
+    feats = audio_features(wav)
+    assert all(math.isfinite(v) for v in feats)
+    assert feats[3] == 0.0  # zero-crossing rate of a single sample
+    assert feats[7] == 1.0  # sample count
+
+    df = spark.createDataFrame([Row(asset_id=1, media_type="audio", payload=wav)])
+    (got,) = extract_features(df).collect()
+    assert list(got["features"]) == feats  # real path, not fake_features
+
+
+def test_sample_frames_zero_frame_avi_falls_back_to_byte_stride(spark):
+    """A structurally valid AVI (strf header present) carrying ZERO frame
+    chunks must still emit at least one row per asset via the byte-stride
+    stand-in — the one-plus-row-per-asset UDTF contract."""
+    import hashlib as _hashlib
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        decode_video_frames,
+        sample_frames,
+    )
+
+    avi = _make_avi([], 2, 2)
+    assert decode_video_frames(avi) == []  # the decoder itself is honest
+
+    df = spark.createDataFrame([Row(asset_id=7, media_type="video", payload=avi)])
+    rows = sample_frames(df, every_n_bytes=1024, max_frames=8).collect()
+    assert len(rows) >= 1 and rows[0]["asset_id"] == 7
+    assert rows[0]["frame_index"] == 0
+    assert rows[0]["frame_sha256"] == _hashlib.sha256(avi[:1024]).hexdigest()

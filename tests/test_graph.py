@@ -727,3 +727,29 @@ def test_fixedpoint_brandes_matches_networkx_convention_on_path(spark):
         ).collect()
     }
     assert a == b == {(0, 1): 6 * S, (1, 2): 8 * S, (2, 3): 6 * S}
+
+
+def test_girvan_newman_fixedpoint_dedups_dirty_input_edges(spark):
+    """Duplicate and reversed-duplicate input edges must not inflate m0,
+    the degree sums, or the rank schedule: the canonicalized edge set is
+    deduplicated (matching the generated oracle's duplicate-free e0), so
+    a dirty edge list yields exactly the clean list's communities."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        girvan_newman_fixedpoint,
+    )
+
+    clean = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    dirty = clean + [(2, 1), (3, 1), (3, 2), (3, 4), (3, 4), (6, 5)]
+    want = sorted(
+        (r["community"], r["members_str"], r["n_members"])
+        for r in girvan_newman_fixedpoint(
+            spark.createDataFrame(clean, ["src", "dst"]), max_depth=6, n_grid=7
+        ).collect()
+    )
+    got = sorted(
+        (r["community"], r["members_str"], r["n_members"])
+        for r in girvan_newman_fixedpoint(
+            spark.createDataFrame(dirty, ["src", "dst"]), max_depth=6, n_grid=7
+        ).collect()
+    )
+    assert got == want == [(1, "1,2,3", 3), (4, "4,5,6", 3)]
