@@ -525,36 +525,74 @@ def with_minhash_signature(
     num_hashes: int = 32,
     sig_col: str = "signature",
     shingles_col: str = "sset",
+    hash_fn: str = "per_seed",
 ) -> DataFrame:
     """Append per-ROW MinHash signature + shingle-set columns — no
     aggregation, no shuffle, so the same code runs on a batch table and a
-    streaming micro-batch. Component k is ``min over shingles of
-    xxhash64(shingle, k)`` — bit-identical to the aggregated
-    ``minhash_signatures`` (both hash the (shingle, k) column pair; min
-    over a distinct array equals min over the exploded multiset).
-    Documents with no shingle (< n tokens) get an empty shingle array and
-    a NULL signature; downstream joins drop them, matching the aggregated
-    pipeline where such docs produce no shingle rows at all.
+    streaming micro-batch. Documents with no shingle (< n tokens) get an
+    empty shingle array and a NULL signature; downstream joins drop them,
+    matching the aggregated pipeline where such docs produce no shingle
+    rows at all.
 
-    The token split and the shingle array are each bound to their own
-    projection before downstream expressions reference them —
-    CollapseProject keeps the boundary rather than duplicating a
-    non-cheap expression into every lambda, so the corpus is split and
-    shingled once per row, not num_hashes times.
+    ``hash_fn`` selects the hash family (both are valid min-wise
+    families; SIGNATURES DIFFER between them, so an index and its probes
+    must agree):
+
+    * ``"per_seed"`` (default) — component k is ``min over shingles of
+      xxhash64(shingle, k)``: bit-identical to the aggregated
+      ``minhash_signatures`` (both hash the (shingle, k) column pair; min
+      over a distinct array equals min over the exploded multiset). Each
+      component re-scans the shingle STRING — num_hashes string hashes
+      per shingle.
+    * ``"rehash"`` — the standard hash-once-rehash trick: each shingle is
+      hashed ONCE (``xxhash64(shingle)``), and component k is ``min over
+      shingles of xxhash64(base, k)`` — a fixed 8-byte rehash per
+      component instead of a string re-scan. The rehash of a 64-bit value
+      under num_hashes seeds is the same per-seed family applied to the
+      base hash, so component independence matches "per_seed"; only the
+      concrete signature values differ. MEASURED (sf1, 3-word shingles
+      averaging ~20 chars): NO win — 15.2 s vs 11.9 s for the signature
+      scan — because Spark's per-call xxhash64 overhead (codegen call +
+      null check) dwarfs the few extra bytes scanned, and the extra
+      base-hash array materialization costs more than it saves. The mode
+      stays available (and pair-for-pair verified against "per_seed")
+      for corpora with long shingles — e.g. character n-grams of n ≥ 50
+      — where the scan-length argument actually bites.
+
+    The token split, the shingle array, and (for "rehash") the base-hash
+    array are each bound to their own projection before downstream
+    expressions reference them — CollapseProject keeps the boundary
+    rather than duplicating a non-cheap expression into every lambda, so
+    the corpus is split and shingled (and base-hashed) once per row, not
+    num_hashes times.
     """
     tmp = (
         df.withColumn("_mh_toks", F.split(F.col(text_col), " "))
         .withColumn(shingles_col, _shingle_array_expr("_mh_toks", n))
         .drop("_mh_toks")
     )
+    if hash_fn == "per_seed":
+        sig = F.when(
+            F.size(shingles_col) > 0,
+            F.expr(
+                f"transform(sequence(0, {num_hashes - 1}), "
+                f"k -> array_min(transform({shingles_col}, s -> xxhash64(s, k))))"
+            ),
+        )
+        return tmp.withColumn(sig_col, sig)
+    if hash_fn != "rehash":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    tmp = tmp.withColumn(
+        "_mh_base", F.expr(f"transform({shingles_col}, s -> xxhash64(s))")
+    )
     sig = F.when(
         F.size(shingles_col) > 0,
         F.expr(
             f"transform(sequence(0, {num_hashes - 1}), "
-            f"k -> array_min(transform({shingles_col}, s -> xxhash64(s, k))))"
+            f"k -> array_min(transform(_mh_base, h -> xxhash64(h, k))))"
         ),
     )
-    return tmp.withColumn(sig_col, sig)
+    return tmp.withColumn(sig_col, sig).drop("_mh_base")
 
 
 def _band_struct_expr(sig_col: str, bands: int, rows: int) -> Column:
@@ -574,6 +612,7 @@ def build_minhash_index(
     num_hashes: int = 32,
     bands: int = 8,
     text_col: str = "text",
+    hash_fn: str = "per_seed",
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize the two tables of a MinHash dedup index over an
     existing corpus: the banded bucket table (IDS ONLY — carrying
@@ -581,11 +620,13 @@ def build_minhash_index(
     the ANN LSH kernel) and the payload table (signature + shingle set +
     size per doc, joined back for candidates only). Both are
     localCheckpoint'ed: an index is built once and probed many times.
+    ``hash_fn`` (see ``with_minhash_signature``) must match the probes'
+    — signatures from different families never collide meaningfully.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
     payload = (
-        with_minhash_signature(index_docs, text_col, n, num_hashes)
+        with_minhash_signature(index_docs, text_col, n, num_hashes, hash_fn=hash_fn)
         .filter(F.size("sset") > 0)
         .select(
             F.col("doc_id").alias("index_doc_id"),
@@ -619,6 +660,8 @@ def index_near_duplicates(
     bands: int = 8,
     min_jaccard: float = 0.5,
     text_col: str = "text",
+    hash_fn: str = "per_seed",
+    carry_payload: bool | None = None,
 ) -> DataFrame:
     """Ingestion-time near-dup check: for each NEW document, the index
     documents with exact shingle-Jaccard >= threshold among banded
@@ -638,11 +681,33 @@ def index_near_duplicates(
     can evaluate. Verification is exact (array_intersect on the carried
     shingle sets), so precision is exact and only recall depends on
     (bands, rows) — same contract as ``minhash_lsh_near_duplicates``.
+
+    Two physically different, output-identical probe shapes:
+
+    * **Batch** (default): the new side is banded IDS-ONLY and the
+      signature/shingle payload is joined back for CANDIDATES only —
+      the same replication cut already applied to the index side (the
+      band explode would otherwise ship every payload ``bands`` times
+      through the bucket-join shuffle; measured 22.6 → 15.3 s on the
+      sf1 probe, the remainder being the signature compute itself).
+      The signature table localCheckpoints because two branches (band
+      explode, candidate payload join) read it.
+    * **Streaming** (auto when ``new_docs.isStreaming``): payload
+      carried through the explode — joining the banded stream back to
+      its own payload would be a stream-stream join; carrying keeps
+      every stage stateless, and a micro-batch is small enough that
+      its ``bands``-fold replication is immaterial.
+
+    ``carry_payload`` overrides the auto-selection (None): the
+    plan-gated ``incremental_index_dedup_stream_plan`` registry entry
+    passes ``True`` to run the STREAM's exact composition under batch
+    execution, putting the stream shape itself under the driver's
+    DuckDB oracle rather than only under the micro-batch pytest.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
     ns = (
-        with_minhash_signature(new_docs, text_col, n, num_hashes)
+        with_minhash_signature(new_docs, text_col, n, num_hashes, hash_fn=hash_fn)
         .filter(F.size("sset") > 0)
         .select(
             F.col("doc_id").alias("new_doc_id"),
@@ -651,23 +716,41 @@ def index_near_duplicates(
             F.size("sset").cast("long").alias("n_new"),
         )
     )
-    banded = ns.select(
-        "new_doc_id",
-        "sig_new",
-        "sset_new",
-        "n_new",
-        F.explode(_band_struct_expr("sig_new", bands, rows)).alias("bb"),
-    ).select(
-        "new_doc_id",
-        "sig_new",
-        "sset_new",
-        "n_new",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
-    )
-    cand = banded.join(index_band_tbl, ["band", "bucket"]).join(
-        index_payload, "index_doc_id"
-    )
+    if carry_payload is None:
+        carry_payload = new_docs.isStreaming
+    if not carry_payload:
+        ns = ns.localCheckpoint()
+        banded_ids = ns.select(
+            "new_doc_id",
+            F.explode(_band_struct_expr("sig_new", bands, rows)).alias("bb"),
+        ).select(
+            "new_doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        cand = (
+            banded_ids.join(index_band_tbl, ["band", "bucket"])
+            .join(ns, "new_doc_id")
+            .join(index_payload, "index_doc_id")
+        )
+    else:
+        banded = ns.select(
+            "new_doc_id",
+            "sig_new",
+            "sset_new",
+            "n_new",
+            F.explode(_band_struct_expr("sig_new", bands, rows)).alias("bb"),
+        ).select(
+            "new_doc_id",
+            "sig_new",
+            "sset_new",
+            "n_new",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        cand = banded.join(index_band_tbl, ["band", "bucket"]).join(
+            index_payload, "index_doc_id"
+        )
     # first colliding band: signature slices compared directly — emitting
     # a pair only at its smallest colliding band is the stateless
     # replacement for distinct()

@@ -488,6 +488,7 @@ def streaming_index_near_duplicates(
     num_hashes: int = 32,
     bands: int = 8,
     min_jaccard: float = 0.5,
+    hash_fn: str = "per_seed",
 ) -> DataFrame:
     """Ingestion-time near-dup filter on a DOCUMENT stream: every stage
     of ``dedup.index_near_duplicates`` is stateless on the stream side —
@@ -512,4 +513,11 @@ def streaming_index_near_duplicates(
         num_hashes=num_hashes,
         bands=bands,
         min_jaccard=min_jaccard,
+        hash_fn=hash_fn,
+        # Always the stream shape (payload carried through the band
+        # explode): for a streaming input this is what auto-selection
+        # picks anyway; under BATCH execution it pins the stream's exact
+        # composition, which is how the plan-gated registry entry puts
+        # the stream plan under the driver's DuckDB oracle.
+        carry_payload=True,
     )

@@ -1538,3 +1538,30 @@ def test_sample_frames_zero_frame_avi_falls_back_to_byte_stride(spark):
     assert len(rows) >= 1 and rows[0]["asset_id"] == 7
     assert rows[0]["frame_index"] == 0
     assert rows[0]["frame_sha256"] == _hashlib.sha256(avi[:1024]).hexdigest()
+
+
+def test_index_dedup_hash_families_produce_identical_pairs(spark, sf_dir):
+    """At recall-1.0 parameters (defaults: 32 hashes, 8 bands — measured
+    recall 1.0 on this corpus) the "rehash" fast family must produce
+    EXACTLY the per-seed family's near-dup pairs: candidates differ, but
+    exact verification makes the output equal whenever both families'
+    banding catches every true pair."""
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        build_minhash_index,
+        index_near_duplicates,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    idx_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    out = {}
+    for hf in ("per_seed", "rehash"):
+        bt, pl = build_minhash_index(idx_docs, hash_fn=hf)
+        out[hf] = {
+            (r["new_doc_id"], r["index_doc_id"]): r["jaccard"]
+            for r in index_near_duplicates(
+                new_docs, bt, pl, hash_fn=hf
+            ).collect()
+        }
+    assert out["per_seed"], "expected planted cross-half near-dups"
+    assert out["per_seed"] == out["rehash"]
