@@ -85,11 +85,35 @@ def _warmup(spark, queries, sf_dir) -> None:
     cold-vs-warm at sf0.1, run1 was 1.4-3.5x run2 with zero code change).
 
     One-time costs exercised: JVM/codegen + first shuffle (a small query),
-    the Python worker pool (a trivial mapInPandas), and the ML codepath
-    (a tiny KMeans fit — class loading + treeAggregate machinery).
+    the first sizeable driver collect (row serde + socket path — measured
+    on the float GN at sf0.1: first collecting query in a session pays
+    +1.5 s over steady state, the whole round-5 'wobble'), the Python
+    worker pool (a trivial mapInPandas), and the ML codepath (a tiny
+    KMeans fit — class loading + treeAggregate machinery).
     """
     try:
         queries["group_avg_nation_region"](spark, sf_dir).count()
+    except Exception:
+        pass
+    try:
+        spark.range(300_000).selectExpr("id", "id * 2 AS v").collect()
+    except Exception:
+        pass
+    try:
+        # The driver-local graph-kernel path (persist + gated adjacency
+        # collect + numpy import + createDataFrame) carries ~1-1.5 s of
+        # session-one-time cost that a FOUR-EDGE graph exercises in full —
+        # measured isolated at sf0.1, the float GN's round-5 2.31->3.83 s
+        # "regression" was exactly this first-touch landing on it after the
+        # registry reorder; steady-state was unchanged (2.2-2.7 s).
+        from inf_553_datamining_mapreduce_spark.operators import graph as _G
+
+        tiny = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (4, 5)], "src long, dst long"
+        )
+        _G.girvan_newman_communities(tiny).write.format("noop").mode(
+            "overwrite"
+        ).save()
     except Exception:
         pass
     try:
