@@ -221,7 +221,10 @@ def son_frequent_itemsets(
 
 
 def frequent_itemsets_fpgrowth(
-    baskets: DataFrame, support: int, basket_col: str = "basket"
+    baskets: DataFrame,
+    support: int,
+    basket_col: str = "basket",
+    num_groups: int | None = None,
 ) -> DataFrame:
     """Fully-distributed frequent itemsets via ``pyspark.ml.fpm.FPGrowth`` —
     same result set as SON at the same absolute support (SURVEY.md §4.1).
@@ -229,6 +232,13 @@ def frequent_itemsets_fpgrowth(
     FPGrowth takes a relative minSupport; pass a value strictly between
     (support-1)/n and support/n so floating-point rounding can't shift the
     boundary, then enforce the absolute threshold exactly on the output.
+
+    ``num_groups`` forwards to parallel FP-growth's ``numPartitions`` (the
+    number of item groups mined independently): per-task memory is one
+    group's conditional trees, so MORE groups = smaller working set per
+    task — the knob to turn when the mining stage OOMs at scale (result
+    set is identical for any value). Default None keeps the library's
+    input-partition-count behavior.
     """
     from pyspark.ml.fpm import FPGrowth
 
@@ -245,7 +255,10 @@ def frequent_itemsets_fpgrowth(
                 [], "itemset array<bigint>, support bigint"
             )
         fp_min = min(max((support - 0.5) / n, 1e-12), 1.0)
-        model = FPGrowth(itemsCol=basket_col, minSupport=fp_min, minConfidence=0.5).fit(b)
+        fp = FPGrowth(itemsCol=basket_col, minSupport=fp_min, minConfidence=0.5)
+        if num_groups is not None:
+            fp = fp.setNumPartitions(num_groups)
+        model = fp.fit(b)
         result = model.freqItemsets.select(
             F.sort_array(F.col("items")).cast(ArrayType(LongType())).alias("itemset"),
             F.col("freq").alias("support"),

@@ -2,8 +2,10 @@
 
 The driver testdata stops at sf0.1; SCALE.md's measured sweep needs one
 more decade for the headline subset (SON, MinHash, fixed-point
-betweenness, training batches, supplier/part Pareto). This replicates
-the sf0.1 `lineitem`, `orders`, and `documents` tables 10x with
+betweenness, training batches, supplier/part Pareto, and the round-6
+additions: FPGrowth, Brandes betweenness, bloom-filtered revenue,
+benchmark contamination, SimHash). This replicates the sf0.1
+`lineitem`, `orders`, `part`, and `documents` tables 10x with
 deterministic key offsets so every headline query sees 10x rows with
 per-replica statistics identical to sf0.1:
 
@@ -19,7 +21,7 @@ per-replica statistics identical to sf0.1:
 * token COUNT and doc length are preserved (training_batches packs the
   same token totals per replica).
 
-Output: ``.localdata/sf1/{lineitem,orders,documents}.parquet`` under the
+Output: ``.localdata/sf1/{lineitem,orders,part,documents}.parquet`` under the
 repo root (gitignored — ~10x sf0.1 on disk; regenerate with
 ``python scripts/make_sf1.py``). Only the tables the headline subset
 reads are generated.
@@ -52,6 +54,7 @@ def main() -> None:
     orders = read_parquet_table(spark, SRC, "orders")
     lineitem = read_parquet_table(spark, SRC, "lineitem")
     documents = read_parquet_table(spark, SRC, "documents")
+    part = read_parquet_table(spark, SRC, "part")
 
     reps = spark.range(REPLICAS).select(F.col("id").cast("long").alias("_rep"))
 
@@ -76,6 +79,19 @@ def main() -> None:
     li = lineitem.crossJoin(reps).select(*li_cols, *passthrough)
     li.write.mode("overwrite").parquet(os.path.join(DST, "lineitem.parquet"))
 
+    # part: key offset only; descriptive columns (brand/type/size) repeat
+    # per replica, so per-brand selectivity matches sf0.1 while the dim
+    # grows 10x with the fact — what the bloom/broadcast queries need.
+    p = part.crossJoin(reps).select(
+        (F.col("p_partkey") + F.col("_rep") * OFF).alias("p_partkey"),
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        "p_retailprice",
+    )
+    p.write.mode("overwrite").parquet(os.path.join(DST, "part.parquet"))
+
     # Bijective per-replica token rename: replica 0 keeps the original
     # text; replica i appends `_i` to every token. Token count, length
     # distribution, and within-replica shingle statistics are preserved.
@@ -97,7 +113,7 @@ def main() -> None:
     )
     d.write.mode("overwrite").parquet(os.path.join(DST, "documents.parquet"))
 
-    for t in ("orders", "lineitem", "documents"):
+    for t in ("orders", "lineitem", "part", "documents"):
         n = spark.read.parquet(os.path.join(DST, f"{t}.parquet")).count()
         print(f"{t}: {n} rows")
 

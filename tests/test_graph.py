@@ -753,3 +753,97 @@ def test_girvan_newman_fixedpoint_dedups_dirty_input_edges(spark):
         ).collect()
     )
     assert got == want == [(1, "1,2,3", 3), (4, "4,5,6", 3)]
+
+
+def test_girvan_newman_fixedpoint_grid_resolution_bound(spark):
+    """Documented deviation 2 of the integer GN twin (the argmax runs
+    over a deterministic grid of removal counts, not every count) gets
+    its error bound TESTED: on a planted tree whose true optimal cut
+    falls strictly BETWEEN grid points, the returned partition must
+    (a) achieve exactly the grid's best integer score — the documented
+    semantics, with the smallest-count tie-break — and (b) lie within
+    the grid-resolution bound of the true optimum:
+    score* − score_grid ≤ (gs−1) · max_k |score(k+1) − score(k)|,
+    since some grid point sits within gs−1 removals of the optimum.
+
+    A random TREE (seeded, deterministic) is the planted shape because
+    every removal splits a component, so consecutive counts give
+    genuinely different partitions and an off-grid optimum is strict,
+    not coincidentally tied."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        edge_betweenness_fixedpoint,
+        girvan_newman_fixedpoint,
+    )
+
+    rng = random.Random(0)
+    n_verts, n_grid = 24, 7
+    edges = [(rng.randrange(i), i) for i in range(1, n_verts)]
+    e = sorted(set((min(a, b), max(a, b)) for a, b in edges))
+    m = len(e)
+    gs = max(1, m // n_grid)
+    assert gs == 3
+
+    edf = spark.createDataFrame(e, "src long, dst long")
+    bet = {
+        (r["src"], r["dst"]): r["credit_sum_fp"]
+        for r in edge_betweenness_fixedpoint(edf, max_depth=8).collect()
+    }
+    sched = sorted(e, key=lambda t: (-bet.get(t, 0), t[0], t[1]))
+    verts = sorted({v for t in e for v in t})
+    deg: dict = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+
+    def score_of(comp: dict) -> int:
+        # score = Q·8m²: 4·m·e_c − (S_c² − Q2_c) summed over communities,
+        # intra edges / degrees always from the ORIGINAL graph
+        intra: dict = {}
+        s: dict = {}
+        q2: dict = {}
+        for a, b in e:
+            if comp[a] == comp[b]:
+                intra[comp[a]] = intra.get(comp[a], 0) + 1
+        for v in verts:
+            c = comp[v]
+            s[c] = s.get(c, 0) + deg[v]
+            q2[c] = q2.get(c, 0) + deg[v] ** 2
+        return sum(4 * m * intra.get(c, 0) - (s[c] ** 2 - q2[c]) for c in s)
+
+    def comps_after(k: int) -> dict:
+        parent = {v: v for v in verts}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in sched[k:]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in verts}
+
+    scores = {k: score_of(comps_after(k)) for k in range(m + 1)}
+    grid = sorted({(r // gs) * gs for r in range(1, m + 1)} | {0})
+    k_star, score_star = max(scores.items(), key=lambda kv: (kv[1], -kv[0]))
+    grid_score = max(scores[k] for k in grid)
+    max_step = max(abs(scores[k + 1] - scores[k]) for k in range(m))
+
+    # the planted premise: the true optimum is strictly between grid points
+    assert k_star not in grid and score_star > grid_score
+    # pinned values so a silent schedule change resurfaces loudly
+    assert (k_star, score_star, grid_score) == (7, 1260, 1232)
+
+    got = girvan_newman_fixedpoint(edf, max_depth=8, n_grid=n_grid).collect()
+    comp_engine: dict = {}
+    for r in got:
+        for v in r["members_str"].split(","):
+            comp_engine[int(v)] = r["community"]
+    assert sorted(comp_engine) == verts
+    engine_score = score_of(comp_engine)
+    assert engine_score == grid_score  # (a) exactly the grid argmax
+    assert score_star - engine_score <= (gs - 1) * max_step  # (b) the bound
