@@ -2,17 +2,17 @@
 payloads with typed metadata (schemas.MEDIA_ASSET), processed through
 Arrow-batched ``mapInPandas`` kernels.
 
-Decoding: the UNCOMPRESSED formats decode for REAL via pure-numpy
-parsers with no external library — P6 PPM and 24-bit BMP images
-(``decode_image`` — exact pixel rasters, real per-channel statistics)
-and RIFF/WAVE 16-bit PCM audio (``decode_audio`` — exact sample
-matrices, real RMS/peak/zero-crossing features). Codec-requiring
-formats (JPEG/PNG/MP3/...) still raise NotImplementedError from the
-decoders — no codec library exists in this container — and fall back to
-the deterministic ``fake_features`` stand-in, so mixed corpora flow
-through one pipeline and the Spark-side contract — schema,
-partitioning, UDF signature, Arrow batch shape — is identical on every
-path.
+Decoding: these formats decode for REAL via pure numpy + stdlib with no
+external library — P6 PPM, 24-bit BMP, and 8-bit RGB/RGBA PNG images
+(``decode_image`` — exact pixel rasters, real per-channel statistics;
+PNG's only "codec" is DEFLATE, which Python ships as ``zlib``) and
+RIFF/WAVE 16-bit PCM audio (``decode_audio`` — exact sample matrices,
+real RMS/peak/zero-crossing features). Formats whose codec the
+container genuinely lacks (JPEG/WebP/MP3/...) raise NotImplementedError
+from the decoders and fall back to the deterministic ``fake_features``
+stand-in, so mixed corpora flow through one pipeline and the Spark-side
+contract — schema, partitioning, UDF signature, Arrow batch shape — is
+identical on every path.
 
 Scale notes: payloads never pass through Python row-at-a-time; batches
 arrive as Arrow buffers. Feature extraction repartitions by asset_id so
@@ -63,17 +63,19 @@ FRAME_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes):
-    """REAL pixel decode for the uncompressed formats that need no codec
-    library — returns an ``(h, w, 3)`` uint8 numpy array:
+    """REAL pixel decode for the formats this container can decode with
+    no external library — returns an ``(h, w, 3)`` uint8 numpy array:
 
     * **P6 binary PPM** (8-bit RGB, the netpbm interchange format)
     * **BMP** (BITMAPINFOHEADER, 24-bit, uncompressed, bottom-up rows
       with 4-byte row padding)
+    * **PNG** (8-bit RGB/RGBA non-interlaced — DEFLATE via the stdlib
+      ``zlib``, all five scanline filters; see ``_decode_png``)
 
-    Codec-requiring formats (JPEG/PNG/WebP/...) still raise
-    ``NotImplementedError`` — wire an imaging library there when the
-    runtime has one; the pipeline falls back to ``fake_features`` for
-    payloads this decoder rejects, so mixed corpora keep flowing.
+    Formats needing a codec the runtime lacks (JPEG/WebP/GIF/...) raise
+    ``NotImplementedError`` — wire an imaging library there when one
+    exists; the pipeline falls back to ``fake_features`` for payloads
+    this decoder rejects, so mixed corpora keep flowing.
     """
     import numpy as np
 
@@ -99,6 +101,8 @@ def decode_image(payload: bytes):
             )
         raster = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
         return raster.reshape(h, w, 3)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     if payload[:2] == b"BM":
         off = int.from_bytes(payload[10:14], "little")
         hdr_size = int.from_bytes(payload[14:18], "little")
@@ -122,6 +126,92 @@ def decode_image(payload: bytes):
     raise NotImplementedError(
         "codec-requiring image format; wire an imaging library here"
     )
+
+
+def _decode_png(payload: bytes):
+    """REAL PNG decode with ZERO external dependencies: the one "codec"
+    PNG needs is DEFLATE, and that ships in the Python stdlib (``zlib``).
+    Supports the dominant web profile — 8-bit, color type 2 (RGB) or 6
+    (RGBA, alpha stripped to keep the ``(h, w, 3)`` contract),
+    non-interlaced — with all five scanline filters (None/Sub/Up/
+    Average/Paeth) unfiltered per the spec. Other profiles (palette,
+    16-bit, Adam7) raise ``NotImplementedError`` and fall back like any
+    other undecodable payload.
+
+    Filters None/Up vectorize (uint8 wraparound addition); Sub/Average/
+    Paeth recur on the reconstructed left neighbor, so those scanlines
+    walk per-byte — fine for the fallback-grade decoding this container
+    supports, and the Arrow-batch plumbing around it is unchanged."""
+    import zlib
+
+    import numpy as np
+
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise NotImplementedError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise NotImplementedError("missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
+    if (
+        bit_depth != 8
+        or color_type not in (2, 6)
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or w <= 0
+        or h <= 0
+    ):
+        raise NotImplementedError(
+            "only 8-bit non-interlaced RGB/RGBA PNG supported"
+        )
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise NotImplementedError(f"corrupt PNG deflate stream: {exc}") from exc
+    bpp = 3 if color_type == 2 else 4
+    stride = w * bpp
+    if len(raw) < (stride + 1) * h:
+        raise NotImplementedError("short PNG pixel stream")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 2:  # Up — vector uint8 addition wraps mod 256 per spec
+            out[y] = line + prev
+        elif f in (1, 3, 4):
+            rec = out[y]
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                if f == 1:  # Sub
+                    pred = a
+                elif f == 3:  # Average
+                    pred = (a + int(prev[x])) >> 1
+                else:  # Paeth
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"invalid PNG filter byte {f}")
+    return out.reshape(h, w, bpp)[..., :3]
 
 
 def decode_audio(payload: bytes):
