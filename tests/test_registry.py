@@ -123,3 +123,19 @@ def test_shared_intermediates_cover_every_memo_key():
     assert memo_keys <= set(em.shared_intermediates()), (
         memo_keys, set(em.shared_intermediates())
     )
+
+
+def test_golden_only_marker_is_exactly_the_oracle_gap():
+    """The registry's golden_only() annotation must list EXACTLY the
+    registered queries that carry no DuckDB oracle — so a future query
+    accidentally shipped without an oracle fails here instead of silently
+    joining the documented float pair, and a stale marker (for a query
+    that gained an oracle) fails too."""
+    gap = set(em.queries().keys()) - set(em.oracle_sql().keys())
+    marked = set(em.golden_only().keys())
+    assert marked == gap == {
+        "edge_betweenness_customers",
+        "communities_girvan_newman",
+    }
+    for reason in em.golden_only().values():
+        assert reason  # every marker carries its permanent why
