@@ -236,9 +236,14 @@ def frequent_itemsets_fpgrowth(
     ``num_groups`` forwards to parallel FP-growth's ``numPartitions`` (the
     number of item groups mined independently): per-task memory is one
     group's conditional trees, so MORE groups = smaller working set per
-    task — the knob to turn when the mining stage OOMs at scale (result
-    set is identical for any value). Default None keeps the library's
-    input-partition-count behavior.
+    task and better mining-stage balance — the result set is identical
+    for any value. Default (None) is ``8 × defaultParallelism`` rather
+    than the library's input-partition-count behavior: measured at sf1
+    the library default mined in 113.8 s where 256 groups took 31.3 s
+    (identical 200k itemsets; sf0.01/sf0.1 unchanged) — input partition
+    count is a DATA-size proxy when group count should scale with
+    CORES, and groups-per-core headroom is what absorbs stragglers and
+    bounds tree memory as baskets-per-partition grow.
     """
     from pyspark.ml.fpm import FPGrowth
 
@@ -255,9 +260,11 @@ def frequent_itemsets_fpgrowth(
                 [], "itemset array<bigint>, support bigint"
             )
         fp_min = min(max((support - 0.5) / n, 1e-12), 1.0)
-        fp = FPGrowth(itemsCol=basket_col, minSupport=fp_min, minConfidence=0.5)
-        if num_groups is not None:
-            fp = fp.setNumPartitions(num_groups)
+        if num_groups is None:
+            num_groups = 8 * b.sparkSession.sparkContext.defaultParallelism
+        fp = FPGrowth(
+            itemsCol=basket_col, minSupport=fp_min, minConfidence=0.5
+        ).setNumPartitions(num_groups)
         model = fp.fit(b)
         result = model.freqItemsets.select(
             F.sort_array(F.col("items")).cast(ArrayType(LongType())).alias("itemset"),
