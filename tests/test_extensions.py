@@ -1696,3 +1696,29 @@ def test_extract_features_decodes_png_payloads(spark):
     assert got[1][0] == 10 / 255.0 and got[1][1] == 120 / 255.0
     assert got[1][2] == 250 / 255.0
     assert got[2] == fake_features(b"\xff\xd8\xff jpeg-ish")
+
+
+def test_index_dedup_probe_shapes_identical(spark, sf_dir):
+    """The two physically different probe shapes — batch ids-only banding
+    with payload joined back, and the stream's payload-carry explode —
+    must stay OUTPUT-identical on the same index: same pairs, same exact
+    jaccard values."""
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        build_minhash_index,
+        index_near_duplicates,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    idx_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    bt, pl = build_minhash_index(idx_docs)
+    out = {}
+    for carry in (False, True):
+        out[carry] = {
+            (r["new_doc_id"], r["index_doc_id"]): r["jaccard"]
+            for r in index_near_duplicates(
+                new_docs, bt, pl, carry_payload=carry
+            ).collect()
+        }
+    assert out[False], "expected planted cross-half near-dups"
+    assert out[False] == out[True]
