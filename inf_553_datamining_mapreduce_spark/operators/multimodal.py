@@ -3,12 +3,15 @@ payloads with typed metadata (schemas.MEDIA_ASSET), processed through
 Arrow-batched ``mapInPandas`` kernels.
 
 Decoding: these formats decode for REAL via pure numpy + stdlib with no
-external library — P6 PPM, 24-bit BMP, and 8-bit RGB/RGBA PNG images
-(``decode_image`` — exact pixel rasters, real per-channel statistics;
-PNG's only "codec" is DEFLATE, which Python ships as ``zlib``) and
-RIFF/WAVE 16-bit PCM audio (``decode_audio`` — exact sample matrices,
-real RMS/peak/zero-crossing features). Formats whose codec the
-container genuinely lacks (JPEG/WebP/MP3/...) raise NotImplementedError
+external library — P6 PPM, 24-bit BMP, 8-bit RGB/RGBA PNG, GIF, and
+baseline JPEG images (``decode_image`` — exact pixel rasters for the
+lossless formats, quantization-accurate rasters for JPEG; PNG's only
+"codec" is DEFLATE, which Python ships as ``zlib``, GIF's is ~50 lines
+of LZW, and baseline JPEG is Huffman + IDCT, both implemented here per
+ITU-T T.81) and RIFF/WAVE 16-bit PCM audio (``decode_audio`` — exact
+sample matrices, real RMS/peak/zero-crossing features). Formats whose
+codec the container genuinely lacks (progressive
+JPEG/WebP/MP3/...) raise NotImplementedError
 from the decoders and fall back to the deterministic ``fake_features``
 stand-in, so mixed corpora flow through one pipeline and the Spark-side
 contract — schema, partitioning, UDF signature, Arrow batch shape — is
@@ -71,8 +74,13 @@ def decode_image(payload: bytes):
       with 4-byte row padding)
     * **PNG** (8-bit RGB/RGBA non-interlaced — DEFLATE via the stdlib
       ``zlib``, all five scanline filters; see ``_decode_png``)
+    * **JPEG** (baseline DCT/SOF0 — pure-Python Huffman entropy decode +
+      numpy IDCT per ITU-T T.81; see ``_decode_jpeg``)
+    * **GIF** (87a/89a first frame — pure-Python variable-width LZW,
+      interlacing, global/local color tables; see ``_decode_gif``)
 
-    Formats needing a codec the runtime lacks (JPEG/WebP/GIF/...) raise
+    Formats needing a codec the runtime lacks (progressive
+    JPEG/WebP/...) raise
     ``NotImplementedError`` — wire an imaging library there when one
     exists; the pipeline falls back to ``fake_features`` for payloads
     this decoder rejects, so mixed corpora keep flowing.
@@ -103,6 +111,8 @@ def decode_image(payload: bytes):
         return raster.reshape(h, w, 3)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if payload[:2] == b"BM":
         off = int.from_bytes(payload[10:14], "little")
         hdr_size = int.from_bytes(payload[14:18], "little")
@@ -123,9 +133,127 @@ def decode_image(payload: bytes):
         if bottom_up:
             rows = rows[::-1]
         return rows[..., ::-1]  # BGR -> RGB
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise NotImplementedError(
         "codec-requiring image format; wire an imaging library here"
     )
+
+
+def _decode_gif(payload: bytes):
+    """REAL GIF decode with ZERO external dependencies: GIF's one codec
+    is LZW with variable code width (GIF89a spec appendix F), ~50 lines
+    of stdlib Python. Decodes the FIRST image frame — global or local
+    color table, interlaced or sequential row order — and returns it as
+    ``(h, w, 3)`` uint8 via the palette. Later animation frames are out
+    of scope (the feature contract is one raster per payload); malformed
+    streams raise ``NotImplementedError`` and fall back like any other
+    undecodable payload.
+    """
+    import numpy as np
+
+    def color_table(pos, flags):
+        if not flags & 0x80:
+            return None, pos
+        n = 2 << (flags & 0x07)
+        table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        return table, pos + n * 3
+
+    try:
+        flags = payload[10]
+        gct, pos = color_table(13, flags)
+        while pos < len(payload):
+            block = payload[pos]
+            if block == 0x21:  # extension: label + sub-blocks, skip
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif block == 0x3B:  # trailer before any image
+                break
+            elif block == 0x2C:  # image descriptor
+                w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+                h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+                iflags = payload[pos + 9]
+                lct, pos = color_table(pos + 10, iflags)
+                palette = lct if lct is not None else gct
+                if palette is None or w <= 0 or h <= 0:
+                    raise NotImplementedError("GIF image without color table")
+                min_code = payload[pos]
+                pos += 1
+                data = bytearray()
+                while payload[pos] != 0:
+                    n = payload[pos]
+                    data += payload[pos + 1 : pos + 1 + n]
+                    pos += 1 + n
+                indices = _lzw_decode(bytes(data), min_code, w * h)
+                if len(indices) < w * h:
+                    raise NotImplementedError("short GIF pixel stream")
+                idx = np.array(indices[: w * h], dtype=np.int64).reshape(h, w)
+                if iflags & 0x40:  # interlaced: 4-pass row order
+                    order = (
+                        list(range(0, h, 8))
+                        + list(range(4, h, 8))
+                        + list(range(2, h, 4))
+                        + list(range(1, h, 2))
+                    )
+                    deinterlaced = np.empty_like(idx)
+                    deinterlaced[order] = idx
+                    idx = deinterlaced
+                if int(idx.max()) >= len(palette):
+                    raise NotImplementedError("GIF index beyond color table")
+                return palette[idx]
+            else:
+                raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+    except IndexError as exc:
+        raise NotImplementedError("truncated GIF stream") from exc
+    raise NotImplementedError("GIF with no image frame")
+
+
+def _lzw_decode(data: bytes, min_code: int, limit: int) -> list[int]:
+    """GIF-flavor LZW: LSB-first bit packing, variable code width
+    starting at ``min_code + 1``, dictionary reset on CLEAR, width
+    growth at dictionary sizes 2^w (capped at 12 bits per spec)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [[i] for i in range(clear)] + [None, None]
+    table = list(base)
+    width = min_code + 1
+    out: list[int] = []
+    acc = nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table) or table[code] is None:
+                    raise NotImplementedError("invalid initial LZW code")
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise NotImplementedError("LZW code out of range")
+            out.extend(entry)
+            if len(out) >= limit:
+                return out
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
 
 
 def _decode_png(payload: bytes):
@@ -212,6 +340,257 @@ def _decode_png(payload: bytes):
         else:
             raise NotImplementedError(f"invalid PNG filter byte {f}")
     return out.reshape(h, w, bpp)[..., :3]
+
+
+def _jpeg_dct_basis():
+    """The orthonormal 8x8 DCT-II basis ``A`` (``A[u, x] = c(u)/2 *
+    cos((2x+1)u*pi/16)``, ``c(0)=1/sqrt(2)``): inverse DCT is
+    ``A.T @ F @ A``, forward is ``A @ f @ A.T`` (T.81 A.3.3)."""
+    import numpy as np
+
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+# T.81 Figure A.6 zigzag: _JPEG_ZIGZAG[k] = raster index of the k-th
+# coefficient in zigzag transmission order.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over a JPEG entropy-coded segment: unstuffs
+    ``FF 00`` to ``FF``, stops at any real marker (leaving it for the
+    caller), and realigns to a byte boundary across restart markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.acc, self.nbits = 0, 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise NotImplementedError("truncated JPEG entropy stream")
+            byte = self.data[self.pos]
+            if byte == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed FF
+                else:
+                    raise NotImplementedError("unexpected marker in entropy stream")
+            else:
+                self.pos += 1
+            self.acc, self.nbits = byte, 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at the current (byte-aligned) position."""
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise NotImplementedError("missing JPEG restart marker")
+        self.pos += 2
+
+
+def _jpeg_huffman_decode(reader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    # T.81 F.2.2.1 EXTEND: high bit 0 means negative.
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def _decode_jpeg(payload: bytes):
+    """REAL baseline JPEG decode with ZERO external dependencies — pure
+    stdlib marker/Huffman parsing plus numpy IDCT, per ITU-T T.81:
+    marker scan (DQT/DHT/SOF0/DRI/SOS), canonical Huffman entropy decode
+    with byte unstuffing and restart-interval handling, dequantize,
+    dezigzag, 8x8 inverse DCT as two matrix products, generic subsampling
+    placement (any h/v factors, e.g. 4:4:4 and 4:2:0), nearest-neighbor
+    chroma upsample, JFIF BT.601 YCbCr->RGB. Returns ``(h, w, 3)`` uint8;
+    grayscale replicates to 3 channels.
+
+    Out of scope (raise ``NotImplementedError``, falling back like any
+    other undecodable payload): progressive (SOF2), arithmetic coding,
+    12-bit precision, hierarchical modes.
+    """
+    import numpy as np
+
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise NotImplementedError("malformed JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte padding before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI before any SOS
+            break
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("16-bit JPEG quant table")
+                vals = np.frombuffer(body, np.uint8, 64, b + 1).astype(np.float64)
+                table = np.empty(64)
+                table[_JPEG_ZIGZAG] = vals  # de-zigzag to raster order
+                qt[tid] = table.reshape(8, 8)
+                b += 65
+        elif marker == 0xC4:  # DHT — canonical code reconstruction
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = body[b + 1 : b + 17]
+                table, code, v = {}, 0, b + 17
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = body[v]
+                        code += 1
+                        v += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                b = v
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline DCT
+            if body[0] != 8:
+                raise NotImplementedError("non-8-bit JPEG precision")
+            h_img = int.from_bytes(body[1:3], "big")
+            w_img = int.from_bytes(body[3:5], "big")
+            comps = []
+            for c in range(body[5]):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
+            frame = (h_img, w_img, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline JPEG (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise NotImplementedError("JPEG SOS before SOF")
+            scan = {}
+            for c in range(body[0]):
+                cid, tabs = body[1 + 2 * c : 3 + 2 * c]
+                scan[cid] = (tabs >> 4, tabs & 0xF)
+            return _jpeg_scan(
+                payload, pos + 2 + seg_len, frame, scan, qt, huff, restart_interval
+            )
+        pos += 2 + seg_len
+    raise NotImplementedError("no JPEG scan found")
+
+
+def _jpeg_scan(payload, pos, frame, scan, qt, huff, restart_interval):
+    import numpy as np
+
+    h_img, w_img, comps = frame
+    if h_img <= 0 or w_img <= 0 or not comps:
+        raise NotImplementedError("degenerate JPEG dimensions")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or any(
+        hmax % c["h"] or vmax % c["v"] for c in comps
+    ):
+        raise NotImplementedError("invalid JPEG sampling factors")
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    basis = _jpeg_dct_basis()
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        )
+        if c["tq"] not in qt:
+            raise NotImplementedError("JPEG component references missing quant table")
+        dc_tab, ac_tab = scan.get(c["id"], (None, None))
+        if (0, dc_tab) not in huff or (1, ac_tab) not in huff:
+            raise NotImplementedError("JPEG scan references missing huffman table")
+        c["dc"], c["ac"] = huff[(0, dc_tab)], huff[(1, ac_tab)]
+
+    reader = _JpegBitReader(payload, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coefs = np.zeros(64)
+                        size = _jpeg_huffman_decode(reader, c["dc"])
+                        pred[ci] += _jpeg_extend(reader.bits(size), size)
+                        coefs[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_huffman_decode(reader, c["ac"])
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise NotImplementedError("JPEG AC index overflow")
+                            coefs[k] = _jpeg_extend(reader.bits(size), size)
+                            k += 1
+                        block = np.empty(64)
+                        block[_JPEG_ZIGZAG] = coefs
+                        block = block.reshape(8, 8) * qt[c["tq"]]
+                        spatial = basis.T @ block @ basis + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+
+    full = []
+    for ci, c in enumerate(comps):
+        p = np.repeat(
+            np.repeat(planes[ci], vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(p[:h_img, :w_img])
+    if len(full) == 1:
+        rgb = np.stack([full[0]] * 3, axis=-1)
+    elif len(full) == 3:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=-1,
+        )
+    else:
+        raise NotImplementedError("unsupported JPEG component count")
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def decode_audio(payload: bytes):

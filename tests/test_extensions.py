@@ -1672,6 +1672,412 @@ def test_decode_png_all_filters_exact_pixels():
         )
 
 
+def _jpeg_huffman_spec():
+    """Test-local canonical Huffman spec: every DC category (0-11) as a
+    5-bit code, every AC (run,size) symbol plus EOB/ZRL as a 9-bit code.
+    Valid per T.81 C.2 (canonical assignment, all-ones codes unused) and
+    deliberately NOT the Annex K example tables — so the decoder is
+    proven against DHT reconstruction, not against memorized constants."""
+    dc_bits = [0] * 16
+    dc_bits[4] = 12  # twelve 5-bit codes
+    dc_vals = list(range(12))
+    ac_bits = [0] * 16
+    ac_bits[8] = 162  # all 162 AC symbols as 9-bit codes
+    ac_vals = [0x00, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
+
+def _jpeg_codebook(bits, vals):
+    book, code, v = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            book[vals[v]] = (code, length)
+            code += 1
+            v += 1
+        code <<= 1
+    return book
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.nbits = 0, 0
+
+    def write(self, value, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.nbits = 0, 0
+
+    def align(self):
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _make_jpeg(pixels, subsample=False, gray=False, restart=None):
+    """Minimal baseline JPEG encoder for tests (pure numpy + stdlib):
+    flat quant tables (all ones) so the only loss is coefficient
+    rounding, test-local Huffman tables (see ``_jpeg_huffman_spec``),
+    4:4:4 or 4:2:0 sampling, optional grayscale and restart markers."""
+    import numpy as np
+
+    rgb = np.array(pixels, dtype=np.float64)
+    h_img, w_img = rgb.shape[0], rgb.shape[1]
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    if gray:
+        comps = [(1, y, 1, 1)]  # (id, plane, h, v)
+        hmax = vmax = 1
+    elif subsample:
+        comps = [(1, y, 2, 2), (2, cb, 1, 1), (3, cr, 1, 1)]
+        hmax = vmax = 2
+    else:
+        comps = [(1, y, 1, 1), (2, cb, 1, 1), (3, cr, 1, 1)]
+        hmax = vmax = 1
+
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+
+    def pad_to(plane, ph, pw):
+        out = np.empty((ph, pw))
+        sh, sw = plane.shape
+        out[:sh, :sw] = plane
+        out[sh:, :sw] = plane[-1:, :]  # edge-replicate pad
+        out[:, sw:] = out[:, sw - 1 : sw]
+        return out
+
+    planes = []
+    for cid, plane, ch, cv in comps:
+        if (ch, cv) != (hmax, vmax):
+            fy, fx = vmax // cv, hmax // ch
+            sh = -(-plane.shape[0] // fy) * fy
+            sw = -(-plane.shape[1] // fx) * fx
+            p = pad_to(plane, sh, sw)
+            plane = p.reshape(sh // fy, fy, sw // fx, fx).mean(axis=(1, 3))
+        planes.append(pad_to(plane, mcus_y * cv * 8, mcus_x * ch * 8))
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_dct_basis,
+    )
+
+    basis = _jpeg_dct_basis()
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_huffman_spec()
+    dc_book = _jpeg_codebook(dc_bits, dc_vals)
+    ac_book = _jpeg_codebook(ac_bits, ac_vals)
+
+    def magnitude(v):
+        size = int(abs(v)).bit_length()
+        return size, (v if v >= 0 else v + (1 << size) - 1)
+
+    writer = _JpegBitWriter()
+    pred = [0] * len(comps)
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                writer.align()
+                writer.out += bytes([0xFF, 0xD0 + rst_n % 8])
+                rst_n += 1
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, (cid, _, ch, cv) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0, x0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                        block = planes[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coefs = basis @ block @ basis.T
+                        q = np.round(coefs).astype(int).reshape(64)
+                        zz = [int(q[_JPEG_ZIGZAG[k]]) for k in range(64)]
+                        size, bits = magnitude(zz[0] - pred[ci])
+                        pred[ci] = zz[0]
+                        code, length = dc_book[size]
+                        writer.write(code, length)
+                        writer.write(bits, size)
+                        run = 0
+                        last_nz = max(
+                            (k for k in range(1, 64) if zz[k]), default=0
+                        )
+                        for k in range(1, last_nz + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, length = ac_book[0xF0]
+                                writer.write(code, length)
+                                run -= 16
+                            size, bits = magnitude(zz[k])
+                            code, length = ac_book[(run << 4) | size]
+                            writer.write(code, length)
+                            writer.write(bits, size)
+                            run = 0
+                        if last_nz < 63:
+                            code, length = ac_book[0x00]
+                            writer.write(code, length)
+    writer.align()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zz_ones = bytes([0x00]) + bytes([1] * 64)  # table 0, 8-bit, all ones
+    sof_body = bytes([8]) + h_img.to_bytes(2, "big") + w_img.to_bytes(2, "big")
+    sof_body += bytes([len(comps)])
+    for cid, _, ch, cv in comps:
+        sof_body += bytes([cid, (ch << 4) | cv, 0])
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    sos_body = bytes([len(comps)])
+    for cid, _, _, _ in comps:
+        sos_body += bytes([cid, 0x00])
+    sos_body += bytes([0, 63, 0])
+
+    out = b"\xff\xd8" + seg(0xDB, zz_ones) + seg(0xC0, sof_body)
+    out += seg(0xC4, dht_dc) + seg(0xC4, dht_ac)
+    if restart:
+        out += seg(0xDD, restart.to_bytes(2, "big"))
+    out += seg(0xDA, sos_body) + bytes(writer.out) + b"\xff\xd9"
+    return out
+
+
+def _lzw_encode(indices, min_code):
+    """Real GIF-flavor LZW compressor (LSB-first packing, variable code
+    width, CLEAR on table-full) — so the decoder's dictionary growth and
+    width-bump schedule are exercised for real, not via the
+    clear-every-symbol 'uncompressed GIF' shortcut."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    buf = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        # the decoder lags one entry; it bumps width when ITS table hits
+        # 2^width, which is next_code - 1 here
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        buf = (px,)
+    if buf:
+        emit(table[buf])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(indices, palette, interlace=False, local_table=False):
+    """Minimal GIF89a encoder for tests: one frame, real LZW, global or
+    local color table, optional interlacing, plus a skippable extension
+    block so the decoder's block walk is exercised."""
+    h, w = len(indices), len(indices[0])
+    n = max(1, (len(palette) - 1).bit_length()) - 1  # table size field
+    pal = bytearray()
+    for rgb in palette:
+        pal += bytes(rgb)
+    pal += b"\x00" * ((2 << n) * 3 - len(pal))  # pad to 2^(n+1) entries
+    min_code = max(2, n + 1)
+
+    rows = list(range(h))
+    if interlace:
+        rows = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+    flat = [px for y in rows for px in indices[y]]
+    lzw = _lzw_encode(flat, min_code)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x00 if local_table else 0x80 | n, 0, 0])
+    if not local_table:
+        out += pal
+    # graphic control extension — must be skipped by the decoder
+    out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    out += bytes([0x2C]) + b"\x00" * 4
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    iflags = (0x80 | n if local_table else 0x00) | (0x40 if interlace else 0x00)
+    out += bytes([iflags])
+    if local_table:
+        out += pal
+    out += bytes([min_code])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0x00, 0x3B])
+    return bytes(out)
+
+
+def test_decode_gif_lzw_exact_pixels():
+    """The pure-stdlib LZW decoder must reconstruct exact rasters through
+    real compression — dictionary growth across several width bumps
+    (256-color random frame), the KwKwK self-reference case (aaaa...),
+    interlaced row order, local color tables, and clean rejection of
+    truncated streams."""
+    import random
+
+    import numpy as np
+    import pytest as _pytest
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = random.Random(11)
+    palette = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(256)]
+    idx = [[rng.randrange(256) for _ in range(48)] for _ in range(40)]
+    want = np.array([[palette[i] for i in row] for row in idx], dtype=np.uint8)
+    assert np.array_equal(decode_image(_make_gif(idx, palette)), want)
+    assert np.array_equal(
+        decode_image(_make_gif(idx, palette, interlace=True)), want
+    )
+    assert np.array_equal(
+        decode_image(_make_gif(idx, palette, local_table=True)), want
+    )
+
+    # KwKwK: a constant run makes the encoder emit a code one beyond the
+    # decoder's table — the classic LZW corner case
+    small_pal = [(250, 1, 2), (3, 250, 4), (5, 6, 250), (9, 9, 9)]
+    runs = [[0] * 19 for _ in range(7)]
+    want_runs = np.array(
+        [[small_pal[i] for i in row] for row in runs], dtype=np.uint8
+    )
+    assert np.array_equal(decode_image(_make_gif(runs, small_pal)), want_runs)
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(_make_gif(idx, palette)[:-200])  # truncated
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a" + b"\x00" * 20)  # no image frame
+
+
+def test_decode_jpeg_444_near_exact_pixels():
+    """With flat all-ones quant tables the only loss is per-coefficient
+    rounding, so 4:4:4 decode must land within a few counts of the
+    source raster on random pixels — proving Huffman entropy decode,
+    dezigzag, dequantize, IDCT, and the color transform jointly."""
+    import random
+
+    import numpy as np
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = random.Random(7)
+    pixels = [
+        [tuple(rng.randrange(256) for _ in range(3)) for _ in range(13)]
+        for _ in range(11)
+    ]
+    want = np.array(pixels, dtype=np.float64)
+    got = decode_image(_make_jpeg(pixels))
+    assert got.shape == (11, 13, 3)
+    err = np.abs(got.astype(np.float64) - want).max()
+    assert err <= 3.0, f"max pixel error {err}"
+
+
+def test_decode_jpeg_420_grayscale_and_restart():
+    """4:2:0 MCU interleave (4 Y + Cb + Cr per MCU), grayscale
+    single-component decode, and restart-marker realignment. The 4:2:0
+    raster uses R=G=B so chroma is exactly constant 128 and subsampling
+    is lossless — isolating the sampling/placement arithmetic."""
+    import numpy as np
+    import pytest as _pytest
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    # 20x18: not a multiple of 16 in either dimension -> padding + crop
+    pixels = [
+        [(min(255, 5 * (x + y)),) * 3 for x in range(18)] for y in range(20)
+    ]
+    want = np.array(pixels, dtype=np.float64)
+    got = decode_image(_make_jpeg(pixels, subsample=True))
+    assert got.shape == (20, 18, 3)
+    err = np.abs(got.astype(np.float64) - want).max()
+    assert err <= 3.0, f"max pixel error {err}"
+
+    gray = decode_image(_make_jpeg(pixels, gray=True))
+    assert gray.shape == (20, 18, 3)
+    assert np.array_equal(gray[..., 0], gray[..., 1])
+    gerr = np.abs(gray[..., 0].astype(np.float64) - want[..., 0]).max()
+    assert gerr <= 2.0, f"max gray error {gerr}"
+
+    with_rst = decode_image(_make_jpeg(pixels, subsample=True, restart=1))
+    assert np.abs(with_rst.astype(np.float64) - want).max() <= 3.0
+
+    # progressive (SOF2) must reject, not mis-decode
+    prog = bytearray(_make_jpeg(pixels))
+    prog[prog.index(b"\xff\xc0")] = 0xFF  # keep marker prefix
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_image(bytes(prog))
+    # truncated entropy stream must reject cleanly
+    with _pytest.raises(NotImplementedError):
+        decode_image(_make_jpeg(pixels)[:-40])
+
+
+def test_extract_features_decodes_jpeg_payloads(spark):
+    """A baseline JPEG payload must take the REAL image_features path
+    through the Arrow-batched kernel (channel means of a near-constant
+    raster), while a JPEG-ish junk payload stays on the fallback."""
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        extract_features,
+        fake_features,
+        image_features,
+    )
+
+    pixels = [[(40, 90, 200)] * 8 for _ in range(8)]
+    jpeg = _make_jpeg(pixels)
+    rows = [
+        Row(asset_id=1, media_type="image", payload=jpeg),
+        Row(asset_id=2, media_type="image", payload=b"\xff\xd8\xff jpeg-ish"),
+    ]
+    got = {
+        r["asset_id"]: list(r["features"])
+        for r in extract_features(spark.createDataFrame(rows)).collect()
+    }
+    assert got[1] == image_features(jpeg)
+    assert abs(got[1][0] - 40 / 255.0) < 0.02
+    assert abs(got[1][1] - 90 / 255.0) < 0.02
+    assert abs(got[1][2] - 200 / 255.0) < 0.02
+    assert got[2] == fake_features(b"\xff\xd8\xff jpeg-ish")
+
+
 def test_extract_features_decodes_png_payloads(spark):
     """A PNG payload must take the REAL image_features path end-to-end
     through the Arrow-batched kernel (channel means of a constant
