@@ -1251,6 +1251,89 @@ def test_streaming_index_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_streaming_index_dedup_recovery_resumes_without_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """Kill-and-resume for the ingestion-time near-dup filter: unlike the
+    windowed-aggregation recovery tests, this stream is STATELESS
+    (per-row signatures + stream-static joins), so exactly-once across a
+    restart rests entirely on the file source's checkpointed offsets and
+    the file sink's commit log. Run 1 processes half the new documents
+    and terminates; run 2 resumes from the SAME checkpoint with the rest
+    staged. The final sink contents must equal the batch near-dup pairs
+    exactly once — no pair lost at the kill point, none duplicated by
+    the resume."""
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        build_minhash_index,
+        index_near_duplicates,
+    )
+    from inf_553_datamining_mapreduce_spark.streaming.windows import (
+        streaming_index_near_duplicates,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    idx_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    bt, pl = build_minhash_index(idx_docs)
+    batch = {
+        (r["new_doc_id"], r["index_doc_id"]): r["jaccard"]
+        for r in index_near_duplicates(new_docs, bt, pl).collect()
+    }
+    assert batch, "expected planted cross-half near-dups"
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    new_docs.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+        str(stream_dir / "a")
+    )
+    out_dir = str(tmp_path / "pairs_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(new_docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/*")
+        )
+        q = (
+            streaming_index_near_duplicates(stream, bt, pl)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()  # run 1: first half only, then the query terminates
+    got_half = {
+        (r["new_doc_id"], r["index_doc_id"]): r["jaccard"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want_half = {
+        (r["new_doc_id"], r["index_doc_id"]): r["jaccard"]
+        for r in index_near_duplicates(
+            new_docs.filter(F.col("doc_id") % 4 == 1), bt, pl
+        ).collect()
+    }
+    assert got_half == want_half
+
+    # stage the second half and RESUME from the same checkpoint
+    new_docs.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+        str(stream_dir / "b")
+    )
+    run_stream()
+    got_all = {
+        (r["new_doc_id"], r["index_doc_id"]): r["jaccard"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got_all == batch
+    # the sink's commit log must also show no double-written rows
+    n_rows = spark.read.parquet(out_dir).count()
+    assert n_rows == len(batch)
+
+
 def test_per_row_minhash_signature_matches_aggregated(spark, sf_dir):
     """The stateless per-row signature (streaming path) must be
     BIT-IDENTICAL to the aggregated groupBy form on every document —
