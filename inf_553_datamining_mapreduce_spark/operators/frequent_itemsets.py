@@ -237,13 +237,16 @@ def frequent_itemsets_fpgrowth(
     number of item groups mined independently): per-task memory is one
     group's conditional trees, so MORE groups = smaller working set per
     task and better mining-stage balance — the result set is identical
-    for any value. Default (None) is ``8 × defaultParallelism`` rather
-    than the library's input-partition-count behavior: measured at sf1
-    the library default mined in 113.8 s where 256 groups took 31.3 s
-    (identical 200k itemsets; sf0.01/sf0.1 unchanged) — input partition
-    count is a DATA-size proxy when group count should scale with
-    CORES, and groups-per-core headroom is what absorbs stragglers and
-    bounds tree memory as baskets-per-partition grow.
+    for any value. Default (None) targets ~4k baskets per group,
+    floored at ``defaultParallelism`` (full parallelism) and capped at
+    ``8 × defaultParallelism`` (bounded group-scheduling overhead),
+    rather than the library's input-partition-count behavior: measured
+    at sf1 (1.47M baskets) the library default mined in 113.8 s where
+    256 groups took 31.3 s (identical 200k itemsets), while at sf0.1
+    (147k baskets) a flat 256 costs ~1.5 s over ~cores-many groups
+    (fresh-session pairs: 6.6/7.3 s at 32 vs 9.0/7.9 s at 256) — group
+    count must scale with DATA until the cores-headroom cap, not jump
+    straight to the cap.
     """
     from pyspark.ml.fpm import FPGrowth
 
@@ -261,7 +264,8 @@ def frequent_itemsets_fpgrowth(
             )
         fp_min = min(max((support - 0.5) / n, 1e-12), 1.0)
         if num_groups is None:
-            num_groups = 8 * b.sparkSession.sparkContext.defaultParallelism
+            p = b.sparkSession.sparkContext.defaultParallelism
+            num_groups = max(p, min(8 * p, n // 4096))
         fp = FPGrowth(
             itemsCol=basket_col, minSupport=fp_min, minConfidence=0.5
         ).setNumPartitions(num_groups)

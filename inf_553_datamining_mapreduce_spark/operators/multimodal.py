@@ -515,6 +515,10 @@ def _jpeg_scan(payload, pos, frame, scan, qt, huff, restart_interval):
     h_img, w_img, comps = frame
     if h_img <= 0 or w_img <= 0 or not comps:
         raise NotImplementedError("degenerate JPEG dimensions")
+    if h_img * w_img > 64_000_000:
+        # sanity cap (64 MP): a garbage header must not demand a
+        # multi-GB plane allocation before the entropy decode fails
+        raise NotImplementedError("implausibly large JPEG dimensions")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax < 1 or vmax < 1 or any(

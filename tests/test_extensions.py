@@ -2092,6 +2092,49 @@ def test_decode_jpeg_444_near_exact_pixels():
     assert err <= 3.0, f"max pixel error {err}"
 
 
+def test_decode_jpeg_roundtrip_property():
+    """Property: for ANY raster shape (including single-pixel, single-row,
+    non-block-multiple dims) and any pixel content, flat-quant encode →
+    decode stays within coefficient-rounding error. Shapes sweep the MCU
+    padding edge cases the fixed-seed tests can't."""
+    import random
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    @settings(max_examples=20, deadline=None, derandomize=True)
+    @given(
+        st.integers(min_value=1, max_value=19),
+        st.integers(min_value=1, max_value=19),
+        st.integers(min_value=0, max_value=2**31),
+        st.booleans(),
+    )
+    def check(h, w, seed, subsample):
+        rng = random.Random(seed)
+        pixels = [
+            [tuple(rng.randrange(256) for _ in range(3)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        if subsample:
+            # keep chroma constant so 2x2 averaging is lossless
+            pixels = [[(p[0], p[0], p[0]) for p in row] for row in pixels]
+        want = np.array(pixels, dtype=np.float64)
+        got = decode_image(_make_jpeg(pixels, subsample=subsample))
+        assert got.shape == (h, w, 3)
+        # analytical worst case for flat-quant rounding is ~±3.5/channel
+        # (0.5 per coefficient through the IDCT's l1 mass) plus the color
+        # transform; any structural bug (Huffman, zigzag, placement)
+        # errs by tens to hundreds
+        assert np.abs(got.astype(np.float64) - want).max() <= 5.0
+
+    check()
+
+
 def test_decode_jpeg_420_grayscale_and_restart():
     """4:2:0 MCU interleave (4 Y + Cb + Cr per MCU), grayscale
     single-component decode, and restart-marker realignment. The 4:2:0

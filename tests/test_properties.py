@@ -355,7 +355,9 @@ def test_media_kernels_never_crash_on_fuzzed_payloads(spark):
 
     rng = random.Random(99)
     prefixes = [b"", b"BM", b"P6", b"P6\n0 0\n255\n", b"P6\n2 2\n255\n",
-                b"RIFF", b"RIFF\x10\x00\x00\x00WAVE", b"RIFF\x10\x00\x00\x00AVI "]
+                b"RIFF", b"RIFF\x10\x00\x00\x00WAVE", b"RIFF\x10\x00\x00\x00AVI ",
+                b"\xff\xd8", b"\xff\xd8\xff\xe0", b"GIF87a", b"GIF89a",
+                b"\x89PNG\r\n\x1a\n"]
     rows = []
     for i in range(60):
         body = bytes(rng.randrange(256) for _ in range(rng.randint(0, 200)))
