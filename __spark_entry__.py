@@ -1256,30 +1256,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return T.weighted_corpus_sample(d, k=50)
 
     q["weighted_corpus_sample"] = _weighted_corpus_sample
+
+    def _pii_redaction(spark, sf):
+        # The scrub stage every training pipeline runs before anything
+        # ships. The synthetic documents corpus is PII-free word salad,
+        # so the demonstration corpus is DERIVED deterministically from
+        # the customer table: each "support ticket" embeds a phone
+        # number, an email, an IPv4, and the digit run inside c_name —
+        # giving every PII class real matches under the oracle gate.
+        (c,) = _t(spark, sf, "customer")
+        k = F.col("c_custkey")
+        tickets = c.select(
+            "c_custkey",
+            F.concat(
+                F.col("c_name"), F.lit(" ("),
+                (k % 90 + 10).cast("string"), F.lit("-"),
+                (k % 900 + 100).cast("string"), F.lit("-"),
+                (k % 900 + 100).cast("string"), F.lit("-"),
+                (k % 9000 + 1000).cast("string"),
+                F.lit(") reachable at contact."), k.cast("string"),
+                F.lit("@example.com or 10."),
+                (k % 200).cast("string"), F.lit(".0."),
+                (k % 250).cast("string"),
+                F.lit(" segment "), F.col("c_mktsegment"),
+                F.lit(" balance "), F.col("c_acctbal").cast("string"),
+            ).alias("text"),
+        )
+        return T.redact_pii(tickets, "text", ("c_custkey",))
+
+    q["pii_redaction"] = _pii_redaction
     return _driver_order(q)
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-6 window, 3 + 8 + 39 = 50:
-# (1) 3 new/changed this round: incremental_index_dedup_stream_plan (new —
-#     the stream composition under the oracle gate),
+# round. The round-6 window, 4 + 8 + 38 = 50:
+# (1) 4 new/changed this round: pii_redaction (new — the scrub stage),
+#     incremental_index_dedup_stream_plan (new — the stream composition
+#     under the oracle gate),
 #     incremental_index_dedup (batch probe reshaped to ids-only banding),
 #     communities_girvan_newman_fixedpoint (canonicalized edges now
 #     deduplicated);
 # (2) the 8 round-2 greens rotated out of the round-5 window — after this
 #     round NO query's latest green is older than round 4;
-# (3) 39 of the 47 queries last proven round 3. The 8 round-3 greens left
+# (3) 38 of the 47 queries last proven round 3. The 9 round-3 greens left
 #     out (brand_supplier_counts, returnflag_priority_counts,
 #     late_shipment_priority_counts, shipping_priority, promo_revenue,
 #     large_volume_customers, volume_shipping_by_year,
-#     local_supplier_volume) are the pure-codegen TPC-H scan-agg-join
-#     family — single Catalyst plans untouched since round 3 whose operator
-#     surface (scan, filter, equi-join, hash agg, decimal accumulation) is
-#     independently exercised in-window by pricing_summary_sql /
-#     group_avg_nation_region — they head the round-7 rotation. Semantics
+#     local_supplier_volume, weekly_active_users) are the pure-codegen
+#     TPC-H scan-agg-join family plus one date-bucketed distinct-count —
+#     single Catalyst plans untouched since round 3 whose operator
+#     surface (scan, filter, equi-join, hash agg, decimal accumulation,
+#     date-trunc distinct) is independently exercised in-window by
+#     pricing_summary_sql / group_avg_nation_region / daily_event_spine —
+#     they head the round-7 rotation. Semantics
 # are unchanged — this is pure dict ordering.
 _DRIVER_PRIORITY = [
     # new this round / changed this round — prove first:
+    "pii_redaction",
     "incremental_index_dedup_stream_plan",
     "incremental_index_dedup",
     "communities_girvan_newman_fixedpoint",
@@ -1331,7 +1364,6 @@ _DRIVER_PRIORITY = [
     "tumbling_window_stats_stream_plan",
     "user_interevent_gaps",
     "user_retention_cohorts",
-    "weekly_active_users",
 ]
 
 
@@ -3707,6 +3739,44 @@ def oracle_sql() -> dict[str, str]:
           AND ((cum_after - weight) * 50) // w_total
               < (cum_after * 50) // w_total
         ORDER BY slot
+    """
+
+    # Patterns interpolated from the operator's own table so the oracle
+    # can never drift from the Spark-side regexes. The constructs used
+    # (char classes, bounded repetition, \b, non-capturing groups) mean
+    # the same thing in Java regex and RE2.
+    _pp = T.PII_PATTERNS
+    d["pii_redaction"] = f"""
+        WITH tickets AS (
+            SELECT c_custkey,
+                   c_name || ' (' || CAST(c_custkey % 90 + 10 AS VARCHAR)
+                   || '-' || CAST(c_custkey % 900 + 100 AS VARCHAR)
+                   || '-' || CAST(c_custkey % 900 + 100 AS VARCHAR)
+                   || '-' || CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+                   || ') reachable at contact.' || CAST(c_custkey AS VARCHAR)
+                   || '@example.com or 10.' || CAST(c_custkey % 200 AS VARCHAR)
+                   || '.0.' || CAST(c_custkey % 250 AS VARCHAR)
+                   || ' segment ' || c_mktsegment
+                   || ' balance ' || CAST(c_acctbal AS VARCHAR) AS text
+            FROM customer
+        )
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   text,
+                   '{_pp["email"]}', '<EMAIL>', 'g'),
+                   '{_pp["phone"]}', '<PHONE>', 'g'),
+                   '{_pp["ip"]}', '<IP>', 'g'),
+                   '{_pp["digit_run"]}', '<DIGIT_RUN>', 'g')
+                   AS redacted_text,
+               CAST(len(regexp_extract_all(text, '{_pp["email"]}')) AS BIGINT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(text, '{_pp["phone"]}')) AS BIGINT)
+                   AS n_phone,
+               CAST(len(regexp_extract_all(text, '{_pp["ip"]}')) AS BIGINT)
+                   AS n_ip,
+               CAST(len(regexp_extract_all(text, '{_pp["digit_run"]}')) AS BIGINT)
+                   AS n_digit_run
+        FROM tickets
     """
     return d
 

@@ -1105,3 +1105,53 @@ def weighted_corpus_sample(documents: DataFrame, k: int = 50) -> DataFrame:
         )
         .orderBy("slot")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrub stage every training-data pipeline runs before
+# anything else ships. Patterns are deliberately conservative constructs
+# (char classes, bounded repetition, \b) that mean the same thing in Java
+# regex (Spark) and RE2 (DuckDB), so the oracle gate proves the redaction
+# semantics cross-engine.
+PII_PATTERNS = {
+    # order matters: email first (its local part may contain digit runs),
+    # then structured phone/IP forms, then the bare long-digit catch-all
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{2,3}[- .]\d{3}[- .]\d{3,4}[- .]\d{4}\b",
+    "ip": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "digit_run": r"\d{6,}",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_cols: tuple = ("doc_id",)
+) -> DataFrame:
+    """Redact emails, phone numbers, IPv4 addresses, and long digit runs
+    from a text column, returning the scrubbed text plus a per-document
+    count for each PII class (counted on the ORIGINAL text, so the
+    counts audit what was removed).
+
+    Replacement order is the dict order above: each class's matches
+    become a ``<CLASS>`` sentinel before the next class scans, so a
+    pattern can't re-match inside an earlier redaction; the four
+    patterns are mutually non-overlapping on well-formed text anyway
+    (phone/IP digits are dash/dot-separated so they never form a 6-digit
+    run). Counts are per-class over the original text and therefore
+    independent of that order.
+
+    Shape at scale: a pure per-row projection — no shuffle, no UDF; the
+    regex engine runs JVM-side inside whole-stage codegen. At 100 TB
+    this is a map-only pass fused into whatever scan feeds it.
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(
+                f"n_{name}"
+            )
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return df.select(
+        *id_cols, redacted.alias("redacted_text"), *counts
+    )

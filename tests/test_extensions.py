@@ -1363,6 +1363,39 @@ def test_per_row_minhash_signature_matches_aggregated(spark, sf_dir):
             assert doc_id not in agg
 
 
+def test_redact_pii_classes_and_counts(spark):
+    """Each PII class redacts independently with counts over the ORIGINAL
+    text; adjacent/multiple matches, class non-overlap (phone digits
+    never form a digit run), and clean text passing through unchanged."""
+    from inf_553_datamining_mapreduce_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail a.b-c_d@ex-1.org and x@y.io twice"),
+        (2, "call 25-989-741-2988 or 123.456.789 0123"),
+        (3, "host 192.168.0.1 card 1234567890123456 ok"),
+        (4, "no pii here at all"),
+        (5, "edge 999.999.999.999 and seq 123456"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in redact_pii(df).orderBy("doc_id").collect()
+    }
+    assert got[1]["redacted_text"] == "mail <EMAIL> and <EMAIL> twice"
+    assert got[1]["n_email"] == 2 and got[1]["n_phone"] == 0
+    # second candidate '123.456.789 0123' has a 3-digit third group and a
+    # space separator before the 4-digit tail — matches the phone shape
+    assert got[2]["redacted_text"] == "call <PHONE> or <PHONE>"
+    assert got[2]["n_phone"] == 2 and got[2]["n_digit_run"] == 0
+    assert got[3]["redacted_text"] == "host <IP> card <DIGIT_RUN> ok"
+    assert got[3]["n_ip"] == 1 and got[3]["n_digit_run"] == 1
+    assert got[4]["redacted_text"] == "no pii here at all"
+    assert all(got[4][f"n_{c}"] == 0 for c in ("email", "phone", "ip", "digit_run"))
+    # the conservative IP pattern doesn't range-check octets (both
+    # engines agree on that); the bare 6-digit run is a digit_run
+    assert got[5]["redacted_text"] == "edge <IP> and seq <DIGIT_RUN>"
+
+
 def test_split_drift_report_detects_planted_drift(spark):
     """A token appearing only in val-bucket documents must outrank evenly
     distributed tokens; rate-identical tokens score exactly 0 (the
