@@ -1285,12 +1285,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return T.redact_pii(tickets, "text", ("c_custkey",))
 
     q["pii_redaction"] = _pii_redaction
+
+    def _communities_louvain_customers(spark, sf):
+        return G.louvain_moves(_customer_graph_edges(spark, sf), rounds=3)
+
+    q["communities_louvain_customers"] = _communities_louvain_customers
     return _driver_order(q)
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-6 window, 4 + 8 + 38 = 50:
-# (1) 4 new/changed this round: pii_redaction (new — the scrub stage),
+# round. The round-6 window, 5 + 8 + 37 = 50:
+# (1) 5 new/changed this round: pii_redaction (new — the scrub stage),
+#     communities_louvain_customers (new — synchronous integer Louvain),
 #     incremental_index_dedup_stream_plan (new — the stream composition
 #     under the oracle gate),
 #     incremental_index_dedup (batch probe reshaped to ids-only banding),
@@ -1298,11 +1304,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     deduplicated);
 # (2) the 8 round-2 greens rotated out of the round-5 window — after this
 #     round NO query's latest green is older than round 4;
-# (3) 38 of the 47 queries last proven round 3. The 9 round-3 greens left
+# (3) 37 of the 47 queries last proven round 3. The 10 round-3 greens left
 #     out (brand_supplier_counts, returnflag_priority_counts,
 #     late_shipment_priority_counts, shipping_priority, promo_revenue,
 #     large_volume_customers, volume_shipping_by_year,
-#     local_supplier_volume, weekly_active_users) are the pure-codegen
+#     local_supplier_volume, weekly_active_users,
+#     customers_with_urgent_orders) are the pure-codegen
 #     TPC-H scan-agg-join family plus one date-bucketed distinct-count —
 #     single Catalyst plans untouched since round 3 whose operator
 #     surface (scan, filter, equi-join, hash agg, decimal accumulation,
@@ -1313,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_PRIORITY = [
     # new this round / changed this round — prove first:
     "pii_redaction",
+    "communities_louvain_customers",
     "incremental_index_dedup_stream_plan",
     "incremental_index_dedup",
     "communities_girvan_newman_fixedpoint",
@@ -1337,7 +1345,6 @@ _DRIVER_PRIORITY = [
     "customer_order_gaps",
     "customer_reconciliation",
     "customer_revenue_deciles",
-    "customers_with_urgent_orders",
     "daily_event_spine",
     "discounted_revenue_band",
     "doc_chunks",
@@ -3683,6 +3690,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY user_id, valid_from_us, state
     """
     d["label_propagation_customers"] = _labelprop_oracle(rounds=5)
+    d["communities_louvain_customers"] = _louvain_oracle(rounds=3)
     # Percentiles of the per-key count distribution: FLOOR before the
     # BIGINT cast because DuckDB CAST rounds where Spark truncates; counts
     # are positive so floor == truncate-toward-zero.
@@ -3822,6 +3830,76 @@ def _labelprop_oracle(rounds: int, min_shared: int = 4) -> str:
             SELECT dst AS src, src AS dst FROM e0
         ),
         l0 AS (SELECT DISTINCT src AS v, src AS label FROM sym),{",".join(steps)}
+        SELECT v AS c, CAST(label AS BIGINT) AS community
+        FROM l{rounds} ORDER BY c
+    """
+
+
+def _louvain_oracle(rounds: int, min_shared: int = 4) -> str:
+    """Chained-CTE oracle for synchronous one-level Louvain: per round,
+    a community-degree-sum CTE, a v-to-community edge-count CTE, a
+    zero-score union so the current community always competes, and the
+    integer-score argmax with the same (score DESC, community ASC)
+    total order the Spark window uses. All-BIGINT (DuckDB widens the
+    sums to HUGEINT — exact either way at these magnitudes); extra
+    rounds are NOT a fixpoint identity, so the unroll count equals the
+    Spark loop's by construction, as in ``_labelprop_oracle``."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+        sig{i} AS MATERIALIZED (
+            SELECT l.label, SUM(d.deg) AS sig
+            FROM l{i - 1} l JOIN deg d ON l.v = d.v GROUP BY 1
+        ),
+        kv{i} AS MATERIALIZED (
+            SELECT s.src AS v, l.label AS nlabel, COUNT(*) AS k
+            FROM sym s JOIN l{i - 1} l ON s.dst = l.v GROUP BY 1, 2
+        ),
+        cand{i} AS MATERIALIZED (
+            SELECT v, nlabel, SUM(k) AS k FROM (
+                SELECT v, nlabel, k FROM kv{i}
+                UNION ALL
+                SELECT v, label AS nlabel, 0 AS k FROM l{i - 1}
+            ) GROUP BY 1, 2
+        ),
+        l{i} AS MATERIALIZED (
+            SELECT v, nlabel AS label FROM (
+                SELECT c.v, c.nlabel,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.v
+                           ORDER BY 2 * mm.m * c.k
+                                    - d.deg * (s.sig
+                                        - CASE WHEN c.nlabel = cur.label
+                                               THEN d.deg ELSE 0 END) DESC,
+                                    c.nlabel ASC
+                       ) AS rn
+                FROM cand{i} c
+                JOIN deg d ON c.v = d.v
+                JOIN l{i - 1} cur ON c.v = cur.v
+                JOIN sig{i} s ON c.nlabel = s.label
+                CROSS JOIN mm
+            ) WHERE rn = 1
+        )""")
+    return f"""
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= {min_shared}
+        ),
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e0
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS v, COUNT(*) AS deg FROM sym GROUP BY 1
+        ),
+        mm AS (SELECT COUNT(*) AS m FROM e0),
+        l0 AS (SELECT v, v AS label FROM deg),{",".join(steps)}
         SELECT v AS c, CAST(label AS BIGINT) AS community
         FROM l{rounds} ORDER BY c
     """

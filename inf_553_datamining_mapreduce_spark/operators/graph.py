@@ -1690,3 +1690,95 @@ def label_propagation(edges: DataFrame, rounds: int = 5) -> DataFrame:
     return labels.select(
         F.col("v").alias("c"), F.col("label").alias("community")
     ).orderBy("c")
+
+
+def louvain_moves(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous one-level Louvain (modularity-gain label moves) over
+    DISTINCT canonically-oriented edges, all-BIGINT and fully
+    deterministic — the standard community-detection move rule at scale,
+    made engine-reproducible the same way the pagerank/GN fixed-point
+    twins are.
+
+    Every vertex starts as its own community. Each round every vertex
+    SIMULTANEOUSLY evaluates moving into each neighboring community c
+    (and staying put), using the standard remove-then-insert gain with
+    the 1/(2m^2) denominator cleared:
+
+        score(v, c) = 2m * k_vc - deg(v) * (sig_c - [l(v)=c] * deg(v))
+
+    where ``k_vc`` counts v's edges into c, ``sig_c`` sums the degrees
+    of c's members under the CURRENT labels, and v's own degree leaves
+    its community's sum first (classic Louvain evaluates v as removed).
+    Argmax by (score DESC, community ASC) — a total order, so the round
+    is value-identical in any engine; classic sequential Louvain's
+    vertex-visit order dependence is exactly what this synchronous
+    variant removes. All arithmetic is integer: exact while
+    ``2 * m * max_degree < 2^63`` (DuckDB errors past it, Spark would
+    wrap — document per corpus as with the other fixed-point twins).
+
+    Shape at scale: per round, one aggregate for the community degree
+    sums (communities-sized), one join+aggregate for k_vc (edges-sized,
+    the same shape as a label-propagation round), a zero-score union row
+    so v's own community always competes, and a per-vertex argmax window
+    bounded by the vertex's distinct neighbor communities <= degree.
+    ``localCheckpoint`` truncates lineage per round. Fixed rounds =
+    depth-unrolled chained-CTE oracle, like ``label_propagation``.
+    """
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint()
+    m = edges.count()
+    labels = deg.select("v", F.col("v").alias("label")).localCheckpoint()
+    w = Window.partitionBy("v").orderBy(F.desc("score"), F.asc("nlabel"))
+    for _ in range(rounds):
+        sig = (
+            labels.join(deg, "v")
+            .groupBy("label")
+            .agg(F.sum("deg").alias("sig"))
+        )
+        kvc = (
+            sym.join(labels.withColumnRenamed("v", "dst"), "dst")
+            .select(F.col("src").alias("v"), F.col("label").alias("nlabel"))
+            .groupBy("v", "nlabel")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+        cand = (
+            kvc.unionAll(
+                labels.select(
+                    "v", F.col("label").alias("nlabel"), F.lit(0).alias("k")
+                )
+            )
+            .groupBy("v", "nlabel")
+            .agg(F.sum("k").alias("k"))
+        )
+        scored = (
+            cand.join(deg, "v")
+            .join(labels.withColumnRenamed("label", "cur"), "v")
+            .join(sig, cand.nlabel == sig.label)
+            .select(
+                "v",
+                "nlabel",
+                (
+                    F.lit(2 * m) * F.col("k")
+                    - F.col("deg")
+                    * (
+                        F.col("sig")
+                        - F.when(
+                            F.col("nlabel") == F.col("cur"), F.col("deg")
+                        ).otherwise(F.lit(0))
+                    )
+                ).alias("score"),
+            )
+        )
+        labels = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("v", F.col("nlabel").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("v").alias("c"), F.col("label").alias("community")
+    ).orderBy("c")
