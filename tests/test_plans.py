@@ -437,3 +437,18 @@ def test_chunk_dedup_stats_chunks_corpus_once(spark, sf_dir):
     d = read_parquet_table(spark, sf_dir, "documents")
     plan = _plan(chunk_dedup_stats(d))
     assert plan.count("Generate") == 1, plan
+
+
+def test_pii_redaction_is_shuffle_free_map_only(spark, sf_dir):
+    from inf_553_datamining_mapreduce_spark.operators.text import redact_pii
+
+    c = read_parquet_table(spark, sf_dir, "customer")
+    tickets = c.select(
+        "c_custkey", F.concat(F.col("c_name"), F.lit(" x")).alias("text")
+    )
+    plan = _plan(redact_pii(tickets, "text", ("c_custkey",)))
+    # The scrub stage is a pure per-row projection: at 100 TB it must
+    # fuse into the scan as a map-only pass — ANY exchange here means a
+    # regression introduced a shuffle into a linear pipeline.
+    assert "Exchange" not in plan, plan
+    assert "regexp_replace" in plan
