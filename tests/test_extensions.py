@@ -2100,6 +2100,45 @@ def test_decode_gif_lzw_exact_pixels():
         decode_image(b"GIF89a" + b"\x00" * 20)  # no image frame
 
 
+def test_decode_gif_roundtrip_property():
+    """Property: ANY index raster (any shape, any palette size from 2 to
+    256 colors, interlaced or not) survives real-LZW encode → decode
+    EXACTLY — LZW is lossless, so a single wrong pixel means a
+    dictionary/width-bump desync the fixed-seed test didn't reach."""
+    import random
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    @settings(max_examples=20, deadline=None, derandomize=True)
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=0, max_value=2**31),
+        st.booleans(),
+    )
+    def check(h, w, pal_bits, seed, interlace):
+        rng = random.Random(seed)
+        n_colors = 1 << pal_bits
+        palette = [
+            tuple(rng.randrange(256) for _ in range(3)) for _ in range(n_colors)
+        ]
+        idx = [[rng.randrange(n_colors) for _ in range(w)] for _ in range(h)]
+        want = np.array(
+            [[palette[i] for i in row] for row in idx], dtype=np.uint8
+        )
+        got = decode_image(_make_gif(idx, palette, interlace=interlace))
+        assert np.array_equal(got, want)
+
+    check()
+
+
 def test_decode_jpeg_444_near_exact_pixels():
     """With flat all-ones quant tables the only loss is per-coefficient
     rounding, so 4:4:4 decode must land within a few counts of the
