@@ -1692,7 +1692,103 @@ def label_propagation(edges: DataFrame, rounds: int = 5) -> DataFrame:
     ).orderBy("c")
 
 
-def louvain_moves(edges: DataFrame, rounds: int = 3) -> DataFrame:
+def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` that also RESETS the plan's size statistics.
+
+    ``Dataset.localCheckpoint`` truncates lineage but PRESERVES the origin
+    plan's ``sizeInBytes`` estimate, and Catalyst's size estimation
+    multiplies the two sides of every join. An iterative operator whose
+    state table joins into itself k times per round therefore compounds
+    the estimate k-fold per round — the BigInt grows to tens of
+    thousands of DIGITS within a few rounds, and the optimizer's
+    statistics pass degenerates into Toom-Cook bignum multiplication
+    that dwarfs the actual query (measured: Louvain round 8 spent 180 s
+    of driver CPU inside ``BigInteger.multiply``; the one-join-per-round
+    loops like label propagation only grow the estimate linearly, which
+    is why they never hit this). Rebuilding the Dataset from the
+    checkpointed RDD (a JVM-side Row pass, no Python round-trip) yields
+    a LogicalRDD with the DEFAULT size estimate — constant per round, so
+    round cost stays flat. The default estimate also disables compile-
+    time auto-broadcast of the state table, which is correct at scale
+    (the table is |V|-sized); AQE restores runtime broadcasts from
+    actual sizes where they fit.
+    """
+    ck = df.localCheckpoint()
+    jdf = ck._jdf
+    new_jdf = df.sparkSession._jsparkSession.createDataFrame(
+        jdf.javaRDD(), jdf.schema()
+    )
+    return DataFrame(new_jdf, df.sparkSession)
+
+
+def louvain(edges: DataFrame, rounds: int = 3, levels: int = 2) -> DataFrame:
+    """FULL multi-level Louvain, deterministic and all-BIGINT: run the
+    synchronous move rounds (``louvain_moves``), CONTRACT each community
+    to a supernode — inter-community edge counts become weights,
+    intra-community mass becomes self-loops — then run the move rounds
+    again on the weighted supergraph, and project the coarse labels back
+    to the original vertices. This is the aggregation phase that makes
+    Louvain Louvain (Blondel et al. 2008, §2): level 1 finds local
+    cores, the contraction lets level 2 merge whole cores that the
+    vertex-granular rule couldn't move atomically.
+
+    Community ids stay stable under contraction (a community's id is its
+    minimum-gain-argmax label, itself a vertex id), so the supergraph's
+    vertex set is a subset of the original id space and the final
+    projection is one join. Determinism: every level inherits the
+    (score DESC, community ASC) total order; the contraction is a pure
+    aggregate. Fixed (rounds, levels) = the whole algorithm unrolls into
+    one chained-CTE oracle (``_louvain_oracle`` with ``levels=2``).
+
+    Shape at scale: the contraction is ONE groupBy over the edge list
+    (canonicalized with least/greatest so both directions of an
+    inter-community pair land on one weighted edge); each level's
+    supergraph is no larger than the previous level's community count,
+    so cost is dominated by level 1 — the same envelope as
+    ``label_propagation``.
+    """
+    mapping = louvain_moves(edges, rounds=rounds).select(
+        F.col("c").alias("v"), F.col("community").alias("label")
+    )
+    for _ in range(levels - 1):
+        e = (
+            edges.select("src", "dst")
+            .join(
+                mapping.select(
+                    F.col("v").alias("src"), F.col("label").alias("ls")
+                ),
+                "src",
+            )
+            .join(
+                mapping.select(
+                    F.col("v").alias("dst"), F.col("label").alias("ld")
+                ),
+                "dst",
+            )
+            .select(
+                F.least("ls", "ld").alias("src"),
+                F.greatest("ls", "ld").alias("dst"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .localCheckpoint()
+        )
+        coarse = louvain_moves(e, rounds=rounds, weight_col="w").select(
+            F.col("c").alias("label"), F.col("community").alias("label2")
+        )
+        mapping = (
+            mapping.join(coarse, "label")
+            .select("v", F.col("label2").alias("label"))
+            .localCheckpoint()
+        )
+    return mapping.select(
+        F.col("v").alias("c"), F.col("label").alias("community")
+    ).orderBy("c")
+
+
+def louvain_moves(
+    edges: DataFrame, rounds: int = 3, weight_col: str | None = None
+) -> DataFrame:
     """Synchronous one-level Louvain (modularity-gain label moves) over
     DISTINCT canonically-oriented edges, all-BIGINT and fully
     deterministic — the standard community-detection move rule at scale,
@@ -1706,15 +1802,38 @@ def louvain_moves(edges: DataFrame, rounds: int = 3) -> DataFrame:
 
         score(v, c) = 2m * k_vc - deg(v) * (sig_c - [l(v)=c] * deg(v))
 
-    where ``k_vc`` counts v's edges into c, ``sig_c`` sums the degrees
-    of c's members under the CURRENT labels, and v's own degree leaves
-    its community's sum first (classic Louvain evaluates v as removed).
-    Argmax by (score DESC, community ASC) — a total order, so the round
-    is value-identical in any engine; classic sequential Louvain's
-    vertex-visit order dependence is exactly what this synchronous
-    variant removes. All arithmetic is integer: exact while
+    where ``k_vc`` sums v's edge weight into c, ``sig_c`` sums the
+    degrees of c's members under the CURRENT labels, and v's own degree
+    leaves its community's sum first (classic Louvain evaluates v as
+    removed). Argmax by (score DESC, community ASC) — a total order, so
+    the round is value-identical in any engine; classic sequential
+    Louvain's vertex-visit order dependence is exactly what this
+    synchronous variant removes. All arithmetic is integer: exact while
     ``2 * m * max_degree < 2^63`` (DuckDB errors past it, Spark would
     wrap — document per corpus as with the other fixed-point twins).
+
+    ``weight_col`` names an integer edge-weight column (default: every
+    edge weighs 1) — the form ``louvain`` feeds the CONTRACTED level-2
+    supergraph through, where weights are inter-community edge counts
+    and self-loops (``src == dst``, the intra-community mass) are legal:
+    the symmetrizing union double-counts a self-loop into deg exactly as
+    2w, the Louvain convention, and self-edges are excluded from k_vc
+    (a node evaluated as removed has no edge to itself in any
+    candidate community — their mass rides only through deg/sig, the
+    same for every candidate, so the argmax is unaffected).
+
+    Two stabilizers make the parallel update converge where naive
+    synchronous label updates thrash, both deterministic:
+
+    * **Strict improvement**: a vertex moves only if the best candidate
+      STRICTLY beats its stay score — score ties never cause wandering
+      (inside a clique every member ties its own community against a
+      sibling's; tie-moves would orbit forever).
+    * **Parity gating**: round ``i`` only lets vertices with
+      ``(v + i) % 2 == 0`` move — two mutually-best vertices otherwise
+      trade labels forever (the classic synchronous swap pathology; a
+      strict-gain swap is still a swap). Each sweep takes two rounds, so
+      size ``rounds`` accordingly.
 
     Shape at scale: per round, one aggregate for the community degree
     sums (communities-sized), one join+aggregate for k_vc (edges-sized,
@@ -1724,26 +1843,31 @@ def louvain_moves(edges: DataFrame, rounds: int = 3) -> DataFrame:
     ``localCheckpoint`` truncates lineage per round. Fixed rounds =
     depth-unrolled chained-CTE oracle, like ``label_propagation``.
     """
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ew = F.col(weight_col) if weight_col else F.lit(1)
+    base = edges.select("src", "dst", ew.cast("long").alias("w"))
+    sym = base.unionAll(
+        base.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
     ).localCheckpoint()
     deg = sym.groupBy(F.col("src").alias("v")).agg(
-        F.count(F.lit(1)).alias("deg")
+        F.sum("w").alias("deg")
     ).localCheckpoint()
-    m = edges.count()
+    m = base.agg(F.sum("w")).collect()[0][0]
     labels = deg.select("v", F.col("v").alias("label")).localCheckpoint()
     w = Window.partitionBy("v").orderBy(F.desc("score"), F.asc("nlabel"))
-    for _ in range(rounds):
+    for i in range(1, rounds + 1):
         sig = (
             labels.join(deg, "v")
             .groupBy("label")
             .agg(F.sum("deg").alias("sig"))
         )
         kvc = (
-            sym.join(labels.withColumnRenamed("v", "dst"), "dst")
-            .select(F.col("src").alias("v"), F.col("label").alias("nlabel"))
+            sym.filter(F.col("src") != F.col("dst"))
+            .join(labels.withColumnRenamed("v", "dst"), "dst")
+            .select(F.col("src").alias("v"), F.col("label").alias("nlabel"), "w")
             .groupBy("v", "nlabel")
-            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(F.sum("w").alias("k"))
         )
         cand = (
             kvc.unionAll(
@@ -1761,6 +1885,7 @@ def louvain_moves(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .select(
                 "v",
                 "nlabel",
+                "cur",
                 (
                     F.lit(2 * m) * F.col("k")
                     - F.col("deg")
@@ -1773,11 +1898,27 @@ def louvain_moves(edges: DataFrame, rounds: int = 3) -> DataFrame:
                 ).alias("score"),
             )
         )
-        labels = (
+        best = (
             scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select("v", F.col("nlabel").alias("label"))
-            .localCheckpoint()
+            .select("v", F.col("nlabel").alias("best"), F.col("score").alias("best_score"))
+        )
+        own = scored.filter(F.col("nlabel") == F.col("cur")).select(
+            "v", F.col("score").alias("own_score")
+        )
+        labels = _checkpoint_reset_stats(
+            labels.join(best, "v")
+            .join(own, "v")
+            .select(
+                "v",
+                F.when(
+                    ((F.col("v") + F.lit(i)) % 2 == 0)
+                    & (F.col("best_score") > F.col("own_score")),
+                    F.col("best"),
+                )
+                .otherwise(F.col("label"))
+                .alias("label"),
+            )
         )
     return labels.select(
         F.col("v").alias("c"), F.col("label").alias("community")

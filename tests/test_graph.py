@@ -563,13 +563,10 @@ def test_label_propagation_planted_two_cliques(spark):
 
 def test_louvain_moves_two_triangles_hand_computed(spark):
     """Two disjoint triangles, rounds=3, worked by hand through the
-    synchronous integer move rule: round 1 from singletons each vertex
-    joins its smallest tied neighbor (scores 2m*1 - 2*2 everywhere),
-    round 2 consolidates each triangle onto its minimum label (the
-    staying-score tie 2m - 2*(sig-2) = 2m*1 - 2*2 resolves to the
-    smaller label), round 3 is stable. Also pins cross-clique
-    separation with a bridge (no merge: bridge score 2m - 3*sig loses
-    to in-clique scores) and determinism across a second run."""
+    parity-gated strict-improvement move rule (trace inline below).
+    Also pins cross-clique separation with a bridge (no merge: the
+    bridge candidate's score loses to in-clique scores) and determinism
+    across a second run."""
     from itertools import combinations
 
     from inf_553_datamining_mapreduce_spark.operators.graph import (
@@ -579,20 +576,24 @@ def test_louvain_moves_two_triangles_hand_computed(spark):
     tri = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12)]
     edf = spark.createDataFrame(tri, ["src", "dst"])
     got = {r["c"]: r["community"] for r in louvain_moves(edf, rounds=3).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    # hand trace (m=6, all deg 2, parity-gated strict-improvement):
+    # r1 odd movers: 1->2, 3->1, 11->10 (singleton stay score 0 < 8);
+    # r2 even: 2 and 10 tie own-vs-rival at 8 -> stay, 12 joins 10 (16>0);
+    # r3 odd: 1 ties at 8 -> stays, 3 joins {1,2} (16>0), 11 stays.
+    assert got == {1: 2, 2: 2, 3: 2, 10: 10, 11: 10, 12: 10}
 
     cliq_a = list(combinations(range(0, 5), 2))
     cliq_b = list(combinations(range(10, 15), 2))
     bridged = spark.createDataFrame(
         cliq_a + cliq_b + [(4, 10)], ["src", "dst"]
     )
-    got2 = {r["c"]: r["community"] for r in louvain_moves(bridged, rounds=4).collect()}
+    got2 = {r["c"]: r["community"] for r in louvain_moves(bridged, rounds=6).collect()}
     labels_a = {got2[v] for v in range(0, 5)}
     labels_b = {got2[v] for v in range(10, 15)}
     assert len(labels_a) == 1 and len(labels_b) == 1
     assert labels_a != labels_b  # the bridge must not merge the cliques
     got2_again = {
-        r["c"]: r["community"] for r in louvain_moves(bridged, rounds=4).collect()
+        r["c"]: r["community"] for r in louvain_moves(bridged, rounds=6).collect()
     }
     assert got2_again == got2
 
