@@ -1349,13 +1349,15 @@ def girvan_newman_fixedpoint(
         mapping = a.select(
             F.col("k").alias("mk"), F.col("v").alias("mv"), F.col("lbl").alias("mlbl")
         )
-        lab = (
+        # stats-resetting checkpoint: lab references itself 3x per round
+        # (neighbor join + pointer-jump self-join), so plain
+        # localCheckpoint compounds the size estimate 3^rounds-fold —
+        # the BigInt statistics trap documented at _checkpoint_reset_stats
+        lab = _checkpoint_reset_stats(
             a.join(
                 mapping,
                 (F.col("k") == F.col("mk")) & (F.col("lbl") == F.col("mv")),
-            )
-            .select("k", "v", F.col("mlbl").alias("lbl"))
-            .localCheckpoint()
+            ).select("k", "v", F.col("mlbl").alias("lbl"))
         )
 
     deg0 = (
@@ -1853,7 +1855,9 @@ def louvain_moves(
     deg = sym.groupBy(F.col("src").alias("v")).agg(
         F.sum("w").alias("deg")
     ).localCheckpoint()
-    m = base.agg(F.sum("w")).collect()[0][0]
+    # SUM over an empty edge list is NULL, not 0 — normalize so the
+    # degenerate empty graph flows through (labels is empty anyway)
+    m = base.agg(F.sum("w")).collect()[0][0] or 0
     labels = deg.select("v", F.col("v").alias("label")).localCheckpoint()
     w = Window.partitionBy("v").orderBy(F.desc("score"), F.asc("nlabel"))
     for i in range(1, rounds + 1):

@@ -598,6 +598,36 @@ def test_louvain_moves_two_triangles_hand_computed(spark):
     assert got2_again == got2
 
 
+def test_louvain_multilevel_merges_ring_of_cliques(spark):
+    """Resolution limit, the classic Louvain demonstration (Fortunato &
+    Barthelemy 2007): in a ring of 10 triangles joined by single
+    bridges, modularity favors merging ADJACENT triangles once the ring
+    is long enough (supergraph gain 2m*1 - 8*8 = 16 > 0 at m=40), but
+    the vertex-granular level-1 rule can never move a whole triangle
+    atomically. Level 1 must find exactly the 10 triangles; the
+    contract-and-rerun level 2 must merge some adjacent pairs (6
+    communities under the deterministic parity schedule) while keeping
+    every triangle intact — proof the aggregation phase does real work."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        louvain,
+        louvain_moves,
+    )
+
+    edges = []
+    for t in range(10):
+        a, b, c = 3 * t, 3 * t + 1, 3 * t + 2
+        edges += [(a, b), (a, c), (b, c), (c, (3 * (t + 1)) % 30)]
+    edf = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    one = {r["c"]: r["community"] for r in louvain_moves(edf, rounds=6).collect()}
+    multi = {r["c"]: r["community"] for r in louvain(edf, rounds=6, levels=2).collect()}
+    assert len(set(one.values())) == 10
+    assert len(set(multi.values())) == 6
+    for t in range(10):
+        vs = [3 * t, 3 * t + 1, 3 * t + 2]
+        assert len({one[v] for v in vs}) == 1
+        assert len({multi[v] for v in vs}) == 1
+
+
 def test_label_propagation_one_round_adopts_neighbor_mode(spark):
     """One round on a star: every leaf adopts the hub's label only if the
     hub is its most frequent neighbor label (it is — leaves see one
