@@ -764,6 +764,38 @@ def test_jaccard_operators_match_bruteforce_on_random_corpora(spark):
             assert got == expected, (seed, got, expected)
 
 
+def test_iterative_plans_keep_bounded_size_stats(spark, sf_dir):
+    """Regression guard for the localCheckpoint statistics trap
+    (SCALE.md): a state table that joins into itself k>1 times per round
+    compounds the plan's sizeInBytes estimate k-fold per round, until
+    the optimizer's statistics pass is multiplying BigInts with
+    hundreds of thousands of DIGITS (measured: 180 s of driver CPU for
+    a 14-row graph before `graph._checkpoint_reset_stats`). Every
+    iterative query's final-plan estimate must stay bounded — a
+    four-digit count here means a reintroduced compounding loop that
+    will wedge the driver at higher round counts."""
+    import sys
+
+    import __spark_entry__ as entrymod
+
+    sys.set_int_max_str_digits(20_000_000)
+    q = entrymod.queries()
+    for name in (
+        "communities_louvain_customers",
+        "communities_louvain_multilevel",
+        "communities_girvan_newman_fixedpoint",
+        "kcore_customers",
+        "pagerank_customers",
+        "label_propagation_customers",
+        "connected_components_customers",
+        "edge_betweenness_fixedpoint_customers",
+    ):
+        df = q[name](spark, sf_dir)
+        stat = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        digits = len(str(stat))
+        assert digits < 1000, f"{name}: sizeInBytes has {digits} digits"
+
+
 def test_all_queries_handle_empty_tables(spark, tmp_path):
     """Every registered query must run (possibly to zero rows) against
     EMPTY copies of all ten tables — at fleet scale empty partitions and
