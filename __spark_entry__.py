@@ -1295,12 +1295,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return G.louvain(_customer_graph_edges(spark, sf), rounds=4, levels=2)
 
     q["communities_louvain_multilevel"] = _communities_louvain_multilevel
+
+    def _duplicated_span_stats(spark, sf):
+        (d,) = _t(spark, sf, "documents")
+        return T.duplicated_span_stats(d, k=8)
+
+    q["duplicated_span_stats"] = _duplicated_span_stats
     return _driver_order(q)
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-6 window, 6 + 8 + 36 = 50:
-# (1) 6 new/changed this round: pii_redaction (new — the scrub stage),
+# round. The round-6 window, 7 + 8 + 35 = 50:
+# (1) 7 new/changed this round: pii_redaction (new — the scrub stage),
+#     duplicated_span_stats (new — ExactSubstr-style span duplication),
 #     communities_louvain_customers (new — synchronous integer Louvain),
 #     communities_louvain_multilevel (new — the full contract-and-rerun
 #     Louvain),
@@ -1311,14 +1318,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     deduplicated);
 # (2) the 8 round-2 greens rotated out of the round-5 window — after this
 #     round NO query's latest green is older than round 4;
-# (3) 36 of the 47 queries last proven round 3. The 11 round-3 greens left
+# (3) 35 of the 47 queries last proven round 3. The 12 round-3 greens left
 #     out (brand_supplier_counts, returnflag_priority_counts,
 #     late_shipment_priority_counts, shipping_priority, promo_revenue,
 #     large_volume_customers, volume_shipping_by_year,
 #     local_supplier_volume, weekly_active_users,
-#     customers_with_urgent_orders, latest_events_snapshot) are the
+#     customers_with_urgent_orders, latest_events_snapshot,
+#     user_retention_cohorts) are the
 #     pure-codegen TPC-H scan-agg-join family plus one date-bucketed
-#     distinct-count and one argmax-per-key dedup window —
+#     distinct-count, one argmax-per-key dedup window, and one
+#     cohort-pivot (sequence/window surface exercised in-window by
+#     session_funnel / user_interevent_gaps) —
 #     single Catalyst plans untouched since round 3 whose operator
 #     surface (scan, filter, equi-join, hash agg, decimal accumulation,
 #     date-trunc distinct, per-key argmax via cheapest_shipment_per_part) is
@@ -1331,6 +1341,7 @@ _DRIVER_PRIORITY = [
     "pii_redaction",
     "communities_louvain_customers",
     "communities_louvain_multilevel",
+    "duplicated_span_stats",
     "incremental_index_dedup_stream_plan",
     "incremental_index_dedup",
     "communities_girvan_newman_fixedpoint",
@@ -1379,7 +1390,6 @@ _DRIVER_PRIORITY = [
     "stratified_sample_events",
     "tumbling_window_stats_stream_plan",
     "user_interevent_gaps",
-    "user_retention_cohorts",
 ]
 
 
@@ -3795,6 +3805,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(text, '{_pp["digit_run"]}')) AS BIGINT)
                    AS n_digit_run
         FROM tickets
+    """
+
+    # ExactSubstr-style duplicated spans: same tokenization as the
+    # jaccard oracle (string_split + 1-based array slices); md5 of the
+    # space-joined 8-token span matches Spark's concat_ws(' ')/md5.
+    # range(1, len-6) yields i = 1..len-7, i.e. n_tokens-7 spans —
+    # exactly Spark's posexplode positions 0..n-8 after the full-span
+    # filter; range with an empty interval handles short docs.
+    d["duplicated_span_stats"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, md5(array_to_string(t[u.i:u.i+7], ' ')) AS h
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        ),
+        counts AS (SELECT h, COUNT(*) AS n_occ FROM grams GROUP BY h)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_grams,
+               CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS dup_rate
+        FROM grams JOIN counts USING (h)
+        GROUP BY doc_id ORDER BY doc_id
     """
     return d
 

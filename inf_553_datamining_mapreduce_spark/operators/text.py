@@ -1155,3 +1155,60 @@ def redact_pii(
     return df.select(
         *id_cols, redacted.alias("redacted_text"), *counts
     )
+
+
+def duplicated_span_stats(documents: DataFrame, k: int = 8) -> DataFrame:
+    """ExactSubstr-style duplicated-span statistics (the fixed-length
+    approximation of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): for every token position, hash the k-token
+    span starting there; a span whose hash occurs more than once in the
+    corpus (in another document OR repeated within the same one — the
+    paper's self-repetition case) is a duplicated span. Emits per
+    document (with at least one full span) the exact integer counts
+    ``n_grams`` / ``n_dup_grams`` plus ``dup_rate`` as their single IEEE
+    division — deterministic cross-engine (one op on exact integers, no
+    accumulation order).
+
+    Shape at scale: one explode to token positions (linear), one
+    per-document window (lead/concat — bounded by document length, no
+    cross-document state), one hash-count aggregate, and one join of
+    positions to their hash's corpus count — each position carries
+    exactly one hash, so the join fans out 1:1 and the whole pipeline is
+    linear in total tokens with three shuffles. No all-pairs anything:
+    unlike MinHash (which estimates document-level similarity), this is
+    the span-level EXACT duplication signal, and the two catch different
+    contamination (a boilerplate paragraph pasted into thousands of
+    otherwise-distinct documents never reaches Jaccard 0.8 but lights up
+    every one of its spans here).
+    """
+    tok = documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("token")] + [F.lead("token", i).over(win) for i in range(1, k)]
+    grams = (
+        tok.select(
+            "doc_id", "pos", F.md5(F.concat_ws(" ", *parts)).alias("h"),
+            F.lead("token", k - 1).over(win).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())  # only full k-token spans
+        .drop("_tail")
+    )
+    counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        grams.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            (F.col("n_dup_grams") / F.col("n_grams")).alias("dup_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1395,6 +1395,54 @@ def test_per_row_minhash_signature_matches_aggregated(spark, sf_dir):
             assert doc_id not in agg
 
 
+def test_duplicated_span_stats_planted_boilerplate(spark):
+    """A boilerplate sentence pasted into two otherwise-distinct
+    documents must flag exactly its spans in BOTH docs (the
+    cross-document case MinHash can't see at low Jaccard), a document
+    repeating its own phrase must flag the self-repetition, and a
+    short document (< k tokens) must emit no row."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        duplicated_span_stats,
+    )
+
+    boiler = "all rights reserved contact us for licensing terms today"  # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta " + boiler),
+            (2, boiler + " iota kappa lmbda mu nu xi omicron pi"),
+            (3, "unique words only here nothing shared at all nine ten"),
+            (4, "rep one two three four five six seven eight "
+                "rep one two three four five six seven eight"),
+            (5, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+        for r in duplicated_span_stats(docs, k=8).collect()
+    }
+    assert 5 not in got  # 2 tokens < k
+    # doc 1: 17 tokens -> 10 spans; the 9-token boilerplate contributes
+    # 2 fully-inside spans shared with doc 2
+    assert got[1] == (10, 2)
+    assert got[2] == (10, 2)
+    assert got[3] == (3, 0)
+    # doc 4: 18 tokens, "rep one...eight" (9 tokens) twice; spans at
+    # offsets 0 and 9 are identical (9 such pairs via wraparound of the
+    # repeat): positions 0..10 -> 11 spans; dups: pos p and p+9 equal for
+    # p in 0..1, plus... exact count pinned by construction below
+    n_grams, n_dup = got[4]
+    assert n_grams == 11 and n_dup > 0
+    # cross-check doc 4 against a brute-force count
+    toks = ("rep one two three four five six seven eight "
+            "rep one two three four five six seven eight").split(" ")
+    spans = [" ".join(toks[p : p + 8]) for p in range(len(toks) - 7)]
+    from collections import Counter
+
+    c = Counter(spans)
+    assert n_dup == sum(1 for s in spans if c[s] > 1)
+
+
 def test_redact_pii_classes_and_counts(spark):
     """Each PII class redacts independently with counts over the ORIGINAL
     text; adjacent/multiple matches, class non-overlap (phone digits
