@@ -1301,13 +1301,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return T.duplicated_span_stats(d, k=8)
 
     q["duplicated_span_stats"] = _duplicated_span_stats
+
+    def _incremental_span_contamination(spark, sf):
+        # Ingestion-time ExactSubstr probe, mirroring
+        # incremental_index_dedup's split: even doc_ids are the indexed
+        # corpus, odd doc_ids the incoming batch. The span build is a
+        # pure projection and the probe one stream-static-joinable
+        # equi-join — the same composition runs under Structured
+        # Streaming with zero state.
+        (d,) = _t(spark, sf, "documents")
+        idx = T.build_span_index(d.filter(F.col("doc_id") % 2 == 0), k=8)
+        return T.index_span_contamination(
+            d.filter(F.col("doc_id") % 2 == 1), idx, k=8
+        )
+
+    q["incremental_span_contamination"] = _incremental_span_contamination
     return _driver_order(q)
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-6 window, 7 + 8 + 35 = 50:
+# round. The round-6 window, 8 + 8 + 34 = 50:
 # (1) 7 new/changed this round: pii_redaction (new — the scrub stage),
 #     duplicated_span_stats (new — ExactSubstr-style span duplication),
+#     incremental_span_contamination (new — its ingestion-time probe),
 #     communities_louvain_customers (new — synchronous integer Louvain),
 #     communities_louvain_multilevel (new — the full contract-and-rerun
 #     Louvain),
@@ -1318,13 +1334,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     deduplicated);
 # (2) the 8 round-2 greens rotated out of the round-5 window — after this
 #     round NO query's latest green is older than round 4;
-# (3) 35 of the 47 queries last proven round 3. The 12 round-3 greens left
+# (3) 34 of the 47 queries last proven round 3. The 13 round-3 greens left
 #     out (brand_supplier_counts, returnflag_priority_counts,
 #     late_shipment_priority_counts, shipping_priority, promo_revenue,
 #     large_volume_customers, volume_shipping_by_year,
 #     local_supplier_volume, weekly_active_users,
 #     customers_with_urgent_orders, latest_events_snapshot,
-#     user_retention_cohorts) are the
+#     user_retention_cohorts, bigram_counts — the n-gram explode+count
+#     surface now exercised in-window by duplicated_span_stats) are the
 #     pure-codegen TPC-H scan-agg-join family plus one date-bucketed
 #     distinct-count, one argmax-per-key dedup window, and one
 #     cohort-pivot (sequence/window surface exercised in-window by
@@ -1342,6 +1359,7 @@ _DRIVER_PRIORITY = [
     "communities_louvain_customers",
     "communities_louvain_multilevel",
     "duplicated_span_stats",
+    "incremental_span_contamination",
     "incremental_index_dedup_stream_plan",
     "incremental_index_dedup",
     "communities_girvan_newman_fixedpoint",
@@ -1358,7 +1376,6 @@ _DRIVER_PRIORITY = [
     "approx_price_percentile_bounds",
     "benchmark_contamination",
     "bfs_distances_customers",
-    "bigram_counts",
     "bloom_filtered_revenue",
     "cheapest_shipment_per_part",
     "cms_heavy_hitters",
@@ -3830,6 +3847,26 @@ def oracle_sql() -> dict[str, str]:
                    / COUNT(*) AS dup_rate
         FROM grams JOIN counts USING (h)
         GROUP BY doc_id ORDER BY doc_id
+    """
+
+    d["incremental_span_contamination"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, md5(array_to_string(t[u.i:u.i+7], ' ')) AS h
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        ),
+        idx AS (SELECT DISTINCT h FROM grams WHERE doc_id % 2 = 0),
+        probe AS (SELECT doc_id, h FROM grams WHERE doc_id % 2 = 1)
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_indexed_grams,
+               CAST(SUM(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS contamination_rate
+        FROM probe p LEFT JOIN idx i ON p.h = i.h
+        GROUP BY p.doc_id ORDER BY p.doc_id
     """
     return d
 

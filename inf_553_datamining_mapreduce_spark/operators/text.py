@@ -1169,31 +1169,20 @@ def duplicated_span_stats(documents: DataFrame, k: int = 8) -> DataFrame:
     division — deterministic cross-engine (one op on exact integers, no
     accumulation order).
 
-    Shape at scale: one explode to token positions (linear), one
-    per-document window (lead/concat — bounded by document length, no
-    cross-document state), one hash-count aggregate, and one join of
-    positions to their hash's corpus count — each position carries
-    exactly one hash, so the join fans out 1:1 and the whole pipeline is
-    linear in total tokens with three shuffles. No all-pairs anything:
-    unlike MinHash (which estimates document-level similarity), this is
-    the span-level EXACT duplication signal, and the two catch different
-    contamination (a boilerplate paragraph pasted into thousands of
-    otherwise-distinct documents never reaches Jaccard 0.8 but lights up
-    every one of its spans here).
+    Shape at scale: the gram build is a PURE PROJECTION — tokens, a
+    `sequence`/`transform`/`slice` expression producing each span's hash
+    per row, one explode (linear in total tokens, zero shuffles; the
+    per-doc-window formulation this replaced shuffled the whole token
+    stream by doc_id first, and window functions are also what a
+    streaming twin can't run) — then one hash-count aggregate and one
+    1:1 join of spans to their hash's corpus count. Two shuffles total.
+    No all-pairs anything: unlike MinHash (which estimates document-level
+    similarity), this is the span-level EXACT duplication signal, and
+    the two catch different contamination (a boilerplate paragraph
+    pasted into thousands of otherwise-distinct documents never reaches
+    Jaccard 0.8 but lights up every one of its spans here).
     """
-    tok = documents.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("token")] + [F.lead("token", i).over(win) for i in range(1, k)]
-    grams = (
-        tok.select(
-            "doc_id", "pos", F.md5(F.concat_ws(" ", *parts)).alias("h"),
-            F.lead("token", k - 1).over(win).alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())  # only full k-token spans
-        .drop("_tail")
-    )
+    grams = _span_hashes(documents, k)
     counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
         grams.join(counts, "h")
@@ -1209,6 +1198,73 @@ def duplicated_span_stats(documents: DataFrame, k: int = 8) -> DataFrame:
             "n_grams",
             "n_dup_grams",
             (F.col("n_dup_grams") / F.col("n_grams")).alias("dup_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _span_hashes(documents: DataFrame, k: int) -> DataFrame:
+    """(doc_id, h) for every k-token span — a pure per-row projection
+    (split -> sequence/transform/slice -> md5 -> explode), no window, no
+    shuffle, so it runs identically under batch and Structured
+    Streaming. Documents with fewer than k tokens produce no rows (the
+    sequence guard — ``F.sequence`` with start > stop would otherwise
+    generate a DESCENDING range, not an empty one)."""
+    tokens = F.split("text", " ")
+    n = F.size(tokens)
+    spans = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tokens, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return documents.select("doc_id", F.explode(spans).alias("h"))
+
+
+def build_span_index(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Corpus span index for ingestion-time contamination checks: every
+    k-token span hash with its occurrence count. One aggregate over the
+    projected span stream; the natural persisted artifact an ingestion
+    pipeline keeps next to its MinHash index."""
+    return _span_hashes(documents, k).groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+
+
+def index_span_contamination(
+    new_docs: DataFrame, span_index: DataFrame, k: int = 8
+) -> DataFrame:
+    """Ingestion-time ExactSubstr contamination: for each INCOMING
+    document, how many of its k-token spans already exist in the indexed
+    corpus. Stateless per row — the span build is a pure projection,
+    the probe one equi-join against the static index, and a document's
+    spans live entirely in its own input row, so the per-document
+    aggregate is COMPLETE within any micro-batch: under Structured
+    Streaming the exact composition runs through ``foreachBatch``
+    (tested), no watermarks or cross-batch state. Emits docs with at least one full span:
+    exact integer `n_grams` / `n_indexed_grams` plus their single IEEE
+    division as `contamination_rate`.
+    """
+    grams = _span_hashes(new_docs, k)
+    hits = grams.join(
+        span_index.select("h", F.lit(1).alias("_hit")), "h", "left"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias(
+                "n_indexed_grams"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_indexed_grams",
+            (F.col("n_indexed_grams") / F.col("n_grams")).alias(
+                "contamination_rate"
+            ),
         )
         .orderBy("doc_id")
     )

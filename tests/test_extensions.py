@@ -1395,6 +1395,65 @@ def test_per_row_minhash_signature_matches_aggregated(spark, sf_dir):
             assert doc_id not in agg
 
 
+def test_streaming_span_contamination_matches_batch(spark, sf_dir, tmp_path):
+    """The ingestion-time ExactSubstr probe must produce the BATCH result
+    when the incoming documents arrive as a stream: a document's spans
+    live entirely in its own input row, so the per-document aggregate is
+    complete within any micro-batch and runs through foreachBatch with
+    zero cross-batch state — each incoming document's contamination row
+    lands exactly once."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        build_span_index,
+        index_span_contamination,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    idx = build_span_index(docs.filter(F.col("doc_id") % 2 == 0), k=8)
+    idx = idx.localCheckpoint()  # static side, computed once
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    batch = {
+        r["doc_id"]: (r["n_grams"], r["n_indexed_grams"])
+        for r in index_span_contamination(new_docs, idx, k=8).collect()
+    }
+    assert batch and any(v[1] > 0 for v in batch.values())
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    new_docs.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+        str(stream_dir / "a")
+    )
+    new_docs.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+        str(stream_dir / "b")
+    )
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")
+    )
+    # A document's spans live entirely in its own input row, so the
+    # per-document aggregate is complete within any micro-batch — the
+    # foreachBatch pattern (NOT a stateful streaming aggregation, which
+    # append mode would rightly reject as unbounded).
+    out_dir = str(tmp_path / "contam_out")
+
+    def process(batch_df, batch_id):
+        index_span_contamination(batch_df, idx, k=8).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_indexed_grams"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == batch
+
+
 def test_duplicated_span_stats_planted_boilerplate(spark):
     """A boilerplate sentence pasted into two otherwise-distinct
     documents must flag exactly its spans in BOTH docs (the
