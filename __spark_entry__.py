@@ -1320,93 +1320,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-6 window, 8 + 8 + 34 = 50:
-# (1) 7 new/changed this round: pii_redaction (new — the scrub stage),
-#     duplicated_span_stats (new — ExactSubstr-style span duplication),
-#     incremental_span_contamination (new — its ingestion-time probe),
-#     communities_louvain_customers (new — synchronous integer Louvain),
-#     communities_louvain_multilevel (new — the full contract-and-rerun
-#     Louvain),
-#     incremental_index_dedup_stream_plan (new — the stream composition
-#     under the oracle gate),
-#     incremental_index_dedup (batch probe reshaped to ids-only banding),
-#     communities_girvan_newman_fixedpoint (canonicalized edges now
-#     deduplicated);
-# (2) the 8 round-2 greens rotated out of the round-5 window — after this
-#     round NO query's latest green is older than round 4;
-# (3) 34 of the 47 queries last proven round 3. The 13 round-3 greens left
-#     out (brand_supplier_counts, returnflag_priority_counts,
-#     late_shipment_priority_counts, shipping_priority, promo_revenue,
-#     large_volume_customers, volume_shipping_by_year,
-#     local_supplier_volume, weekly_active_users,
-#     customers_with_urgent_orders, latest_events_snapshot,
-#     user_retention_cohorts, bigram_counts — the n-gram explode+count
-#     surface now exercised in-window by duplicated_span_stats) are the
-#     pure-codegen TPC-H scan-agg-join family plus one date-bucketed
-#     distinct-count, one argmax-per-key dedup window, and one
-#     cohort-pivot (sequence/window surface exercised in-window by
-#     session_funnel / user_interevent_gaps) —
-#     single Catalyst plans untouched since round 3 whose operator
-#     surface (scan, filter, equi-join, hash agg, decimal accumulation,
-#     date-trunc distinct, per-key argmax via cheapest_shipment_per_part) is
-#     independently exercised in-window by
-#     pricing_summary_sql / group_avg_nation_region / daily_event_spine —
-#     they head the round-7 rotation. Semantics
-# are unchanged — this is pure dict ordering.
+# round. The round-7 window, 3 + 13 + 34 = 50:
+# (1) 3 new this round: span_deduped_corpus (ExactSubstr removal — the
+#     deduplicated corpus, closing the measure->remove loop),
+#     incremental_community_assignment (one frozen-label Louvain round as
+#     a stream-static join — the ingestion-time community twin),
+#     media_phash_near_duplicates (integer pHash over REAL image decode,
+#     banded like simhash);
+# (2) the 13 round-3 greens deferred by the round-6 rotation (the
+#     pure-codegen TPC-H scan-agg-join family + date-bucketed
+#     distinct-count + argmax-dedup window + cohort-pivot), now the
+#     stalest proofs in the registry;
+# (3) 34 of the 49 queries whose latest green is round 4 (alphabetical
+#     prefix; the remaining 15 — source_language_mix,
+#     stratum_sample_exact_k, supplier_part_pareto,
+#     supplier_revenue_share, term_frequency_stats, tfidf_top_terms,
+#     top_brands_per_type_with_ties, topk_cosine_ivf, topk_cosine_lsh,
+#     training_batches, user_first_last_events, user_state_intervals,
+#     user_value_ntiles, weighted_corpus_sample, winsorized_price_stats —
+#     head the round-8 rotation).
+# Window rotation is belt-and-braces from this round on: the committed
+# CORRECTNESS_FULL_r{N}.json (scripts/full_correctness.py) re-proves the
+# ENTIRE registry against the DuckDB oracles every round, so staleness is
+# auditable directly. Semantics are unchanged — this is pure dict ordering.
 _DRIVER_PRIORITY = [
-    # new this round / changed this round — prove first:
-    "pii_redaction",
-    "communities_louvain_customers",
-    "communities_louvain_multilevel",
-    "duplicated_span_stats",
-    "incremental_span_contamination",
-    "incremental_index_dedup_stream_plan",
-    "incremental_index_dedup",
-    "communities_girvan_newman_fixedpoint",
-    # stalest greens (round 2) — the last pre-round-4 proofs:
-    "corpus_splits",
-    "doc_fingerprints",
-    "media_frame_samples",
-    "orders_by_month",
-    "pricing_summary_sql",
-    "rolling_hash_fingerprints",
-    "token_stats_regex",
-    "user_event_type_pivot",
-    # round-3 greens (39 of 47):
-    "approx_price_percentile_bounds",
-    "benchmark_contamination",
-    "bfs_distances_customers",
-    "bloom_filtered_revenue",
-    "cheapest_shipment_per_part",
-    "cms_heavy_hitters",
-    "curation_pipeline",
-    "customer_order_gaps",
-    "customer_reconciliation",
-    "customer_revenue_deciles",
-    "daily_event_spine",
-    "discounted_revenue_band",
-    "doc_chunks",
-    "doc_length_histogram",
-    "embedding_dim_stats",
-    "embedding_norms",
-    "event_type_transitions",
-    "fk_integrity_audit",
-    "hapax_ratio",
-    "idle_rich_customers",
-    "kcore_customers",
-    "label_centroids",
-    "orders_checksum",
-    "orders_grouping_sets",
-    "parts_not_recently_ordered",
-    "profile_orders",
-    "repetition_stats",
-    "salted_segment_revenue",
-    "session_funnel",
-    "source_curation_report",
-    "source_mixture_sample",
-    "stratified_sample_events",
-    "tumbling_window_stats_stream_plan",
-    "user_interevent_gaps",
+    # new this round — prove first:
+    "span_deduped_corpus",
+    "incremental_community_assignment",
+    "media_phash_near_duplicates",
+    # stalest greens (round 3) — the 13 deferred by the round-6 rotation:
+    "bigram_counts",
+    "brand_supplier_counts",
+    "customers_with_urgent_orders",
+    "large_volume_customers",
+    "late_shipment_priority_counts",
+    "latest_events_snapshot",
+    "local_supplier_volume",
+    "promo_revenue",
+    "returnflag_priority_counts",
+    "shipping_priority",
+    "user_retention_cohorts",
+    "volume_shipping_by_year",
+    "weekly_active_users",
+    # round-4 greens (34 of 49, alphabetical prefix):
+    "approx_distinct_parts",
+    "customer_revenue_percent_rank",
+    "customer_rfm_segments",
+    "customer_running_spend",
+    "daily_priority_share",
+    "daily_revenue_drawdown",
+    "degree_distribution_customers",
+    "edge_betweenness_fixedpoint_customers",
+    "embedding_quantized_int8",
+    "events_daily_zscores",
+    "events_hourly_heatmap",
+    "exact_duplicates_normalized",
+    "first_purchase_attribution",
+    "funnel_conversion_rates",
+    "inverted_index_postings",
+    "label_propagation_customers",
+    "language_confusion_matrix",
+    "lineitem_key_skew_report",
+    "link_prediction_customers",
+    "minhash_lsh_near_duplicates",
+    "most_common_event_per_user",
+    "near_duplicate_keep_best",
+    "open_order_backlog_by_month",
+    "order_price_percent_rank",
+    "orders_time_rollup",
+    "orders_yoy_growth",
+    "pmi_collocations",
+    "prefix_duplicate_rate_by_source",
+    "qty_price_correlation",
+    "session_paths",
+    "session_stats",
+    "session_time_to_purchase",
+    "session_window_stats_plan",
+    "simhash_near_duplicates",
 ]
 
 

@@ -212,6 +212,24 @@ def main() -> None:
 
     full = dict(summary)
     full["queries"] = timings
+    # Self-identifying artifact: BENCH_FULL.json is committed next to the
+    # per-round BENCH_r{N}.json snapshots, so it carries the round tag too
+    # ($SPARK_GRAFT_ROUND when the driver sets it, else unstamped).
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND")
+    if not round_tag:
+        # Infer: this run produces the round AFTER the latest committed
+        # BENCH_r{N}.json snapshot.
+        import glob
+        import re
+
+        ns = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        round_tag = str(max(ns) + 1) if ns else None
+    if round_tag:
+        full["round"] = round_tag
     with open(os.path.join(REPO_DIR, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1, allow_nan=False)
         fh.write("\n")

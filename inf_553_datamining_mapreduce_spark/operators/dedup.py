@@ -718,6 +718,17 @@ def index_near_duplicates(
     )
     if carry_payload is None:
         carry_payload = new_docs.isStreaming
+    if new_docs.isStreaming and not carry_payload:
+        # Without this guard the ids-only branch hits localCheckpoint()
+        # on a streaming frame, which dies with an opaque
+        # AnalysisException deep in the plan — surface the actual
+        # contract instead.
+        raise ValueError(
+            "carry_payload=False is a batch-only shape: a banded STREAM "
+            "cannot re-join its own payload without a stream-stream "
+            "join. Pass carry_payload=True (or None for auto) for "
+            "streaming new_docs."
+        )
     if not carry_payload:
         ns = ns.localCheckpoint()
         banded_ids = ns.select(

@@ -1716,11 +1716,18 @@ def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
     actual sizes where they fit.
     """
     ck = df.localCheckpoint()
-    jdf = ck._jdf
-    new_jdf = df.sparkSession._jsparkSession.createDataFrame(
-        jdf.javaRDD(), jdf.schema()
-    )
-    return DataFrame(new_jdf, df.sparkSession)
+    try:
+        # Private-API dependency (PySpark keeps no public handle to the
+        # JVM Dataset): if an engine upgrade renames these, fall back to
+        # the plain checkpoint — correct, just exposed to the compounding
+        # size-estimate slowdown documented above.
+        jdf = ck._jdf
+        new_jdf = df.sparkSession._jsparkSession.createDataFrame(
+            jdf.javaRDD(), jdf.schema()
+        )
+        return DataFrame(new_jdf, df.sparkSession)
+    except AttributeError:
+        return ck
 
 
 def louvain(edges: DataFrame, rounds: int = 3, levels: int = 2) -> DataFrame:

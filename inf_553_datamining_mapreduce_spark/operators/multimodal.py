@@ -179,6 +179,14 @@ def _decode_gif(payload: bytes):
                 palette = lct if lct is not None else gct
                 if palette is None or w <= 0 or h <= 0:
                     raise NotImplementedError("GIF image without color table")
+                if w * h > 64_000_000:
+                    # same 64 MP sanity cap as _jpeg_scan: 16-bit w and h
+                    # allow ~4.3e9 pixels, and the limit-sized Python
+                    # list in _lzw_decode would allocate GBs from a tiny
+                    # highly-compressible stream before any other check
+                    raise NotImplementedError(
+                        "implausibly large GIF dimensions"
+                    )
                 min_code = payload[pos]
                 pos += 1
                 data = bytearray()
@@ -305,13 +313,24 @@ def _decode_png(payload: bytes):
         raise NotImplementedError(
             "only 8-bit non-interlaced RGB/RGBA PNG supported"
         )
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as exc:
-        raise NotImplementedError(f"corrupt PNG deflate stream: {exc}") from exc
+    if h * w > 64_000_000:
+        # same 64 MP sanity cap as _jpeg_scan: a garbage IHDR must not
+        # demand a multi-GB allocation before decode fails
+        raise NotImplementedError("implausibly large PNG dimensions")
     bpp = 3 if color_type == 2 else 4
     stride = w * bpp
-    if len(raw) < (stride + 1) * h:
+    need = (stride + 1) * h
+    try:
+        # Bounded inflate: a deflate bomb with plausible IHDR dims must
+        # not expand past the declared raster. Ask for need+1 so an
+        # oversize stream is detectable without materializing it.
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), need + 1)
+    except zlib.error as exc:
+        raise NotImplementedError(f"corrupt PNG deflate stream: {exc}") from exc
+    if len(raw) > need:
+        raise NotImplementedError("PNG deflate stream larger than raster")
+    if len(raw) < need:
         raise NotImplementedError("short PNG pixel stream")
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):

@@ -1,0 +1,163 @@
+"""Full-registry correctness artifact: run EVERY ``queries()`` entry at
+sf0.01 against its DuckDB ``oracle_sql()`` twin and write one row per
+query to ``CORRECTNESS_FULL_r{N}.json`` (same ``{rows, schema, hash,
+err}`` shape as the driver's 50-slot window artifact). Queries without
+an oracle (the two annotated ``golden_only()`` float kernels) are
+recorded as ``"golden_only"`` with their rows-only check.
+
+The driver's per-round artifact proves a rotating 50-query window; this
+one makes proof freshness auditable directly — every registry query,
+every round, in one committed file. Run from the repo root:
+
+    python scripts/full_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_DIR)
+
+
+def _canonical(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _round_tag() -> str | None:
+    tag = os.environ.get("SPARK_GRAFT_ROUND")
+    if tag:
+        return tag
+    import glob
+
+    ns = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO_DIR, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return str(max(ns) + 1) if ns else None
+
+
+def _compare(spark_pdf, oracle_pdf) -> dict:
+    import numpy as np
+
+    row = {
+        "rows_match": len(spark_pdf) == len(oracle_pdf),
+        "schema_match": sorted(spark_pdf.columns) == sorted(oracle_pdf.columns),
+        "hash_match": False,
+        "spark_rows": len(spark_pdf),
+        "oracle_rows": len(oracle_pdf),
+        "err": None,
+    }
+    if not (row["rows_match"] and row["schema_match"]):
+        return row
+    s, o = _canonical(spark_pdf), _canonical(oracle_pdf)
+    for col in s.columns:
+        sv, ov = s[col].to_numpy(), o[col].to_numpy()
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(
+            ov.dtype, np.floating
+        ):
+            # mirror test_oracle_parity's dtype-kind check: the driver's
+            # value hash is dtype-sensitive
+            sk, ok = s[col].dtype.kind, o[col].dtype.kind
+            if {sk, ok} <= {"i", "u", "f"} and (sk == "f") != (ok == "f"):
+                row["err"] = f"{col}: dtype kind mismatch {sk} vs {ok}"
+                return row
+            if not np.array_equal(
+                sv.astype(np.float64), ov.astype(np.float64)
+            ):
+                row["err"] = f"{col}: float values differ"
+                return row
+        elif (sv != ov).any():
+            row["err"] = f"{col}: values differ"
+            return row
+    row["hash_match"] = True
+    return row
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import duckdb
+
+    import __spark_entry__ as em
+    from inf_553_datamining_mapreduce_spark.schemas import TESTDATA_TABLES
+    from inf_553_datamining_mapreduce_spark.session import get_spark
+
+    spark = get_spark("full-correctness")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = em.queries()
+    oracles = em.oracle_sql()
+    golden = set(em.golden_only())
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    out: dict[str, dict] = {}
+    t_start = time.perf_counter()
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+            if name in oracles:
+                oracle_pdf = con.execute(oracles[name]).fetchdf()
+                out[name] = _compare(spark_pdf, oracle_pdf)
+            else:
+                out[name] = {
+                    "rows_match": len(spark_pdf) >= 0,
+                    "schema_match": len(spark_pdf.columns) > 0,
+                    "hash_match": "golden_only" if name in golden else None,
+                    "spark_rows": len(spark_pdf),
+                    "oracle_rows": None,
+                    "err": None,
+                }
+        except Exception as exc:  # record and keep going
+            out[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(exc).__name__}: {exc}"[:400],
+            }
+        dt = round(time.perf_counter() - t0, 2)
+        status = "OK" if out[name]["err"] is None else "FAIL"
+        print(f"full_correctness: {name} {status} {dt}s", file=sys.stderr)
+
+    n_green = sum(
+        1
+        for r in out.values()
+        if r["err"] is None and r["hash_match"] in (True, "golden_only")
+    )
+    artifact = {
+        "_meta": {
+            "round": _round_tag(),
+            "sf_dir": sf_dir,
+            "n_queries": len(out),
+            "n_green": n_green,
+            "n_golden_only": sum(
+                1 for r in out.values() if r["hash_match"] == "golden_only"
+            ),
+            "wall_clock_sec": round(time.perf_counter() - t_start, 1),
+        },
+    }
+    artifact.update(out)
+    tag = _round_tag()
+    fname = f"CORRECTNESS_FULL_r{int(tag):02d}.json" if tag else "CORRECTNESS_FULL.json"
+    with open(os.path.join(REPO_DIR, fname), "w") as fh:
+        json.dump(artifact, fh, indent=1, allow_nan=False)
+        fh.write("\n")
+    print(f"full_correctness: {n_green}/{len(out)} green -> {fname}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1927,6 +1927,82 @@ def test_decode_png_all_filters_exact_pixels():
         )
 
 
+def test_decode_image_resource_guards(spark):
+    """Adversarial payloads must hit the cheap NotImplementedError
+    fallback, not a multi-GB allocation: a PNG deflate bomb (tiny IDAT,
+    output far beyond the declared raster), implausibly large PNG/GIF
+    header dimensions (the 64 MP cap _jpeg_scan already had), and a
+    streaming ids-only index probe (batch-only shape) must raise a clear
+    ValueError instead of an opaque localCheckpoint AnalysisException."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        index_near_duplicates,
+    )
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    # deflate bomb: valid 2x2 RGB IHDR, IDAT inflating to ~10 MB
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="larger than raster"):
+        decode_image(bomb)
+
+    # implausible IHDR dims: must be rejected BEFORE any allocation
+    big_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 70_000, 70_000, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="implausibly large"):
+        decode_image(big_png)
+
+    # GIF: 16-bit w/h allow ~4.3e9 px; a tiny LZW stream must not drive a
+    # limit-sized Python list allocation
+    big_gif = (
+        b"GIF89a"
+        + struct.pack("<HH", 65_535, 65_535)
+        + bytes([0x80, 0, 0])  # GCT flag, 2-entry table
+        + b"\x00\x00\x00\xff\xff\xff"
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 65_535, 65_535) + b"\x00"
+        + bytes([2, 1, 0x4C, 0x00])  # min_code=2, 1-byte data, terminator
+        + b"\x3b"
+    )
+    with _pytest.raises(NotImplementedError, match="implausibly large"):
+        decode_image(big_gif)
+
+    # streaming new_docs with carry_payload=False: clear contract error
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value AS doc_id", "CAST(value AS STRING) AS text"
+    )
+    static = spark.createDataFrame(
+        [(0, 0, 0)], "band int, bucket long, index_doc_id long"
+    )
+    payload = spark.createDataFrame(
+        [(0, [0], 1)],
+        "index_doc_id long, sset array<string>, n_sh long",
+    )
+    with _pytest.raises(ValueError, match="batch-only"):
+        index_near_duplicates(stream, static, payload, carry_payload=False)
+
+
 def _jpeg_huffman_spec():
     """Test-local canonical Huffman spec: every DC category (0-11) as a
     5-bit code, every AC (run,size) symbol plus EOB/ZRL as a 9-bit code.
