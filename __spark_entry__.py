@@ -65,6 +65,23 @@ def golden_only() -> dict[str, str]:
     }
 
 
+def high_variance() -> dict[str, str]:
+    """Registry annotation: queries whose WALL-CLOCK is known to be
+    high-variance for library-internal reasons (correctness is unaffected
+    — their oracle rows stay green). Bench deltas on these rows are not
+    regressions unless they escape the documented range; each names its
+    stable twin producing the identical result set.
+    """
+    return {
+        "frequent_itemsets_fpgrowth": (
+            "pyspark.ml parallel FP-growth mining stage is GC/heap-shape "
+            "sensitive: 26.8-110.8 s observed at sf1 across identical "
+            "runs (SCALE.md); stable twin frequent_itemsets_son emits "
+            "the identical itemset table"
+        ),
+    }
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (pricing summary) on /root/testdata/sf0.001."""
     (lineitem,) = _t(spark, "/root/testdata/sf0.001", "lineitem")
@@ -1316,6 +1333,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["incremental_span_contamination"] = _incremental_span_contamination
+
+    def _span_deduped_corpus(spark, sf):
+        # ExactSubstr removal (Lee et al. 2022): duplicated_span_stats
+        # measures span duplication; this emits the DEDUPLICATED corpus —
+        # one canonical occurrence (min doc_id, pos) per over-threshold
+        # span hash survives, every other occurrence's tokens drop.
+        (d,) = _t(spark, sf, "documents")
+        return T.remove_duplicated_spans(d, k=8)
+
+    q["span_deduped_corpus"] = _span_deduped_corpus
+
+    def _incremental_community_assignment(spark, sf):
+        # Ingestion-time community assignment, mirroring
+        # incremental_index_dedup's split: even-vertex edges are the
+        # indexed base graph (frozen Louvain labels), every edge touching
+        # an odd vertex is the incoming batch. Stream-static shape —
+        # labels/sig/m static, the probe side stateless per micro-batch.
+        e = _customer_graph_edges(spark, sf)
+        base = e.filter(
+            (F.col("src") % 2 == 0) & (F.col("dst") % 2 == 0)
+        )
+        new = e.filter(
+            (F.col("src") % 2 == 1) | (F.col("dst") % 2 == 1)
+        )
+        return G.incremental_community_assignment(new, base, rounds=4)
+
+    q["incremental_community_assignment"] = _incremental_community_assignment
+
+    def _media_phash_near_duplicates(spark, sf):
+        from inf_553_datamining_mapreduce_spark.operators import multimodal as MM
+
+        # Each document's first 1024 bytes become a REAL 32x32 P6 PPM
+        # payload (every byte tripled to R=G=B), so the query exercises
+        # the actual decode -> integer-luma -> fixed-point-DCT pHash
+        # path end-to-end while staying byte-derivable for the oracle
+        # (corpus is pure ASCII; luma of R=G=B=v is exactly v).
+        (d,) = _t(spark, sf, "documents")
+        assets = d.select(
+            F.col("doc_id").alias("asset_id"),
+            F.concat(
+                F.lit("P6 32 32 255\n").cast("binary"),
+                F.regexp_replace(
+                    F.rpad(F.substring("text", 1, 1024), 1024, " "),
+                    "(.)",
+                    "$1$1$1",
+                ).cast("binary"),
+            ).alias("payload"),
+        )
+        return MM.media_phash_near_duplicates(assets, max_hamming=8)
+
+    q["media_phash_near_duplicates"] = _media_phash_near_duplicates
     return _driver_order(q)
 
 
@@ -3718,6 +3786,10 @@ def oracle_sql() -> dict[str, str]:
     d["label_propagation_customers"] = _labelprop_oracle(rounds=5)
     d["communities_louvain_customers"] = _louvain_oracle(rounds=4)
     d["communities_louvain_multilevel"] = _louvain_oracle(rounds=4, levels=2)
+    d["incremental_community_assignment"] = _incremental_assignment_oracle(
+        rounds=4
+    )
+    d["media_phash_near_duplicates"] = _phash_oracle(max_hamming=8)
     # Percentiles of the per-key count distribution: FLOOR before the
     # BIGINT cast because DuckDB CAST rounds where Spark truncates; counts
     # are positive so floor == truncate-toward-zero.
@@ -3837,6 +3909,55 @@ def oracle_sql() -> dict[str, str]:
                    / COUNT(*) AS dup_rate
         FROM grams JOIN counts USING (h)
         GROUP BY doc_id ORDER BY doc_id
+    """
+
+    d["span_deduped_corpus"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                   md5(array_to_string(t[u.i:u.i+7], ' ')) AS h
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        ),
+        -- rn > 1 <=> not the (doc_id, pos)-minimum occurrence of a hash
+        -- that occurs at least twice: exactly the Spark min-struct rule
+        losers AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY h ORDER BY doc_id, pos
+                       ) AS rn
+                FROM grams) WHERE rn > 1
+        ),
+        removed AS (
+            SELECT DISTINCT doc_id, pos + CAST(r.j AS BIGINT) AS tokpos
+            FROM losers, UNNEST(range(0, 8)) AS r(j)
+        ),
+        kept AS (
+            SELECT tk.doc_id, u.i AS i,
+                   tk.t[CAST(u.i AS INTEGER)] AS tok
+            FROM toks tk, UNNEST(range(1, len(tk.t) + 1)) AS u(i)
+            WHERE NOT EXISTS (
+                SELECT 1 FROM removed r
+                WHERE r.doc_id = tk.doc_id AND r.tokpos = u.i
+            )
+        ),
+        rmcnt AS (
+            SELECT doc_id, COUNT(*) AS n FROM removed GROUP BY doc_id
+        ),
+        newtext AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT tk.doc_id,
+               CAST(len(tk.t) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(rc.n, 0) AS BIGINT) AS n_removed,
+               COALESCE(nt.text, '') AS text
+        FROM toks tk
+        LEFT JOIN rmcnt rc USING (doc_id)
+        LEFT JOIN newtext nt USING (doc_id)
+        ORDER BY tk.doc_id
     """
 
     d["incremental_span_contamination"] = """
@@ -4025,6 +4146,161 @@ def _louvain_oracle(rounds: int, min_shared: int = 4, levels: int = 1) -> str:
         ),
         mm_a AS (SELECT COUNT(*) AS m FROM e0),
         al0 AS (SELECT v, v AS label FROM adeg),{_louvain_round_steps(rounds, "a")}{level2}{final}
+    """
+
+
+def _phash_oracle(max_hamming: int = 8) -> str:
+    """Oracle for ``media_phash_near_duplicates``: recompute the integer
+    pHash RELATIONALLY from the same text bytes the Spark query wraps
+    into PPM payloads (decode of R=G=B tripled bytes is the identity, so
+    byte -> luma -> 32x32 raster is ``ord`` of the padded text), using
+    the EXACT fixed-point DCT constants from
+    ``multimodal._PHASH_DCT_Q`` inlined as a VALUES table — shared
+    source, so the two sides cannot drift. Then the same 9x7-bit
+    pigeonhole banding + popcount verify as the simhash oracle."""
+    from inf_553_datamining_mapreduce_spark.operators import multimodal as MM
+
+    qvals = ", ".join(
+        f"({u}, {i}, {c})"
+        for u, row in enumerate(MM._PHASH_DCT_Q)
+        for i, c in enumerate(row)
+    )
+    return f"""
+        WITH q(u, i, c) AS (VALUES {qvals}),
+        docs AS (
+            SELECT doc_id, rpad(substring(text, 1, 1024), 1024, ' ') AS p
+            FROM documents
+        ),
+        pix AS (
+            SELECT d.doc_id,
+                   CAST(u.i AS INTEGER) // 32 AS y,
+                   CAST(u.i AS INTEGER) % 32 AS x,
+                   ord(substring(d.p, CAST(u.i AS INTEGER) + 1, 1)) AS v
+            FROM docs d, UNNEST(range(0, 1024)) AS u(i)
+        ),
+        -- row transform: R[doc, u, x] = sum_y Q[u][y] * raster[y][x]
+        rt AS (
+            SELECT p.doc_id, q.u, p.x, SUM(q.c * p.v) AS r
+            FROM pix p JOIN q ON q.i = p.y
+            GROUP BY 1, 2, 3
+        ),
+        -- column transform: C[doc, u, vf] = sum_x R[u, x] * Q[vf][x]
+        ct AS (
+            SELECT r.doc_id, r.u, q.u AS vf, SUM(q.c * r.r) AS coeff
+            FROM rt r JOIN q ON q.i = r.x
+            GROUP BY 1, 2, 3
+        ),
+        acs AS (
+            SELECT doc_id, u * 8 + vf AS k, coeff
+            FROM ct WHERE u * 8 + vf >= 1
+        ),
+        -- exact integer median of the 63 ACs = the 32nd-smallest value
+        -- (ties permute rows but not the value at rank 32)
+        med AS (
+            SELECT doc_id, coeff AS med FROM (
+                SELECT doc_id, coeff,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY coeff
+                       ) AS rn
+                FROM acs) WHERE rn = 32
+        ),
+        sig AS (
+            SELECT a.doc_id,
+                   CAST(SUM(CASE WHEN a.coeff > m.med
+                            THEN (CAST(1 AS BIGINT) << (a.k - 1))
+                            ELSE 0 END) AS BIGINT) AS phash
+            FROM acs a JOIN med m USING (doc_id) GROUP BY a.doc_id
+        ),
+        bands AS (
+            SELECT s.doc_id, s.phash, CAST(b.b AS INTEGER) AS band,
+                   (s.phash >> (CAST(b.b AS INTEGER) * 7)) & 127 AS chunk
+            FROM sig s, UNNEST(range(0, 9)) AS b(b)
+        )
+        SELECT DISTINCT a.doc_id AS asset_a, b.doc_id AS asset_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+        ORDER BY asset_a, asset_b
+    """
+
+
+def _incremental_assignment_oracle(rounds: int, min_shared: int = 4) -> str:
+    """Oracle for ``graph.incremental_community_assignment``: the Louvain
+    round chain (``_louvain_round_steps``) over the even-vertex base
+    graph, then the frozen-index probe — community degree sums from the
+    FINAL labels, per-new-vertex insertion scores
+    ``2m*k_vc - deg(v)*sig_c``, the same (score DESC, community ASC)
+    argmax, strictly-positive gate, singleton fallback."""
+    return f"""
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        eall AS MATERIALIZED (
+            SELECT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= {min_shared}
+        ),
+        e0 AS MATERIALIZED (
+            SELECT src, dst FROM eall WHERE src % 2 = 0 AND dst % 2 = 0
+        ),
+        asym AS MATERIALIZED (
+            SELECT src, dst, 1 AS w FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst, 1 AS w FROM e0
+        ),
+        adeg AS MATERIALIZED (
+            SELECT src AS v, SUM(w) AS deg FROM asym GROUP BY 1
+        ),
+        mm_a AS (SELECT COUNT(*) AS m FROM e0),
+        al0 AS (SELECT v, v AS label FROM adeg),{_louvain_round_steps(rounds, "a")},
+        fsig AS MATERIALIZED (
+            SELECT l.label AS community, SUM(d.deg) AS sig
+            FROM al{rounds} l JOIN adeg d ON l.v = d.v GROUP BY 1
+        ),
+        newe AS MATERIALIZED (
+            SELECT src, dst FROM eall WHERE src % 2 = 1 OR dst % 2 = 1
+        ),
+        nsym AS MATERIALIZED (
+            SELECT src, dst, 1 AS w FROM newe
+            UNION ALL
+            SELECT dst AS src, src AS dst, 1 AS w FROM newe
+        ),
+        newv AS MATERIALIZED (
+            SELECT DISTINCT src AS v FROM nsym
+            WHERE src NOT IN (SELECT v FROM al{rounds})
+        ),
+        ndeg AS (
+            SELECT n.src AS v, SUM(n.w) AS deg
+            FROM nsym n JOIN newv ON n.src = newv.v GROUP BY 1
+        ),
+        nkv AS (
+            SELECT n.src AS v, l.label AS community, SUM(n.w) AS k
+            FROM nsym n JOIN al{rounds} l ON n.dst = l.v
+            WHERE n.src <> n.dst
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT k.v, k.community,
+                   2 * mm_a.m * k.k - d.deg * s.sig AS score
+            FROM nkv k
+            JOIN ndeg d ON k.v = d.v
+            JOIN fsig s ON k.community = s.community
+            CROSS JOIN mm_a
+        ),
+        best AS (
+            SELECT v, community FROM (
+                SELECT v, community, score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v ORDER BY score DESC, community ASC
+                       ) AS rn
+                FROM scored) WHERE rn = 1 AND score > 0
+        )
+        SELECT nv.v AS c,
+               CAST(COALESCE(b.community, nv.v) AS BIGINT) AS community
+        FROM newv nv LEFT JOIN best b ON nv.v = b.v
+        ORDER BY c
     """
 
 

@@ -1795,6 +1795,113 @@ def louvain(edges: DataFrame, rounds: int = 3, levels: int = 2) -> DataFrame:
     ).orderBy("c")
 
 
+def incremental_community_assignment(
+    new_edges: DataFrame,
+    base_edges: DataFrame,
+    rounds: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Ingestion-time community assignment — the streaming/incremental
+    twin of the batch community detectors, the same stream-static shape
+    as ``dedup.index_near_duplicates`` and
+    ``text.index_span_contamination``: the BASE graph's Louvain labels
+    are a frozen static index; each INCOMING vertex gets one
+    ``louvain_moves``-rule evaluation against them (insertion gain only —
+    a new vertex has no community to leave):
+
+        score(v, c) = 2m * k_vc - deg(v) * sig_c
+
+    with ``m`` / ``sig_c`` frozen from the base graph, ``k_vc`` the
+    vertex's edge weight into community c, and ``deg(v)`` its total
+    weight in ``new_edges``. Argmax by (score DESC, community ASC) — the
+    same total order as ``louvain_moves`` — taken only when the best
+    score is STRICTLY positive (a non-positive gain means stay a
+    singleton: the vertex keeps its own id as community, exactly how
+    ``louvain_moves`` seeds). New vertices are those of ``new_edges``
+    not present in the frozen labels (anti-join), so late-arriving
+    members of the indexed graph are never re-assigned. All-integer —
+    exact while ``2 * m * max_degree < 2^63``, same documented bound as
+    ``louvain_moves`` — so the whole composition oracles in DuckDB.
+
+    Stream shape: everything derived from ``base_edges`` is STATIC
+    (labels, sig, the scalar m); the ``new_edges`` side is a projection,
+    one stream-static join, and per-vertex aggregates + argmax that are
+    COMPLETE within a micro-batch whenever a vertex's edges arrive
+    together (the adjacency-grouped ingestion convention — same
+    per-batch completeness contract as ``index_span_contamination``,
+    proven via foreachBatch in the tests). No watermark, no cross-batch
+    state.
+
+    Shape at scale: base stats are one Louvain run + two aggregates,
+    amortized across every probe batch; per batch one edges-sized join
+    + aggregate and one argmax window bounded by the vertex's distinct
+    neighbor communities <= degree. No all-pairs anything.
+    """
+    ew = F.col(weight_col) if weight_col else F.lit(1)
+    labels = louvain_moves(
+        base_edges, rounds=rounds, weight_col=weight_col
+    ).select(F.col("c").alias("v"), F.col("community"))
+    base = base_edges.select("src", "dst", ew.cast("long").alias("w"))
+    bsym = base.unionAll(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    bdeg = bsym.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("deg"))
+    m = base.agg(F.sum("w")).collect()[0][0] or 0
+    sig = (
+        labels.join(bdeg, "v")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("sig"))
+        .localCheckpoint()
+    )
+    lab_static = labels.localCheckpoint()
+
+    new = new_edges.select("src", "dst", ew.cast("long").alias("w"))
+    nsym = new.unionAll(
+        new.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    newv = (
+        nsym.select(F.col("src").alias("v"))
+        .distinct()
+        .join(lab_static, "v", "left_anti")
+    )
+    ndeg = (
+        nsym.groupBy(F.col("src").alias("v"))
+        .agg(F.sum("w").alias("deg"))
+        .join(newv, "v")
+    )
+    kvc = (
+        nsym.filter(F.col("src") != F.col("dst"))
+        .join(lab_static.withColumnRenamed("v", "dst"), "dst")
+        .groupBy(F.col("src").alias("v"), "community")
+        .agg(F.sum("w").alias("k"))
+    )
+    scored = (
+        kvc.join(ndeg, "v")
+        .join(sig, "community")
+        .select(
+            "v",
+            "community",
+            (
+                F.lit(2 * m) * F.col("k") - F.col("deg") * F.col("sig")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("score"), F.asc("community"))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("score") > 0))
+        .select("v", F.col("community").alias("assigned"))
+    )
+    return (
+        newv.join(best, "v", "left")
+        .select(
+            F.col("v").alias("c"),
+            F.coalesce("assigned", F.col("v")).alias("community"),
+        )
+        .orderBy("c")
+    )
+
+
 def louvain_moves(
     edges: DataFrame, rounds: int = 3, weight_col: str | None = None
 ) -> DataFrame:

@@ -808,6 +808,189 @@ def extract_features(assets: DataFrame, try_decode: bool = True) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Perceptual hash (integer pHash) + banded image near-dup
+# ---------------------------------------------------------------------------
+
+# Fixed-point 8x32 DCT-II basis for the pHash: Q[u][x] =
+# round(cos((2x+1)*u*pi/64) * 2^14), FROZEN as literals (computed once
+# with IEEE doubles and inlined) so neither platform libm variation nor
+# engine trig can ever skew a bit — the same shared-constant-table trick
+# as text.PII_PATTERNS. The oracle SQL embeds these exact integers.
+_PHASH_Q_SCALE_BITS = 14
+PHASH_SIZE = 32  # raster side after downscale; 8x8 low-frequency block kept
+_PHASH_DCT_Q: tuple[tuple[int, ...], ...] = (
+    (16384,) * 32,
+    (16364, 16207, 15893, 15426, 14811, 14053, 13160, 12140, 11003, 9760,
+     8423, 7005, 5520, 3981, 2404, 804, -804, -2404, -3981, -5520, -7005,
+     -8423, -9760, -11003, -12140, -13160, -14053, -14811, -15426, -15893,
+     -16207, -16364),
+    (16305, 15679, 14449, 12665, 10394, 7723, 4756, 1606, -1606, -4756,
+     -7723, -10394, -12665, -14449, -15679, -16305, -16305, -15679, -14449,
+     -12665, -10394, -7723, -4756, -1606, 1606, 4756, 7723, 10394, 12665,
+     14449, 15679, 16305),
+    (16207, 14811, 12140, 8423, 3981, -804, -5520, -9760, -13160, -15426,
+     -16364, -15893, -14053, -11003, -7005, -2404, 2404, 7005, 11003, 14053,
+     15893, 16364, 15426, 13160, 9760, 5520, 804, -3981, -8423, -12140,
+     -14811, -16207),
+    (16069, 13623, 9102, 3196, -3196, -9102, -13623, -16069, -16069, -13623,
+     -9102, -3196, 3196, 9102, 13623, 16069, 16069, 13623, 9102, 3196,
+     -3196, -9102, -13623, -16069, -16069, -13623, -9102, -3196, 3196, 9102,
+     13623, 16069),
+    (15893, 12140, 5520, -2404, -9760, -14811, -16364, -14053, -8423, -804,
+     7005, 13160, 16207, 15426, 11003, 3981, -3981, -11003, -15426, -16207,
+     -13160, -7005, 804, 8423, 14053, 16364, 14811, 9760, 2404, -5520,
+     -12140, -15893),
+    (15679, 10394, 1606, -7723, -14449, -16305, -12665, -4756, 4756, 12665,
+     16305, 14449, 7723, -1606, -10394, -15679, -15679, -10394, -1606, 7723,
+     14449, 16305, 12665, 4756, -4756, -12665, -16305, -14449, -7723, 1606,
+     10394, 15679),
+    (15426, 8423, -2404, -12140, -16364, -13160, -3981, 7005, 14811, 15893,
+     9760, -804, -11003, -16207, -14053, -5520, 5520, 14053, 16207, 11003,
+     804, -9760, -15893, -14811, -7005, 3981, 13160, 16364, 12140, 2404,
+     -8423, -15426),
+)
+
+
+def phash64(payload: bytes) -> int:
+    """Integer perceptual hash: REAL decode (PPM/BMP/PNG/baseline-JPEG/
+    GIF via ``decode_image``) -> integer luma ``(77R + 150G + 29B) >> 8``
+    -> integer block-mean downscale to 32x32 (floor division — exact) ->
+    fixed-point 8x8 low-frequency DCT ``Q @ G @ Q^T`` in int64 -> the
+    63-bit median-threshold hash: bit ``u*8+v-1`` set iff AC coefficient
+    ``C[u][v]`` strictly exceeds the MEDIAN of the 63 ACs (the classic
+    pHash rule — a sign threshold degenerates when most ACs are
+    non-positive, hashing dissimilar images alike). The median of 63
+    integers is the 32nd-smallest — an exact integer selection, no
+    average — so every step is integer and the hash is bit-identical
+    across engines and platforms, which is what lets the near-dup query
+    run under the DuckDB oracle.
+    Undecodable payloads fall back to a deterministic raster of the raw
+    payload bytes cycled row-major into 32x32 (the plumbing stand-in,
+    mirroring ``fake_features``)."""
+    import numpy as np
+
+    try:
+        rgb = decode_image(payload).astype(np.int64)
+        gray = (77 * rgb[..., 0] + 150 * rgb[..., 1] + 29 * rgb[..., 2]) >> 8
+    except (NotImplementedError, ValueError, IndexError):
+        buf = np.frombuffer(payload, np.uint8)
+        if buf.size == 0:
+            buf = np.zeros(1, np.uint8)
+        gray = np.resize(buf, (PHASH_SIZE, PHASH_SIZE)).astype(np.int64)
+    h, w = gray.shape
+    if (h, w) != (PHASH_SIZE, PHASH_SIZE):
+        out = np.empty((PHASH_SIZE, PHASH_SIZE), np.int64)
+        for i in range(PHASH_SIZE):
+            lo_r = i * h // PHASH_SIZE
+            hi_r = max(lo_r + 1, (i + 1) * h // PHASH_SIZE)
+            for j in range(PHASH_SIZE):
+                lo_c = j * w // PHASH_SIZE
+                hi_c = max(lo_c + 1, (j + 1) * w // PHASH_SIZE)
+                blk = gray[lo_r:hi_r, lo_c:hi_c]
+                out[i, j] = int(blk.sum()) // blk.size
+        gray = out
+    q = np.array(_PHASH_DCT_Q, np.int64)
+    c = q @ gray @ q.T  # C[u][v]: u = row frequency, v = column frequency
+    ac = c.ravel()[1:]  # 63 AC coefficients, DC dropped
+    med = int(np.sort(ac)[31])  # 32nd-smallest: exact integer median
+    h64 = 0
+    for k, v in enumerate(ac, start=1):
+        if v > med:
+            h64 |= 1 << (k - 1)
+    return h64
+
+
+def media_phash(assets: DataFrame) -> DataFrame:
+    """Per-asset 63-bit perceptual hash over Arrow batches —
+    ``(asset_id, phash)``. Same mapInPandas plumbing as
+    ``extract_features``: no per-row Python in the surrounding plan, one
+    Arrow round-trip for the binary column."""
+    ensure_worker_imports(assets.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "phash": [
+                        phash64(bytes(p) if p is not None else b"")
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        kernel, "asset_id long, phash long"
+    )
+
+
+def media_phash_near_duplicates(
+    assets: DataFrame, max_hamming: int = 8
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash — the multimodal
+    member of the near-dup family, banded exactly like
+    ``dedup.simhash_near_duplicates``: candidates via 7-bit band
+    collision (9 bands over the 63-bit hash; any pair within Hamming 8
+    agrees exactly on at least one band — pigeonhole), then exact
+    popcount verification JVM-side. ``(asset_a, asset_b, hamming)``.
+
+    Shape at scale: the hash is one Arrow pass per asset; banding is an
+    explode + equi-join on (band, chunk) — never all-pairs; verification
+    touches candidates only. A JPEG re-encode of a PNG lands within a
+    few bits (the above-median set of the 8x8 low-frequency block
+    survives quantization noise); distinct images differ in ~half of 63
+    bits."""
+    sig = media_phash(assets).localCheckpoint()
+    bands = sig.select(
+        "asset_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("phash"), i * 7)
+                        .bitwiseAND(F.lit(0x7F))
+                        .alias("chunk"),
+                    )
+                    for i in range(9)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "asset_id",
+        "phash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.chunk").alias("chunk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.phash").alias("sig_a"),
+            F.col("b.phash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("asset_a", "asset_b", "hamming")
+        .orderBy("asset_a", "asset_b")
+    )
+
+
 def sample_frames(assets: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
     """Frame sampling for video payloads. Payloads the pure-numpy AVI
     parser understands (uncompressed 24-bit DIB frames) get REAL frame

@@ -1222,6 +1222,96 @@ def _span_hashes(documents: DataFrame, k: int) -> DataFrame:
     return documents.select("doc_id", F.explode(spans).alias("h"))
 
 
+def _span_hashes_pos(documents: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, h) for every k-token span, ``pos`` 1-based (matching
+    ``slice`` indexing) — the positional variant of ``_span_hashes``,
+    still a pure per-row projection (posexplode of the same
+    sequence/transform expression)."""
+    tokens = F.split("text", " ")
+    n = F.size(tokens)
+    spans = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tokens, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return documents.select(
+        "doc_id", F.posexplode(spans).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+
+
+def remove_duplicated_spans(
+    documents: DataFrame, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """ExactSubstr REMOVAL — the other half of Lee et al. 2022's pipeline
+    (``duplicated_span_stats`` measures; this emits the deduplicated
+    corpus). For every k-token span hash occurring >= ``min_count`` times
+    in the corpus, ONE canonical occurrence survives — the minimum
+    (doc_id, pos), a deterministic total order — and every other
+    occurrence's k token positions are dropped; each document's surviving
+    tokens are re-joined in order. Documents shorter than k tokens pass
+    through unchanged. All decisions are integer/md5, so the whole
+    operator oracles in DuckDB with the same tokenization.
+
+    Overlap semantics: a token is dropped if ANY losing occurrence covers
+    it — so a losing span overlapping a winning one can still remove part
+    of the winner's text. That is the paper's behavior too (suffix-array
+    ExactSubstr cuts byte ranges, not aligned windows) and keeps the rule
+    a pure set-union, order-independent and engine-reproducible.
+
+    Shape at scale: span build is the pure projection of
+    ``_span_hashes_pos``; the winner is one min-struct AGGREGATE per hash
+    (no per-hash row_number sort — a boilerplate span pasted into a
+    million documents would make that partition's sort the straggler);
+    losers join back on the hash; removed positions collapse with one
+    per-doc collect_set bounded by document length; the final text is a
+    1:1 join plus an index-filter projection. Three shuffles, all on
+    hash/doc_id keys, linear in total tokens.
+    """
+    spans = _span_hashes_pos(documents, k)
+    winners = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    losers = (
+        spans.join(winners.filter(F.col("n_occ") >= min_count), "h")
+        .filter(
+            (F.col("doc_id") != F.col("w.doc_id"))
+            | (F.col("pos") != F.col("w.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    removed = (
+        losers.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tokpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tokpos").alias("rm"))
+    )
+    toks = F.split("text", " ")
+    rm = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    return (
+        documents.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(rm).cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    toks,
+                    lambda t, i: ~F.array_contains(rm, (i + 1).cast("int")),
+                ),
+            ).alias("text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def build_span_index(documents: DataFrame, k: int = 8) -> DataFrame:
     """Corpus span index for ingestion-time contamination checks: every
     k-token span hash with its occurrence count. One aggregate over the

@@ -83,12 +83,19 @@ def _compare(spark_pdf, oracle_pdf) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import duckdb
+    from pyspark.sql import SparkSession
 
     import __spark_entry__ as em
     from inf_553_datamining_mapreduce_spark.schemas import TESTDATA_TABLES
-    from inf_553_datamining_mapreduce_spark.session import get_spark
 
-    spark = get_spark("full-correctness")
+    # VANILLA session, no engine configs — the same surface the external
+    # driver exercises (see .claude/skills/verify/SKILL.md): every query
+    # must carry its own runtime requirements.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("full-correctness")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = em.queries()

@@ -21,10 +21,12 @@ per-replica statistics identical to sf0.1:
 * token COUNT and doc length are preserved (training_batches packs the
   same token totals per replica).
 
-Output: ``.localdata/sf1/{lineitem,orders,part,documents}.parquet`` under the
-repo root (gitignored — ~10x sf0.1 on disk; regenerate with
-``python scripts/make_sf1.py``). Only the tables the headline subset
-reads are generated.
+Output: ``.localdata/sf{N}/{lineitem,orders,part,documents}.parquet``
+under the repo root (gitignored; regenerate with
+``python scripts/make_sf1.py [N]`` — N is the target scale factor as a
+multiple of sf0.1 decades, default 1, e.g. ``10`` builds a ~sf10 set
+from 100 key-offset replicas for the third-decade sweep). Only the
+tables the headline subset reads are generated.
 """
 
 from __future__ import annotations
@@ -41,8 +43,9 @@ from inf_553_datamining_mapreduce_spark.session import get_spark
 from inf_553_datamining_mapreduce_spark.sources.readers import read_parquet_table
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(REPO, ".localdata", "sf1")
-REPLICAS = 10
+TARGET = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+DST = os.path.join(REPO, ".localdata", f"sf{TARGET}")
+REPLICAS = 10 * TARGET
 OFF = 10_000_000  # far above every base key in sf0.1
 
 

@@ -1454,6 +1454,69 @@ def test_streaming_span_contamination_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_streaming_incremental_community_assignment(spark, tmp_path):
+    """Frozen-label community assignment is stateless per micro-batch
+    when a vertex's edges arrive together: streaming the new edges
+    through foreachBatch lands exactly the batch result, well-connected
+    vertices join the planted community, and vertices with no labeled
+    neighbor stay singletons."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        incremental_community_assignment,
+        louvain_moves,
+    )
+
+    base_edges = [(2, 4), (4, 6), (2, 6), (8, 10), (10, 12), (8, 12)]
+    new_edges = [(1, 2), (1, 4), (3, 8), (3, 10), (3, 12), (5, 7)]
+    base = spark.createDataFrame(base_edges, "src long, dst long")
+    new = spark.createDataFrame(new_edges, "src long, dst long")
+
+    batch = {
+        r["c"]: r["community"]
+        for r in incremental_community_assignment(new, base, rounds=4).collect()
+    }
+    labels = {
+        r["c"]: r["community"] for r in louvain_moves(base, rounds=4).collect()
+    }
+    # planted structure: 1 joins triangle {2,4,6}'s community, 3 joins
+    # {8,10,12}'s; 5 and 7 have no labeled neighbor -> singletons
+    assert set(batch) == {1, 3, 5, 7}
+    assert batch[1] == labels[2] == labels[4] == labels[6]
+    assert batch[3] == labels[8] == labels[10] == labels[12]
+    assert batch[5] == 5 and batch[7] == 7
+
+    # stream the same edges in two vertex-complete micro-batches
+    stream_dir = tmp_path / "edges_stream"
+    stream_dir.mkdir()
+    new.filter(F.col("src") == 1).coalesce(1).write.parquet(
+        str(stream_dir / "a")
+    )
+    new.filter(F.col("src") != 1).coalesce(1).write.parquet(
+        str(stream_dir / "b")
+    )
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")
+    )
+    out_dir = str(tmp_path / "assign_out")
+
+    def process(batch_df, batch_id):
+        incremental_community_assignment(
+            batch_df, base, rounds=4
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["c"]: r["community"] for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == batch
+
+
 def test_duplicated_span_stats_planted_boilerplate(spark):
     """A boilerplate sentence pasted into two otherwise-distinct
     documents must flag exactly its spans in BOTH docs (the
@@ -1500,6 +1563,62 @@ def test_duplicated_span_stats_planted_boilerplate(spark):
 
     c = Counter(spans)
     assert n_dup == sum(1 for s in spans if c[s] > 1)
+
+
+def test_remove_duplicated_spans_planted_boilerplate(spark):
+    """ExactSubstr removal: the boilerplate paragraph survives exactly
+    once (in the min-(doc_id, pos) occurrence), every other occurrence's
+    tokens drop, short docs pass through unchanged — all matching a
+    brute-force reference implementation of the same rule."""
+    from collections import defaultdict
+
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        remove_duplicated_spans,
+    )
+
+    k = 8
+    boiler = "all rights reserved contact us for more info"  # exactly 8
+    rows = [
+        (1, "alpha beta " + boiler + " gamma delta"),
+        (2, "unique words here " + boiler + " and tail tokens"),
+        (3, boiler),
+        (4, "short doc"),
+        (5, "totally distinct content with no duplicated spans at all"),
+        (6, "pre " + boiler + " mid " + boiler + " post"),  # self-repeat
+    ]
+
+    # brute-force reference: same winner rule, same overlap-union removal
+    occ = defaultdict(list)
+    for doc_id, text in rows:
+        t = text.split(" ")
+        for p in range(len(t) - k + 1):
+            occ[" ".join(t[p : p + k])].append((doc_id, p + 1))
+    drop = defaultdict(set)
+    for positions in occ.values():
+        if len(positions) < 2:
+            continue
+        for doc_id, pos in sorted(positions)[1:]:
+            drop[doc_id].update(range(pos, pos + k))
+    want = {}
+    for doc_id, text in rows:
+        t = text.split(" ")
+        keep = [tok for i, tok in enumerate(t, 1) if i not in drop[doc_id]]
+        want[doc_id] = (len(t), len(drop[doc_id]), " ".join(keep))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text"])
+        for r in remove_duplicated_spans(docs, k=k).collect()
+    }
+    assert got == want
+    # the planted paragraph survives EXACTLY once across the corpus
+    n_surviving = sum(1 for _, _, t in got.values() if boiler in t)
+    assert n_surviving == 1 and boiler in got[1][2]
+    # docs without duplicated spans are untouched
+    assert got[4] == (2, 0, "short doc")
+    assert got[5][1] == 0 and got[5][2] == rows[4][1]
+    # the self-repeating doc keeps no copy (doc 1 owns the winner)
+    assert boiler not in got[6][2] and got[6][1] > 0
 
 
 def test_redact_pii_classes_and_counts(spark):
@@ -1925,6 +2044,88 @@ def test_decode_png_all_filters_exact_pixels():
             + (5).to_bytes(4, "big") + b"IDAT" + b"junk!" + b"\x00" * 4
             + (0).to_bytes(4, "big") + b"IEND" + zlib.crc32(b"IEND").to_bytes(4, "big")
         )
+
+
+def test_media_phash_collides_reencoded_jpeg_not_distinct(spark):
+    """The integer pHash must be CODEC-INVARIANT for lossless formats
+    (PNG and PPM of the same raster hash identically), survive a lossy
+    JPEG re-encode within the banding threshold (the low-frequency DCT
+    signs outlive quantization noise), and keep distinct images apart —
+    so the banded near-dup query pairs the re-encode with its original
+    and nothing else."""
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        media_phash_near_duplicates,
+        phash64,
+    )
+
+    size = 64
+
+    # photo-like inputs need DENSE AC spectra: piecewise-constant
+    # synthetic images leave most of the 8x8 block exactly zero and the
+    # median rule degenerates (every real raster — and the text-byte
+    # rasters the registry query hashes — is dense). Structure + texture:
+    def tex(x, y):
+        return ((x * 7 + y * 13 + (x * y) // 3) % 21) - 10
+
+    def clamp(v):
+        return max(0, min(255, v))
+
+    pix = [
+        [
+            (
+                v := clamp(
+                    (40 if x < size // 2 else 190)
+                    + (30 if y < size // 2 else 0)
+                    + y // 2
+                    + tex(x, y)
+                ),
+                v,
+                v,
+            )
+            for x in range(size)
+        ]
+        for y in range(size)
+    ]
+    # a genuinely different image: a block checkerboard with the texture
+    # transposed
+    pix2 = [
+        [
+            (
+                v := clamp(
+                    (230 if (x // 16 + y // 16) % 2 else 25) + tex(y, x)
+                ),
+                v,
+                v,
+            )
+            for x in range(size)
+        ]
+        for y in range(size)
+    ]
+    png = _make_png(pix)
+    jpg = _make_jpeg(pix)
+    png2 = _make_png(pix2)
+    ppm = (
+        b"P6 %d %d 255\n" % (size, size)
+        + bytes(c for row in pix for p in row for c in p)
+    )
+
+    # lossless codecs of the SAME raster hash identically
+    assert phash64(png) == phash64(ppm)
+    # lossy re-encode stays inside the banding threshold...
+    ham = bin(phash64(png) ^ phash64(jpg)).count("1")
+    assert ham <= 8, f"JPEG re-encode drifted {ham} bits"
+    # ...while a distinct image is far outside it
+    ham2 = bin(phash64(png) ^ phash64(png2)).count("1")
+    assert ham2 > 8, f"distinct images only {ham2} bits apart"
+
+    assets = spark.createDataFrame(
+        [(1, png), (2, jpg), (3, png2)], "asset_id long, payload binary"
+    )
+    pairs = {
+        (r["asset_a"], r["asset_b"])
+        for r in media_phash_near_duplicates(assets, max_hamming=8).collect()
+    }
+    assert pairs == {(1, 2)}
 
 
 def test_decode_image_resource_guards(spark):

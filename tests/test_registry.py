@@ -139,3 +139,14 @@ def test_golden_only_marker_is_exactly_the_oracle_gap():
     }
     for reason in em.golden_only().values():
         assert reason  # every marker carries its permanent why
+
+
+def test_high_variance_marker_names_registered_oracled_queries():
+    """high_variance() annotates PERFORMANCE variance only: every marked
+    query must be registered AND oracled (correctness unaffected), and
+    every reason must name its stable twin so the fallback is auditable."""
+    names = set(em.queries().keys())
+    oracled = set(em.oracle_sql().keys())
+    for q, reason in em.high_variance().items():
+        assert q in names and q in oracled, q
+        assert "twin" in reason, f"{q}: reason must name the stable twin"
