@@ -1174,30 +1174,48 @@ def duplicated_span_stats(documents: DataFrame, k: int = 8) -> DataFrame:
     per row, one explode (linear in total tokens, zero shuffles; the
     per-doc-window formulation this replaced shuffled the whole token
     stream by doc_id first, and window functions are also what a
-    streaming twin can't run) — then one hash-count aggregate and one
-    1:1 join of spans to their hash's corpus count. Two shuffles total.
-    No all-pairs anything: unlike MinHash (which estimates document-level
+    streaming twin can't run) — then one hash-count aggregate whose
+    OUTPUT is immediately cut to the duplicated hashes only. ``n_grams``
+    never touches the gram stream at all (it is ``max(n-k+1, 0)``
+    directly off the tokens column), and ``n_dup_grams`` joins the gram
+    stream against the SMALL dup-hash table — not against the full
+    per-hash count table, which at sf10 shipped every one of 23.6M
+    md5-keyed rows through a second full-width shuffle and went 20x for
+    10x data (measured round 7; this shape is 1.5-2x). AQE broadcasts
+    the dup table when it fits; when it doesn't, the shuffled join's
+    build side is still only the duplicated hashes. No all-pairs
+    anything: unlike MinHash (which estimates document-level
     similarity), this is the span-level EXACT duplication signal, and
     the two catch different contamination (a boilerplate paragraph
     pasted into thousands of otherwise-distinct documents never reaches
     Jaccard 0.8 but lights up every one of its spans here).
     """
     grams = _span_hashes(documents, k)
-    counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
-    return (
-        grams.join(counts, "h")
+    dups = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("h")
+    )
+    dup_counts = (
+        grams.join(dups, "h")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias(
-                "n_dup_grams"
-            ),
-        )
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    n = F.size(F.split("text", " "))
+    doc_grams = documents.select(
+        "doc_id",
+        F.greatest(n - (k - 1), F.lit(0)).cast("long").alias("n_grams"),
+    ).filter(F.col("n_grams") > 0)
+    return (
+        doc_grams.join(dup_counts, "doc_id", "left")
         .select(
             "doc_id",
             "n_grams",
-            "n_dup_grams",
-            (F.col("n_dup_grams") / F.col("n_grams")).alias("dup_rate"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            (
+                F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams")
+            ).alias("dup_rate"),
         )
         .orderBy("doc_id")
     )

@@ -69,7 +69,9 @@ def main() -> None:
         "o_orderdate",
         "o_orderpriority",
     )
-    o.write.mode("overwrite").parquet(os.path.join(DST, "orders.parquet"))
+    o.repartition(8 * TARGET).write.mode("overwrite").parquet(
+        os.path.join(DST, "orders.parquet")
+    )
 
     li_cols = [
         (F.col("l_orderkey") + F.col("_rep") * OFF).alias("l_orderkey"),
@@ -80,7 +82,9 @@ def main() -> None:
         "l_orderkey", "l_partkey", "l_suppkey"
     )]
     li = lineitem.crossJoin(reps).select(*li_cols, *passthrough)
-    li.write.mode("overwrite").parquet(os.path.join(DST, "lineitem.parquet"))
+    li.repartition(16 * TARGET).write.mode("overwrite").parquet(
+        os.path.join(DST, "lineitem.parquet")
+    )
 
     # part: key offset only; descriptive columns (brand/type/size) repeat
     # per replica, so per-brand selectivity matches sf0.1 while the dim
@@ -93,7 +97,9 @@ def main() -> None:
         "p_size",
         "p_retailprice",
     )
-    p.write.mode("overwrite").parquet(os.path.join(DST, "part.parquet"))
+    p.repartition(4 * TARGET).write.mode("overwrite").parquet(
+        os.path.join(DST, "part.parquet")
+    )
 
     # Bijective per-replica token rename: replica 0 keeps the original
     # text; replica i appends `_i` to every token. Token count, length
@@ -114,7 +120,17 @@ def main() -> None:
         "source",
         "n_chars",
     )
-    d.write.mode("overwrite").parquet(os.path.join(DST, "documents.parquet"))
+    # Documents carry the heaviest per-row compute downstream (span md5,
+    # shingling); without an explicit repartition the crossJoin writes ONE
+    # file with ONE row group, and Parquet scan parallelism is ROW-GROUP
+    # granular — every downstream projection then runs on a single task
+    # regardless of cluster size (measured round 7: the sf10 span build was
+    # "68x for 10x data" purely from this; with the layout fixed it is
+    # linear). At 100 TB this is the ingest-side file/row-group sizing
+    # story: target ~128 MB row groups, never one giant group.
+    d.repartition(16 * TARGET).write.mode("overwrite").parquet(
+        os.path.join(DST, "documents.parquet")
+    )
 
     for t in ("orders", "lineitem", "part", "documents"):
         n = spark.read.parquet(os.path.join(DST, f"{t}.parquet")).count()
