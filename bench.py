@@ -74,6 +74,9 @@ HEADLINE = [
     "incremental_index_dedup",
     "edge_betweenness_brandes_customers",
     "split_drift_report",
+    "span_deduped_corpus",
+    "incremental_community_assignment",
+    "media_phash_near_duplicates",
 ]
 
 
