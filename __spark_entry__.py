@@ -1361,16 +1361,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_community_assignment"] = _incremental_community_assignment
 
-    def _media_phash_near_duplicates(spark, sf):
-        from inf_553_datamining_mapreduce_spark.operators import multimodal as MM
-
+    def _ppm_assets(d):
         # Each document's first 1024 bytes become a REAL 32x32 P6 PPM
-        # payload (every byte tripled to R=G=B), so the query exercises
-        # the actual decode -> integer-luma -> fixed-point-DCT pHash
+        # payload (every byte tripled to R=G=B), so the pHash queries
+        # exercise the actual decode -> integer-luma -> fixed-point-DCT
         # path end-to-end while staying byte-derivable for the oracle
         # (corpus is pure ASCII; luma of R=G=B=v is exactly v).
-        (d,) = _t(spark, sf, "documents")
-        assets = d.select(
+        return d.select(
             F.col("doc_id").alias("asset_id"),
             F.concat(
                 F.lit("P6 32 32 255\n").cast("binary"),
@@ -1381,26 +1378,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).cast("binary"),
             ).alias("payload"),
         )
-        return MM.media_phash_near_duplicates(assets, max_hamming=8)
+
+    def _media_phash_near_duplicates(spark, sf):
+        from inf_553_datamining_mapreduce_spark.operators import multimodal as MM
+
+        (d,) = _t(spark, sf, "documents")
+        return MM.media_phash_near_duplicates(_ppm_assets(d), max_hamming=8)
 
     q["media_phash_near_duplicates"] = _media_phash_near_duplicates
+
+    def _incremental_media_phash(spark, sf):
+        from inf_553_datamining_mapreduce_spark.operators import multimodal as MM
+
+        # Ingestion-time image dedup on the same even/odd split as the
+        # other incremental probes: even assets are the persisted pHash
+        # index, odd the incoming batch — stream-static joins only.
+        (d,) = _t(spark, sf, "documents")
+        band_tbl, index_sig = MM.build_phash_index(
+            _ppm_assets(d.filter(F.col("doc_id") % 2 == 0))
+        )
+        return MM.index_phash_near_duplicates(
+            _ppm_assets(d.filter(F.col("doc_id") % 2 == 1)),
+            band_tbl,
+            index_sig,
+            max_hamming=8,
+        )
+
+    q["incremental_media_phash"] = _incremental_media_phash
+
+    def _incremental_span_scrub(spark, sf):
+        # Ingestion-time ExactSubstr REMOVAL (the scrub twin of
+        # incremental_span_contamination): spans already in the indexed
+        # corpus are cut out of incoming documents before they land.
+        (d,) = _t(spark, sf, "documents")
+        idx = T.build_span_index(d.filter(F.col("doc_id") % 2 == 0), k=8)
+        return T.scrub_indexed_spans(
+            d.filter(F.col("doc_id") % 2 == 1), idx, k=8
+        )
+
+    q["incremental_span_scrub"] = _incremental_span_scrub
     return _driver_order(q)
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-7 window, 3 + 13 + 34 = 50:
-# (1) 3 new this round: span_deduped_corpus (ExactSubstr removal — the
+# round. The round-7 window, 5 + 13 + 32 = 50:
+# (1) 5 new this round: span_deduped_corpus (ExactSubstr removal — the
 #     deduplicated corpus, closing the measure->remove loop),
+#     incremental_span_scrub (its ingestion-time twin — indexed spans
+#     cut from incoming documents),
 #     incremental_community_assignment (one frozen-label Louvain round as
 #     a stream-static join — the ingestion-time community twin),
 #     media_phash_near_duplicates (integer pHash over REAL image decode,
-#     banded like simhash);
+#     banded like simhash),
+#     incremental_media_phash (its stream-static index probe);
 # (2) the 13 round-3 greens deferred by the round-6 rotation (the
 #     pure-codegen TPC-H scan-agg-join family + date-bucketed
 #     distinct-count + argmax-dedup window + cohort-pivot), now the
 #     stalest proofs in the registry;
-# (3) 34 of the 49 queries whose latest green is round 4 (alphabetical
-#     prefix; the remaining 15 — source_language_mix,
+# (3) 32 of the 49 queries whose latest green is round 4 (alphabetical
+#     prefix; the remaining 17 — session_window_stats_plan,
+#     simhash_near_duplicates, source_language_mix,
 #     stratum_sample_exact_k, supplier_part_pareto,
 #     supplier_revenue_share, term_frequency_stats, tfidf_top_terms,
 #     top_brands_per_type_with_ties, topk_cosine_ivf, topk_cosine_lsh,
@@ -1414,8 +1451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_PRIORITY = [
     # new this round — prove first:
     "span_deduped_corpus",
+    "incremental_span_scrub",
     "incremental_community_assignment",
     "media_phash_near_duplicates",
+    "incremental_media_phash",
     # stalest greens (round 3) — the 13 deferred by the round-6 rotation:
     "bigram_counts",
     "brand_supplier_counts",
@@ -1430,7 +1469,7 @@ _DRIVER_PRIORITY = [
     "user_retention_cohorts",
     "volume_shipping_by_year",
     "weekly_active_users",
-    # round-4 greens (34 of 49, alphabetical prefix):
+    # round-4 greens (32 of 49, alphabetical prefix):
     "approx_distinct_parts",
     "customer_revenue_percent_rank",
     "customer_rfm_segments",
@@ -1463,8 +1502,6 @@ _DRIVER_PRIORITY = [
     "session_paths",
     "session_stats",
     "session_time_to_purchase",
-    "session_window_stats_plan",
-    "simhash_near_duplicates",
 ]
 
 
@@ -3790,6 +3827,7 @@ def oracle_sql() -> dict[str, str]:
         rounds=4
     )
     d["media_phash_near_duplicates"] = _phash_oracle(max_hamming=8)
+    d["incremental_media_phash"] = _phash_probe_oracle(max_hamming=8)
     # Percentiles of the per-key count distribution: FLOOR before the
     # BIGINT cast because DuckDB CAST rounds where Spark truncates; counts
     # are positive so floor == truncate-toward-zero.
@@ -3958,6 +3996,50 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN rmcnt rc USING (doc_id)
         LEFT JOIN newtext nt USING (doc_id)
         ORDER BY tk.doc_id
+    """
+
+    d["incremental_span_scrub"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                   md5(array_to_string(t[u.i:u.i+7], ' ')) AS h
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        ),
+        idx AS (SELECT DISTINCT h FROM grams WHERE doc_id % 2 = 0),
+        hits AS (
+            SELECT g.doc_id, g.pos
+            FROM grams g JOIN idx USING (h) WHERE g.doc_id % 2 = 1
+        ),
+        removed AS (
+            SELECT DISTINCT doc_id, pos + CAST(r.j AS BIGINT) AS tokpos
+            FROM hits, UNNEST(range(0, 8)) AS r(j)
+        ),
+        odd AS (SELECT doc_id, t FROM toks WHERE doc_id % 2 = 1),
+        kept AS (
+            SELECT o.doc_id, u.i AS i, o.t[CAST(u.i AS INTEGER)] AS tok
+            FROM odd o, UNNEST(range(1, len(o.t) + 1)) AS u(i)
+            WHERE NOT EXISTS (
+                SELECT 1 FROM removed r
+                WHERE r.doc_id = o.doc_id AND r.tokpos = u.i
+            )
+        ),
+        rmcnt AS (
+            SELECT doc_id, COUNT(*) AS n FROM removed GROUP BY doc_id
+        ),
+        newtext AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT o.doc_id,
+               CAST(len(o.t) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(rc.n, 0) AS BIGINT) AS n_removed,
+               COALESCE(nt.text, '') AS text
+        FROM odd o
+        LEFT JOIN rmcnt rc USING (doc_id)
+        LEFT JOIN newtext nt USING (doc_id)
+        ORDER BY o.doc_id
     """
 
     d["incremental_span_contamination"] = """
@@ -4149,15 +4231,15 @@ def _louvain_oracle(rounds: int, min_shared: int = 4, levels: int = 1) -> str:
     """
 
 
-def _phash_oracle(max_hamming: int = 8) -> str:
-    """Oracle for ``media_phash_near_duplicates``: recompute the integer
-    pHash RELATIONALLY from the same text bytes the Spark query wraps
-    into PPM payloads (decode of R=G=B tripled bytes is the identity, so
+def _phash_sig_ctes() -> str:
+    """The shared CTE chain computing every document's integer pHash
+    RELATIONALLY from the same text bytes the Spark queries wrap into
+    PPM payloads (decode of R=G=B tripled bytes is the identity, so
     byte -> luma -> 32x32 raster is ``ord`` of the padded text), using
-    the EXACT fixed-point DCT constants from
-    ``multimodal._PHASH_DCT_Q`` inlined as a VALUES table — shared
-    source, so the two sides cannot drift. Then the same 9x7-bit
-    pigeonhole banding + popcount verify as the simhash oracle."""
+    the EXACT fixed-point DCT constants from ``multimodal._PHASH_DCT_Q``
+    inlined as a VALUES table — shared source, so the sides cannot
+    drift. Ends at ``sig(doc_id, phash)``; the self-join and the index
+    probe oracles append their own banding tail."""
     from inf_553_datamining_mapreduce_spark.operators import multimodal as MM
 
     qvals = ", ".join(
@@ -4215,13 +4297,37 @@ def _phash_oracle(max_hamming: int = 8) -> str:
             SELECT s.doc_id, s.phash, CAST(b.b AS INTEGER) AS band,
                    (s.phash >> (CAST(b.b AS INTEGER) * 7)) & 127 AS chunk
             FROM sig s, UNNEST(range(0, 9)) AS b(b)
-        )
+        )"""
+
+
+def _phash_oracle(max_hamming: int = 8) -> str:
+    """Oracle for ``media_phash_near_duplicates``: the shared pHash CTEs
+    plus the same 9x7-bit pigeonhole self-join + popcount verify as the
+    simhash oracle."""
+    return f"""{_phash_sig_ctes()}
         SELECT DISTINCT a.doc_id AS asset_a, b.doc_id AS asset_b,
                CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
         ORDER BY asset_a, asset_b
+    """
+
+
+def _phash_probe_oracle(max_hamming: int = 8) -> str:
+    """Oracle for ``incremental_media_phash``: shared pHash CTEs, even
+    doc_ids are the index and odd the incoming batch, joined on band
+    collision + popcount verify (DISTINCT stands in for the Spark side's
+    stateless first-colliding-band rule — same pair set)."""
+    return f"""{_phash_sig_ctes()}
+        SELECT DISTINCT n.doc_id AS asset_id,
+               i.doc_id AS index_asset_id,
+               CAST(bit_count(xor(n.phash, i.phash)) AS INTEGER) AS hamming
+        FROM bands n JOIN bands i
+          ON n.band = i.band AND n.chunk = i.chunk
+        WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+          AND bit_count(xor(n.phash, i.phash)) <= {max_hamming}
+        ORDER BY asset_id, index_asset_id
     """
 
 

@@ -77,6 +77,8 @@ HEADLINE = [
     "span_deduped_corpus",
     "incremental_community_assignment",
     "media_phash_near_duplicates",
+    "incremental_span_scrub",
+    "incremental_media_phash",
 ]
 
 

@@ -30,7 +30,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -945,19 +945,7 @@ def media_phash_near_duplicates(
     bands = sig.select(
         "asset_id",
         "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("phash"), i * 7)
-                        .bitwiseAND(F.lit(0x7F))
-                        .alias("chunk"),
-                    )
-                    for i in range(9)
-                ]
-            )
-        ).alias("bb"),
+        _phash_bands_expr().alias("bb"),
     ).select(
         "asset_id",
         "phash",
@@ -988,6 +976,94 @@ def media_phash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("asset_a", "asset_b", "hamming")
         .orderBy("asset_a", "asset_b")
+    )
+
+
+def _phash_bands_expr() -> Column:
+    """The 9x7-bit band explode of a ``phash`` column (shared by the
+    batch self-join and the index probe so the two cannot drift)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("phash"), i * 7)
+                    .bitwiseAND(F.lit(0x7F))
+                    .alias("chunk"),
+                )
+                for i in range(9)
+            ]
+        )
+    )
+
+
+def build_phash_index(assets: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Persistable pHash index for ingestion-time image dedup:
+    ``(band_tbl, sig_tbl)`` — the banded bucket table
+    ``(band, chunk, index_asset_id)`` and the signature table
+    ``(index_asset_id, index_phash)``. The artifact an ingestion
+    pipeline keeps next to its MinHash/span indexes; at scale both are
+    written bucketed on their join keys."""
+    sig = media_phash(assets).localCheckpoint()
+    bands = sig.select(
+        F.col("asset_id").alias("index_asset_id"), _phash_bands_expr().alias("bb")
+    ).select(
+        "index_asset_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.chunk").alias("chunk"),
+    )
+    return bands, sig.select(
+        F.col("asset_id").alias("index_asset_id"),
+        F.col("phash").alias("index_phash"),
+    )
+
+
+def index_phash_near_duplicates(
+    new_assets: DataFrame,
+    band_tbl: DataFrame,
+    index_sig: DataFrame,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Ingestion-time image near-dup check — the stream-static twin of
+    ``media_phash_near_duplicates``, the same composition as
+    ``dedup.index_near_duplicates``: each INCOMING image is hashed (one
+    Arrow pass), banded, bucket-joined against the static index, and
+    verified by exact popcount — ``(asset_id, index_asset_id,
+    hamming)``. Stateless per row (the pHash is a per-payload
+    projection, the signature is one BIGINT so the payload-carry through
+    the 9-way band explode is immaterial), so the identical plan runs
+    under Structured Streaming as stream-static joins with no state;
+    candidate de-duplication is structural — a pair is emitted only from
+    its FIRST colliding band, computed per row from the two signatures
+    (the stateless replacement for ``distinct()``, same trick as the
+    MinHash probe)."""
+    sig = media_phash(new_assets)
+    banded = sig.select(
+        "asset_id", "phash", _phash_bands_expr().alias("bb")
+    ).select(
+        "asset_id",
+        "phash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.chunk").alias("chunk"),
+    )
+    cand = banded.join(band_tbl, ["band", "chunk"]).join(
+        index_sig, "index_asset_id"
+    )
+    first_band = F.expr(
+        "filter(sequence(0, 8), b -> "
+        "(shiftright(phash, b * 7) & 127) = "
+        "(shiftright(index_phash, b * 7) & 127))[0]"
+    )
+    return (
+        cand.filter(F.col("band") == first_band)
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("phash").bitwiseXOR(F.col("index_phash"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("asset_id", "index_asset_id", "hamming")
     )
 
 

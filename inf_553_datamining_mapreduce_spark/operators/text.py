@@ -1330,6 +1330,63 @@ def remove_duplicated_spans(
     )
 
 
+def scrub_indexed_spans(
+    new_docs: DataFrame, span_index: DataFrame, k: int = 8
+) -> DataFrame:
+    """Ingestion-time ExactSubstr SCRUB — the removal twin of
+    ``index_span_contamination`` (which only measures): every k-token
+    span of an INCOMING document whose hash already exists in the
+    indexed corpus is dropped (all covered token positions, overlap
+    union — the corpus copy is canonical, the incoming occurrence never
+    survives), and the surviving tokens re-join in order. The write-path
+    complement of ``remove_duplicated_spans``: that one deduplicates a
+    corpus in place; this one keeps an ALREADY-deduplicated corpus clean
+    as new data streams in, without ever re-touching the corpus.
+
+    Stream shape: the positional span build is a pure projection, the
+    probe one equi-join against the static index, and a document's spans
+    live entirely in its own input row — per-document aggregates are
+    complete within any micro-batch (same foreachBatch contract as
+    ``index_span_contamination``), zero cross-batch state.
+
+    Shape at scale: one join of the incoming span stream against the
+    index (the index side is the big one — partitioned on the hash, the
+    natural bucketing key for the persisted artifact), one per-doc
+    collect_set bounded by document length, one 1:1 join back, and the
+    index-filter projection. Linear in incoming tokens.
+    """
+    spans = _span_hashes_pos(new_docs, k)
+    hits = spans.join(span_index.select("h"), "h")
+    removed = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tokpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tokpos").alias("rm"))
+    )
+    toks = F.split("text", " ")
+    rm = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    return (
+        new_docs.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(rm).cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    toks,
+                    lambda t, i: ~F.array_contains(rm, (i + 1).cast("int")),
+                ),
+            ).alias("text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def build_span_index(documents: DataFrame, k: int = 8) -> DataFrame:
     """Corpus span index for ingestion-time contamination checks: every
     k-token span hash with its occurrence count. One aggregate over the

@@ -1517,6 +1517,70 @@ def test_streaming_incremental_community_assignment(spark, tmp_path):
     assert got == batch
 
 
+def test_streaming_span_scrub_matches_batch(spark, tmp_path):
+    """Ingestion-time ExactSubstr scrub: spans already in the indexed
+    corpus are cut from incoming documents (the corpus copy is
+    canonical), clean documents pass untouched, and streaming the
+    incoming docs through foreachBatch lands exactly the batch result."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        build_span_index,
+        scrub_indexed_spans,
+    )
+
+    k = 8
+    boiler = "all rights reserved contact us for more info"  # exactly 8
+    corpus = spark.createDataFrame(
+        [(2, "intro words here " + boiler + " outro words")],
+        "doc_id long, text string",
+    )
+    idx = build_span_index(corpus, k=k).localCheckpoint()
+    incoming = [
+        (1, "fresh unique content " + boiler + " more fresh content"),
+        (3, boiler),
+        (5, "entirely clean document with no indexed spans inside it"),
+    ]
+    new_docs = spark.createDataFrame(incoming, "doc_id long, text string")
+    batch = {
+        r["doc_id"]: (r["n_removed"], r["text"])
+        for r in scrub_indexed_spans(new_docs, idx, k=k).collect()
+    }
+    assert batch[1] == (8, "fresh unique content more fresh content")
+    assert batch[3] == (8, "")  # pure boilerplate empties
+    assert batch[5][0] == 0 and batch[5][1] == incoming[2][1]
+
+    stream_dir = tmp_path / "scrub_stream"
+    stream_dir.mkdir()
+    new_docs.filter(F.col("doc_id") == 1).coalesce(1).write.parquet(
+        str(stream_dir / "a")
+    )
+    new_docs.filter(F.col("doc_id") != 1).coalesce(1).write.parquet(
+        str(stream_dir / "b")
+    )
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")
+    )
+    out_dir = str(tmp_path / "scrub_out")
+
+    def process(batch_df, batch_id):
+        scrub_indexed_spans(batch_df, idx, k=k).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_removed"], r["text"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == batch
+
+
 def test_duplicated_span_stats_planted_boilerplate(spark):
     """A boilerplate sentence pasted into two otherwise-distinct
     documents must flag exactly its spans in BOTH docs (the
@@ -2126,6 +2190,94 @@ def test_media_phash_collides_reencoded_jpeg_not_distinct(spark):
         for r in media_phash_near_duplicates(assets, max_hamming=8).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_streaming_phash_index_probe_matches_batch(spark, tmp_path):
+    """Ingestion-time image dedup: incoming payloads are hashed, banded,
+    and probed against the static pHash index as pure stream-static
+    joins — a lossy JPEG re-encode of an indexed PNG is caught, a clean
+    image passes, and foreachBatch lands exactly the batch result."""
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        build_phash_index,
+        index_phash_near_duplicates,
+    )
+
+    size = 64
+
+    def tex(x, y):
+        return ((x * 7 + y * 13 + (x * y) // 3) % 21) - 10
+
+    def clamp(v):
+        return max(0, min(255, v))
+
+    def img(base):
+        return [
+            [(v := clamp(base(x, y) + tex(x, y)),) * 3 for x in range(size)]
+            for y in range(size)
+        ]
+
+    pix_a = img(lambda x, y: (40 if x < 32 else 190) + y // 2)
+    pix_b = img(lambda x, y: (230 if (x // 16 + y // 16) % 2 else 25))
+    # concentric rings: measured 32+/63 bits from BOTH indexed hashes
+    # (a smooth diagonal gradient lands within 8 bits of the quadrant
+    # image — low-frequency above-median sets overlap heavily on such
+    # synthetic pairs, so the "clean" probe needs distinct structure)
+    pix_c = img(
+        lambda x, y: 220
+        if ((x - 32) ** 2 + (y - 32) ** 2) // 150 % 2
+        else 35
+    )
+
+    index_assets = spark.createDataFrame(
+        [(10, _make_png(pix_a)), (12, _make_png(pix_b))],
+        "asset_id long, payload binary",
+    )
+    band_tbl, index_sig = build_phash_index(index_assets)
+    band_tbl, index_sig = band_tbl.localCheckpoint(), index_sig.localCheckpoint()
+
+    incoming = spark.createDataFrame(
+        [(1, _make_jpeg(pix_a)), (3, _make_png(pix_c))],
+        "asset_id long, payload binary",
+    )
+    batch = {
+        (r["asset_id"], r["index_asset_id"]): r["hamming"]
+        for r in index_phash_near_duplicates(
+            incoming, band_tbl, index_sig
+        ).collect()
+    }
+    assert set(batch) == {(1, 10)} and batch[(1, 10)] <= 8
+
+    stream_dir = tmp_path / "phash_stream"
+    stream_dir.mkdir()
+    incoming.filter(F.col("asset_id") == 1).coalesce(1).write.parquet(
+        str(stream_dir / "a")
+    )
+    incoming.filter(F.col("asset_id") == 3).coalesce(1).write.parquet(
+        str(stream_dir / "b")
+    )
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")
+    )
+    out_dir = str(tmp_path / "phash_out")
+
+    def process(batch_df, batch_id):
+        index_phash_near_duplicates(batch_df, band_tbl, index_sig).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["asset_id"], r["index_asset_id"]): r["hamming"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == batch
 
 
 def test_decode_image_resource_guards(spark):
