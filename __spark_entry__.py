@@ -1417,12 +1417,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["incremental_span_scrub"] = _incremental_span_scrub
+
+    def _bpe_merges(spark, sf):
+        # Tokenizer training (Sennrich et al. 2016) as a distributed
+        # aggregate: ONE corpus scan builds the word-frequency table,
+        # then each merge iteration is a pair-count aggregate over the
+        # vocabulary + a 1-row argmax collect + a pure-projection fold.
+        (d,) = _t(spark, sf, "documents")
+        return T.bpe_merges(d, n_merges=8)
+
+    q["bpe_merges"] = _bpe_merges
+
+    def _bpe_vocab_compression(spark, sf):
+        # Tokenizer fertility per source after the 8 learned merges:
+        # tokens-per-word as a single IEEE division of exact integers.
+        (d,) = _t(spark, sf, "documents")
+        return T.bpe_vocab_compression(d, n_merges=8)
+
+    q["bpe_vocab_compression"] = _bpe_vocab_compression
     return _driver_order(q)
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-7 window, 5 + 13 + 32 = 50:
-# (1) 5 new this round: span_deduped_corpus (ExactSubstr removal — the
+# round. The round-7 window, 7 + 13 + 30 = 50:
+# (1) 7 new this round: bpe_merges + bpe_vocab_compression (distributed
+#     BPE tokenizer training, Sennrich et al. 2016, chained-CTE oracle),
+#     span_deduped_corpus (ExactSubstr removal — the
 #     deduplicated corpus, closing the measure->remove loop),
 #     incremental_span_scrub (its ingestion-time twin — indexed spans
 #     cut from incoming documents),
@@ -1435,8 +1455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     pure-codegen TPC-H scan-agg-join family + date-bucketed
 #     distinct-count + argmax-dedup window + cohort-pivot), now the
 #     stalest proofs in the registry;
-# (3) 32 of the 49 queries whose latest green is round 4 (alphabetical
-#     prefix; the remaining 17 — session_window_stats_plan,
+# (3) 30 of the 49 queries whose latest green is round 4 (alphabetical
+#     prefix; the remaining 19 — session_stats, session_time_to_purchase
+#     (pushed past the 50-cut by the two BPE slots), session_window_stats_plan,
 #     simhash_near_duplicates, source_language_mix,
 #     stratum_sample_exact_k, supplier_part_pareto,
 #     supplier_revenue_share, term_frequency_stats, tfidf_top_terms,
@@ -1450,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # auditable directly. Semantics are unchanged — this is pure dict ordering.
 _DRIVER_PRIORITY = [
     # new this round — prove first:
+    "bpe_merges",
+    "bpe_vocab_compression",
     "span_deduped_corpus",
     "incremental_span_scrub",
     "incremental_community_assignment",
@@ -1500,8 +1523,6 @@ _DRIVER_PRIORITY = [
     "prefix_duplicate_rate_by_source",
     "qty_price_correlation",
     "session_paths",
-    "session_stats",
-    "session_time_to_purchase",
 ]
 
 
@@ -3828,6 +3849,8 @@ def oracle_sql() -> dict[str, str]:
     )
     d["media_phash_near_duplicates"] = _phash_oracle(max_hamming=8)
     d["incremental_media_phash"] = _phash_probe_oracle(max_hamming=8)
+    d["bpe_merges"] = _bpe_oracle(8, _bpe_merges_final(8))
+    d["bpe_vocab_compression"] = _bpe_oracle(8, _bpe_compression_final(8))
     # Percentiles of the per-key count distribution: FLOOR before the
     # BIGINT cast because DuckDB CAST rounds where Spark truncates; counts
     # are positive so floor == truncate-toward-zero.
@@ -4169,6 +4192,76 @@ def _louvain_round_steps(rounds: int, p: str) -> str:
               ON cur.v = o.v
         )""")
     return ",".join(steps)
+
+
+def _bpe_oracle(n_merges: int, final: str) -> str:
+    """Chained-CTE oracle for BPE merge learning (``text.bpe_learn``): one
+    (pair-count, argmax, fold) CTE triple per iteration — the unroll count
+    equals the Spark loop's by construction, the Louvain-oracle pattern.
+    The ``list_reduce`` fold is the same greedy left-to-right
+    non-overlapping merge as Spark's ``aggregate`` fold (string
+    accumulator, append-without-separator on match), and the argmax total
+    order (pair_count DESC, lhs ASC, rhs ASC) matches exactly, so the
+    learned merge sequence is reproduced step for step."""
+    parts = [
+        """words0 AS MATERIALIZED (
+            SELECT word, COUNT(*) AS cnt,
+                   list_append(string_split(word, ''), '</w>') AS syms
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE regexp_matches(word, '^[a-z]+$')
+            GROUP BY word
+        )"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}" if i > 1 else "words0"
+        parts.append(f"""p{i} AS (
+            SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+                   CAST(SUM(cnt) AS BIGINT) AS pair_count
+            FROM {prev}, UNNEST(range(1, len(syms))) AS t(i)
+            GROUP BY 1, 2
+        )""")
+        parts.append(f"""b{i} AS MATERIALIZED (
+            SELECT lhs, rhs, pair_count FROM p{i}
+            ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+        )""")
+        parts.append(f"""w{i} AS MATERIALIZED (
+            SELECT word, cnt,
+                   string_split(list_reduce(syms, (acc, x) -> CASE
+                       WHEN x = b.rhs
+                            AND (acc = b.lhs OR ends_with(acc, ' ' || b.lhs))
+                       THEN acc || x
+                       ELSE acc || ' ' || x END), ' ') AS syms
+            FROM {prev}, b{i} AS b
+        )""")
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def _bpe_merges_final(n_merges: int) -> str:
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS merge_rank, lhs, rhs,"
+        f" lhs || rhs AS merged, pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"SELECT * FROM ({rows}) ORDER BY merge_rank"
+
+
+def _bpe_compression_final(n_merges: int) -> str:
+    return f"""
+        , per_src AS (
+            SELECT source, word, COUNT(*) AS cnt
+            FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE regexp_matches(word, '^[a-z]+$')
+            GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(SUM(per_src.cnt) AS BIGINT) AS n_words,
+               CAST(SUM(per_src.cnt * len(syms)) AS BIGINT) AS n_bpe_tokens,
+               CAST(SUM(per_src.cnt * len(syms)) AS DOUBLE) / SUM(per_src.cnt)
+                   AS avg_tokens_per_word
+        FROM per_src JOIN w{n_merges} USING (word)
+        GROUP BY source ORDER BY source"""
 
 
 def _louvain_oracle(rounds: int, min_shared: int = 4, levels: int = 1) -> str:

@@ -1433,3 +1433,163 @@ def index_span_contamination(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning — tokenizer training as a distributed aggregate
+# (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare
+# Words with Subword Units"). No reference analog (SURVEY.md §2.6 ends at
+# split/concat); this is the LLM-pipeline tokenizer-training stage.
+
+BPE_END_OF_WORD = "</w>"
+
+
+def _bpe_word_table(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt, syms) — the word-frequency reduction every scalable BPE
+    trainer starts from: a 100 TB corpus collapses to a vocabulary-sized
+    table in ONE hash aggregate (map-side partials), and every subsequent
+    merge iteration runs over the vocabulary weighted by ``cnt``, never
+    re-reading the corpus. ``syms`` starts as the word's characters plus
+    the ``</w>`` end-of-word marker (so suffixes like ``e</w>`` can merge,
+    exactly as in the paper). Words are restricted to ``^[a-z]+$`` so the
+    symbol alphabet is closed under concatenation and the cross-engine
+    fold below needs no escaping."""
+    chars = F.split(F.col("word"), "")
+    return (
+        documents.select(F.explode(tokens_col(text_col)).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.concat(chars, F.array(F.lit(BPE_END_OF_WORD))).alias("syms"),
+        )
+    )
+
+
+def _bpe_merge_fold(lhs: str, rhs: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of the adjacent symbol
+    pair (lhs, rhs), as a single ``aggregate`` fold over ``syms`` with a
+    space-joined string accumulator: if the accumulator's LAST symbol is
+    ``lhs`` and the next symbol is ``rhs``, append ``rhs`` WITHOUT a
+    separator (forming the merged symbol); else append with one. The fold
+    is exactly subword-nmt's regex pass — ``a a a`` under pair (a,a)
+    merges once, ``a b a b`` under (a,b) merges twice — and the identical
+    ``list_reduce`` runs in the DuckDB oracle, so merge application is
+    proven cross-engine. Pure projection: no shuffle, no UDF."""
+    return F.aggregate(
+        F.slice(
+            "syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))
+        ),
+        F.element_at("syms", 1),
+        lambda acc, x: F.when(
+            (x == F.lit(rhs))
+            & ((acc == F.lit(lhs)) | acc.endswith(F.lit(" " + lhs))),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+
+
+def bpe_learn(
+    documents: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``n_merges`` BPE merges over the corpus; returns
+    ``(merges, vocab)`` where ``merges`` is the learned table
+    (merge_rank, lhs, rhs, merged, pair_count) and ``vocab`` is the final
+    word table with each word's symbol sequence after all merges.
+
+    Per iteration: one pair-explode + hash aggregate over the
+    VOCABULARY table (weighted by word count — adjacent-pair counts
+    include overlapping occurrences, as in the paper), one 1-row argmax
+    collect (the algorithm's synchronization point, same bounded-scalar
+    pattern as Louvain's ``m``), and one pure-projection fold applying
+    the winner. The vocabulary is localCheckpoint'd each round so the
+    plan doesn't nest ``n_merges`` HOF folds. At 100 TB the corpus is
+    read ONCE (the word-count aggregate); iterations cost
+    O(vocab x avg word length) each — the shape HF ``tokenizers`` and
+    subword-nmt both use, here distributed.
+
+    Ties in pair count break by (pair_count DESC, lhs ASC, rhs ASC) — a
+    total order, so the learned merge sequence is deterministic and the
+    DuckDB oracle (chained CTEs, one per iteration) reproduces it
+    exactly."""
+    spark = documents.sparkSession
+    words = _bpe_word_table(documents, text_col).localCheckpoint()
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        pairs = words.select(
+            "cnt",
+            F.expr(
+                "explode(arrays_zip(slice(syms, 1, size(syms)-1),"
+                " slice(syms, 2, size(syms)-1)))"
+            ).alias("p"),
+        ).select(
+            F.col("p")["0"].alias("lhs"), F.col("p")["1"].alias("rhs"), "cnt"
+        )
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["pair_count"])
+        merges.append((rank, lhs, rhs, lhs + rhs, cnt))
+        words = words.select(
+            "word",
+            "cnt",
+            F.split(_bpe_merge_fold(lhs, rhs), " ").alias("syms"),
+        ).localCheckpoint()
+    merges_df = spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string, pair_count long",
+    )
+    return merges_df, words
+
+
+def bpe_merges(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """The learned BPE merge table, in merge order."""
+    merges, _ = bpe_learn(documents, n_merges)
+    return merges.orderBy("merge_rank")
+
+
+def bpe_vocab_compression(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Per-source tokenizer-compression report after applying the learned
+    merges: total (alpha) words, total BPE tokens those words encode to,
+    and tokens-per-word as their single IEEE division (deterministic —
+    one op on exact integers). The fertility metric every tokenizer
+    evaluation reports, per corpus source.
+
+    Shape: the learn loop runs over the global vocabulary; the per-source
+    word counts are a second corpus aggregate joined to the final
+    vocabulary (vocabulary-sized build side — AQE broadcasts it at any
+    realistic scale)."""
+    _, vocab = bpe_learn(documents, n_merges)
+    per_src = (
+        documents.select("source", F.explode(tokens_col("text")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_src.join(
+            vocab.select("word", F.size("syms").alias("n_syms")), "word"
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_syms")).alias("n_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            (F.col("n_bpe_tokens") / F.col("n_words")).alias(
+                "avg_tokens_per_word"
+            ),
+        )
+        .orderBy("source")
+    )

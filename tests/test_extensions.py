@@ -2894,3 +2894,109 @@ def test_index_dedup_probe_shapes_identical(spark, sf_dir):
         }
     assert out[False], "expected planted cross-half near-dups"
     assert out[False] == out[True]
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning
+
+
+def _ref_bpe(word_counts, n_merges):
+    """Brute-force reference BPE (Sennrich et al. 2016): dict-based pair
+    counting with overlapping occurrences, (count DESC, lhs ASC, rhs ASC)
+    tie-break, greedy left-to-right non-overlapping merge application."""
+    vocab = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + word_counts[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), cnt = best
+        merges.append((a, b, a + b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_matches_bruteforce_reference(spark):
+    from inf_553_datamining_mapreduce_spark.operators.text import bpe_learn
+
+    texts = [
+        "the cat sat on the mat",
+        "the bats chatter the cat naps",
+        "a rat sat the cat spat",
+        "that hat that mat that cat",
+    ]
+    counts = {}
+    for t in texts:
+        for w in t.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    docs = spark.createDataFrame(
+        [(i, t, "src0") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    merges_df, vocab_df = bpe_learn(docs, n_merges=8)
+    got = [
+        (r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    exp_merges, exp_vocab = _ref_bpe(counts, 8)
+    assert got == exp_merges
+    got_vocab = {r["word"]: list(r["syms"]) for r in vocab_df.collect()}
+    assert got_vocab == exp_vocab
+
+
+def test_bpe_fold_is_greedy_nonoverlapping(spark):
+    # "a a a" under pair (a,a) merges once -> [aa, a]; "a b a b" under
+    # (a,b) merges twice -> the two classic greedy-semantics pins.
+    from pyspark.sql import functions as F
+
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        _bpe_merge_fold,
+    )
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "a", "b"],), (["x"],)],
+        "syms array<string>",
+    )
+    out = [r[0] for r in df.select(F.split(_bpe_merge_fold("a", "a"), " ")).collect()]
+    assert out[0] == ["aa", "a"]
+    out2 = [r[0] for r in df.select(F.split(_bpe_merge_fold("a", "b"), " ")).collect()]
+    assert out2[1] == ["ab", "ab"]
+    assert out2[2] == ["x"]  # single-symbol word passes through the fold
+
+
+def test_bpe_vocab_compression_planted(spark):
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        bpe_vocab_compression,
+    )
+
+    # One source is pure repetition of one word (compresses to 1 token per
+    # word once its spelling is fully merged); the other is diverse.
+    docs = spark.createDataFrame(
+        [
+            (0, "zzyx zzyx zzyx zzyx zzyx zzyx zzyx zzyx", "rep"),
+            (1, "the quick brown fox jumps over lazy dogs", "mix"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["source"]: r
+        for r in bpe_vocab_compression(docs, n_merges=8).collect()
+    }
+    assert rows["rep"]["n_words"] == 8
+    # 8 merges fully collapse z-z-y-x-</w> (4 merges needed) long before
+    # the diverse source's words collapse.
+    assert rows["rep"]["avg_tokens_per_word"] == 1.0
+    assert rows["mix"]["avg_tokens_per_word"] > 1.0
