@@ -1435,13 +1435,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return T.bpe_vocab_compression(d, n_merges=8)
 
     q["bpe_vocab_compression"] = _bpe_vocab_compression
+
+    def _hll_distinct_orders(spark, sf):
+        # Deterministic md5-hash HLL: register-exact cross-engine (unlike
+        # the library HLL++ behind approx_distinct_parts, whose oracle is
+        # a bounds check), with the merged-union 'ALL' row proving
+        # register mergeability under the same hash gate.
+        (li,) = _t(spark, sf, "lineitem")
+        return SKE.hll_distinct_orders(li)
+
+    q["hll_distinct_orders"] = _hll_distinct_orders
     return _driver_order(q)
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-7 window, 7 + 13 + 30 = 50:
-# (1) 7 new this round: bpe_merges + bpe_vocab_compression (distributed
+# round. The round-7 window, 8 + 13 + 29 = 50:
+# (1) 8 new this round: bpe_merges + bpe_vocab_compression (distributed
 #     BPE tokenizer training, Sennrich et al. 2016, chained-CTE oracle),
+#     hll_distinct_orders (deterministic md5 HLL registers with the
+#     merged-union row — register-exact oracle, unlike the library
+#     HLL++ bounds check),
 #     span_deduped_corpus (ExactSubstr removal — the
 #     deduplicated corpus, closing the measure->remove loop),
 #     incremental_span_scrub (its ingestion-time twin — indexed spans
@@ -1455,9 +1468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     pure-codegen TPC-H scan-agg-join family + date-bucketed
 #     distinct-count + argmax-dedup window + cohort-pivot), now the
 #     stalest proofs in the registry;
-# (3) 30 of the 49 queries whose latest green is round 4 (alphabetical
-#     prefix; the remaining 19 — session_stats, session_time_to_purchase
-#     (pushed past the 50-cut by the two BPE slots), session_window_stats_plan,
+# (3) 29 of the 49 queries whose latest green is round 4 (alphabetical
+#     prefix; the remaining 20 — session_paths, session_stats,
+#     session_time_to_purchase (pushed past the 50-cut by the three new
+#     slots), session_window_stats_plan,
 #     simhash_near_duplicates, source_language_mix,
 #     stratum_sample_exact_k, supplier_part_pareto,
 #     supplier_revenue_share, term_frequency_stats, tfidf_top_terms,
@@ -1473,6 +1487,7 @@ _DRIVER_PRIORITY = [
     # new this round — prove first:
     "bpe_merges",
     "bpe_vocab_compression",
+    "hll_distinct_orders",
     "span_deduped_corpus",
     "incremental_span_scrub",
     "incremental_community_assignment",
@@ -1522,7 +1537,6 @@ _DRIVER_PRIORITY = [
     "pmi_collocations",
     "prefix_duplicate_rate_by_source",
     "qty_price_correlation",
-    "session_paths",
 ]
 
 
@@ -2352,6 +2366,51 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT l_partkey) AS exact_parts,
                TRUE AS within_bounds
         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+    """
+    # Deterministic md5 HLL (sketches.hll_registers): register-exact in
+    # SQL — bucket/rho/max-merge/scaled-sum all integers; the single
+    # inexact IEEE division uses the same frozen alpha*m^2 literal.
+    d["hll_distinct_orders"] = """
+        WITH h AS (
+            SELECT l_returnflag,
+                   CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+            FROM lineitem
+        ),
+        r0 AS (SELECT l_returnflag, h & 255 AS bucket, h >> 8 AS w FROM h),
+        rr AS (
+            SELECT l_returnflag, bucket,
+                   MAX(CASE WHEN w = 0 THEN 53
+                            ELSE 53 - length(bin(w)) END) AS reg
+            FROM r0 GROUP BY 1, 2
+        ),
+        uru AS (
+            SELECT * FROM rr
+            UNION ALL
+            SELECT 'ALL', bucket, MAX(reg) FROM rr GROUP BY bucket
+        ),
+        s AS (
+            SELECT l_returnflag,
+                   CAST(SUM(1::BIGINT << (53 - reg))
+                        + (256 - COUNT(*)) * (1::BIGINT << 53) AS BIGINT)
+                       AS scaled_sum,
+                   CAST(256 - COUNT(*) AS BIGINT) AS n_zero_buckets
+            FROM uru GROUP BY 1
+        ),
+        ex AS (
+            SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders
+            FROM lineitem GROUP BY 1
+            UNION ALL
+            SELECT 'ALL', COUNT(DISTINCT l_orderkey) FROM lineitem
+        )
+        SELECT s.l_returnflag, n_zero_buckets, scaled_sum,
+               CAST(FLOOR(47072.71267120224
+                          / (CAST(scaled_sum AS DOUBLE)
+                             / 9007199254740992.0)) AS BIGINT)
+                   AS hll_estimate,
+               exact_orders
+        FROM s JOIN ex USING (l_returnflag)
+        ORDER BY l_returnflag
     """
     # Count-min sketch is fully deterministic (md5-seeded cells), so the
     # WHOLE pipeline — sketch build, candidate probe, min-over-rows

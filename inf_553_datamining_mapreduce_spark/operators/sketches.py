@@ -188,3 +188,134 @@ def bloom_filtered_revenue(
         .agg(revenue, F.count(F.lit(1)).alias("n_items"))
         .orderBy("l_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog registers — the MERGEABLE distinct sketch
+# (Flajolet et al. 2007; the md5-hash construction makes every register
+# value engine-exact, unlike the seeded-xxhash HLL++ inside Spark's
+# ``approx_count_distinct``, whose oracle can only be a bounds check —
+# see ``relational.approx_distinct_parts_bounds``).
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_W = 60 - HLL_P  # 52-bit remainder feeds the leading-zero count
+# alpha_256 * 256^2, FROZEN as a literal shared verbatim with the DuckDB
+# oracle (the pHash-DCT convention) so the one inexact IEEE division both
+# engines perform starts from bit-identical operands.
+HLL_ALPHA_M2 = 47072.71267120224
+# 2^53 — the exact power-of-two scale that turns sum(2^-reg) into an
+# exact BIGINT sum: term(reg) = 2^(53-reg), reg in [1, 53]; an untouched
+# register contributes 2^53. Dividing by 2^53 at the end is EXACT (power
+# of two), so the estimate involves exactly one inexact operation.
+_HLL_SCALE = float(1 << 53)
+
+
+def hll_registers(
+    df: DataFrame, key: str, group_cols: tuple = ("event_type",)
+) -> DataFrame:
+    """Per-group HLL registers: bucket = low ``HLL_P`` hash bits, register
+    = max over the group of rho(w) where rho is the position of the
+    leading 1-bit of the remaining 52 bits (53 when w == 0). One hash
+    aggregate with map-side partial max — CONSTANT ``HLL_M``-bounded state
+    per group no matter how many rows, and registers MERGE by plain
+    ``max``, which is what makes the sketch unionable across sources,
+    partitions, or micro-batches."""
+    h = _h60(F.col(key).cast("string"))
+    bucket = h.bitwiseAND(F.lit(HLL_M - 1))
+    w = F.shiftright(h, HLL_P)
+    # bit_length via base-2 conv — stays integer (no libm log2); conv
+    # emits '0' for w=0, hence the explicit branch.
+    rho = F.when(w == F.lit(0), F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.conv(w, 10, 2))
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def _hll_estimate(registers: DataFrame, group_cols: tuple) -> DataFrame:
+    """(group, n_zero_buckets, scaled_sum, hll_estimate) from a register
+    table: scaled_sum = 2^53 * sum_j 2^-M_j as an EXACT BIGINT (missing
+    buckets contribute 2^53), then the standard alpha*m^2/sum estimate
+    with the division sequence pinned to one inexact IEEE op."""
+    term = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        (F.lit(HLL_W + 1) - F.col("reg")).cast("int"),
+    )
+    s = registers.groupBy(*group_cols).agg(
+        F.sum(term).alias("present_sum"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    scaled_sum = (
+        F.col("present_sum")
+        + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << (HLL_W + 1))
+    ).cast("long")
+    return s.select(
+        *group_cols,
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias(
+            "n_zero_buckets"
+        ),
+        scaled_sum.alias("scaled_sum"),
+        F.floor(
+            F.lit(HLL_ALPHA_M2)
+            / (scaled_sum.cast("double") / F.lit(_HLL_SCALE))
+        )
+        .cast("long")
+        .alias("hll_estimate"),
+    )
+
+
+def hll_distinct_orders(lineitem: DataFrame) -> DataFrame:
+    """Distinct orders per return flag AND the merged union ('ALL' row)
+    from ONE register build: the union estimate is a plain ``max`` over
+    the per-flag registers — the mergeability that lets 1000 executors
+    (or 1000 micro-batches) each ship 256 small integers instead of
+    their key sets. ``exact_orders`` rides along as the audit column
+    (computed from the distinct-pair table, which the register state
+    makes redundant at 100 TB — drop it there; the sketch columns are
+    the product).
+
+    The raw alpha*m^2/sum estimator is valid above ~2.5m (~640 at
+    m=256) distinct keys; below that HLL's linear-counting branch
+    (m*ln(m/V)) applies, which needs libm and so is left to consumers —
+    ``n_zero_buckets`` (V) is emitted exactly for that purpose. The
+    registry keys (l_orderkey per l_returnflag at sf>=0.01) sit above
+    the boundary.
+
+    Registers are localCheckpoint'd (constant-size: HLL_M x n_flags
+    rows) so the per-flag and merged branches don't re-scan lineitem."""
+    regs = hll_registers(
+        lineitem, "l_orderkey", ("l_returnflag",)
+    ).localCheckpoint()
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .select(F.lit("ALL").alias("l_returnflag"), "bucket", "reg")
+    )
+    est = _hll_estimate(regs.unionByName(merged), ("l_returnflag",))
+    du = (
+        lineitem.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    exact = du.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_orders")
+    )
+    exact_all = du.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    ).select(F.lit("ALL").alias("l_returnflag"), "exact_orders")
+    return (
+        est.join(exact.unionByName(exact_all), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_zero_buckets",
+            "scaled_sum",
+            "hll_estimate",
+            "exact_orders",
+        )
+        .orderBy("l_returnflag")
+    )

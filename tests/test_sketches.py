@@ -96,3 +96,86 @@ def test_approx_percentile_within_rank_bounds(spark, sf_dir):
     rows = approx_price_percentile_bounds(o).collect()
     assert len(rows) == 9  # 3 statuses x 3 percentiles
     assert all(r["within_bounds"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HLL registers
+
+
+def _py_hll_registers(keys):
+    """Pure-Python reference: same md5-60bit hash, p=8, rho over the
+    52-bit remainder."""
+    import hashlib
+
+    regs = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        bucket, w = h & 255, h >> 8
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_reference(spark):
+    from inf_553_datamining_mapreduce_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    keys = list(range(1, 500))
+    df = spark.createDataFrame(
+        [("g", k) for k in keys], "grp string, key long"
+    )
+    got = {
+        r["bucket"]: r["reg"]
+        for r in hll_registers(df, "key", ("grp",)).collect()
+    }
+    assert got == _py_hll_registers(keys)
+
+
+def test_hll_merge_equals_union(spark):
+    # max-merging per-group registers must equal registers of the union —
+    # the mergeability contract, exact (not approximate).
+    from inf_553_datamining_mapreduce_spark.operators.sketches import (
+        hll_registers,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", k) for k in range(200)] + [("b", k) for k in range(100, 400)],
+        "grp string, key long",
+    )
+    per_group = hll_registers(df, "key", ("grp",))
+    merged = {
+        r["bucket"]: r["reg"]
+        for r in per_group.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .collect()
+    }
+    direct = {
+        r["bucket"]: r["reg"]
+        for r in hll_registers(
+            df.select(F.lit("all").alias("grp"), "key"), "key", ("grp",)
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_accuracy(spark, sf_dir):
+    # m=256 -> sigma ~ 1.04/sqrt(256) = 6.5%; assert 4 sigma on the ALL
+    # row (1500 distinct orders at sf0.001 — inside the raw-estimator
+    # regime). Per-flag rows at this SF sit near the 2.5m linear-counting
+    # boundary, so they only get a loose sanity bound.
+    from inf_553_datamining_mapreduce_spark.operators.sketches import (
+        hll_distinct_orders,
+    )
+    from inf_553_datamining_mapreduce_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    rows = {r["l_returnflag"]: r for r in hll_distinct_orders(li).collect()}
+    allr = rows["ALL"]
+    rel = abs(allr["hll_estimate"] - allr["exact_orders"]) / allr["exact_orders"]
+    assert rel < 0.26, (allr, rel)
+    for flag, r in rows.items():
+        assert 0 < r["hll_estimate"] < 10 * r["exact_orders"], r
