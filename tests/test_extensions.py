@@ -3000,3 +3000,44 @@ def test_bpe_vocab_compression_planted(spark):
     # the diverse source's words collapse.
     assert rows["rep"]["avg_tokens_per_word"] == 1.0
     assert rows["mix"]["avg_tokens_per_word"] > 1.0
+
+
+def test_streaming_hll_register_merge_matches_batch(spark, sf_dir, tmp_path):
+    """HLL registers merged across micro-batches (foreachBatch, plain max
+    — the 256-row bounded state a streaming distinct-count ships) must
+    equal the batch registers of the full table, EXACTLY: mergeability is
+    the sketch's streaming contract, not an approximation."""
+    from inf_553_datamining_mapreduce_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    d = tmp_path / "hll_stream"
+    d.mkdir()
+    li.filter(F.col("l_orderkey") % 2 == 0).coalesce(1).write.parquet(
+        str(d / "even")
+    )
+    li.filter(F.col("l_orderkey") % 2 == 1).coalesce(1).write.parquet(
+        str(d / "odd")
+    )
+    schema = li.schema
+    state: dict = {}
+
+    def merge_batch(batch_df, _bid):
+        for r in hll_registers(batch_df, "l_orderkey", ()).collect():
+            state[r["bucket"]] = max(state.get(r["bucket"], 0), r["reg"])
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    direct = {
+        r["bucket"]: r["reg"]
+        for r in hll_registers(li, "l_orderkey", ()).collect()
+    }
+    assert state == direct
