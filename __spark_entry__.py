@@ -1445,16 +1445,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SKE.hll_distinct_orders(li)
 
     q["hll_distinct_orders"] = _hll_distinct_orders
+
+    def _kmeans_centroids_fixedpoint(spark, sf):
+        # Lloyd's k-means in engine-exact integer arithmetic — the IVF
+        # coarse-quantizer training loop under the oracle gate (the
+        # library KMeans inside topk_cosine_ivf is seeded-float and can
+        # only be property-tested).
+        (emb,) = _t(spark, sf, "embeddings")
+        return SIM.kmeans_fixedpoint(emb, k=8, iters=3)
+
+    q["kmeans_centroids_fixedpoint"] = _kmeans_centroids_fixedpoint
     return _driver_order(q)
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-7 window, 8 + 13 + 29 = 50:
-# (1) 8 new this round: bpe_merges + bpe_vocab_compression (distributed
+# round. The round-7 window, 9 + 13 + 28 = 50:
+# (1) 9 new this round: bpe_merges + bpe_vocab_compression (distributed
 #     BPE tokenizer training, Sennrich et al. 2016, chained-CTE oracle),
 #     hll_distinct_orders (deterministic md5 HLL registers with the
 #     merged-union row — register-exact oracle, unlike the library
 #     HLL++ bounds check),
+#     kmeans_centroids_fixedpoint (integer Lloyd's — the IVF coarse
+#     quantizer training loop under the oracle gate),
 #     span_deduped_corpus (ExactSubstr removal — the
 #     deduplicated corpus, closing the measure->remove loop),
 #     incremental_span_scrub (its ingestion-time twin — indexed spans
@@ -1468,10 +1480,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     pure-codegen TPC-H scan-agg-join family + date-bucketed
 #     distinct-count + argmax-dedup window + cohort-pivot), now the
 #     stalest proofs in the registry;
-# (3) 29 of the 49 queries whose latest green is round 4 (alphabetical
-#     prefix; the remaining 20 — session_paths, session_stats,
-#     session_time_to_purchase (pushed past the 50-cut by the three new
-#     slots), session_window_stats_plan,
+# (3) 28 of the 49 queries whose latest green is round 4 (alphabetical
+#     prefix; the remaining 21 — qty_price_correlation, session_paths,
+#     session_stats, session_time_to_purchase (pushed past the 50-cut by
+#     the four new slots), session_window_stats_plan,
 #     simhash_near_duplicates, source_language_mix,
 #     stratum_sample_exact_k, supplier_part_pareto,
 #     supplier_revenue_share, term_frequency_stats, tfidf_top_terms,
@@ -1488,6 +1500,7 @@ _DRIVER_PRIORITY = [
     "bpe_merges",
     "bpe_vocab_compression",
     "hll_distinct_orders",
+    "kmeans_centroids_fixedpoint",
     "span_deduped_corpus",
     "incremental_span_scrub",
     "incremental_community_assignment",
@@ -1536,7 +1549,6 @@ _DRIVER_PRIORITY = [
     "orders_yoy_growth",
     "pmi_collocations",
     "prefix_duplicate_rate_by_source",
-    "qty_price_correlation",
 ]
 
 
@@ -3910,6 +3922,7 @@ def oracle_sql() -> dict[str, str]:
     d["incremental_media_phash"] = _phash_probe_oracle(max_hamming=8)
     d["bpe_merges"] = _bpe_oracle(8, _bpe_merges_final(8))
     d["bpe_vocab_compression"] = _bpe_oracle(8, _bpe_compression_final(8))
+    d["kmeans_centroids_fixedpoint"] = _kmeans_oracle(k=8, iters=3, dims=64)
     # Percentiles of the per-key count distribution: FLOOR before the
     # BIGINT cast because DuckDB CAST rounds where Spark truncates; counts
     # are positive so floor == truncate-toward-zero.
@@ -4251,6 +4264,73 @@ def _louvain_round_steps(rounds: int, p: str) -> str:
               ON cur.v = o.v
         )""")
     return ",".join(steps)
+
+
+def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
+    """Chained-CTE oracle for ``similarity.kmeans_fixedpoint``: one
+    (assign, count, sum, centroid-update) CTE quadruple per Lloyd
+    iteration. Same frozen 10000.0 quantization literal, same
+    (dist, cluster_id) argmin total order, and both engines' integer
+    division truncates toward zero (pinned by test), so every centroid
+    coordinate matches exactly."""
+    d1 = dims + 1
+    parts = [
+        f"""e0 AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(range(1, {d1}), j ->
+                       CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 10000.0)
+                            AS BIGINT)) AS q
+            FROM embeddings
+        )""",
+        f"""c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                       AS cluster_id,
+                   q AS c
+            FROM (SELECT vec_id, q FROM e0 ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS MATERIALIZED (
+            SELECT vec_id, cluster_id FROM (
+                SELECT e.vec_id, c.cluster_id,
+                       list_aggregate(list_transform(range(1, {d1}), j ->
+                           (e.q[j] - c.c[j]) * (e.q[j] - c.c[j])), 'sum')
+                           AS dist
+                FROM e0 e CROSS JOIN c{i - 1} c
+            ) QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cluster_id) = 1
+        )""")
+        parts.append(f"""n{i} AS (
+            SELECT cluster_id, COUNT(*) AS n FROM a{i} GROUP BY 1
+        )""")
+        parts.append(f"""s{i} AS (
+            SELECT a.cluster_id, t.dim, CAST(SUM(e.q[t.dim]) AS BIGINT) AS s
+            FROM a{i} a JOIN e0 e USING (vec_id),
+                 UNNEST(range(1, {d1})) t(dim)
+            GROUP BY 1, 2
+        )""")
+        parts.append(f"""l{i} AS (
+            SELECT s.cluster_id, list(s.s ORDER BY s.dim) AS sv,
+                   MAX(n.n) AS n
+            FROM s{i} s JOIN n{i} n USING (cluster_id) GROUP BY 1
+        )""")
+        parts.append(f"""c{i} AS MATERIALIZED (
+            SELECT p.cluster_id,
+                   COALESCE(list_transform(l.sv, x -> x // l.n), p.c) AS c
+            FROM c{i - 1} p LEFT JOIN l{i} l USING (cluster_id)
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT c.cluster_id, CAST(t.dim - 1 AS INTEGER) AS dim,
+               CAST(c.c[t.dim] AS BIGINT) AS centroid_q,
+               CAST(COALESCE(n.n, 0) AS BIGINT) AS n_points
+        FROM c{iters} c
+             LEFT JOIN n{iters} n USING (cluster_id),
+             UNNEST(range(1, {d1})) t(dim)
+        ORDER BY cluster_id, dim"""
+    )
 
 
 def _bpe_oracle(n_merges: int, final: str) -> str:

@@ -402,3 +402,119 @@ def embedding_quantize_int8(embeddings: DataFrame) -> DataFrame:
         .select("vec_id", "dim", level.cast("int").alias("level"))
         .orderBy("vec_id", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point Lloyd's k-means — the learned coarse quantizer behind IVF,
+# in engine-exact integer arithmetic (the pagerank/GN BIGINT convention)
+# so the full iterative clustering sits under the DuckDB oracle gate,
+# unlike ``ivf_top_k``'s ``pyspark.ml`` quantizer whose seeded float path
+# can only be property-tested.
+
+KMEANS_SCALE = 10000.0  # frozen literal shared with the oracle SQL
+
+
+def _kmeans_quantized(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, q) with q = floor(x * 10000) per dimension as BIGINT —
+    float32 -> double is exact, so the single multiply+floor is the one
+    (deterministic) IEEE op and everything downstream is integer."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(KMEANS_SCALE)).cast(
+            "long"
+        ),
+    )
+    return embeddings.select("vec_id", q.alias("q"))
+
+
+def kmeans_fixedpoint(
+    embeddings: DataFrame, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Lloyd's k-means over quantized embeddings, fully deterministic:
+    init = the first ``k`` vectors by vec_id; assignment = integer
+    squared-L2 argmin with (dist, cluster_id) tie-break; update = per-dim
+    truncating integer mean (both engines truncate toward zero — pinned
+    by test); empty clusters keep their previous centroid. Output is one
+    row per (cluster_id, dim): the centroid coordinate plus the final
+    cluster size — scalar columns only, so the driver's sort+hash
+    compare applies.
+
+    Shape at scale: the corpus is scanned once into the quantized table
+    (localCheckpoint — reused by all ``iters`` passes); each iteration
+    is one broadcast of the k x dims centroid table against the corpus
+    (pure codegen zip_with/aggregate distance, no UDF), one min-struct
+    argmin aggregate, and one (cluster, dim)-keyed sum — the classic
+    distributed Lloyd's step, cost O(corpus x k x dims) per pass with
+    NO driver collect anywhere (centroids stay a bounded DataFrame).
+    Citation: reference has no ML surface (SURVEY.md §2); this is the
+    IVF coarse-quantizer training loop (`ivf_top_k`) made oracle-able.
+    """
+    vecs = _kmeans_quantized(embeddings).localCheckpoint()
+    w = Window.orderBy("vec_id")
+    cent = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("cluster_id"),
+            F.col("q").alias("c"),
+        )
+        .localCheckpoint()
+    )
+    counts = None
+    dist = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(iters):
+        assigned = (
+            vecs.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cluster_id", dist.alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster_id")).alias("m"))
+            .select("vec_id", F.col("m.cluster_id").alias("cluster_id"))
+        )
+        counts = (
+            assigned.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .localCheckpoint()
+        )
+        sums = (
+            assigned.join(vecs, "vec_id")
+            .select("cluster_id", F.posexplode("q").alias("dim", "val"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("val").alias("s"))
+        )
+        upd = (
+            sums.join(counts, "cluster_id")
+            .select(
+                "cluster_id",
+                "dim",
+                F.expr("s div n_points").alias("v"),
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                    lambda s: s["v"],
+                ).alias("c_new")
+            )
+        )
+        cent = (
+            cent.join(upd, "cluster_id", "left")
+            .select(
+                "cluster_id", F.coalesce("c_new", "c").alias("c")
+            )
+            .localCheckpoint()
+        )
+    return (
+        cent.select("cluster_id", F.posexplode("c").alias("dim", "centroid_q"))
+        .join(counts, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "dim",
+            "centroid_q",
+            F.coalesce("n_points", F.lit(0)).cast("long").alias("n_points"),
+        )
+        .orderBy("cluster_id", "dim")
+    )

@@ -3041,3 +3041,101 @@ def test_streaming_hll_register_merge_matches_batch(spark, sf_dir, tmp_path):
         for r in hll_registers(li, "l_orderkey", ()).collect()
     }
     assert state == direct
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point k-means
+
+
+def _ref_kmeans(vectors, k, iters):
+    """Brute-force reference Lloyd's over quantized vectors: same init
+    (first k by vec_id), same (dist, cluster_id) argmin tie-break, same
+    truncate-toward-zero integer mean, empty clusters keep centroids."""
+    import math
+
+    q = {vid: [math.floor(x * 10000.0) for x in v] for vid, v in vectors}
+    ids = sorted(q)
+    cent = {c: list(q[ids[c]]) for c in range(k)}
+    counts = {}
+    for _ in range(iters):
+        assign = {}
+        for vid in ids:
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(q[vid], cent[c])), c)
+                for c in range(k)
+            )
+            assign[vid] = best[1]
+        counts = {}
+        sums = {}
+        for vid, c in assign.items():
+            counts[c] = counts.get(c, 0) + 1
+            acc = sums.setdefault(c, [0] * len(q[vid]))
+            for j, x in enumerate(q[vid]):
+                acc[j] += x
+        for c in range(k):
+            if counts.get(c):
+                n = counts[c]
+                cent[c] = [
+                    int(s / n) if s >= 0 else -int(-s / n)
+                    for s in (
+                        sums[c][j] for j in range(len(sums[c]))
+                    )
+                ]
+    return cent, counts
+
+
+def test_kmeans_fixedpoint_matches_bruteforce(spark):
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        kmeans_fixedpoint,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    vectors = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(6)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<float>"
+    )
+    # re-read the float32 values Spark actually stored so the reference
+    # quantizes the same bits
+    stored = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in df.orderBy("vec_id").collect()
+    ]
+    got = kmeans_fixedpoint(df, k=4, iters=3).collect()
+    cent, counts = _ref_kmeans(stored, 4, 3)
+    for r in got:
+        assert r["centroid_q"] == cent[r["cluster_id"]][r["dim"]], r
+        assert r["n_points"] == counts.get(r["cluster_id"], 0), r
+
+
+def test_kmeans_truncating_division_pin(spark):
+    # Both engines must truncate integer division toward zero; Spark's
+    # `div` on a negative sum is the side the oracle's `//` must match.
+    assert spark.sql("SELECT -7 div 2 AS d").first()["d"] == -3
+    import duckdb
+
+    assert duckdb.connect().execute("SELECT -7 // 2").fetchone()[0] == -3
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        kmeans_fixedpoint,
+    )
+
+    # Seeds 0 and 1 are IDENTICAL vectors: every point ties between them
+    # and the (dist, cluster_id) order sends it to cluster 0, so cluster 1
+    # starves immediately — it must keep its previous centroid with
+    # n_points = 0 rather than vanish from the output.
+    pts = (
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.4, 0.4])]
+        + [(10 + i, [0.4, 0.4 + 0.001 * i]) for i in range(3)]
+    )
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = kmeans_fixedpoint(df, k=3, iters=3).collect()
+    sizes = {r["cluster_id"]: r["n_points"] for r in out}
+    assert sizes == {0: 2, 1: 0, 2: 4}
+    c1 = {r["dim"]: r["centroid_q"] for r in out if r["cluster_id"] == 1}
+    assert c1 == {0: 0, 1: 0}  # starved cluster kept its seed centroid
