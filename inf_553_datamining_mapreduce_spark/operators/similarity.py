@@ -427,28 +427,13 @@ def _kmeans_quantized(embeddings: DataFrame) -> DataFrame:
     return embeddings.select("vec_id", q.alias("q"))
 
 
-def kmeans_fixedpoint(
-    embeddings: DataFrame, k: int = 8, iters: int = 3
-) -> DataFrame:
-    """Lloyd's k-means over quantized embeddings, fully deterministic:
-    init = the first ``k`` vectors by vec_id; assignment = integer
-    squared-L2 argmin with (dist, cluster_id) tie-break; update = per-dim
-    truncating integer mean (both engines truncate toward zero — pinned
-    by test); empty clusters keep their previous centroid. Output is one
-    row per (cluster_id, dim): the centroid coordinate plus the final
-    cluster size — scalar columns only, so the driver's sort+hash
-    compare applies.
-
-    Shape at scale: the corpus is scanned once into the quantized table
-    (localCheckpoint — reused by all ``iters`` passes); each iteration
-    is one broadcast of the k x dims centroid table against the corpus
-    (pure codegen zip_with/aggregate distance, no UDF), one min-struct
-    argmin aggregate, and one (cluster, dim)-keyed sum — the classic
-    distributed Lloyd's step, cost O(corpus x k x dims) per pass with
-    NO driver collect anywhere (centroids stay a bounded DataFrame).
-    Citation: reference has no ML surface (SURVEY.md §2); this is the
-    IVF coarse-quantizer training loop (`ivf_top_k`) made oracle-able.
-    """
+def _kmeans_centroids(
+    embeddings: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Internal Lloyd loop shared by ``kmeans_fixedpoint`` and
+    ``ivf_topk_fixedpoint``: returns (vecs, cent, counts) — the
+    checkpointed quantized corpus, the final (cluster_id, c) centroid
+    table, and the final-iteration cluster sizes."""
     vecs = _kmeans_quantized(embeddings).localCheckpoint()
     w = Window.orderBy("vec_id")
     cent = (
@@ -507,6 +492,32 @@ def kmeans_fixedpoint(
             )
             .localCheckpoint()
         )
+    return vecs, cent, counts
+
+
+def kmeans_fixedpoint(
+    embeddings: DataFrame, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Lloyd's k-means over quantized embeddings, fully deterministic:
+    init = the first ``k`` vectors by vec_id; assignment = integer
+    squared-L2 argmin with (dist, cluster_id) tie-break; update = per-dim
+    truncating integer mean (both engines truncate toward zero — pinned
+    by test); empty clusters keep their previous centroid. Output is one
+    row per (cluster_id, dim): the centroid coordinate plus the final
+    cluster size — scalar columns only, so the driver's sort+hash
+    compare applies.
+
+    Shape at scale: the corpus is scanned once into the quantized table
+    (localCheckpoint — reused by all ``iters`` passes); each iteration
+    is one broadcast of the k x dims centroid table against the corpus
+    (pure codegen zip_with/aggregate distance, no UDF), one min-struct
+    argmin aggregate, and one (cluster, dim)-keyed sum — the classic
+    distributed Lloyd's step, cost O(corpus x k x dims) per pass with
+    NO driver collect anywhere (centroids stay a bounded DataFrame).
+    Citation: reference has no ML surface (SURVEY.md §2); this is the
+    IVF coarse-quantizer training loop (`ivf_top_k`) made oracle-able.
+    """
+    _, cent, counts = _kmeans_centroids(embeddings, k, iters)
     return (
         cent.select("cluster_id", F.posexplode("c").alias("dim", "centroid_q"))
         .join(counts, "cluster_id", "left")
@@ -517,4 +528,83 @@ def kmeans_fixedpoint(
             F.coalesce("n_points", F.lit(0)).cast("long").alias("n_points"),
         )
         .orderBy("cluster_id", "dim")
+    )
+
+
+def ivf_topk_fixedpoint(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    iters: int = 3,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """End-to-end IVF approximate nearest neighbors with EVERY stage in
+    engine-exact integer arithmetic: the fixed-point Lloyd quantizer
+    (``_kmeans_centroids``), integer argmin cell assignment with the
+    final centroids, ``n_probe``-cell probing per query, and an integer
+    dot-product rerank over the probed cells only ((score DESC,
+    neighbor_id ASC) total order). Because the DuckDB oracle runs the
+    SAME pipeline — not a brute-force stand-in — the query is proven at
+    ANY probe fraction: recall loss is part of the specified semantics,
+    not an oracle hazard, so n_probe can sit at the honest scan-fraction
+    trade (2/8 here) instead of the recall-1.0 setting
+    ``topk_cosine_ivf`` needs to share the brute-force oracle.
+
+    Shape at scale: train on the corpus (iters broadcast passes), assign
+    in one broadcast pass, probe table is queries x n_probe rows, and
+    the rerank join touches only the probed cells' vectors — scan
+    fraction ~ n_probe/n_clusters, the inverted-file contract. No UDF,
+    no driver collect."""
+    vecs, cent, _ = _kmeans_centroids(embeddings, n_clusters, iters)
+    dist = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("vec_id", "q", "cluster_id", dist.alias("dist"))
+        .groupBy("vec_id", "q")
+        .agg(F.min(F.struct("dist", "cluster_id")).alias("m"))
+        .select("vec_id", "q", F.col("m.cluster_id").alias("cluster_id"))
+    )
+    qv = _kmeans_quantized(
+        queries.select(F.col(query_id_col).alias("vec_id"), "embedding")
+    ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
+    qdist = F.aggregate(
+        F.zip_with("qq", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("qdist", "cluster_id")
+    probes = (
+        qv.crossJoin(F.broadcast(cent))
+        .select("query_id", "qq", "cluster_id", qdist.alias("qdist"))
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qq", "cluster_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cands = (
+        assigned.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot.alias("dot_q"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
     )

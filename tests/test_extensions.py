@@ -3139,3 +3139,49 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert sizes == {0: 2, 1: 0, 2: 4}
     c1 = {r["dim"]: r["centroid_q"] for r in out if r["cluster_id"] == 1}
     assert c1 == {0: 0, 1: 0}  # starved cluster kept its seed centroid
+
+
+def test_ivf_fixedpoint_equals_bruteforce_over_probed_cells(spark, sf_dir):
+    """The IVF result must be EXACTLY brute-force integer-dot top-k
+    restricted to the probed cells — the candidate cut is the only
+    approximation. With n_probe = n_clusters the cut disappears and the
+    result must equal unrestricted brute force."""
+    from pyspark.sql import functions as F
+
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        _kmeans_quantized,
+        ivf_topk_fixedpoint,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = ivf_topk_fixedpoint(
+        emb, queries, k=5, n_clusters=4, iters=2, n_probe=4
+    ).collect()
+    # unrestricted integer-dot brute force
+    q = _kmeans_quantized(queries.select(F.col("query_id").alias("vec_id"), "embedding")) \
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
+    v = _kmeans_quantized(emb)
+    dot = F.aggregate(
+        F.zip_with("qq", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    brute = {}
+    rows = (
+        v.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), dot.alias("d"))
+        .collect()
+    )
+    for r in rows:
+        brute.setdefault(r["query_id"], []).append((-r["d"], r["neighbor_id"]))
+    for qid in brute:
+        brute[qid] = [n for _, n in sorted(brute[qid])[:5]]
+    got = {}
+    for r in full:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in got:
+        assert [n for _, n in sorted(got[qid])] == brute[qid], qid
