@@ -1468,12 +1468,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["topk_ivf_fixedpoint"] = _topk_ivf_fixedpoint
+
+    def _incremental_bpe_tokenize(spark, sf):
+        # Ingestion-time tokenizer application on the standard even/odd
+        # split: merges learned on the indexed (even) corpus, incoming
+        # (odd) documents tokenized with them — stateless per batch.
+        (d,) = _t(spark, sf, "documents")
+        return T.incremental_bpe_tokenize(
+            d.filter(F.col("doc_id") % 2 == 1),
+            d.filter(F.col("doc_id") % 2 == 0),
+            n_merges=8,
+        )
+
+    q["incremental_bpe_tokenize"] = _incremental_bpe_tokenize
     return _driver_order(q)
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-7 window, 10 + 13 + 27 = 50:
-# (1) 10 new this round: bpe_merges + bpe_vocab_compression (distributed
+# round. The round-7 window, 11 + 13 + 26 = 50:
+# (1) 11 new this round: bpe_merges + bpe_vocab_compression (distributed
 #     BPE tokenizer training, Sennrich et al. 2016, chained-CTE oracle),
 #     hll_distinct_orders (deterministic md5 HLL registers with the
 #     merged-union row — register-exact oracle, unlike the library
@@ -1482,6 +1495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     quantizer training loop under the oracle gate),
 #     topk_ivf_fixedpoint (end-to-end integer IVF ANN whose oracle runs
 #     the same approximate pipeline, honest 2/8 probe fraction),
+#     incremental_bpe_tokenize (ingestion-time tokenizer application on
+#     the even/odd split — learn on indexed, apply to incoming),
 #     span_deduped_corpus (ExactSubstr removal — the
 #     deduplicated corpus, closing the measure->remove loop),
 #     incremental_span_scrub (its ingestion-time twin — indexed spans
@@ -1495,11 +1510,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     pure-codegen TPC-H scan-agg-join family + date-bucketed
 #     distinct-count + argmax-dedup window + cohort-pivot), now the
 #     stalest proofs in the registry;
-# (3) 27 of the 49 queries whose latest green is round 4 (alphabetical
-#     prefix; the remaining 22 — prefix_duplicate_rate_by_source,
-#     qty_price_correlation, session_paths, session_stats,
-#     session_time_to_purchase (pushed past the 50-cut by the five new
-#     slots), session_window_stats_plan,
+# (3) 26 of the 49 queries whose latest green is round 4 (alphabetical
+#     prefix; the remaining 23 — pmi_collocations,
+#     prefix_duplicate_rate_by_source, qty_price_correlation,
+#     session_paths, session_stats, session_time_to_purchase (pushed
+#     past the 50-cut by the six new slots), session_window_stats_plan,
 #     simhash_near_duplicates, source_language_mix,
 #     stratum_sample_exact_k, supplier_part_pareto,
 #     supplier_revenue_share, term_frequency_stats, tfidf_top_terms,
@@ -1518,6 +1533,7 @@ _DRIVER_PRIORITY = [
     "hll_distinct_orders",
     "kmeans_centroids_fixedpoint",
     "topk_ivf_fixedpoint",
+    "incremental_bpe_tokenize",
     "span_deduped_corpus",
     "incremental_span_scrub",
     "incremental_community_assignment",
@@ -1564,7 +1580,6 @@ _DRIVER_PRIORITY = [
     "order_price_percent_rank",
     "orders_time_rollup",
     "orders_yoy_growth",
-    "pmi_collocations",
 ]
 
 
@@ -3942,6 +3957,7 @@ def oracle_sql() -> dict[str, str]:
     d["topk_ivf_fixedpoint"] = _ivf_fixedpoint_oracle(
         k_clusters=8, iters=3, dims=64, n_probe=2, topk=5
     )
+    d["incremental_bpe_tokenize"] = _bpe_incremental_oracle(8)
     # Percentiles of the per-key count distribution: FLOOR before the
     # BIGINT cast because DuckDB CAST rounds where Spark truncates; counts
     # are positive so floor == truncate-toward-zero.
@@ -4427,12 +4443,17 @@ def _bpe_oracle(n_merges: int, final: str) -> str:
     accumulator, append-without-separator on match), and the argmax total
     order (pair_count DESC, lhs ASC, rhs ASC) matches exactly, so the
     learned merge sequence is reproduced step for step."""
+    parts = _bpe_cte_parts(n_merges)
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def _bpe_cte_parts(n_merges: int, src: str = "documents") -> list:
     parts = [
-        """words0 AS MATERIALIZED (
+        f"""words0 AS MATERIALIZED (
             SELECT word, COUNT(*) AS cnt,
                    list_append(string_split(word, ''), '</w>') AS syms
             FROM (SELECT UNNEST(string_split(text, ' ')) AS word
-                  FROM documents)
+                  FROM {src})
             WHERE regexp_matches(word, '^[a-z]+$')
             GROUP BY word
         )"""
@@ -4458,7 +4479,52 @@ def _bpe_oracle(n_merges: int, final: str) -> str:
                        ELSE acc || ' ' || x END), ' ') AS syms
             FROM {prev}, b{i} AS b
         )""")
-    return "WITH " + ",\n".join(parts) + "\n" + final
+    return parts
+
+
+def _bpe_incremental_oracle(n_merges: int) -> str:
+    """Oracle for ``text.incremental_bpe_tokenize`` on the even/odd
+    driver split: the learn chain over even doc_ids, then the SAME fold
+    chain applied to the odd half's distinct words (vw0..vw{n}), joined
+    back per incoming document."""
+    parts = _bpe_cte_parts(
+        n_merges, src="(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+    )
+    parts.append("""vw0 AS MATERIALIZED (
+        SELECT DISTINCT word,
+               list_append(string_split(word, ''), '</w>') AS syms
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+              FROM documents WHERE doc_id % 2 = 1)
+        WHERE regexp_matches(word, '^[a-z]+$')
+    )""")
+    for i in range(1, n_merges + 1):
+        parts.append(f"""vw{i} AS MATERIALIZED (
+            SELECT word,
+                   string_split(list_reduce(syms, (acc, x) -> CASE
+                       WHEN x = b.rhs
+                            AND (acc = b.lhs OR ends_with(acc, ' ' || b.lhs))
+                       THEN acc || x
+                       ELSE acc || ' ' || x END), ' ') AS syms
+            FROM vw{i - 1}, b{i} AS b
+        )""")
+    parts.append("""pd AS (
+        SELECT doc_id, word
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+              FROM documents WHERE doc_id % 2 = 1)
+        WHERE regexp_matches(word, '^[a-z]+$')
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+               CAST(SUM(len(v.syms)) AS DOUBLE) / COUNT(*)
+                   AS tokens_per_word
+        FROM pd JOIN vw{n_merges} v USING (word)
+        GROUP BY doc_id ORDER BY doc_id"""
+    )
 
 
 def _bpe_merges_final(n_merges: int) -> str:

@@ -143,6 +143,35 @@ def _warmup(spark, queries, sf_dir) -> None:
         KMeans(k=2, seed=1, maxIter=2).fit(tiny)
     except Exception:
         pass
+    try:
+        # The driver-synchronized iterative loops (BPE's argmax collect +
+        # per-iteration HOF-fold codegen, Lloyd's checkpointed centroid
+        # update) carry ~10-14 s of first-touch cost measured at sf0.01
+        # (cold 18.3 s vs warm 4.2 s for bpe_merges; flat ~3 s at every
+        # scale thereafter — the loops are vocabulary/centroid-bound, not
+        # corpus-bound). A 3-doc corpus and a 6-vector clustering exercise
+        # the full machinery.
+        from inf_553_datamining_mapreduce_spark.operators import (
+            similarity as _S,
+            text as _T,
+        )
+
+        toy_docs = spark.createDataFrame(
+            [(0, "ab ab ba", "s"), (1, "ab ba ba", "s"), (2, "ba ab", "s")],
+            "doc_id long, text string, source string",
+        )
+        _T.bpe_merges(toy_docs, n_merges=2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        toy_vecs = spark.createDataFrame(
+            [(i, [float(i % 3), float(i % 2)]) for i in range(6)],
+            "vec_id long, embedding array<float>",
+        )
+        _S.kmeans_fixedpoint(toy_vecs, k=2, iters=1).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
 
 
 def main() -> None:

@@ -1593,3 +1593,83 @@ def bpe_vocab_compression(documents: DataFrame, n_merges: int = 8) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def apply_bpe_merges(
+    documents: DataFrame,
+    merges: list,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize documents with an already-learned merge list (the
+    ingestion-time half of BPE): per document, the count of alpha words,
+    the BPE tokens they encode to under ``merges``, and tokens-per-word
+    as the single IEEE division. Apply semantics are one greedy
+    left-to-right pass per merge, in learned order — the same fold the
+    trainer ran, so training vocabulary re-tokenizes to its trained
+    segmentation by construction (priority-queue re-encoding, as in HF
+    tokenizers, can differ on unseen words; the sequential contract is
+    what the oracle mirrors).
+
+    Shape at scale: the incoming batch collapses to ITS OWN distinct-word
+    table (one hash aggregate), the merges fold over that (vocabulary-
+    sized, checkpointed per merge), and the result joins back to the
+    exploded batch on the word — a batch-vocabulary build side AQE
+    broadcasts. Stateless per batch: a document's words live in its own
+    row and the learned merges are static, so the identical composition
+    runs under ``foreachBatch`` with zero cross-batch state (the
+    ``index_span_contamination`` contract)."""
+    words = (
+        documents.select(F.explode(tokens_col(text_col)).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .distinct()
+        .select(
+            "word",
+            F.concat(
+                F.split(F.col("word"), ""),
+                F.array(F.lit(BPE_END_OF_WORD)),
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    for lhs, rhs in merges:
+        words = words.select(
+            "word", F.split(_bpe_merge_fold(lhs, rhs), " ").alias("syms")
+        ).localCheckpoint()
+    sized = words.select("word", F.size("syms").alias("n_syms"))
+    per_doc = (
+        documents.select(
+            "doc_id", F.explode(tokens_col(text_col)).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .join(sized, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        (F.col("n_bpe_tokens") / F.col("n_words")).alias(
+            "tokens_per_word"
+        ),
+    ).orderBy("doc_id")
+
+
+def incremental_bpe_tokenize(
+    new_docs: DataFrame, base_docs: DataFrame, n_merges: int = 8
+) -> DataFrame:
+    """Learn merges on the indexed corpus, tokenize the INCOMING
+    documents with them — the ingestion-time tokenizer twin (same
+    even/odd driver split as the other incremental probes). The merge
+    table is a bounded driver collect (``n_merges`` rows — the learned
+    artifact every tokenizer ships); the apply side is stateless per
+    batch."""
+    merges_df, _ = bpe_learn(base_docs, n_merges)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    return apply_bpe_merges(new_docs, merges)

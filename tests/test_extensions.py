@@ -3185,3 +3185,81 @@ def test_ivf_fixedpoint_equals_bruteforce_over_probed_cells(spark, sf_dir):
         got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
     for qid in got:
         assert [n for _, n in sorted(got[qid])] == brute[qid], qid
+
+
+def test_apply_bpe_merges_reproduces_training_segmentation(spark):
+    """Applying the learned merges to the training corpus itself must
+    reproduce the trainer's final vocabulary segmentation exactly (the
+    sequential one-pass-per-merge apply contract)."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        apply_bpe_merges,
+        bpe_learn,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat", "s"),
+            (1, "that hat that mat that cat", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    merges_df, vocab = bpe_learn(docs, n_merges=6)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    sizes = {r["word"]: len(r["syms"]) for r in vocab.collect()}
+    out = apply_bpe_merges(docs, merges).collect()
+    for r in out:
+        # recompute expected n_bpe_tokens from the trainer's vocab
+        text = {0: "the cat sat on the mat", 1: "that hat that mat that cat"}[
+            r["doc_id"]
+        ]
+        exp = sum(sizes[w] for w in text.split(" "))
+        assert r["n_bpe_tokens"] == exp, r
+
+
+def test_incremental_bpe_tokenize_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The apply side is stateless per batch: tokenizing the incoming
+    half in two micro-batches (foreachBatch, frozen merges) must union
+    to exactly the batch result."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        apply_bpe_merges,
+        bpe_learn,
+        incremental_bpe_tokenize,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    batch = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in incremental_bpe_tokenize(new, base, n_merges=4).collect()
+    }
+    merges_df, _ = bpe_learn(base, n_merges=4)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    sdir = tmp_path / "bpe_stream"
+    sdir.mkdir()
+    new.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+        str(sdir / "a")
+    )
+    new.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+        str(sdir / "b")
+    )
+    got = {}
+
+    def each_batch(bdf, _bid):
+        for r in apply_bpe_merges(bdf, merges).collect():
+            got[r["doc_id"]] = (r["n_words"], r["n_bpe_tokens"])
+
+    q = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir / "*"))
+        .writeStream.foreachBatch(each_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == batch
