@@ -3263,3 +3263,50 @@ def test_incremental_bpe_tokenize_stream_matches_batch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert got == batch
+
+
+def test_bpe_learn_empty_and_exhausted_corpus(spark):
+    # No alpha words at all -> zero merges, empty vocab, no crash; and a
+    # corpus whose pairs exhaust before n_merges stops early with
+    # however many merges exist.
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        apply_bpe_merges,
+        bpe_learn,
+    )
+
+    empty = spark.createDataFrame(
+        [(0, "123 456 !!", "s")], "doc_id long, text string, source string"
+    )
+    merges_df, vocab = bpe_learn(empty, n_merges=4)
+    assert merges_df.count() == 0 and vocab.count() == 0
+    # apply with an empty merge list = plain char+</w> token counts
+    out = apply_bpe_merges(
+        spark.createDataFrame(
+            [(0, "ab", "s")], "doc_id long, text string, source string"
+        ),
+        [],
+    ).collect()
+    assert out[0]["n_bpe_tokens"] == 3  # a, b, </w>
+    # single 1-char word: 'a </w>' merges once, then pairs are exhausted
+    tiny = spark.createDataFrame(
+        [(0, "a a", "s")], "doc_id long, text string, source string"
+    )
+    m2, v2 = bpe_learn(tiny, n_merges=4)
+    assert m2.count() == 1  # (a, </w>) then nothing left to merge
+    assert [r["syms"] for r in v2.collect()] == [["a</w>"]]
+
+
+def test_kmeans_fewer_points_than_k(spark):
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        kmeans_fixedpoint,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.4, 0.4])], "vec_id long, embedding array<float>"
+    )
+    out = kmeans_fixedpoint(df, k=5, iters=2).collect()
+    # only as many clusters as points exist; sizes cover both points
+    ks = {r["cluster_id"] for r in out}
+    assert ks == {0, 1}
+    sizes = {r["cluster_id"]: r["n_points"] for r in out}
+    assert sizes == {0: 1, 1: 1}
