@@ -1481,12 +1481,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["incremental_bpe_tokenize"] = _incremental_bpe_tokenize
+
+    def _hashed_doc_features(spark, sf):
+        # Feature hashing (Weinberger et al. 2009): vocabulary-free
+        # signed projection, engine-exact md5 arithmetic.
+        (d,) = _t(spark, sf, "documents")
+        return T.hashed_doc_features(d, dims=64)
+
+    q["hashed_doc_features"] = _hashed_doc_features
     return _driver_order(q)
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-7 window, 11 + 13 + 26 = 50:
-# (1) 11 new this round: bpe_merges + bpe_vocab_compression (distributed
+# round. The round-7 window, 12 + 13 + 25 = 50:
+# (1) 12 new this round: bpe_merges + bpe_vocab_compression (distributed
 #     BPE tokenizer training, Sennrich et al. 2016, chained-CTE oracle),
 #     hll_distinct_orders (deterministic md5 HLL registers with the
 #     merged-union row — register-exact oracle, unlike the library
@@ -1497,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     the same approximate pipeline, honest 2/8 probe fraction),
 #     incremental_bpe_tokenize (ingestion-time tokenizer application on
 #     the even/odd split — learn on indexed, apply to incoming),
+#     hashed_doc_features (vocabulary-free signed feature hashing),
 #     span_deduped_corpus (ExactSubstr removal — the
 #     deduplicated corpus, closing the measure->remove loop),
 #     incremental_span_scrub (its ingestion-time twin — indexed spans
@@ -1510,11 +1519,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     pure-codegen TPC-H scan-agg-join family + date-bucketed
 #     distinct-count + argmax-dedup window + cohort-pivot), now the
 #     stalest proofs in the registry;
-# (3) 26 of the 49 queries whose latest green is round 4 (alphabetical
-#     prefix; the remaining 23 — pmi_collocations,
+# (3) 25 of the 49 queries whose latest green is round 4 (alphabetical
+#     prefix; the remaining 24 — orders_yoy_growth, pmi_collocations,
 #     prefix_duplicate_rate_by_source, qty_price_correlation,
 #     session_paths, session_stats, session_time_to_purchase (pushed
-#     past the 50-cut by the six new slots), session_window_stats_plan,
+#     past the 50-cut by the seven new slots), session_window_stats_plan,
 #     simhash_near_duplicates, source_language_mix,
 #     stratum_sample_exact_k, supplier_part_pareto,
 #     supplier_revenue_share, term_frequency_stats, tfidf_top_terms,
@@ -1534,6 +1543,7 @@ _DRIVER_PRIORITY = [
     "kmeans_centroids_fixedpoint",
     "topk_ivf_fixedpoint",
     "incremental_bpe_tokenize",
+    "hashed_doc_features",
     "span_deduped_corpus",
     "incremental_span_scrub",
     "incremental_community_assignment",
@@ -1579,7 +1589,6 @@ _DRIVER_PRIORITY = [
     "open_order_backlog_by_month",
     "order_price_percent_rank",
     "orders_time_rollup",
-    "orders_yoy_growth",
 ]
 
 
@@ -3958,6 +3967,20 @@ def oracle_sql() -> dict[str, str]:
         k_clusters=8, iters=3, dims=64, n_probe=2, topk=5
     )
     d["incremental_bpe_tokenize"] = _bpe_incremental_oracle(8)
+    d["hashed_doc_features"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+                  FROM documents)
+        )
+        SELECT doc_id,
+               CAST(h % 64 AS INTEGER) AS dim,
+               CAST(SUM(((h >> 6) % 2) * 2 - 1) AS BIGINT) AS value
+        FROM t
+        GROUP BY doc_id, h % 64
+        ORDER BY doc_id, dim
+    """
     # Percentiles of the per-key count distribution: FLOOR before the
     # BIGINT cast because DuckDB CAST rounds where Spark truncates; counts
     # are positive so floor == truncate-toward-zero.

@@ -1673,3 +1673,32 @@ def incremental_bpe_tokenize(
         for r in merges_df.orderBy("merge_rank").collect()
     ]
     return apply_bpe_merges(new_docs, merges)
+
+
+def hashed_doc_features(documents: DataFrame, dims: int = 64) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009, "Feature Hashing for
+    Large Scale Multitask Learning"): project each document's
+    bag-of-words into ``dims`` integer features — dimension = hash(token)
+    mod dims, contribution = a sign bit from the next hash bit — without
+    ever materializing a vocabulary-indexed matrix. The signed sum makes
+    collisions unbiased (the paper's core trick), and everything is
+    md5-60bit integer arithmetic, so the projection is engine-exact.
+
+    Emitted exploded as (doc_id, dim, value) scalar rows. Shape at
+    scale: one explode + one (doc_id, dim)-keyed hash aggregate with
+    map-side partials — the same single-shuffle class as
+    ``word_frequencies``; output is corpus x dims bounded."""
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    return (
+        documents.select(
+            "doc_id", F.explode(tokens_col("text")).alias("token")
+        )
+        .select(
+            "doc_id",
+            F.pmod(h, F.lit(dims)).cast("int").alias("dim"),
+            (F.shiftright(h, 6) % 2 * 2 - 1).cast("long").alias("sign"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").alias("value"))
+        .orderBy("doc_id", "dim")
+    )

@@ -3310,3 +3310,31 @@ def test_kmeans_fewer_points_than_k(spark):
     assert ks == {0, 1}
     sizes = {r["cluster_id"]: r["n_points"] for r in out}
     assert sizes == {0: 1, 1: 1}
+
+
+def test_hashed_doc_features_matches_python_reference(spark):
+    """Signed feature hashing must match a hashlib reference exactly, and
+    a document's feature vector must be the sum of its tokens' one-hot
+    signed contributions (collision-unbiased construction)."""
+    import hashlib
+
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        hashed_doc_features,
+    )
+
+    texts = {0: "the cat sat", 1: "spark shuffles data the the"}
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in texts.items()],
+        "doc_id long, text string, source string",
+    )
+    exp = {}
+    for did, t in texts.items():
+        for tok in t.split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            dim, sign = h % 64, ((h >> 6) % 2) * 2 - 1
+            exp[(did, dim)] = exp.get((did, dim), 0) + sign
+    got = {
+        (r["doc_id"], r["dim"]): r["value"]
+        for r in hashed_doc_features(docs).collect()
+    }
+    assert got == exp
