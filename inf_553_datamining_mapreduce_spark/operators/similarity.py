@@ -430,11 +430,19 @@ def _kmeans_quantized(embeddings: DataFrame) -> DataFrame:
 def _kmeans_centroids(
     embeddings: DataFrame, k: int, iters: int
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Internal Lloyd loop shared by ``kmeans_fixedpoint`` and
-    ``ivf_topk_fixedpoint``: returns (vecs, cent, counts) — the
-    checkpointed quantized corpus, the final (cluster_id, c) centroid
-    table, and the final-iteration cluster sizes."""
-    vecs = _kmeans_quantized(embeddings).localCheckpoint()
+    """Internal Lloyd loop over float embeddings: quantize, then
+    ``_lloyd_loop``."""
+    return _lloyd_loop(_kmeans_quantized(embeddings), k, iters)
+
+
+def _lloyd_loop(
+    quantized: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The Lloyd iteration over an already-integer (vec_id, q) table —
+    shared by ``kmeans_fixedpoint``, ``ivf_topk_fixedpoint``, and
+    ``document_clusters_fixedpoint`` (which feeds hashed-BoW features
+    instead of quantized embeddings). Returns (vecs, cent, counts)."""
+    vecs = quantized.localCheckpoint()
     w = Window.orderBy("vec_id")
     cent = (
         vecs.orderBy("vec_id")
@@ -607,4 +615,54 @@ def ivf_topk_fixedpoint(
         cands.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
+    )
+
+
+def document_clusters_fixedpoint(
+    documents: DataFrame, dims: int = 64, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Cluster the CORPUS — not a pre-embedded table — by composing two
+    engine-exact primitives: hashed bag-of-words features
+    (``text.hashed_doc_features``, vocabulary-free signed projection)
+    densified into integer vectors, then the fixed-point Lloyd loop.
+    The corpus-mixture analysis every pretraining pipeline runs before
+    sampling, with every arithmetic step under the oracle gate.
+
+    Densification: per doc, ``map_from_entries`` over the (dim, value)
+    rows, then one ``transform(sequence(...))`` zero-filling lookup —
+    both pure projections after the single feature aggregate. Output is
+    the same (cluster_id, dim, centroid_q, n_points) contract as
+    ``kmeans_fixedpoint``."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        hashed_doc_features,
+    )
+
+    feats = hashed_doc_features(documents, dims)
+    m = F.map_from_entries(F.collect_list(F.struct("dim", "value")))
+    vecs = (
+        feats.groupBy("doc_id")
+        .agg(m.alias("m"))
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                lambda d: F.coalesce(
+                    F.element_at("m", d), F.lit(0).cast("long")
+                ),
+            ).alias("q"),
+        )
+    )
+    _, cent, counts = _lloyd_loop(vecs, k, iters)
+    return (
+        cent.select(
+            "cluster_id", F.posexplode("c").alias("dim", "centroid_q")
+        )
+        .join(counts, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "dim",
+            "centroid_q",
+            F.coalesce("n_points", F.lit(0)).cast("long").alias("n_points"),
+        )
+        .orderBy("cluster_id", "dim")
     )

@@ -3338,3 +3338,55 @@ def test_hashed_doc_features_matches_python_reference(spark):
         for r in hashed_doc_features(docs).collect()
     }
     assert got == exp
+
+
+def test_document_clusters_fixedpoint_consistency(spark, sf_dir):
+    """Cluster sizes must sum to the corpus size, centroids must match a
+    driver-side recomputation from the features of the final
+    assignment's members (closing the loop on the densify+Lloyd
+    composition)."""
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        document_clusters_fixedpoint,
+    )
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        hashed_doc_features,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents").limit(60)
+    out = document_clusters_fixedpoint(d, dims=16, k=4, iters=2).collect()
+    sizes = {}
+    cent = {}
+    for r in out:
+        sizes[r["cluster_id"]] = r["n_points"]
+        cent.setdefault(r["cluster_id"], {})[r["dim"]] = r["centroid_q"]
+    assert sum(sizes.values()) == d.count()
+    # driver-side re-run of the same integer Lloyd loop
+    feats = {}
+    for r in hashed_doc_features(d, dims=16).collect():
+        feats.setdefault(r["doc_id"], [0] * 16)[r["dim"]] = r["value"]
+    ids = sorted(feats)
+    c = {i: list(feats[ids[i]]) for i in range(4)}
+    for _ in range(2):
+        assign = {}
+        for did in ids:
+            best = min(
+                (
+                    sum((a - b) ** 2 for a, b in zip(feats[did], c[ci])),
+                    ci,
+                )
+                for ci in range(4)
+            )
+            assign[did] = best[1]
+        for ci in range(4):
+            members = [did for did in ids if assign[did] == ci]
+            if members:
+                n = len(members)
+                c[ci] = [
+                    (s // n) if s >= 0 else -((-s) // n)
+                    for s in (
+                        sum(feats[did][j] for did in members)
+                        for j in range(16)
+                    )
+                ]
+    for ci, dims_map in cent.items():
+        assert [dims_map[j] for j in range(16)] == c[ci], ci
