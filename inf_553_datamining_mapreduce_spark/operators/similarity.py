@@ -435,13 +435,50 @@ def _kmeans_centroids(
     return _lloyd_loop(_kmeans_quantized(embeddings), k, iters)
 
 
+def _scored_centroids(cents_col: str, q_col: str) -> Column:
+    """Per-row (dist, cluster_id) struct array against the broadcast
+    centroid array — the zero-shuffle assignment kernel: because struct
+    comparison is lexicographic, ``array_min`` of this IS the
+    (dist, cluster_id) argmin and ``array_sort`` IS the probe order."""
+    return F.transform(
+        F.col(cents_col),
+        lambda cc: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(q_col), cc["c"], lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            cc["cluster_id"].alias("cluster_id"),
+        ),
+    )
+
+
+def _centroid_array(cent: DataFrame) -> DataFrame:
+    """Collapse the k-row centroid table to ONE row holding the array of
+    (cluster_id, c) structs — a bounded aggregate (k rows in, 1 out)
+    whose broadcast turns cluster assignment into a pure projection."""
+    return cent.agg(
+        F.collect_list(F.struct("cluster_id", "c")).alias("cents")
+    )
+
+
 def _lloyd_loop(
     quantized: DataFrame, k: int, iters: int
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The Lloyd iteration over an already-integer (vec_id, q) table —
     shared by ``kmeans_fixedpoint``, ``ivf_topk_fixedpoint``, and
     ``document_clusters_fixedpoint`` (which feeds hashed-BoW features
-    instead of quantized embeddings). Returns (vecs, cent, counts)."""
+    instead of quantized embeddings). Returns (vecs, cent, counts).
+
+    Assignment is a PURE PROJECTION: centroids collapse to a 1-row
+    broadcast array and the argmin runs inside ``array_min`` over
+    per-centroid distance structs — no exploded candidate shuffle (the
+    earlier min-struct-groupBy shape shipped k vector copies per point
+    through an exchange per iteration; this ships zero). Each iteration
+    therefore costs exactly ONE shuffle — the (cluster, dim) update
+    aggregate."""
     vecs = quantized.localCheckpoint()
     w = Window.orderBy("vec_id")
     cent = (
@@ -454,18 +491,15 @@ def _lloyd_loop(
         .localCheckpoint()
     )
     counts = None
-    dist = F.aggregate(
-        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     for _ in range(iters):
-        assigned = (
-            vecs.crossJoin(F.broadcast(cent))
-            .select("vec_id", "cluster_id", dist.alias("dist"))
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cluster_id")).alias("m"))
-            .select("vec_id", F.col("m.cluster_id").alias("cluster_id"))
+        assigned = vecs.crossJoin(
+            F.broadcast(_centroid_array(cent))
+        ).select(
+            "vec_id",
+            "q",
+            F.array_min(_scored_centroids("cents", "q"))[
+                "cluster_id"
+            ].alias("cluster_id"),
         )
         counts = (
             assigned.groupBy("cluster_id")
@@ -473,8 +507,9 @@ def _lloyd_loop(
             .localCheckpoint()
         )
         sums = (
-            assigned.join(vecs, "vec_id")
-            .select("cluster_id", F.posexplode("q").alias("dim", "val"))
+            assigned.select(
+                "cluster_id", F.posexplode("q").alias("dim", "val")
+            )
             .groupBy("cluster_id", "dim")
             .agg(F.sum("val").alias("s"))
         )
@@ -566,33 +601,34 @@ def ivf_topk_fixedpoint(
     fraction ~ n_probe/n_clusters, the inverted-file contract. No UDF,
     no driver collect."""
     vecs, cent, _ = _kmeans_centroids(embeddings, n_clusters, iters)
-    dist = F.aggregate(
-        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    assigned = (
-        vecs.crossJoin(F.broadcast(cent))
-        .select("vec_id", "q", "cluster_id", dist.alias("dist"))
-        .groupBy("vec_id", "q")
-        .agg(F.min(F.struct("dist", "cluster_id")).alias("m"))
-        .select("vec_id", "q", F.col("m.cluster_id").alias("cluster_id"))
+    cent_arr = F.broadcast(_centroid_array(cent))
+    assigned = vecs.crossJoin(cent_arr).select(
+        "vec_id",
+        "q",
+        F.array_min(_scored_centroids("cents", "q"))["cluster_id"].alias(
+            "cluster_id"
+        ),
     )
     qv = _kmeans_quantized(
         queries.select(F.col(query_id_col).alias("vec_id"), "embedding")
     ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
-    qdist = F.aggregate(
-        F.zip_with("qq", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    wprobe = Window.partitionBy("query_id").orderBy("qdist", "cluster_id")
+    # probe order = array_sort of the same distance structs (lexicographic
+    # = (dist, cluster_id), matching the oracle's window order) — pure
+    # projection, no per-query window shuffle
     probes = (
-        qv.crossJoin(F.broadcast(cent))
-        .select("query_id", "qq", "cluster_id", qdist.alias("qdist"))
-        .withColumn("pr", F.row_number().over(wprobe))
-        .filter(F.col("pr") <= n_probe)
-        .select("query_id", "qq", "cluster_id")
+        qv.crossJoin(cent_arr)
+        .select(
+            "query_id",
+            "qq",
+            F.explode(
+                F.slice(
+                    F.array_sort(_scored_centroids("cents", "qq")),
+                    1,
+                    n_probe,
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "qq", F.col("p")["cluster_id"].alias("cluster_id"))
     )
     dot = F.aggregate(
         F.zip_with("qq", "q", lambda a, b: a * b),
