@@ -1446,6 +1446,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hll_distinct_orders"] = _hll_distinct_orders
 
+    def _qsketch_price_quantiles(spark, sf):
+        # Deterministic mergeable quantile sketch: log2-histogram
+        # registers (merge = plain sum), readout = guaranteed [lo, hi]
+        # enclosure of the exact order statistic — the register-exact
+        # counterpart of the library percentile_approx, same pattern as
+        # hll_distinct_orders (merged 'ALL' row from one build).
+        (o,) = _t(spark, sf, "orders")
+        return SKE.qsketch_price_quantiles(o)
+
+    q["qsketch_price_quantiles"] = _qsketch_price_quantiles
+
+    def _weighted_sssp_customers(spark, sf):
+        # Weighted landmark shortest paths (frontier Bellman-Ford) over
+        # the shared co-occurrence graph; cost = 1 + 64 DIV shared, so
+        # strongly co-purchasing pairs are cheap to traverse. All-BIGINT
+        # relaxation -> chained-CTE oracle, the bfs_distances weighted
+        # counterpart.
+        edges = _customer_graph_edges(spark, sf)
+        ew = edges.select(
+            "src", "dst", F.expr("1 + 64 DIV shared").cast("long").alias("w")
+        )
+        return G.weighted_sssp(ew, "w", n_landmarks=4, max_rounds=10)
+
+    q["weighted_sssp_customers"] = _weighted_sssp_customers
+
+    def _lm_quality_scores(spark, sf):
+        # CCNet-style LM quality filter: add-one bigram model trained on
+        # the corpus's own train split, per-doc surprisal in exact
+        # fixed-point bits (the ilog2 fold), oracle-able bit for bit.
+        (d,) = _t(spark, sf, "documents")
+        return T.lm_quality_scores(d)
+
+    q["lm_quality_scores"] = _lm_quality_scores
+
     def _kmeans_centroids_fixedpoint(spark, sf):
         # Lloyd's k-means in engine-exact integer arithmetic — the IVF
         # coarse-quantizer training loop under the oracle gate (the
@@ -1503,8 +1537,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-7 window, 13 + 13 + 24 = 50:
-# (1) 13 new this round: bpe_merges + bpe_vocab_compression (distributed
+# round. The round-7 window, 16 + 13 + 21 = 50:
+# (1) 16 new this round: qsketch_price_quantiles (deterministic mergeable
+#     log2-histogram quantile sketch — register-exact oracle with the
+#     merged 'ALL' row, the HLL pattern),
+#     weighted_sssp_customers (frontier Bellman-Ford weighted landmark
+#     shortest paths, chained-CTE oracle),
+#     lm_quality_scores (CCNet-style bigram-LM perplexity filter in exact
+#     fixed-point bits via the ilog2 fold),
+#     bpe_merges + bpe_vocab_compression (distributed
 #     BPE tokenizer training, Sennrich et al. 2016, chained-CTE oracle),
 #     hll_distinct_orders (deterministic md5 HLL registers with the
 #     merged-union row — register-exact oracle, unlike the library
@@ -1531,25 +1572,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     pure-codegen TPC-H scan-agg-join family + date-bucketed
 #     distinct-count + argmax-dedup window + cohort-pivot), now the
 #     stalest proofs in the registry;
-# (3) 24 of the 49 queries whose latest green is round 4 (alphabetical
-#     prefix; the remaining 25 — orders_time_rollup, orders_yoy_growth,
+# (3) 21 of the 49 queries whose latest green is round 4 (alphabetical
+#     prefix; the remaining 28 — near_duplicate_keep_best,
+#     open_order_backlog_by_month, order_price_percent_rank (the three
+#     pushed past the 50-cut by the session-4 slots),
+#     orders_time_rollup, orders_yoy_growth,
 #     pmi_collocations, prefix_duplicate_rate_by_source,
 #     qty_price_correlation, session_paths, session_stats,
-#     session_time_to_purchase (pushed past the 50-cut by the eight new
-#     slots), session_window_stats_plan,
+#     session_time_to_purchase, session_window_stats_plan,
 #     simhash_near_duplicates, source_language_mix,
 #     stratum_sample_exact_k, supplier_part_pareto,
 #     supplier_revenue_share, term_frequency_stats, tfidf_top_terms,
 #     top_brands_per_type_with_ties, topk_cosine_ivf, topk_cosine_lsh,
 #     training_batches, user_first_last_events, user_state_intervals,
 #     user_value_ntiles, weighted_corpus_sample, winsorized_price_stats —
-#     head the round-8 rotation).
+#     head the round-8 rotation; CORRECTNESS_FULL_r07.json re-proves all
+#     of them this round regardless).
 # Window rotation is belt-and-braces from this round on: the committed
 # CORRECTNESS_FULL_r{N}.json (scripts/full_correctness.py) re-proves the
 # ENTIRE registry against the DuckDB oracles every round, so staleness is
 # auditable directly. Semantics are unchanged — this is pure dict ordering.
 _DRIVER_PRIORITY = [
     # new this round — prove first:
+    "qsketch_price_quantiles",
+    "weighted_sssp_customers",
+    "lm_quality_scores",
     "bpe_merges",
     "bpe_vocab_compression",
     "hll_distinct_orders",
@@ -1577,7 +1624,7 @@ _DRIVER_PRIORITY = [
     "user_retention_cohorts",
     "volume_shipping_by_year",
     "weekly_active_users",
-    # round-4 greens (32 of 49, alphabetical prefix):
+    # round-4 greens (21 of 49, alphabetical prefix):
     "approx_distinct_parts",
     "customer_revenue_percent_rank",
     "customer_rfm_segments",
@@ -1599,9 +1646,6 @@ _DRIVER_PRIORITY = [
     "link_prediction_customers",
     "minhash_lsh_near_duplicates",
     "most_common_event_per_user",
-    "near_duplicate_keep_best",
-    "open_order_backlog_by_month",
-    "order_price_percent_rank",
 ]
 
 
@@ -2477,6 +2521,73 @@ def oracle_sql() -> dict[str, str]:
         FROM s JOIN ex USING (l_returnflag)
         ORDER BY l_returnflag
     """
+    # The quantile sketch is all integer arithmetic (cents fixed point,
+    # base-2 log bucket keys, count registers), so the oracle mirrors the
+    # WHOLE pipeline — registers, merged 'ALL' row, cumulative readout,
+    # bucket-bound reconstruction — not just a containment bound.
+    d["qsketch_price_quantiles"] = """
+        WITH base AS (
+            SELECT o_orderstatus,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+            FROM orders
+        ),
+        keyed AS (
+            SELECT o_orderstatus,
+                   CASE WHEN v <= 0 THEN 0
+                        ELSE (length(bin(v)) - 1) * 32 +
+                             CASE WHEN length(bin(v)) - 1 < 5 THEN v
+                                  ELSE (v >> (length(bin(v)) - 6)) & 31 END
+                   END AS key
+            FROM base
+        ),
+        regs AS (
+            SELECT o_orderstatus, key, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM keyed GROUP BY 1, 2
+        ),
+        uru AS (
+            SELECT * FROM regs
+            UNION ALL
+            SELECT 'ALL', key, CAST(SUM(cnt) AS BIGINT) FROM regs GROUP BY 2
+        ),
+        cum AS (
+            SELECT o_orderstatus, key,
+                   CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY key)
+                        AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus)
+                        AS BIGINT) AS n_rows
+            FROM uru
+        ),
+        pick AS (
+            SELECT o_orderstatus,
+                   MAX(n_rows) AS n_rows,
+                   MIN(CASE WHEN cum >= (n_rows * 50 + 99) // 100 THEN key END) AS k50,
+                   MIN(CASE WHEN cum >= (n_rows * 90 + 99) // 100 THEN key END) AS k90,
+                   MIN(CASE WHEN cum >= (n_rows * 99 + 99) // 100 THEN key END) AS k99
+            FROM cum GROUP BY 1
+        ),
+        lo AS (
+            SELECT o_orderstatus, n_rows,
+                   CASE WHEN k50 // 32 < 5 THEN k50 % 32
+                        ELSE (32 + k50 % 32) << (k50 // 32 - 5) END AS p50_lo,
+                   CASE WHEN k90 // 32 < 5 THEN k90 % 32
+                        ELSE (32 + k90 % 32) << (k90 // 32 - 5) END AS p90_lo,
+                   CASE WHEN k99 // 32 < 5 THEN k99 % 32
+                        ELSE (32 + k99 % 32) << (k99 // 32 - 5) END AS p99_lo,
+                   k50, k90, k99
+            FROM pick
+        )
+        SELECT o_orderstatus, n_rows,
+               p50_lo,
+               CASE WHEN k50 // 32 < 5 THEN p50_lo
+                    ELSE p50_lo + (1::BIGINT << (k50 // 32 - 5)) - 1 END AS p50_hi,
+               p90_lo,
+               CASE WHEN k90 // 32 < 5 THEN p90_lo
+                    ELSE p90_lo + (1::BIGINT << (k90 // 32 - 5)) - 1 END AS p90_hi,
+               p99_lo,
+               CASE WHEN k99 // 32 < 5 THEN p99_lo
+                    ELSE p99_lo + (1::BIGINT << (k99 // 32 - 5)) - 1 END AS p99_hi
+        FROM lo ORDER BY o_orderstatus
+    """
     # Count-min sketch is fully deterministic (md5-seeded cells), so the
     # WHOLE pipeline — sketch build, candidate probe, min-over-rows
     # estimate, top-k readout — is mirrored in SQL, not just a bound.
@@ -2514,6 +2625,8 @@ def oracle_sql() -> dict[str, str]:
     d["kcore_customers"] = _kcore_oracle(k=20, rounds=10)
     # Landmark BFS: fixed-depth recursive walk; MIN over generated walk
     # lengths = shortest hop count. The depth cap mirrors max_hops=20.
+    d["weighted_sssp_customers"] = _sssp_oracle(n_landmarks=4, rounds=10)
+    d["lm_quality_scores"] = _lm_quality_oracle(train_pct=90)
     d["bfs_distances_customers"] = """
         WITH RECURSIVE
         cp AS (
@@ -4881,6 +4994,128 @@ def _incremental_assignment_oracle(rounds: int, min_shared: int = 4) -> str:
                CAST(COALESCE(b.community, nv.v) AS BIGINT) AS community
         FROM newv nv LEFT JOIN best b ON nv.v = b.v
         ORDER BY c
+    """
+
+
+def _duck_ilog2(n_expr: str, q: int = 6) -> str:
+    """DuckDB twin of ``text._ilog2_q_sql``: the same fixed-point log2
+    fold (octave via bin-length, ``q`` mantissa squarings) as a
+    ``list_reduce`` over a struct accumulator. list_reduce has no init
+    arg in this DuckDB, so the seed struct is prepended to a dummy list
+    of the right length — the BPE-oracle trick."""
+    e = f"(length(bin({n_expr})) - 1)"
+    m0 = (
+        f"(CASE WHEN {e} >= 30 THEN ({n_expr}) >> ({e} - 30)"
+        f" ELSE ({n_expr}) << (30 - {e}) END)"
+    )
+    return f"""list_reduce(
+        [{{'m': CAST({m0} AS BIGINT), 'r': CAST({e} AS BIGINT)}}] ||
+        list_transform(range({q}), i -> {{'m': CAST(0 AS BIGINT), 'r': CAST(0 AS BIGINT)}}),
+        (acc, x) -> CASE WHEN acc.m * acc.m >= 2305843009213693952
+            THEN {{'m': (acc.m * acc.m) >> 31, 'r': acc.r * 2 + 1}}
+            ELSE {{'m': (acc.m * acc.m) >> 30, 'r': acc.r * 2}} END
+    ).r"""
+
+
+def _lm_quality_oracle(train_pct: int = 90) -> str:
+    """Mirror of ``text.lm_quality_scores``: same bigram stream (BOS
+    context, transform-built), same md5 split bucket, same add-one
+    smoothed counts, and the same fixed-point log2 fold — so every
+    per-document bit count matches exactly."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        big AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN u.i = 1 THEN '<s>' ELSE t[u.i - 1] END AS w1,
+                   t[u.i] AS w2
+            FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+            WHERE len(t) >= 1
+        ),
+        sp AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        ),
+        trainb AS MATERIALIZED (
+            SELECT big.* FROM big JOIN sp USING (doc_id)
+            WHERE bucket < {train_pct}
+        ),
+        vv AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM trainb),
+        unk AS (SELECT v, {_duck_ilog2("v")} AS unk_bits FROM vv),
+        ctxb AS MATERIALIZED (
+            SELECT w1, {_duck_ilog2("c1 + v")} AS ctx_bits
+            FROM (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+                  FROM trainb GROUP BY 1) CROSS JOIN vv
+        ),
+        pairb AS MATERIALIZED (
+            SELECT w1, w2, {_duck_ilog2("c12 + 1")} AS pair_bits
+            FROM (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                  FROM trainb GROUP BY 1, 2)
+        ),
+        scored AS (
+            SELECT big.doc_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(COALESCE(ctx_bits, unk_bits)
+                            - COALESCE(pair_bits, 0)) AS BIGINT)
+                       AS total_bits_q6
+            FROM big
+            CROSS JOIN unk
+            LEFT JOIN ctxb USING (w1)
+            LEFT JOIN pairb USING (w1, w2)
+            GROUP BY big.doc_id
+        )
+        SELECT d.doc_id, d.source,
+               CASE WHEN sp.bucket < {train_pct} THEN 'train'
+                    ELSE 'heldout' END AS split,
+               n_tokens, total_bits_q6,
+               total_bits_q6 // n_tokens AS bits_per_token_q6
+        FROM documents d
+        JOIN sp USING (doc_id)
+        JOIN scored USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
+def _sssp_oracle(n_landmarks: int, rounds: int) -> str:
+    """Chained-CTE oracle for weighted landmark SSSP (Bellman-Ford): one
+    min-merge relaxation CTE per round, unrolled to the Spark loop's
+    ``max_rounds``. The engine's frontier form (only improved vertices
+    re-relax) computes the same ``min over paths of <= r edges`` each
+    round — a settled vertex's out-relaxations all happened the round
+    after it last improved — so fixed-round equality holds whether or not
+    the engine exits early at an empty frontier."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+        r{i} AS MATERIALIZED (
+            SELECT id, landmark, MIN(dist) AS dist FROM (
+                SELECT * FROM r{i - 1}
+                UNION ALL
+                SELECT sym.dst, r.landmark, r.dist + sym.w
+                FROM r{i - 1} r JOIN sym ON sym.src = r.id
+            ) GROUP BY 1, 2
+        )""")
+    return f"""
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS MATERIALIZED (
+            SELECT a.c AS src, b.c AS dst,
+                   1 + 64 // COUNT(*) AS w
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+        ),
+        sym AS MATERIALIZED (
+            SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e
+        ),
+        lm AS (SELECT DISTINCT src AS id FROM sym ORDER BY id LIMIT {n_landmarks}),
+        r0 AS (SELECT id, id AS landmark, CAST(0 AS BIGINT) AS dist FROM lm),{",".join(steps)}
+        SELECT id, landmark, CAST(dist AS BIGINT) AS dist
+        FROM r{rounds} ORDER BY landmark, id
     """
 
 

@@ -2060,3 +2060,87 @@ def louvain_moves(
     return labels.select(
         F.col("v").alias("c"), F.col("label").alias("community")
     ).orderBy("c")
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    weight: Column | str = "w",
+    n_landmarks: int = 4,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """``(id, landmark, dist)`` — WEIGHTED single-source shortest paths
+    from the ``n_landmarks`` smallest vertex ids, over the undirected
+    graph with positive integer edge weights: the Bellman-Ford relaxation
+    ``bfs_distances`` reduces to when every weight is 1, now with real
+    costs (GraphX's canonical ShortestPaths/Pregel example, which the
+    reference's GraphX usage stops short of — cited for parity scope:
+    Betweenness.scala runs unweighted BFS only).
+
+    Distributed shape = delta-stepping-style frontier Bellman-Ford: per
+    round ONE join (frontier ⋈ edges) + one min-aggregate, and only
+    vertices whose distance IMPROVED re-enter the frontier, so settled
+    regions stop generating work (on an unweighted graph this degenerates
+    to exactly the BFS frontier). All ``n_landmarks`` trees relax in the
+    SAME join. No adjacency collect, no driver state — O(E) per round at
+    any scale. Lineage is cut per round with the stats-reset checkpoint
+    (the Louvain lesson: the min-merge self-union would otherwise compound
+    size estimates), and superseded round state is released.
+
+    Early exit at an empty frontier cannot change the result (a round
+    that improves nothing proves a fixed point — relaxation is monotone),
+    so a fixed ``max_rounds``-round chained-CTE oracle expresses identical
+    semantics: rounds after convergence are no-ops in both engines.
+    Weights must be POSITIVE integers; ``max_rounds`` bounds the longest
+    improving path, so diameters beyond it leave unreached pairs absent
+    exactly as the oracle's unrolled rounds do.
+    """
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    sym = (
+        edges.select("src", "dst", wcol.cast("long").alias("w"))
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                wcol.cast("long").alias("w"),
+            )
+        )
+        .localCheckpoint()
+    )
+    landmarks = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(n_landmarks)
+    )
+    settled = landmarks.select(
+        "id", F.col("id").alias("landmark"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
+    frontier = settled
+    for _ in range(max_rounds):
+        relaxed = (
+            frontier.join(sym, frontier.id == sym.src)
+            .groupBy(F.col("dst").alias("id"), "landmark")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+        )
+        prev = settled
+        known = prev.select(
+            "id", "landmark", F.col("dist").alias("_known")
+        )
+        fresh = (
+            relaxed.join(known, ["id", "landmark"], "left")
+            .filter(F.col("_known").isNull() | (F.col("dist") < F.col("_known")))
+            .select("id", "landmark", "dist")
+            .localCheckpoint()
+        )
+        if fresh.isEmpty():
+            break
+        settled = _checkpoint_reset_stats(
+            prev.unionByName(fresh)
+            .groupBy("id", "landmark")
+            .agg(F.min("dist").alias("dist"))
+        )
+        frontier = fresh
+        release = getattr(prev, "_graft_release", None)
+        if release is not None:
+            release()
+    return settled.orderBy("landmark", "id")

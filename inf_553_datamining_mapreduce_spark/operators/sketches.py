@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -319,3 +319,146 @@ def hll_distinct_orders(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable quantile sketch (log2 histogram registers)
+# ---------------------------------------------------------------------------
+
+# Sub-bucket resolution: 2^QS_BITS sub-buckets per octave, so a bucket's
+# width is at most 2^-QS_BITS of its lower bound — every quantile readout
+# is a [lo, hi] pair with hi/lo <= 1 + 2^-QS_BITS (~3.2% at 5 bits).
+QS_BITS = 5
+_QS_SUB = 1 << QS_BITS  # 32
+
+
+def _qs_key(v: Column) -> Column:
+    """Monotone log2-histogram bucket key for a non-negative BIGINT value:
+    octave = floor(log2 v) via base-2 ``conv`` length (the HLL rho trick —
+    stays integer, no libm), sub-bucket = the QS_BITS bits after the
+    leading 1. key = octave * 2^QS_BITS + sub is strictly monotone in the
+    bucket's value range, which is what lets a cumulative count walk read
+    quantiles off the register table. Values below 2^QS_BITS get
+    singleton (exact) buckets; 0 keys to 0."""
+    e = (F.length(F.conv(v, 10, 2)) - 1).cast("long")
+    sub = F.when(
+        e < QS_BITS, v
+    ).otherwise(
+        F.call_function(
+            "shiftright", v, (e - QS_BITS).cast("int")
+        ).bitwiseAND(F.lit(_QS_SUB - 1))
+    )
+    return F.when(v <= 0, F.lit(0).cast("long")).otherwise(
+        e * _QS_SUB + sub
+    )
+
+
+def _qs_bounds(key: Column) -> tuple[Column, Column]:
+    """Inverse of ``_qs_key``: the [lo, hi] BIGINT value range of a bucket
+    key. Exact (lo == hi) below 2^QS_BITS."""
+    e = F.floor(key / _QS_SUB).cast("long")
+    r = F.pmod(key, F.lit(_QS_SUB)).cast("long")
+    lo = F.when(e < QS_BITS, r).otherwise(
+        F.call_function(
+            "shiftleft", (r + _QS_SUB), (e - QS_BITS).cast("int")
+        )
+    )
+    hi = F.when(e < QS_BITS, r).otherwise(
+        lo
+        + F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (e - QS_BITS).cast("int")
+        )
+        - 1
+    )
+    return lo, hi
+
+
+def qsketch_registers(
+    df: DataFrame, value: Column, group_cols: tuple = ()
+) -> DataFrame:
+    """Per-group quantile-sketch registers ``(group, key, cnt)``: one
+    narrow projection to bucket keys plus one map-side-combinable count
+    aggregate. Register cardinality per group is bounded by the VALUE
+    RANGE, not the row count (<= 64 octaves x 2^QS_BITS sub-buckets =
+    2048 rows for any BIGINT input), and registers MERGE by plain
+    ``sum`` — across partitions, sources, or micro-batches — which is
+    what makes the sketch streamable and unionable exactly, unlike
+    rank-based exact percentiles (a global sort) or percentile_approx
+    (library-internal, not oracle-able). Deterministic: every step is
+    integer arithmetic."""
+    return (
+        df.select(*group_cols, _qs_key(value).alias("key"))
+        .groupBy(*group_cols, "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def qsketch_quantiles(
+    registers: DataFrame,
+    group_cols: tuple,
+    q_pcts: tuple = (50, 90, 99),
+) -> DataFrame:
+    """Quantile readout from a register table: for each q, the bucket
+    holding the ceil(q/100 * n)-th smallest value, reported as its exact
+    integer [lo, hi] bounds — a GUARANTEED enclosure of the true order
+    statistic (tested against the exact rank in tests/test_sketches.py),
+    not a heuristic estimate. One tiny window cumsum per group (registers
+    are bounded, so the single-partition-per-group window is constant
+    work) and one aggregate."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = registers.select(
+        *group_cols,
+        "key",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*group_cols)).alias("n_rows"),
+    )
+    picks = []
+    for q in q_pcts:
+        # target = ceil(n * q / 100) as pure integer arithmetic
+        target = F.floor((F.col("n_rows") * q + 99) / 100).cast("long")
+        picks.append(
+            F.min(
+                F.when(F.col("cum") >= target, F.col("key"))
+            ).alias(f"_k{q}")
+        )
+    agg = cum.groupBy(*group_cols).agg(
+        F.max("n_rows").alias("n_rows"), *picks
+    )
+    cols = [*group_cols, "n_rows"]
+    for q in q_pcts:
+        lo, hi = _qs_bounds(F.col(f"_k{q}"))
+        cols.extend([lo.alias(f"p{q}_lo"), hi.alias(f"p{q}_hi")])
+    return agg.select(*cols)
+
+
+def qsketch_price_quantiles(orders: DataFrame) -> DataFrame:
+    """p50/p90/p99 order-price bounds per order status PLUS the merged
+    'ALL' row — from ONE register build, the merge being a plain re-keyed
+    ``sum`` (the HLL pattern: per-group sketches union into the global
+    sketch without touching the fact table again). Prices enter as exact
+    cents (``floor(x*100 + 0.5)`` — the same fixed-point idiom as the
+    zscore/rolling kernels, bit-identical in any IEEE engine), so the
+    whole pipeline is integer and the DuckDB oracle reproduces every
+    register and every bound exactly.
+
+    At 100 TB: one scan, one bounded aggregate (<= 2048 registers per
+    status), readout over a few thousand rows. The exact-percentile twin
+    (``relational.price_percentiles``) needs a per-group sort of the full
+    table; this is the form that replaces it when the table stops
+    fitting."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    regs = qsketch_registers(
+        orders, cents, ("o_orderstatus",)
+    ).localCheckpoint()
+    merged = (
+        regs.groupBy("key")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("ALL").alias("o_orderstatus"), "key", "cnt")
+    )
+    return qsketch_quantiles(
+        regs.unionByName(merged), ("o_orderstatus",)
+    ).orderBy("o_orderstatus")

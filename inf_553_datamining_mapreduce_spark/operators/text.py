@@ -1702,3 +1702,142 @@ def hashed_doc_features(documents: DataFrame, dims: int = 64) -> DataFrame:
         .agg(F.sum("sign").alias("value"))
         .orderBy("doc_id", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model quality scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+# Fractional bits of the fixed-point log2 used by the LM scorer. 6 bits =
+# 1/64-bit resolution on every per-token surprisal, plenty to rank
+# documents while keeping the whole pipeline in exact BIGINT arithmetic.
+LM_Q = 6
+LM_BOS = "<s>"
+
+
+def _ilog2_q_sql(n_expr: str, q: int = LM_Q) -> str:
+    """Spark-SQL text for ``floor-ish(log2(n) * 2**q)`` on a POSITIVE
+    BIGINT expression, in pure integer arithmetic: octave = base-2
+    ``conv`` length (the HLL rho trick — no libm), then ``q`` rounds of
+    mantissa squaring extract one fractional bit each (normalize the
+    31-bit mantissa, square, the result's 62nd bit IS the next bit of
+    log2). Deterministic in any engine with 64-bit integers; the DuckDB
+    oracle runs the same fold as a ``list_reduce``. Inputs above 2^31
+    have their mantissa truncated to 31 bits first — an error below
+    2^-30, identical in both engines."""
+    e = f"(length(conv(CAST({n_expr} AS STRING), 10, 2)) - 1)"
+    m0 = (
+        f"(CASE WHEN {e} >= 30 THEN shiftright({n_expr}, CAST({e} - 30 AS INT))"
+        f" ELSE shiftleft({n_expr}, CAST(30 - {e} AS INT)) END)"
+    )
+    return f"""aggregate(
+        sequence(1, {q}),
+        named_struct('m', CAST({m0} AS BIGINT), 'r', CAST({e} AS BIGINT)),
+        (acc, i) -> CASE WHEN acc.m * acc.m >= 2305843009213693952L
+            THEN named_struct('m', shiftright(acc.m * acc.m, 31), 'r', acc.r * 2 + 1)
+            ELSE named_struct('m', shiftright(acc.m * acc.m, 30), 'r', acc.r * 2) END,
+        acc -> acc.r)"""
+
+
+def _lm_bigrams(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, w1, w2)`` bigram stream with a BOS context before the
+    first token — built inside ONE projection (transform over the token
+    array, the ``ngram_counts`` trick): no positional self-join, no
+    per-document window shuffle. Empty documents produce no rows."""
+    pairs = F.expr(
+        f"transform(sequence(1, size(t)), i -> named_struct("
+        f"'w1', CASE WHEN i = 1 THEN '{LM_BOS}' ELSE t[i - 2] END, "
+        f"'w2', t[i - 1]))"
+    )
+    return (
+        documents.select("doc_id", tokens_col(text_col).alias("t"))
+        .filter(F.size("t") >= 1)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def _lm_split_bucket(col: str = "doc_id") -> Column:
+    """The corpus_splits hash bucket, shared so the LM trains on exactly
+    the registered train split."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+
+
+def lm_quality_scores(
+    documents: DataFrame, train_pct: int = 90
+) -> DataFrame:
+    """Per-document LANGUAGE-MODEL quality score: average bigram surprisal
+    (bits/token, fixed point at 2^-LM_Q) under an add-one-smoothed bigram
+    model trained on the corpus's own train split — the CCNet/Gopher-style
+    perplexity filter (Wenzek et al. 2020 trains KenLM on trusted text and
+    buckets documents by perplexity; same machinery, engine-exact): low
+    bits/token = fluent/repetitive of the training distribution, high =
+    noise, boilerplate soup, or off-distribution text.
+
+    ``P(w2|w1) = (c(w1,w2) + 1) / (ctx(w1) + V)`` with ctx the context
+    count and V the distinct-next-token vocabulary; per-token surprisal
+    ``ilog2(ctx + V) - ilog2(c12 + 1)`` stays exact BIGINT end to end
+    (the fixed-point log2 fold above), so the DuckDB oracle reproduces
+    every score bit for bit — unlike float log-prob sums, which no two
+    engines accumulate identically.
+
+    Shape at 100 TB: one bigram projection+explode over the corpus; model
+    tables are (vocab)- and (distinct-bigram)-sized aggregates with
+    map-side partials; the log2 fold runs once per MODEL ROW, not per
+    corpus token; scoring is two hash joins keyed on w1 / (w1, w2) and one
+    doc-keyed sum. V rides as a 1-row broadcast scalar (the Louvain-``m``
+    pattern). Unseen contexts fall back to ilog2(V) exactly as add-one
+    smoothing dictates — no special cases, no UDFs, no collects.
+    """
+    big = _lm_bigrams(documents).localCheckpoint()
+    train = big.join(
+        documents.select("doc_id")
+        .filter(_lm_split_bucket() < train_pct),
+        "doc_id",
+    )
+    v_row = train.agg(
+        F.countDistinct("w2").cast("long").alias("v")
+    ).select(
+        "v", F.expr(_ilog2_q_sql("v")).alias("unk_bits")
+    )
+    ctx_bits = (
+        train.groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .crossJoin(F.broadcast(v_row.select("v")))
+        .select("w1", F.expr(_ilog2_q_sql("c1 + v")).alias("ctx_bits"))
+    )
+    pair_bits = (
+        train.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .select("w1", "w2", F.expr(_ilog2_q_sql("c12 + 1")).alias("pair_bits"))
+    )
+    scored = (
+        big.join(ctx_bits, "w1", "left")
+        .join(pair_bits, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(v_row.select("unk_bits")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.coalesce(F.col("ctx_bits"), F.col("unk_bits"))
+                - F.coalesce(F.col("pair_bits"), F.lit(0))
+            ).alias("total_bits_q6"),
+        )
+    )
+    split = F.when(_lm_split_bucket() < train_pct, "train").otherwise("heldout")
+    return (
+        documents.select("doc_id", "source", split.alias("split"))
+        .join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "split",
+            "n_tokens",
+            "total_bits_q6",
+            F.expr("total_bits_q6 DIV n_tokens").alias("bits_per_token_q6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -3043,6 +3043,46 @@ def test_streaming_hll_register_merge_matches_batch(spark, sf_dir, tmp_path):
     assert state == direct
 
 
+def test_streaming_qsketch_register_merge_matches_batch(spark, sf_dir, tmp_path):
+    """Quantile-sketch registers merged across micro-batches (foreachBatch,
+    plain per-key SUM — bounded state like the HLL registers) must equal
+    the batch registers of the full table EXACTLY, so every quantile bound
+    read from the streamed state equals the batch readout."""
+    from inf_553_datamining_mapreduce_spark.operators.sketches import (
+        qsketch_registers,
+    )
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    d = tmp_path / "qs_stream"
+    d.mkdir()
+    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(
+        str(d / "even")
+    )
+    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(
+        str(d / "odd")
+    )
+    state: dict = {}
+
+    def merge_batch(batch_df, _bid):
+        for r in qsketch_registers(batch_df, cents, ()).collect():
+            state[r["key"]] = state.get(r["key"], 0) + r["cnt"]
+
+    q = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    direct = {
+        r["key"]: r["cnt"] for r in qsketch_registers(o, cents, ()).collect()
+    }
+    assert state == direct
+
+
 # ---------------------------------------------------------------------------
 # Fixed-point k-means
 
@@ -3390,3 +3430,81 @@ def test_document_clusters_fixedpoint_consistency(spark, sf_dir):
                 ]
     for ci, dims_map in cent.items():
         assert [dims_map[j] for j in range(16)] == c[ci], ci
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM quality scoring
+
+
+def test_ilog2_fold_tracks_log2(spark):
+    """The fixed-point log2 fold must stay within one mantissa-truncation
+    unit of floor(log2(n) * 2^LM_Q) across magnitudes, and be exact on
+    powers of two."""
+    import math
+
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        LM_Q,
+        _ilog2_q_sql,
+    )
+
+    vals = [1, 2, 3, 5, 8, 100, 12345, 2**20, 2**31 - 1, 2**40 + 7, 2**62 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    got = {
+        r["n"]: r["r"]
+        for r in df.selectExpr("n", _ilog2_q_sql("n") + " AS r").collect()
+    }
+    for v in vals:
+        assert abs(got[v] - math.log2(v) * (1 << LM_Q)) <= 1.5, (v, got[v])
+        if v & (v - 1) == 0:  # power of two: exact
+            assert got[v] == int(math.log2(v)) << LM_Q
+
+
+def test_lm_bigrams_has_bos_and_skips_empty(spark):
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        LM_BOS,
+        _lm_bigrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["w1"], r["w2"])
+        for r in _lm_bigrams(docs).collect()
+        if r["w2"] != ""  # the empty doc splits to [""], dropped below
+    )
+    assert (1, LM_BOS, "a") in rows and (1, "a", "b") in rows
+    assert (3, LM_BOS, "x") in rows
+    # one bigram per token: doc 1 has exactly 3
+    assert sum(1 for d, *_ in rows if d == 1) == 3
+
+
+def test_lm_quality_scores_rank_fluent_below_gibberish(spark):
+    """A document made of bigrams frequent in the train split must score
+    strictly fewer bits/token than a same-length document of unseen
+    tokens — the property the perplexity filter exists for. doc_ids are
+    chosen so the scored pair lands in the heldout split (bucket >= 90)
+    while the repeated phrase dominates training."""
+    import hashlib
+
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        lm_quality_scores,
+    )
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+
+    train_ids = [i for i in range(1, 200) if bucket(i) < 90][:30]
+    heldout_ids = [i for i in range(1, 200) if bucket(i) >= 90][:2]
+    rows = [(i, "the cat sat on the mat", "src") for i in train_ids]
+    rows.append((heldout_ids[0], "the cat sat on the mat", "src"))
+    rows.append((heldout_ids[1], "zq xv qqj vvk pzx wqy", "src"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in lm_quality_scores(docs).collect()}
+    fluent, gibberish = got[heldout_ids[0]], got[heldout_ids[1]]
+    assert fluent["split"] == "heldout" and gibberish["split"] == "heldout"
+    assert fluent["n_tokens"] == gibberish["n_tokens"] == 6
+    assert fluent["bits_per_token_q6"] < gibberish["bits_per_token_q6"]
+    # every train doc scores the same (identical text)
+    train_scores = {got[i]["total_bits_q6"] for i in train_ids}
+    assert len(train_scores) == 1

@@ -307,6 +307,63 @@ def test_bfs_distances_max_hops_caps_depth(spark):
     assert got == {1: 0, 2: 1, 3: 2}
 
 
+def _wedges_df(spark, triples):
+    return spark.createDataFrame(
+        [(int(a), int(b), int(w)) for a, b, w in triples],
+        "src long, dst long, w long",
+    )
+
+
+def test_weighted_sssp_prefers_cheap_long_path(spark):
+    """The weighted relaxation must pick a 3-hop cost-3 path over a
+    1-hop cost-10 edge — the case hop-count BFS gets wrong — and report
+    exact path costs."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import weighted_sssp
+
+    # 1 -> 4 directly costs 10; 1-2-3-4 costs 1+1+1 = 3.
+    df = weighted_sssp(
+        _wedges_df(spark, [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1)]),
+        n_landmarks=1,
+    )
+    got = {r["id"]: r["dist"] for r in df.collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_weighted_sssp_unit_weights_match_bfs(spark):
+    """With every weight 1 the relaxation IS breadth-first search: the
+    two operators must agree pair-for-pair, including unreachable pairs
+    being absent from both."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        bfs_distances,
+        weighted_sssp,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4), (10, 11)]
+    bfs = {
+        (r["landmark"], r["id"]): r["dist"]
+        for r in bfs_distances(_edges_df(spark, pairs), n_landmarks=4).collect()
+    }
+    sssp = {
+        (r["landmark"], r["id"]): r["dist"]
+        for r in weighted_sssp(
+            _wedges_df(spark, [(a, b, 1) for a, b in pairs]), n_landmarks=4
+        ).collect()
+    }
+    assert sssp == bfs
+
+
+def test_weighted_sssp_max_rounds_bounds_relaxation(spark):
+    """max_rounds caps the edge count of improving paths — a chain longer
+    than the cap leaves the far vertices unreached, mirroring the
+    unrolled-CTE oracle's semantics exactly."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import weighted_sssp
+
+    chain = [(i, i + 1, 2) for i in range(1, 6)]  # 1-2-3-4-5-6, w=2 each
+    df = weighted_sssp(_wedges_df(spark, chain), n_landmarks=1, max_rounds=2)
+    got = {r["id"]: r["dist"] for r in df.collect()}
+    assert got == {1: 0, 2: 2, 3: 4}
+
+
 def test_sampled_betweenness_estimates_exact_on_planted_graph(spark):
     """Brandes-Pich source sampling: on a two-cluster graph with known
     bridge edges, the sampled estimator must (a) keep total credit mass

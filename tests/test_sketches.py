@@ -179,3 +179,78 @@ def test_hll_estimate_accuracy(spark, sf_dir):
     assert rel < 0.26, (allr, rel)
     for flag, r in rows.items():
         assert 0 < r["hll_estimate"] < 10 * r["exact_orders"], r
+
+
+# ---------------------------------------------------------------------------
+# Deterministic quantile sketch (log2-histogram registers)
+
+
+def test_qsketch_key_is_monotone_and_bounds_enclose(spark):
+    """Bucket keys must be monotone in the value (the cumulative readout
+    depends on it) and every value must fall inside its own bucket's
+    reconstructed [lo, hi]."""
+    vals = [0, 1, 2, 3, 31, 32, 33, 63, 64, 100, 999, 12345, 10**9, 2**40 + 7]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    lo, hi = SK._qs_bounds(SK._qs_key(F.col("v")))
+    rows = sorted(
+        df.select(
+            "v", SK._qs_key(F.col("v")).alias("k"), lo.alias("lo"), hi.alias("hi")
+        ).collect(),
+        key=lambda r: r["v"],
+    )
+    prev_k = -1
+    for r in rows:
+        assert r["lo"] <= r["v"] <= r["hi"], r
+        assert r["k"] > prev_k, r
+        prev_k = r["k"]
+    # exact (singleton) buckets below 2^QS_BITS
+    for r in rows:
+        if r["v"] < 1 << SK.QS_BITS:
+            assert r["lo"] == r["hi"] == r["v"]
+
+
+def test_qsketch_quantiles_enclose_exact_order_statistics(spark, sf_dir):
+    """The [lo, hi] bound pair must CONTAIN the exact ceil(q*n)-th order
+    statistic for every group and every q — the sketch's hard guarantee,
+    not a probabilistic one — with relative width <= 2^-QS_BITS."""
+    import math
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    out = {r["o_orderstatus"]: r for r in SK.qsketch_price_quantiles(o).collect()}
+    pdf = o.select("o_orderstatus", "o_totalprice").toPandas()
+    pdf["cents"] = (pdf.o_totalprice * 100 + 0.5).apply(math.floor)
+    groups = list(pdf.groupby("o_orderstatus")) + [("ALL", pdf)]
+    assert set(out) == {g for g, _ in groups}
+    for status, grp in groups:
+        s = sorted(grp.cents)
+        n = len(s)
+        assert out[status]["n_rows"] == n
+        for q in (50, 90, 99):
+            exact = s[(n * q + 99) // 100 - 1]
+            lo, hi = out[status][f"p{q}_lo"], out[status][f"p{q}_hi"]
+            assert lo <= exact <= hi, (status, q, exact, lo, hi)
+            assert hi - lo <= max(lo >> SK.QS_BITS, 0), (status, q, lo, hi)
+
+
+def test_qsketch_registers_merge_by_sum(spark, sf_dir):
+    """Register merge = plain per-key count sum: two disjoint halves'
+    registers summed must equal the full table's registers EXACTLY —
+    the property that makes the sketch unionable across partitions,
+    sources, and micro-batches."""
+    o = read_parquet_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def regs(df):
+        return {
+            r["key"]: r["cnt"]
+            for r in SK.qsketch_registers(df, cents, ()).collect()
+        }
+
+    full = regs(o)
+    even = regs(o.filter(F.col("o_orderkey") % 2 == 0))
+    odd = regs(o.filter(F.col("o_orderkey") % 2 == 1))
+    merged: dict = {}
+    for part in (even, odd):
+        for k, c in part.items():
+            merged[k] = merged.get(k, 0) + c
+    assert merged == full
