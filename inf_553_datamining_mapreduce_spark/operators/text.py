@@ -1798,24 +1798,59 @@ def lm_quality_scores(
         .filter(_lm_split_bucket() < train_pct),
         "doc_id",
     )
-    v_row = train.agg(
+    scored = _lm_score(big, _lm_model(train))
+    split = F.when(_lm_split_bucket() < train_pct, "train").otherwise("heldout")
+    return (
+        documents.select("doc_id", "source", split.alias("split"))
+        .join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "split",
+            "n_tokens",
+            "total_bits_q6",
+            F.expr("total_bits_q6 DIV n_tokens").alias("bits_per_token_q6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lm_model(
+    train_bigrams: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``(v_row, ctx_bits, pair_bits)`` from a train bigram stream: the
+    1-row vocabulary scalar (with its precomputed unknown-context bits),
+    the per-context smoothed-denominator bits, and the per-bigram
+    smoothed-numerator bits. The log2 fold runs once per MODEL row."""
+    v_row = train_bigrams.agg(
         F.countDistinct("w2").cast("long").alias("v")
     ).select(
         "v", F.expr(_ilog2_q_sql("v")).alias("unk_bits")
     )
     ctx_bits = (
-        train.groupBy("w1")
+        train_bigrams.groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
         .crossJoin(F.broadcast(v_row.select("v")))
         .select("w1", F.expr(_ilog2_q_sql("c1 + v")).alias("ctx_bits"))
     )
     pair_bits = (
-        train.groupBy("w1", "w2")
+        train_bigrams.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
         .select("w1", "w2", F.expr(_ilog2_q_sql("c12 + 1")).alias("pair_bits"))
     )
-    scored = (
-        big.join(ctx_bits, "w1", "left")
+    return v_row, ctx_bits, pair_bits
+
+
+def _lm_score(
+    bigrams: DataFrame, model: tuple[DataFrame, DataFrame, DataFrame]
+) -> DataFrame:
+    """``(doc_id, n_tokens, total_bits_q6)`` for a bigram stream under a
+    model from ``_lm_model``: two hash joins + one doc-keyed sum, all
+    exact BIGINT. Stateless given the model — the property the
+    ingestion-time twin rides."""
+    v_row, ctx_bits, pair_bits = model
+    return (
+        bigrams.join(ctx_bits, "w1", "left")
         .join(pair_bits, ["w1", "w2"], "left")
         .crossJoin(F.broadcast(v_row.select("unk_bits")))
         .groupBy("doc_id")
@@ -1827,14 +1862,49 @@ def lm_quality_scores(
             ).alias("total_bits_q6"),
         )
     )
-    split = F.when(_lm_split_bucket() < train_pct, "train").otherwise("heldout")
+
+
+def build_lm_model(
+    indexed_docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """FROZEN add-one bigram model over the full indexed corpus — the
+    static side of the ingestion-time scorer. Each table is
+    localCheckpoint'd so repeated micro-batch scoring never re-scans the
+    corpus (the ``build_span_index`` convention)."""
+    v_row, ctx_bits, pair_bits = _lm_model(_lm_bigrams(indexed_docs))
     return (
-        documents.select("doc_id", "source", split.alias("split"))
+        v_row.localCheckpoint(),
+        ctx_bits.localCheckpoint(),
+        pair_bits.localCheckpoint(),
+    )
+
+
+def incremental_lm_scoring(
+    new_docs: DataFrame,
+    indexed_docs: DataFrame | tuple[DataFrame, DataFrame, DataFrame],
+) -> DataFrame:
+    """Ingestion-time LM quality scoring: incoming documents are scored
+    against the model trained on the INDEXED corpus (frozen labels — the
+    ``index_span_contamination`` stream-static shape), so the quality
+    gate runs before a document lands, with no model drift inside a
+    batch. Pass ``indexed_docs`` as a DataFrame to train here, or as a
+    prebuilt ``build_lm_model`` triple to amortize the model across
+    micro-batches. Stateless per batch: scores depend only on (document,
+    frozen model), so any batch partition of the incoming stream
+    concatenates to the batch result — the foreachBatch contract proven
+    in tests/test_extensions.py."""
+    model = (
+        indexed_docs
+        if isinstance(indexed_docs, tuple)
+        else build_lm_model(indexed_docs)
+    )
+    scored = _lm_score(_lm_bigrams(new_docs), model)
+    return (
+        new_docs.select("doc_id", "source")
         .join(scored, "doc_id")
         .select(
             "doc_id",
             "source",
-            "split",
             "n_tokens",
             "total_bits_q6",
             F.expr("total_bits_q6 DIV n_tokens").alias("bits_per_token_q6"),

@@ -3508,3 +3508,90 @@ def test_lm_quality_scores_rank_fluent_below_gibberish(spark):
     # every train doc scores the same (identical text)
     train_scores = {got[i]["total_bits_q6"] for i in train_ids}
     assert len(train_scores) == 1
+
+
+def test_incremental_lm_scoring_stateless_across_microbatches(spark, sf_dir, tmp_path):
+    """The ingestion-time scorer depends only on (document, frozen model),
+    so scoring the incoming docs in micro-batches (foreachBatch, model
+    prebuilt once) must concatenate to exactly the batch result."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        build_lm_model,
+        incremental_lm_scoring,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    indexed = d.filter(F.col("doc_id") % 2 == 0)
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    model = build_lm_model(indexed)
+
+    sd = tmp_path / "lm_stream"
+    sd.mkdir()
+    incoming.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+        str(sd / "b1")
+    )
+    incoming.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+        str(sd / "b2")
+    )
+    got: dict = {}
+
+    def score_batch(batch_df, _bid):
+        for r in incremental_lm_scoring(batch_df, model).collect():
+            got[r["doc_id"]] = (
+                r["n_tokens"], r["total_bits_q6"], r["bits_per_token_q6"]
+            )
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sd / "*"))
+        .writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    direct = {
+        r["doc_id"]: (r["n_tokens"], r["total_bits_q6"], r["bits_per_token_q6"])
+        for r in incremental_lm_scoring(incoming, model).collect()
+    }
+    assert got == direct and len(direct) > 0
+
+
+def test_streaming_cms_register_merge_matches_batch(spark, sf_dir, tmp_path):
+    """Count-min cells merged across micro-batches (foreachBatch, plain
+    per-cell SUM — the depth x width bounded state) must equal the batch
+    sketch EXACTLY, so heavy-hitter estimates from streamed state match
+    the batch readout."""
+    from inf_553_datamining_mapreduce_spark.operators.sketches import (
+        cms_sketch,
+    )
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    d = tmp_path / "cms_stream"
+    d.mkdir()
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(d / "even")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(d / "odd")
+    )
+    state: dict = {}
+
+    def merge_batch(batch_df, _bid):
+        for r in cms_sketch(batch_df, "user_id").collect():
+            k = (r["r"], r["cell"])
+            state[k] = state.get(k, 0) + r["cnt"]
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    direct = {
+        (r["r"], r["cell"]): r["cnt"]
+        for r in cms_sketch(ev, "user_id").collect()
+    }
+    assert state == direct
