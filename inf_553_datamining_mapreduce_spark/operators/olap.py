@@ -1344,3 +1344,82 @@ def _global_cumsum(
         )
         .drop("_pid", "_off")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (multi-dimensional data clustering for scan skipping)
+# ---------------------------------------------------------------------------
+
+
+def _morton_spread(v: F.Column) -> F.Column:
+    """Spread the low 16 bits of ``v`` onto the even bit positions of a
+    32-bit lane (0b...abcd -> 0b...0a0b0c0d), via the standard
+    mask-and-shift doubling ladder — all literal shifts, pure codegen."""
+    x = v.cast("long").bitwiseAND(F.lit(0xFFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    return x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+
+
+def morton_z(x: F.Column, y: F.Column) -> F.Column:
+    """Morton (Z-order) interleave of two 16-bit-truncated keys: a total
+    order in which rows close in EITHER dimension stay close in the one
+    sort key — the curve behind Delta/Iceberg ``OPTIMIZE ZORDER BY``."""
+    return _morton_spread(x).bitwiseOR(F.shiftleft(_morton_spread(y), 1))
+
+
+def zorder_layout_stats(lineitem: DataFrame, n_files: int = 64) -> DataFrame:
+    """Zonemap comparison of two physical layouts of the same table — the
+    WHY of Z-ordering, measured: split the table into ``n_files``
+    equal-size files once in its natural (insertion-proxy) order and once
+    sorted by the Morton interleave of (l_partkey, l_suppkey), and emit
+    each file's (min, max) zonemap for BOTH predicate columns.
+
+    A point/range scan can skip every file whose zonemap excludes it, so
+    a layout's skipping power is how NARROW its per-file ranges are. In
+    the natural layout every file spans nearly the whole partkey AND
+    suppkey domain (zonemaps are useless); Z-ordered, both dimensions'
+    ranges shrink by ~sqrt of the file count, simultaneously — the
+    multi-dimensional clustering a single-column sort can't give
+    (sorting by partkey alone makes SUPPKEY zonemaps useless). The test
+    pins zorder total range width < natural for both columns at once.
+
+    Shape at 100 TB: each layout is ONE range-exchange global sort (the
+    ``_global_ranks`` TeraSort shape — sampled balanced boundaries, no
+    single-partition window) + one file-keyed aggregate; the Morton key
+    itself is a pure bit-ladder projection. This is exactly the job a
+    table-maintenance OPTIMIZE pass runs, expressed as a query whose
+    output is the zonemap it would ship to the catalog.
+    """
+    base = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+        F.col("l_suppkey").cast("long").alias("l_suppkey"),
+    ).withColumn("z", morton_z(F.col("l_partkey"), F.col("l_suppkey")))
+
+    def layout_stats(order_cols: list, label: str) -> DataFrame:
+        ranked = _global_ranks(
+            base, order_cols, rank_name="_rank", total_name="_n"
+        )
+        return (
+            ranked.withColumn(
+                "file_id",
+                _ntile_from_rank(F.col("_rank"), F.col("_n"), n_files)
+                .cast("long"),
+            )
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("l_partkey").alias("min_partkey"),
+                F.max("l_partkey").alias("max_partkey"),
+                F.min("l_suppkey").alias("min_suppkey"),
+                F.max("l_suppkey").alias("max_suppkey"),
+            )
+            .select(F.lit(label).alias("layout"), "*")
+        )
+
+    nat = layout_stats(["l_orderkey", "l_linenumber"], "natural")
+    zo = layout_stats(["z", "l_orderkey", "l_linenumber"], "zorder")
+    return nat.unionByName(zo).orderBy("layout", "file_id")
