@@ -1502,6 +1502,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zorder_layout_stats"] = _zorder_layout_stats
 
+    def _hashed_feature_principal_component(spark, sf):
+        # Top eigenvector of the hashed-feature second moment by integer
+        # power iteration — corpus drift/debiasing primitive composed from
+        # oracled pieces (hashed features + the truncating-division
+        # normalize convention).
+        (d,) = _t(spark, sf, "documents")
+        return SIM.hashed_feature_principal_component(d, dims=64, iters=6)
+
+    q["hashed_feature_principal_component"] = (
+        _hashed_feature_principal_component
+    )
+
     def _kmeans_centroids_fixedpoint(spark, sf):
         # Lloyd's k-means in engine-exact integer arithmetic — the IVF
         # coarse-quantizer training loop under the oracle gate (the
@@ -1559,8 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-7 window, 18 + 13 + 19 = 50:
-# (1) 18 new this round: qsketch_price_quantiles (deterministic mergeable
+# round. The round-7 window, 19 + 13 + 18 = 50:
+# (1) 19 new this round: qsketch_price_quantiles (deterministic mergeable
 #     log2-histogram quantile sketch — register-exact oracle with the
 #     merged 'ALL' row, the HLL pattern),
 #     weighted_sssp_customers (frontier Bellman-Ford weighted landmark
@@ -1571,6 +1583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     the indexed corpus, incoming docs scored statelessly),
 #     zorder_layout_stats (Morton-interleaved layout zonemaps vs natural
 #     — the OPTIMIZE ZORDER maintenance job as an oracled query),
+#     hashed_feature_principal_component (integer power iteration on the
+#     hashed-feature second moment — chained-CTE oracle),
 #     bpe_merges + bpe_vocab_compression (distributed
 #     BPE tokenizer training, Sennrich et al. 2016, chained-CTE oracle),
 #     hll_distinct_orders (deterministic md5 HLL registers with the
@@ -1598,11 +1612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     pure-codegen TPC-H scan-agg-join family + date-bucketed
 #     distinct-count + argmax-dedup window + cohort-pivot), now the
 #     stalest proofs in the registry;
-# (3) 19 of the 49 queries whose latest green is round 4 (alphabetical
-#     prefix; the remaining 30 — minhash_lsh_near_duplicates,
-#     most_common_event_per_user, near_duplicate_keep_best,
-#     open_order_backlog_by_month, order_price_percent_rank (the five
-#     pushed past the 50-cut by the session-4 slots),
+# (3) 18 of the 49 queries whose latest green is round 4 (alphabetical
+#     prefix; the remaining 31 — link_prediction_customers,
+#     minhash_lsh_near_duplicates, most_common_event_per_user,
+#     near_duplicate_keep_best, open_order_backlog_by_month,
+#     order_price_percent_rank (the six pushed past the 50-cut by the
+#     session-4 slots),
 #     orders_time_rollup, orders_yoy_growth,
 #     pmi_collocations, prefix_duplicate_rate_by_source,
 #     qty_price_correlation, session_paths, session_stats,
@@ -1626,6 +1641,7 @@ _DRIVER_PRIORITY = [
     "lm_quality_scores",
     "incremental_lm_scoring",
     "zorder_layout_stats",
+    "hashed_feature_principal_component",
     "bpe_merges",
     "bpe_vocab_compression",
     "hll_distinct_orders",
@@ -1672,7 +1688,6 @@ _DRIVER_PRIORITY = [
     "label_propagation_customers",
     "language_confusion_matrix",
     "lineitem_key_skew_report",
-    "link_prediction_customers",
 ]
 
 
@@ -2655,6 +2670,9 @@ def oracle_sql() -> dict[str, str]:
     d["weighted_sssp_customers"] = _sssp_oracle(n_landmarks=4, rounds=10)
     d["lm_quality_scores"] = _lm_quality_oracle(train_pct=90)
     d["incremental_lm_scoring"] = _lm_incremental_oracle()
+    d["hashed_feature_principal_component"] = _pca_oracle(
+        dims=64, iters=6, scale=16384
+    )
     # Morton bit-ladder is identical literal shift/mask arithmetic in both
     # engines; NTILE is the shared SQL-standard contract the engine's
     # _ntile_from_rank reimplements over TeraSort-shape global ranks.
@@ -5150,6 +5168,63 @@ def _lm_quality_oracle(train_pct: int = 90) -> str:
         JOIN sp USING (doc_id)
         JOIN scored USING (doc_id)
         ORDER BY d.doc_id
+    """
+
+
+def _pca_oracle(dims: int = 64, iters: int = 6, scale: int = 16384) -> str:
+    """Chained-CTE oracle for the integer power iteration
+    (``similarity.hashed_feature_principal_component``): the
+    hashed-feature CTE, the X^T X self-join, max-abs normalization, and
+    one (mat-vec, max-abs, rescale) CTE triple per iteration. ``//`` and
+    Spark's ``DIV`` both truncate toward zero, so every fixed-point
+    iterate matches bit for bit."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        u{k} AS (
+            SELECT i, CAST(SUM(mq * v) AS BIGINT) AS u
+            FROM mq JOIN v{k - 1} ON mq.j = v{k - 1}.j GROUP BY i
+        ),
+        n{k} AS (SELECT MAX(ABS(u)) AS umax FROM u{k}),
+        v{k} AS (
+            SELECT i AS j, (u * {scale}) // umax AS v
+            FROM u{k} CROSS JOIN n{k}
+        )""")
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+                  FROM documents)
+        ),
+        f AS MATERIALIZED (
+            SELECT doc_id, CAST(h % {dims} AS INTEGER) AS dim,
+                   CAST(SUM(((h >> 6) % 2) * 2 - 1) AS BIGINT) AS value
+            FROM t GROUP BY doc_id, h % {dims}
+        ),
+        cov AS MATERIALIZED (
+            SELECT a.dim AS i, b.dim AS j,
+                   CAST(SUM(a.value * b.value) AS BIGINT) AS m
+            FROM f a JOIN f b USING (doc_id) GROUP BY 1, 2
+        ),
+        mm AS (SELECT MAX(ABS(m)) AS mmax FROM cov),
+        mq AS MATERIALIZED (
+            SELECT i, j, (m * {scale}) // mmax AS mq FROM cov CROSS JOIN mm
+        ),
+        v0 AS (
+            SELECT CAST(UNNEST(range({dims})) AS INTEGER) AS j,
+                   CAST({scale} AS BIGINT) AS v
+        ),{",".join(steps)},
+        sg AS (
+            SELECT CASE WHEN v > 0 THEN 1 ELSE -1 END AS s
+            FROM v{iters} WHERE v != 0 ORDER BY j LIMIT 1
+        )
+        SELECT d.j AS dim,
+               CAST(COALESCE(v * s, 0) AS BIGINT) AS component_q14
+        FROM (SELECT CAST(UNNEST(range({dims})) AS INTEGER) AS j) d
+        LEFT JOIN v{iters} USING (j)
+        CROSS JOIN sg
+        ORDER BY dim
     """
 
 

@@ -702,3 +702,88 @@ def document_clusters_fixedpoint(
         )
         .orderBy("cluster_id", "dim")
     )
+
+
+def hashed_feature_principal_component(
+    documents: DataFrame, dims: int = 64, iters: int = 6, scale_bits: int = 14
+) -> DataFrame:
+    """Dominant principal direction of the corpus's hashed-feature matrix
+    (the top eigenvector of the uncentered second-moment X^T X), by POWER
+    ITERATION in engine-exact fixed-point integers — the embedding-drift /
+    corpus-debiasing primitive, composed from two already-oracled pieces:
+    ``text.hashed_doc_features`` (the sparse X) and the normalize-divide
+    convention of the Lloyd loop (both engines' integer division truncates
+    toward zero; pinned by test).
+
+    Determinism without libm: the matrix and every iterate are rescaled to
+    ``2^scale_bits`` fixed point by their own max-abs (one 1-row scalar,
+    the Louvain-``m`` pattern), so the mat-vec terms are bounded by
+    ``dims * 2^(2*scale_bits)`` — 2^34 at the defaults — at ANY corpus
+    size, and a fixed ``iters`` unrolls into a chained-CTE oracle. Sign is
+    canonicalized by the first nonzero coordinate (eigenvectors are
+    sign-ambiguous; both engines pick the same representative).
+
+    Shape at scale: X^T X is ONE self-join on doc_id + one (i, j)-keyed
+    sum — fan-out is nnz(doc)^2 <= dims^2 per document, so the covariance
+    build is O(docs * dims^2) with map-side partial aggregation, and
+    everything after it runs on <= dims^2 rows. Covariance magnitudes are
+    bounded by docs * value^2 — past ~2^63 widen the product to
+    decimal(38,0) (the ``split_drift_report`` remedy; not reachable at
+    tested scales).
+    """
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        hashed_doc_features,
+    )
+
+    scale = 1 << scale_bits
+    feats = hashed_doc_features(documents, dims=dims).localCheckpoint()
+    a, b = feats.alias("a"), feats.alias("b")
+    cov = (
+        a.join(b, "doc_id")
+        .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
+        .agg(F.sum(F.col("a.value") * F.col("b.value")).alias("m"))
+    )
+    mmax = cov.agg(F.max(F.abs("m")).alias("mmax"))
+    mq = (
+        cov.crossJoin(F.broadcast(mmax))
+        .select("i", "j", F.expr(f"(m * {scale}) DIV mmax").alias("mq"))
+        .localCheckpoint()
+    )
+    spark = documents.sparkSession
+    v = spark.range(dims).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(scale).cast("long").alias("v"),
+    )
+    for _ in range(iters):
+        u = (
+            mq.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("mq") * F.col("v")).alias("u"))
+        )
+        umax = u.agg(F.max(F.abs("u")).alias("umax"))
+        v = (
+            u.crossJoin(F.broadcast(umax))
+            .select(
+                F.col("i").alias("j"),
+                F.expr(f"(u * {scale}) DIV umax").alias("v"),
+            )
+            .localCheckpoint()
+        )
+    sgn = (
+        v.filter(F.col("v") != 0)
+        .orderBy("j")
+        .limit(1)
+        .select(F.when(F.col("v") > 0, 1).otherwise(-1).alias("s"))
+    )
+    full = spark.range(dims).select(F.col("id").cast("int").alias("j"))
+    return (
+        full.join(v, "j", "left")
+        .crossJoin(F.broadcast(sgn))
+        .select(
+            F.col("j").alias("dim"),
+            F.coalesce(F.col("v") * F.col("s"), F.lit(0))
+            .cast("long")
+            .alias("component_q14"),
+        )
+        .orderBy("dim")
+    )

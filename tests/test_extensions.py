@@ -3682,3 +3682,88 @@ def test_zorder_layout_no_worse_on_real_table(spark, sf_dir):
     assert width["zorder"][1] <= width["natural"][1] + 32
     sizes = [r["n_rows"] for r in rows]
     assert max(sizes) - min(sizes) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Integer power iteration (hashed-feature principal component)
+
+
+def _py_power_iteration(doc_tokens, dims=64, iters=6, scale=16384):
+    """Pure-Python integer reference: same md5 features, same X^T X, same
+    truncate-toward-zero fixed-point rescaling, same sign convention."""
+    import hashlib
+    from collections import defaultdict
+
+    feats = defaultdict(lambda: defaultdict(int))
+    for doc_id, toks in doc_tokens:
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            feats[doc_id][h % dims] += ((h >> 6) % 2) * 2 - 1
+    cov = defaultdict(int)
+    for vals in feats.values():
+        for i, vi in vals.items():
+            for j, vj in vals.items():
+                cov[(i, j)] += vi * vj
+    mmax = max(abs(m) for m in cov.values())
+
+    def tdiv(a, b):  # truncate toward zero
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    mq = {k: tdiv(m * scale, mmax) for k, m in cov.items()}
+    v = {j: scale for j in range(dims)}
+    for _ in range(iters):
+        u = defaultdict(int)
+        for (i, j), m in mq.items():
+            if j in v:
+                u[i] += m * v[j]
+        umax = max(abs(x) for x in u.values())
+        v = {i: tdiv(x * scale, umax) for i, x in u.items()}
+    s = next(
+        (1 if v[j] > 0 else -1) for j in sorted(v) if v[j] != 0
+    )
+    return {j: v.get(j, 0) * s for j in range(dims)}
+
+
+def test_power_iteration_matches_python_reference(spark):
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        hashed_feature_principal_component,
+    )
+
+    rows = [
+        (1, "alpha beta beta gamma"),
+        (2, "alpha alpha delta"),
+        (3, "beta beta beta epsilon alpha"),
+        (4, "zeta eta theta"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in rows], "doc_id long, text string, source string"
+    )
+    got = {
+        r["dim"]: r["component_q14"]
+        for r in hashed_feature_principal_component(docs).collect()
+    }
+    ref = _py_power_iteration([(i, t.split()) for i, t in rows])
+    assert got == ref
+
+
+def test_power_iteration_finds_planted_dominant_dimension(spark):
+    """A corpus dominated by one token must put the iterate's max-abs
+    coordinate (= the fixed-point scale, by normalization) on that
+    token's hashed dimension."""
+    import hashlib
+
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        hashed_feature_principal_component,
+    )
+
+    dom = "dominant"
+    dom_dim = int(hashlib.md5(dom.encode()).hexdigest()[:15], 16) % 64
+    rows = [(i, " ".join([dom] * 20 + ["filler%d" % i]), "s") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["dim"]: r["component_q14"]
+        for r in hashed_feature_principal_component(docs).collect()
+    }
+    assert max(got, key=lambda d: abs(got[d])) == dom_dim
+    assert abs(got[dom_dim]) == 16384
