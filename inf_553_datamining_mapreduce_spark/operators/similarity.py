@@ -787,3 +787,95 @@ def hashed_feature_principal_component(
         )
         .orderBy("dim")
     )
+
+
+def semantic_dedup_keep_best(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    tau_num: int = 90,
+    tau_den: int = 100,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space, compare pairs only WITHIN a cluster, and drop every item that
+    is semantically close to a kept one — the modern curation step between
+    exact/MinHash dedup (surface forms) and nothing (paraphrase dupes).
+
+    Engine-exact composition of two oracled primitives: the integer Lloyd
+    loop (``kmeans_fixedpoint``) assigns clusters, and the cosine gate is
+    decided in pure BIGINT arithmetic — re-quantize at scale 100, then
+    ``cos(a,b) >= tau`` iff ``dot > 0 AND dot^2 * tau_den^2 >= tau_num^2 *
+    |a|^2 * |b|^2`` (squares of exact integers; all terms bounded by
+    ~dims^2 * 100^4 ~ 4e15 at ANY corpus size, since the quantized
+    coordinates are value-bounded, not corpus-bounded). Keep rule: a
+    vector is dropped iff an over-threshold neighbor with a SMALLER id
+    shares its cluster — deterministic, single-join, and the exact rule
+    the oracle mirrors (SemDeDup's keep-one-per-group up to tie order).
+
+    Shape at 100 TB: assignment is the zero-shuffle broadcast-centroid
+    projection; the pair join is cluster-keyed, so fan-out is bounded by
+    cluster occupancy — k scales with the corpus precisely so that
+    per-cluster all-pairs stays tractable (the paper's own design), and
+    the df-cut levers of the surface-form dedups apply unchanged if a
+    cluster degenerates.
+    """
+    vecs, cent, _ = _kmeans_centroids(embeddings, k, iters)
+    assigned = vecs.crossJoin(F.broadcast(_centroid_array(cent))).select(
+        "vec_id",
+        F.array_min(_scored_centroids("cents", "q"))["cluster_id"].alias(
+            "cluster_id"
+        ),
+    )
+    p = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(100.0)).cast("long"),
+    )
+    sq = F.aggregate(
+        F.transform(F.col("p"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pts = (
+        assigned.join(
+            embeddings.select("vec_id", p.alias("p")), "vec_id"
+        )
+        .withColumn("n2", sq)
+        .localCheckpoint()
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.p"), F.col("b.p"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            dot.alias("dot"),
+            (F.col("a.n2") * F.col("b.n2")).alias("nn"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(tau_den * tau_den)
+                >= F.lit(tau_num * tau_num) * F.col("nn")
+            )
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        pts.join(pairs.withColumn("_dropped", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("_dropped").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -3767,3 +3767,28 @@ def test_power_iteration_finds_planted_dominant_dimension(spark):
     }
     assert max(got, key=lambda d: abs(got[d])) == dom_dim
     assert abs(got[dom_dim]) == 16384
+
+
+def test_semantic_dedup_drops_planted_paraphrase(spark):
+    """A vector nearly parallel to a smaller-id vector (cosine ~0.999)
+    must be dropped; an orthogonal one must be kept; the survivor of the
+    near-dup pair is the smaller id."""
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        semantic_dedup_keep_best,
+    )
+
+    def vec(*pattern):
+        return [float(x) for x in pattern] + [0.0] * (64 - len(pattern))
+
+    rows = [
+        (1, vec(0.4, 0.1)),          # keeper
+        (2, vec(0.39, 0.11)),        # near-parallel to 1 -> dropped
+        (3, vec(0.0, 0.0, 0.4)),     # orthogonal -> kept
+        (4, vec(-0.4, -0.1)),        # anti-parallel (dot < 0) -> kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup_keep_best(emb, k=1, iters=1).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: True}
