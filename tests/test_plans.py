@@ -452,3 +452,58 @@ def test_pii_redaction_is_shuffle_free_map_only(spark, sf_dir):
     # regression introduced a shuffle into a linear pipeline.
     assert "Exchange" not in plan, plan
     assert "regexp_replace" in plan
+
+
+def test_qsketch_registers_single_pass_map_side(spark, sf_dir):
+    """The quantile-sketch register build must be ONE scan feeding ONE
+    hash-aggregate exchange (map-side partials collapse each task to
+    <= 2048 rows before the shuffle) — no joins, no windows, no extra
+    passes."""
+    from inf_553_datamining_mapreduce_spark.operators.sketches import (
+        qsketch_registers,
+    )
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    plan = _plan(qsketch_registers(o, cents, ("o_orderstatus",)))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "HashAggregate" in plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_zorder_sorts_through_range_partitioning(spark, sf_dir):
+    """Both layout sorts must be TeraSort-shape (range exchanges, ranking
+    windows partitioned by _pid); the only single-partition work is the
+    two tiny per-range offset cumsums over the per-partition count
+    tables."""
+    import re
+
+    from inf_553_datamining_mapreduce_spark.operators.olap import (
+        zorder_layout_stats,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    plan = _plan(zorder_layout_stats(li, n_files=16))
+    assert plan.count("Exchange rangepartitioning") >= 1, plan
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+    for w in re.findall(r"Window \[[^\n]*", plan):
+        if "row_number" in w:
+            assert "windowspecdefinition(_pid" in w, w
+        else:
+            assert "_cnt" in w, w
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_scoring_model_joins_no_cartesian(spark, sf_dir):
+    """The LM scorer's only nested-loop joins must be the 1-row broadcast
+    scalar attaches (V / unk_bits); the model joins are keyed hash joins
+    and the bigram build is a projection (no per-doc window)."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        lm_quality_scores,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    plan = _plan(lm_quality_scores(d))
+    assert "CartesianProduct" not in plan, plan
+    # scalar attaches ride BroadcastNestedLoopJoin; each is 1-row bounded
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
