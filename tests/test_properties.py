@@ -374,3 +374,70 @@ def test_media_kernels_never_crash_on_fuzzed_payloads(spark):
     assert all(len(r["features"]) == 16 for r in feats)
     frames = sample_frames(df).collect()  # video-typed assets only
     assert all(r["frame_sha256"] for r in frames)
+
+
+# ---------------------------------------------------------------------------
+# Quantile-sketch key arithmetic (pure-Python mirror of sketches._qs_key /
+# _qs_bounds — the Spark exprs are pinned to this mirror in
+# tests/test_sketches.py's fixed-value test)
+
+
+def _qs_key_py(v: int, bits: int = 5) -> int:
+    if v <= 0:
+        return 0
+    e = v.bit_length() - 1
+    sub = v if e < bits else (v >> (e - bits)) & ((1 << bits) - 1)
+    return e * (1 << bits) + sub
+
+
+def _qs_bounds_py(key: int, bits: int = 5) -> tuple:
+    e, r = divmod(key, 1 << bits)
+    if e < bits:
+        return r, r
+    lo = ((1 << bits) + r) << (e - bits)
+    return lo, lo + (1 << (e - bits)) - 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**62))
+def test_qsketch_bounds_enclose_value(v):
+    lo, hi = _qs_bounds_py(_qs_key_py(v))
+    assert lo <= v <= hi
+    if v < 32:
+        assert lo == hi == v
+    if v > 0:
+        assert hi - lo <= max(lo >> 5, 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200))
+def test_qsketch_key_is_monotone_py(vals):
+    s = sorted(vals)
+    keys = [_qs_key_py(v) for v in s]
+    assert keys == sorted(keys)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300),
+    st.sampled_from([50, 90, 99]),
+)
+def test_qsketch_quantile_readout_encloses_exact(vals, q):
+    """The full readout pipeline on the Python mirror: register counts,
+    cumulative walk, ceil-rank pick — the bucket must enclose the exact
+    order statistic for ANY multiset and quantile."""
+    from collections import Counter
+
+    regs = Counter(_qs_key_py(v) for v in vals)
+    n = len(vals)
+    target = (n * q + 99) // 100
+    cum = 0
+    pick = None
+    for k in sorted(regs):
+        cum += regs[k]
+        if cum >= target:
+            pick = k
+            break
+    lo, hi = _qs_bounds_py(pick)
+    exact = sorted(vals)[target - 1]
+    assert lo <= exact <= hi

@@ -185,6 +185,34 @@ def test_hll_estimate_accuracy(spark, sf_dir):
 # Deterministic quantile sketch (log2-histogram registers)
 
 
+def test_qsketch_spark_exprs_match_python_mirror(spark):
+    """The Spark key/bounds expressions must equal the pure-Python mirror
+    (tests/test_properties.py property-tests the mirror exhaustively;
+    this pins the two together) across octave boundaries, sub-bucket
+    edges, and the 0/singleton cases."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_properties import _qs_bounds_py, _qs_key_py
+
+    vals = sorted(
+        {0, 1, 2, 31, 32, 33, 63, 64, 65, 1023, 1024, 2**20 - 1, 2**20,
+         2**40 + 12345, 2**62 - 1}
+        | {(1 << e) + d for e in range(1, 40, 3) for d in (0, 1, (1 << e) - 1)}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    lo, hi = SK._qs_bounds(SK._qs_key(F.col("v")))
+    got = {
+        r["v"]: (r["k"], r["lo"], r["hi"])
+        for r in df.select(
+            "v", SK._qs_key(F.col("v")).alias("k"), lo.alias("lo"), hi.alias("hi")
+        ).collect()
+    }
+    for v in vals:
+        k = _qs_key_py(v)
+        assert got[v] == (k, *_qs_bounds_py(k)), (v, got[v])
+
+
 def test_qsketch_key_is_monotone_and_bounds_enclose(spark):
     """Bucket keys must be monotone in the value (the cumulative readout
     depends on it) and every value must fall inside its own bucket's
