@@ -879,3 +879,114 @@ def semantic_dedup_keep_best(
         )
         .orderBy("vec_id")
     )
+
+
+def build_semantic_index(
+    embeddings: DataFrame, k: int = 8, iters: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """FROZEN semantic-dedup index: final Lloyd centroids plus the
+    indexed corpus's (vec_id, cluster_id, p, n2) table — the static side
+    of the ingestion-time gate. Both are localCheckpoint'd so repeated
+    micro-batch probes never re-run the clustering (the
+    ``build_lm_model`` convention)."""
+    vecs, cent, _ = _kmeans_centroids(embeddings, k, iters)
+    cents_row = _centroid_array(cent).localCheckpoint()
+    assigned = vecs.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id",
+        F.array_min(_scored_centroids("cents", "q"))["cluster_id"].alias(
+            "cluster_id"
+        ),
+    )
+    pts = (
+        assigned.join(_p100(embeddings), "vec_id")
+        .localCheckpoint()
+    )
+    return cents_row, pts
+
+
+def _p100(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, p, n2) at the scale-100 similarity quantization."""
+    p = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(100.0)).cast("long"),
+    )
+    sq = F.aggregate(
+        F.transform(F.col("p"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return embeddings.select("vec_id", p.alias("p")).withColumn("n2", sq)
+
+
+def incremental_semantic_dedup(
+    new_embeddings: DataFrame,
+    indexed: DataFrame | tuple[DataFrame, DataFrame],
+    k: int = 8,
+    iters: int = 3,
+    tau_num: int = 90,
+    tau_den: int = 100,
+) -> DataFrame:
+    """Ingestion-time SemDeDup: each incoming embedding is assigned to the
+    FROZEN centroids (zero-shuffle broadcast projection), quantized at
+    scale 100, and compared against the INDEXED vectors of its own
+    cluster only — dropped iff an over-threshold indexed neighbor exists.
+    Stream-static shape, stateless per batch (a decision depends only on
+    (vector, frozen index)), the same contract as every other ingestion
+    twin (``index_near_duplicates``, ``scrub_indexed_spans``,
+    ``incremental_lm_scoring``) — proven in the foreachBatch test. Pass
+    ``indexed`` as the raw embeddings table to build here, or as a
+    prebuilt ``build_semantic_index`` pair to amortize across batches.
+    """
+    cents_row, pts = (
+        indexed
+        if isinstance(indexed, tuple)
+        else build_semantic_index(indexed, k, iters)
+    )
+    # assignment runs at the Lloyd quantization (KMEANS_SCALE); the
+    # similarity gate at scale 100 — the same two-scale split as the
+    # batch operator
+    probe = (
+        _kmeans_quantized(new_embeddings)
+        .join(_p100(new_embeddings), "vec_id")
+        .crossJoin(F.broadcast(cents_row))
+        .select(
+            "vec_id",
+            "p",
+            "n2",
+            F.array_min(_scored_centroids("cents", "q"))["cluster_id"].alias(
+                "cluster_id"
+            ),
+        )
+    )
+    a, b = probe.alias("a"), pts.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.p"), F.col("b.p"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    hits = (
+        a.join(b, F.col("a.cluster_id") == F.col("b.cluster_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            dot.alias("dot"),
+            (F.col("a.n2") * F.col("b.n2")).alias("nn"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(tau_den * tau_den)
+                >= F.lit(tau_num * tau_num) * F.col("nn")
+            )
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        probe.join(hits.withColumn("_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("_dup").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

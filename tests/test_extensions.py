@@ -3792,3 +3792,60 @@ def test_semantic_dedup_drops_planted_paraphrase(spark):
         for r in semantic_dedup_keep_best(emb, k=1, iters=1).collect()
     }
     assert got == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_incremental_semantic_dedup_stateless_across_microbatches(
+    spark, sf_dir, tmp_path
+):
+    """The ingestion-time semantic gate depends only on (vector, frozen
+    index), so probing the incoming vectors in micro-batches (index
+    prebuilt once) must concatenate to exactly the batch result — and a
+    planted near-copy of an indexed vector must be caught."""
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    indexed = emb.filter(F.col("vec_id") % 2 == 0)
+    # incoming = the odd vectors plus a planted near-copy of indexed vec 0
+    first = indexed.orderBy("vec_id").limit(1).collect()[0]
+    planted_id = 10**9 + 1
+    planted = spark.createDataFrame(
+        [(planted_id, [float(x) * 1.01 for x in first["embedding"]])],
+        "vec_id long, embedding array<float>",
+    )
+    incoming = emb.filter(F.col("vec_id") % 2 == 1).unionByName(planted)
+    index = build_semantic_index(indexed, k=4, iters=2)
+
+    sd = tmp_path / "sem_stream"
+    sd.mkdir()
+    incoming.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.parquet(
+        str(sd / "b1")
+    )
+    incoming.filter(F.col("vec_id") % 4 != 1).coalesce(1).write.parquet(
+        str(sd / "b2")
+    )
+    got: dict = {}
+
+    def probe_batch(batch_df, _bid):
+        for r in incremental_semantic_dedup(batch_df, index).collect():
+            got[r["vec_id"]] = (r["cluster_id"], r["kept"])
+
+    q = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sd / "*"))
+        .writeStream.foreachBatch(probe_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    direct = {
+        r["vec_id"]: (r["cluster_id"], r["kept"])
+        for r in incremental_semantic_dedup(incoming, index).collect()
+    }
+    assert got == direct and len(direct) == incoming.count()
+    assert direct[planted_id][1] is False  # the near-copy is caught
