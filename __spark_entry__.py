@@ -1703,7 +1703,7 @@ _DRIVER_PRIORITY = [
     "user_retention_cohorts",
     "volume_shipping_by_year",
     "weekly_active_users",
-    # round-4 greens (21 of 49, alphabetical prefix):
+    # round-4 greens (16 of 49, alphabetical prefix):
     "approx_distinct_parts",
     "customer_revenue_percent_rank",
     "customer_rfm_segments",
