@@ -1541,6 +1541,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_semantic_dedup"] = _incremental_semantic_dedup
 
+    def _components_twostar_customers(spark, sf):
+        # Alternating large-star/small-star CC (Kiveris et al. 2014):
+        # O(log^2 n) rounds vs label propagation's diameter rounds — the
+        # same (id, component=min id) contract on the same graph, so the
+        # oracle is shared verbatim with connected_components_customers.
+        cp = _customer_part_graph(spark, sf)
+        edges = _customer_graph_edges(spark, sf)
+        verts = cp.select(F.col("c").cast("long")).distinct()
+        return G.connected_components_twostar(edges, verts)
+
+    q["connected_components_twostar_customers"] = (
+        _components_twostar_customers
+    )
+
     def _kmeans_centroids_fixedpoint(spark, sf):
         # Lloyd's k-means in engine-exact integer arithmetic — the IVF
         # coarse-quantizer training loop under the oracle gate (the
@@ -1598,8 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-7 window, 21 + 13 + 16 = 50:
-# (1) 21 new this round: qsketch_price_quantiles (deterministic mergeable
+# round. The round-7 window, 22 + 13 + 15 = 50:
+# (1) 22 new this round: qsketch_price_quantiles (deterministic mergeable
 #     log2-histogram quantile sketch — register-exact oracle with the
 #     merged 'ALL' row, the HLL pattern),
 #     weighted_sssp_customers (frontier Bellman-Ford weighted landmark
@@ -1616,6 +1630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     cosine gate + smaller-id keep rule),
 #     incremental_semantic_dedup (its ingestion-time twin — frozen
 #     centroids + cluster index, incoming vectors gated statelessly),
+#     connected_components_twostar_customers (alternating large/small
+#     star CC, log-round convergence, oracle shared with the labelprop
+#     row),
 #     bpe_merges + bpe_vocab_compression (distributed
 #     BPE tokenizer training, Sennrich et al. 2016, chained-CTE oracle),
 #     hll_distinct_orders (deterministic md5 HLL registers with the
@@ -1643,13 +1660,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     pure-codegen TPC-H scan-agg-join family + date-bucketed
 #     distinct-count + argmax-dedup window + cohort-pivot), now the
 #     stalest proofs in the registry;
-# (3) 16 of the 49 queries whose latest green is round 4 (alphabetical
-#     prefix; the remaining 33 — language_confusion_matrix,
-#     lineitem_key_skew_report, link_prediction_customers,
-#     minhash_lsh_near_duplicates, most_common_event_per_user,
-#     near_duplicate_keep_best, open_order_backlog_by_month,
-#     order_price_percent_rank (the eight pushed past the 50-cut by the
-#     session-4 slots),
+# (3) 15 of the 49 queries whose latest green is round 4 (alphabetical
+#     prefix; the remaining 34 — label_propagation_customers,
+#     language_confusion_matrix, lineitem_key_skew_report,
+#     link_prediction_customers, minhash_lsh_near_duplicates,
+#     most_common_event_per_user, near_duplicate_keep_best,
+#     open_order_backlog_by_month, order_price_percent_rank (the nine
+#     pushed past the 50-cut by the session-4 slots),
 #     orders_time_rollup, orders_yoy_growth,
 #     pmi_collocations, prefix_duplicate_rate_by_source,
 #     qty_price_correlation, session_paths, session_stats,
@@ -1676,6 +1693,7 @@ _DRIVER_PRIORITY = [
     "hashed_feature_principal_component",
     "semantic_dedup_keep_best",
     "incremental_semantic_dedup",
+    "connected_components_twostar_customers",
     "bpe_merges",
     "bpe_vocab_compression",
     "hll_distinct_orders",
@@ -1703,7 +1721,7 @@ _DRIVER_PRIORITY = [
     "user_retention_cohorts",
     "volume_shipping_by_year",
     "weekly_active_users",
-    # round-4 greens (16 of 49, alphabetical prefix):
+    # round-4 greens (15 of 49, alphabetical prefix):
     "approx_distinct_parts",
     "customer_revenue_percent_rank",
     "customer_rfm_segments",
@@ -1719,7 +1737,6 @@ _DRIVER_PRIORITY = [
     "first_purchase_attribution",
     "funnel_conversion_rates",
     "inverted_index_postings",
-    "label_propagation_customers",
 ]
 
 
@@ -4473,6 +4490,14 @@ def oracle_sql() -> dict[str, str]:
         FROM probe p LEFT JOIN idx i ON p.h = i.h
         GROUP BY p.doc_id ORDER BY p.doc_id
     """
+    # The two-star CC emits the identical (id, component=min id) contract
+    # on the identical graph, so the label-propagation oracle is shared
+    # verbatim — the oracle describes the RESULT (reachability minima),
+    # not the algorithm, which is exactly what lets two algorithms with
+    # different round complexities prove each other.
+    d["connected_components_twostar_customers"] = d[
+        "connected_components_customers"
+    ]
     return d
 
 

@@ -971,3 +971,61 @@ def test_girvan_newman_fixedpoint_grid_resolution_bound(spark):
     engine_score = score_of(comp_engine)
     assert engine_score == grid_score  # (a) exactly the grid argmax
     assert score_star - engine_score <= (gs - 1) * max_step  # (b) the bound
+
+
+def test_twostar_components_match_unionfind_on_random_graph(spark):
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    rng = random.Random(11)
+    edges = set()
+    for base in (0, 1000, 2000):
+        nodes = list(range(base, base + 60))
+        for _ in range(80):
+            a, b = rng.sample(nodes, 2)
+            edges.add((a, b))
+    edf = _edges_df(spark, sorted(edges))
+    ref = {
+        r["id"]: r["component"]
+        for r in connected_components(edf, method="unionfind").collect()
+    }
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_twostar(edf).collect()
+    }
+    assert got == ref
+
+
+def test_twostar_converges_in_log_rounds_on_a_path(spark):
+    """The point of the algorithm: a 256-hop path has diameter 255, so
+    min-label propagation needs 255 rounds — two-star must finish it
+    within 12 (O(log^2 n)), and label every vertex with the chain head."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        connected_components_twostar,
+    )
+
+    path = _edges_df(spark, [(i, i + 1) for i in range(256)])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_twostar(path, max_rounds=12).collect()
+    }
+    assert len(got) == 257 and set(got.values()) == {0}
+
+
+def test_twostar_handles_dirty_input_and_isolated_vertices(spark):
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        connected_components_twostar,
+    )
+
+    # duplicates, both orientations, a self loop, plus isolated vertex 99
+    edges = _edges_df(spark, [(1, 2), (2, 1), (1, 2), (3, 3), (4, 5)])
+    verts = spark.createDataFrame([(99,), (1,)], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_twostar(edges, verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4, 99: 99}
