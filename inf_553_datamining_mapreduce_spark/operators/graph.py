@@ -2211,8 +2211,20 @@ def connected_components_twostar(
     )
     for _ in range(max_rounds):
         prev = e
-        e = star(star(e, large=True), large=False).localCheckpoint()
-        if e.exceptAll(prev).isEmpty() and prev.exceptAll(e).isEmpty():
+        # stats-reset checkpoint, not the plain one: each star joins the
+        # edge set against its own groupBy-min (twice per round), so the
+        # preserved-origin size estimate would compound e^4 per round —
+        # the Louvain BigInt trap (measured: 185 s at sf1 plain vs 30 s
+        # reset). Superseded round state is released once the new round's
+        # eager checkpoint has materialized.
+        e = _checkpoint_reset_stats(star(star(e, large=True), large=False))
+        converged = (
+            e.exceptAll(prev).isEmpty() and prev.exceptAll(e).isEmpty()
+        )
+        release = getattr(prev, "_graft_release", None)
+        if release is not None:
+            release()
+        if converged:
             break
     # converged: every edge hangs a vertex off its component root
     labels = e.groupBy(F.col("src").alias("id")).agg(
