@@ -1555,6 +1555,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _components_twostar_customers
     )
 
+    def _minimum_spanning_forest_customers(spark, sf):
+        # Boruvka MSF over the weighted co-occurrence graph (the SSSP
+        # cost function); per-component argmin + two-star merges; unique
+        # forest under the (w, src, dst) total order.
+        edges = _customer_graph_edges(spark, sf)
+        ew = edges.select(
+            "src", "dst", F.expr("1 + 64 DIV shared").cast("long").alias("w")
+        )
+        return G.minimum_spanning_forest(ew, "w", max_rounds=12)
+
+    q["minimum_spanning_forest_customers"] = (
+        _minimum_spanning_forest_customers
+    )
+
     def _kmeans_centroids_fixedpoint(spark, sf):
         # Lloyd's k-means in engine-exact integer arithmetic — the IVF
         # coarse-quantizer training loop under the oracle gate (the
@@ -1612,8 +1626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-7 window, 22 + 13 + 15 = 50:
-# (1) 22 new this round: qsketch_price_quantiles (deterministic mergeable
+# round. The round-7 window, 23 + 13 + 14 = 50:
+# (1) 23 new this round: qsketch_price_quantiles (deterministic mergeable
 #     log2-histogram quantile sketch — register-exact oracle with the
 #     merged 'ALL' row, the HLL pattern),
 #     weighted_sssp_customers (frontier Bellman-Ford weighted landmark
@@ -1633,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     connected_components_twostar_customers (alternating large/small
 #     star CC, log-round convergence, oracle shared with the labelprop
 #     row),
+#     minimum_spanning_forest_customers (Boruvka MSF, per-component
+#     argmin + two-star merges, recursive-reach-merge oracle),
 #     bpe_merges + bpe_vocab_compression (distributed
 #     BPE tokenizer training, Sennrich et al. 2016, chained-CTE oracle),
 #     hll_distinct_orders (deterministic md5 HLL registers with the
@@ -1660,13 +1676,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     pure-codegen TPC-H scan-agg-join family + date-bucketed
 #     distinct-count + argmax-dedup window + cohort-pivot), now the
 #     stalest proofs in the registry;
-# (3) 15 of the 49 queries whose latest green is round 4 (alphabetical
-#     prefix; the remaining 34 — label_propagation_customers,
-#     language_confusion_matrix, lineitem_key_skew_report,
-#     link_prediction_customers, minhash_lsh_near_duplicates,
-#     most_common_event_per_user, near_duplicate_keep_best,
-#     open_order_backlog_by_month, order_price_percent_rank (the nine
-#     pushed past the 50-cut by the session-4 slots),
+# (3) 14 of the 49 queries whose latest green is round 4 (alphabetical
+#     prefix; the remaining 35 — inverted_index_postings,
+#     label_propagation_customers, language_confusion_matrix,
+#     lineitem_key_skew_report, link_prediction_customers,
+#     minhash_lsh_near_duplicates, most_common_event_per_user,
+#     near_duplicate_keep_best, open_order_backlog_by_month,
+#     order_price_percent_rank (the ten pushed past the 50-cut by the
+#     session-4 slots),
 #     orders_time_rollup, orders_yoy_growth,
 #     pmi_collocations, prefix_duplicate_rate_by_source,
 #     qty_price_correlation, session_paths, session_stats,
@@ -1694,6 +1711,7 @@ _DRIVER_PRIORITY = [
     "semantic_dedup_keep_best",
     "incremental_semantic_dedup",
     "connected_components_twostar_customers",
+    "minimum_spanning_forest_customers",
     "bpe_merges",
     "bpe_vocab_compression",
     "hll_distinct_orders",
@@ -1721,7 +1739,7 @@ _DRIVER_PRIORITY = [
     "user_retention_cohorts",
     "volume_shipping_by_year",
     "weekly_active_users",
-    # round-4 greens (15 of 49, alphabetical prefix):
+    # round-4 greens (14 of 49, alphabetical prefix):
     "approx_distinct_parts",
     "customer_revenue_percent_rank",
     "customer_rfm_segments",
@@ -1736,7 +1754,6 @@ _DRIVER_PRIORITY = [
     "exact_duplicates_normalized",
     "first_purchase_attribution",
     "funnel_conversion_rates",
-    "inverted_index_postings",
 ]
 
 
@@ -4498,6 +4515,7 @@ def oracle_sql() -> dict[str, str]:
     d["connected_components_twostar_customers"] = d[
         "connected_components_customers"
     ]
+    d["minimum_spanning_forest_customers"] = _msf_oracle(rounds=12)
     return d
 
 
@@ -5432,6 +5450,80 @@ def _pca_oracle(dims: int = 64, iters: int = 6, scale: int = 16384) -> str:
         LEFT JOIN v{iters} USING (j)
         CROSS JOIN sg
         ORDER BY dim
+    """
+
+
+def _msf_oracle(rounds: int = 12) -> str:
+    """Chained-CTE oracle for Boruvka's minimum spanning forest
+    (``graph.minimum_spanning_forest``): per unrolled round, the
+    per-component (w, src, dst)-argmin selection, then the component
+    merge as a RECURSIVE reach over the (tiny) selection graph — the
+    same exact-fixpoint merge the Spark loop computes with the two-star
+    kernel, so rounds and labels match step for step. With the total
+    edge order the forest is unique, so parity is structural."""
+    parts = []
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f"""
+        inter{k} AS (
+            SELECT e.src, e.dst, e.w, a.c AS cs, b.c AS cd
+            FROM e JOIN lab{p} a ON e.src = a.v
+                   JOIN lab{p} b ON e.dst = b.v
+            WHERE a.c != b.c
+        ),
+        cand{k} AS (
+            SELECT cs AS c, w, src, dst FROM inter{k}
+            UNION ALL
+            SELECT cd, w, src, dst FROM inter{k}
+        ),
+        sel{k} AS MATERIALIZED (
+            SELECT DISTINCT src, dst, w FROM (
+                SELECT * FROM cand{k}
+                QUALIFY row_number() OVER (
+                    PARTITION BY c ORDER BY w, src, dst) = 1
+            )
+        ),
+        slab{k} AS (
+            SELECT a.c AS src, b.c AS dst
+            FROM sel{k} s JOIN lab{p} a ON s.src = a.v
+                          JOIN lab{p} b ON s.dst = b.v
+            UNION ALL
+            SELECT b.c, a.c
+            FROM sel{k} s JOIN lab{p} a ON s.src = a.v
+                          JOIN lab{p} b ON s.dst = b.v
+        ),
+        reach{k}(id, r) AS (
+            SELECT c, c FROM (SELECT DISTINCT c FROM lab{p})
+            UNION
+            SELECT slab{k}.dst, reach{k}.r
+            FROM reach{k} JOIN slab{k} ON slab{k}.src = reach{k}.id
+        ),
+        m{k} AS (SELECT id AS c, MIN(r) AS c_new FROM reach{k} GROUP BY id),
+        lab{k} AS MATERIALIZED (
+            SELECT l.v, m.c_new AS c FROM lab{p} l JOIN m{k} m ON l.c = m.c
+        )""")
+    sels = "\nUNION\n".join(
+        f"SELECT src, dst, w FROM sel{k}" for k in range(1, rounds + 1)
+    )
+    return f"""
+        WITH RECURSIVE
+        cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS MATERIALIZED (
+            SELECT a.c AS src, b.c AS dst,
+                   1 + 64 // COUNT(*) AS w
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+        ),
+        lab0 AS MATERIALIZED (
+            SELECT v, v AS c FROM (
+                SELECT src AS v FROM e UNION SELECT dst FROM e
+            )
+        ),{",".join(parts)}
+        SELECT src, dst, CAST(w AS BIGINT) AS w FROM ({sels})
+        ORDER BY src, dst
     """
 
 

@@ -2250,3 +2250,95 @@ def connected_components_twostar(
         .select("id", F.col("id").alias("component"))
     )
     return labels.unionByName(roots).unionByName(singles).orderBy("id")
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    weight: Column | str = "w",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Minimum spanning forest by BORUVKA's algorithm: each round, every
+    component selects its minimum outgoing edge under the TOTAL order
+    ``(w, src, dst)`` (canonical src < dst), the selected edges join the
+    forest, and touching components merge. With a total edge order the
+    forest is unique, so the output is deterministic and the unrolled
+    chained-CTE oracle reproduces it exactly. Components at least halve
+    per round — ``max_rounds`` = 12 covers 4096 initial components per
+    connected piece; rounds past convergence select nothing and are
+    no-ops (the early exit is exact).
+
+    Distributed shape, per round: two label joins + one per-component
+    argmin aggregate (min-struct, map-side combinable) over the REMAINING
+    inter-component edges; the merge is connected components OF THE
+    SELECTION GRAPH — at most one edge per component, so the two-star
+    kernel runs on a component-count-sized input and converges in
+    O(log^2) inner rounds. No driver collect anywhere; the forest
+    accumulates as a distributed union. GraphX-parity scope: the
+    reference's graph family (SURVEY.md §2.G) has no MST; this is the
+    Boruvka formulation every Pregel-class engine ships.
+
+    Returns ``(src, dst, w)`` forest edges, canonical src < dst.
+    """
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    base = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            wcol.cast("long").alias("w"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    labels = (
+        base.select(F.col("src").alias("v"))
+        .unionAll(base.select(F.col("dst").alias("v")))
+        .distinct()
+        .select("v", F.col("v").alias("c"))
+        .localCheckpoint()
+    )
+    forest = None
+    for _ in range(max_rounds):
+        lab_s = labels.select(F.col("v").alias("src"), F.col("c").alias("c_src"))
+        lab_d = labels.select(F.col("v").alias("dst"), F.col("c").alias("c_dst"))
+        inter = (
+            base.join(lab_s, "src")
+            .join(lab_d, "dst")
+            .filter(F.col("c_src") != F.col("c_dst"))
+        )
+        # per-component argmin under the (w, src, dst) total order, seen
+        # from BOTH endpoints' components
+        cand = inter.select(
+            F.explode(F.array("c_src", "c_dst")).alias("c"),
+            F.struct("w", "src", "dst").alias("e"),
+        )
+        sel = (
+            cand.groupBy("c")
+            .agg(F.min("e").alias("e"))
+            .select("e.src", "e.dst", "e.w")
+            .distinct()
+            .localCheckpoint()
+        )
+        if sel.isEmpty():
+            break
+        forest = sel if forest is None else forest.unionByName(sel).distinct()
+        forest = _checkpoint_reset_stats(forest)
+        # merge touching components: CC of the (tiny) selection graph on
+        # component labels, then relabel every vertex
+        sel_lab = (
+            sel.join(lab_s, "src")
+            .join(lab_d, "dst")
+            .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        )
+        merged = connected_components_twostar(sel_lab).select(
+            F.col("id").alias("c"), F.col("component").alias("c_new")
+        )
+        labels = _checkpoint_reset_stats(
+            labels.join(merged, "c", "left").select(
+                "v", F.coalesce("c_new", "c").alias("c")
+            )
+        )
+    if forest is None:
+        return base.filter(F.lit(False)).select("src", "dst", "w")
+    return forest.orderBy("src", "dst")

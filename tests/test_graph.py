@@ -1029,3 +1029,63 @@ def test_twostar_handles_dirty_input_and_isolated_vertices(spark):
         for r in connected_components_twostar(edges, verts).collect()
     }
     assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4, 99: 99}
+
+
+def _kruskal_ref(elist):
+    """Union-find Kruskal under the same (w, src, dst) total order."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for w, s, d in sorted((w, s, d) for s, d, w in elist):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+            out.append((s, d, w))
+    return sorted(out)
+
+
+def test_msf_matches_kruskal_on_random_graph(spark):
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        minimum_spanning_forest,
+    )
+
+    rng = random.Random(5)
+    agg: dict = {}
+    for base in (0, 500):
+        nodes = list(range(base, base + 40))
+        for _ in range(120):
+            a, b = rng.sample(nodes, 2)
+            k = (min(a, b), max(a, b))
+            agg[k] = min(agg.get(k, 10**9), rng.randint(1, 30))
+    elist = [(s, d, w) for (s, d), w in agg.items()]
+    edf = spark.createDataFrame(elist, "src long, dst long, w long")
+    got = sorted(
+        (r["src"], r["dst"], r["w"])
+        for r in minimum_spanning_forest(edf).collect()
+    )
+    assert got == _kruskal_ref(elist)
+    # spanning forest of 2 components over 80 vertices: 78 edges
+    assert len(got) == 78
+
+
+def test_msf_drops_heavy_shortcut_and_dedups_input(spark):
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        minimum_spanning_forest,
+    )
+
+    chain = [(i, i + 1, 1) for i in range(10)]
+    edges = chain + [(0, 10, 5), (10, 0, 7), (3, 3, 1), (1, 0, 9)]
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = sorted(
+        (r["src"], r["dst"], r["w"])
+        for r in minimum_spanning_forest(edf).collect()
+    )
+    assert got == sorted(chain)
