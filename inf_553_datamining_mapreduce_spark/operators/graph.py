@@ -2324,14 +2324,25 @@ def minimum_spanning_forest(
             break
         forest = sel if forest is None else forest.unionByName(sel).distinct()
         forest = _checkpoint_reset_stats(forest)
-        # merge touching components: CC of the (tiny) selection graph on
-        # component labels, then relabel every vertex
+        # merge touching components: CC of the selection graph on
+        # component labels, then relabel every vertex. The selection
+        # graph carries AT MOST ONE edge per component, so it shrinks
+        # with the component count; under the same driver gate the CC
+        # operator uses it merges via union-find (a handful of driver
+        # jobs per round — at local scale the nested two-star loop's
+        # round-trip latency dominated, measured 90 s for a 4.4k-edge
+        # sf1 graph), and beyond the gate it falls back to the two-star
+        # kernel (log^2 rounds, no driver state).
         sel_lab = (
             sel.join(lab_s, "src")
             .join(lab_d, "dst")
             .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
-        )
-        merged = connected_components_twostar(sel_lab).select(
+        ).localCheckpoint()
+        if sel_lab.count() <= MAX_DRIVER_EDGES:
+            cc = connected_components(sel_lab, method="unionfind")
+        else:
+            cc = connected_components_twostar(sel_lab)
+        merged = cc.select(
             F.col("id").alias("c"), F.col("component").alias("c_new")
         )
         labels = _checkpoint_reset_stats(
