@@ -1089,3 +1089,81 @@ def test_msf_drops_heavy_shortcut_and_dedups_input(spark):
         for r in minimum_spanning_forest(edf).collect()
     )
     assert got == sorted(chain)
+
+
+def test_msf_matches_kruskal_across_seeds(spark):
+    """Three random graphs with duplicate weights (tie-break stress):
+    Boruvka must reproduce the union-find Kruskal forest under the same
+    (w, src, dst) total order every time."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        minimum_spanning_forest,
+    )
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        agg: dict = {}
+        for _ in range(90):
+            a, b = rng.sample(range(30), 2)
+            k = (min(a, b), max(a, b))
+            # tiny weight domain -> many ties
+            agg[k] = min(agg.get(k, 10**9), rng.randint(1, 4))
+        elist = [(s, d, w) for (s, d), w in agg.items()]
+        edf = spark.createDataFrame(elist, "src long, dst long, w long")
+        got = sorted(
+            (r["src"], r["dst"], r["w"])
+            for r in minimum_spanning_forest(edf).collect()
+        )
+        assert got == _kruskal_ref(elist), f"seed {seed}"
+
+
+def test_weighted_sssp_matches_dijkstra_across_seeds(spark):
+    """Random weighted graphs: the frontier Bellman-Ford must reproduce a
+    Python Dijkstra from the landmark, including unreachable vertices
+    being absent."""
+    import heapq
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        weighted_sssp,
+    )
+
+    def dijkstra(adj, src):
+        dist = {src: 0}
+        pq = [(0, src)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, 1 << 60):
+                continue
+            for v, w in adj.get(u, []):
+                nd = d + w
+                if nd < dist.get(v, 1 << 60):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return dist
+
+    for seed in (4, 5):
+        rng = random.Random(seed)
+        triples = []
+        seen = set()
+        for _ in range(70):
+            a, b = rng.sample(range(1, 25), 2)
+            k = (min(a, b), max(a, b))
+            if k in seen:
+                continue
+            seen.add(k)
+            triples.append((k[0], k[1], rng.randint(1, 9)))
+        adj: dict = {}
+        for s, d, w in triples:
+            adj.setdefault(s, []).append((d, w))
+            adj.setdefault(d, []).append((s, w))
+        src = min(adj)
+        ref = dijkstra(adj, src)
+        got = {
+            r["id"]: r["dist"]
+            for r in weighted_sssp(
+                _wedges_df(spark, triples), n_landmarks=1, max_rounds=30
+            ).collect()
+        }
+        assert got == ref, f"seed {seed}"
