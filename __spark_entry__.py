@@ -1569,6 +1569,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _minimum_spanning_forest_customers
     )
 
+    def _maximal_independent_set_customers(spark, sf):
+        # Deterministic Luby MIS (hash-priority symmetry breaking) over
+        # the shared co-occurrence graph; (md5-60bit, id) total order
+        # makes the set unique, so the unrolled oracle is value-exact.
+        return G.maximal_independent_set(
+            _customer_graph_edges(spark, sf), max_rounds=12
+        )
+
+    q["maximal_independent_set_customers"] = (
+        _maximal_independent_set_customers
+    )
+
+    def _maximal_matching_customers(spark, sf):
+        # Edge-priority mirror of the MIS kernel: greedy parallel maximal
+        # matching under the (md5-60bit("src:dst"), src, dst) total order.
+        return G.maximal_matching(
+            _customer_graph_edges(spark, sf), max_rounds=12
+        )
+
+    q["maximal_matching_customers"] = _maximal_matching_customers
+
     def _kmeans_centroids_fixedpoint(spark, sf):
         # Lloyd's k-means in engine-exact integer arithmetic — the IVF
         # coarse-quantizer training loop under the oracle gate (the
@@ -1701,7 +1722,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ENTIRE registry against the DuckDB oracles every round, so staleness is
 # auditable directly. Semantics are unchanged — this is pure dict ordering.
 _DRIVER_PRIORITY = [
-    # new this round — prove first:
+    # new this round (8) — prove first:
+    "maximal_independent_set_customers",
+    "maximal_matching_customers",
+    # carried from round 7 (re-proven by CORRECTNESS_FULL_r07):
     "qsketch_price_quantiles",
     "weighted_sssp_customers",
     "lm_quality_scores",
@@ -1752,8 +1776,6 @@ _DRIVER_PRIORITY = [
     "events_daily_zscores",
     "events_hourly_heatmap",
     "exact_duplicates_normalized",
-    "first_purchase_attribution",
-    "funnel_conversion_rates",
 ]
 
 
@@ -4516,6 +4538,8 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_customers"
     ]
     d["minimum_spanning_forest_customers"] = _msf_oracle(rounds=12)
+    d["maximal_independent_set_customers"] = _mis_oracle(rounds=12)
+    d["maximal_matching_customers"] = _matching_oracle(rounds=12)
     return d
 
 
@@ -4562,6 +4586,124 @@ def _labelprop_oracle(rounds: int, min_shared: int = 4) -> str:
         l0 AS (SELECT DISTINCT src AS v, src AS label FROM sym),{",".join(steps)}
         SELECT v AS c, CAST(label AS BIGINT) AS community
         FROM l{rounds} ORDER BY c
+    """
+
+
+_GRAPH_PREAMBLE = """
+        cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+        ),
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e0
+        )"""
+
+
+def _mis_oracle(rounds: int) -> str:
+    """Unrolled chained-CTE oracle for the deterministic Luby MIS: per
+    round a NOT-EXISTS winner test under the (md5-60bit, id) total order,
+    a closed-neighborhood kill set, and the shrunk vertex/edge sets.
+    Rounds after the vertex set empties are no-ops in both engines, so
+    the unroll count only needs to cover convergence (Spark early-exits;
+    the extra CTEs here select from empty inputs)."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+        w{i} AS MATERIALIZED (
+            SELECT r.v, r.h FROM r{i - 1} r
+            WHERE NOT EXISTS (
+                SELECT 1 FROM g{i - 1} g JOIN r{i - 1} u ON g.dst = u.v
+                WHERE g.src = r.v
+                  AND (u.h < r.h OR (u.h = r.h AND u.v < r.v))
+            )
+        ),
+        k{i} AS MATERIALIZED (
+            SELECT v FROM w{i}
+            UNION
+            SELECT g.dst AS v FROM g{i - 1} g JOIN w{i} w ON g.src = w.v
+        ),
+        r{i} AS MATERIALIZED (
+            SELECT r.v, r.h FROM r{i - 1} r
+            WHERE NOT EXISTS (SELECT 1 FROM k{i} k WHERE k.v = r.v)
+        ),
+        g{i} AS MATERIALIZED (
+            SELECT g.src, g.dst FROM g{i - 1} g
+            JOIN r{i} a ON g.src = a.v JOIN r{i} b ON g.dst = b.v
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT v, {i} AS mis_round FROM w{i}" for i in range(1, rounds + 1)
+    )
+    return f"""
+        WITH {_GRAPH_PREAMBLE},
+        r0 AS MATERIALIZED (
+            SELECT v,
+                   CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+            FROM (SELECT DISTINCT src AS v FROM sym)
+        ),
+        g0 AS (SELECT src, dst FROM sym),{",".join(steps)}
+        SELECT CAST(v AS BIGINT) AS id, CAST(mis_round AS INTEGER) AS mis_round
+        FROM ({sel}) ORDER BY id
+    """
+
+
+def _matching_oracle(rounds: int) -> str:
+    """Unrolled oracle for deterministic greedy maximal matching: per
+    round a per-endpoint ROW_NUMBER argmin under (h, src, dst) — the
+    same total order as the Spark min-struct — a both-endpoints winner
+    join, and an anti-join dropping edges that touch matched vertices."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+        inc{i} AS (
+            SELECT src AS v, h, src, dst FROM m{i - 1}
+            UNION ALL
+            SELECT dst AS v, h, src, dst FROM m{i - 1}
+        ),
+        vm{i} AS MATERIALIZED (
+            SELECT v, h, src, dst FROM (
+                SELECT v, h, src, dst,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v ORDER BY h, src, dst
+                       ) AS rn
+                FROM inc{i}
+            ) WHERE rn = 1
+        ),
+        w{i} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM m{i - 1} e
+            JOIN vm{i} a ON a.v = e.src AND a.src = e.src AND a.dst = e.dst
+            JOIN vm{i} b ON b.v = e.dst AND b.src = e.src AND b.dst = e.dst
+        ),
+        mv{i} AS (SELECT src AS v FROM w{i} UNION SELECT dst AS v FROM w{i}),
+        m{i} AS MATERIALIZED (
+            SELECT e.src, e.dst, e.h FROM m{i - 1} e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM mv{i} k WHERE k.v = e.src OR k.v = e.dst
+            )
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT src, dst, {i} AS match_round FROM w{i}"
+        for i in range(1, rounds + 1)
+    )
+    return f"""
+        WITH {_GRAPH_PREAMBLE},
+        m0 AS MATERIALIZED (
+            SELECT src, dst,
+                   CAST('0x' || substr(md5(
+                       CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)
+                   ), 1, 15) AS BIGINT) AS h
+            FROM e0
+        ),{",".join(steps)}
+        SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+               CAST(match_round AS INTEGER) AS match_round
+        FROM ({sel}) ORDER BY src, dst
     """
 
 

@@ -2353,3 +2353,176 @@ def minimum_spanning_forest(
     if forest is None:
         return base.filter(F.lit(False)).select("src", "dst", "w")
     return forest.orderBy("src", "dst")
+
+
+def _pri60(col: Column) -> Column:
+    """Cross-engine 60-bit vertex/edge priority: first 15 hex digits of
+    md5, the same reproducible-hash convention as the corpus splitter
+    (text.py corpus_splits) and the sketch family (sketches._h60). DuckDB
+    computes the identical value with CAST('0x' || substr(md5(x),1,15) AS
+    BIGINT), so priority comparisons are engine-exact."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def maximal_independent_set(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """``(id, mis_round)`` — a maximal independent set of the undirected
+    graph by DETERMINISTIC Luby rounds (Luby 1986, the de-randomized
+    hash-priority variant every Pregel-class engine uses): each round,
+    a remaining vertex joins the MIS iff its priority ``(md5-60bit(id),
+    id)`` is strictly smaller than every remaining neighbor's; winners
+    and their neighborhoods leave the graph. The ``(hash, id)`` pair is a
+    total order (ids are distinct), so the result is unique and the
+    fixed-round unrolled chained-CTE oracle reproduces it bit for bit.
+
+    Distributed shape, per round: one edges-sized join + one
+    per-vertex min-struct aggregate (map-side combinable) + two
+    semi-joins to shrink the edge set — no driver state, no adjacency
+    collect, O(E) work on a geometrically shrinking edge set (each
+    round removes >= the winners' closed neighborhoods; expected
+    O(log n) rounds under the hash's uniformity). Rounds after the
+    vertex set empties select nothing, so early exit is exact and
+    ``max_rounds`` only needs to cover the observed convergence depth.
+
+    GraphX-parity scope: the reference's graph family (SURVEY.md §2.G)
+    stops at components/communities; MIS is the classic symmetry-
+    breaking kernel (scheduling, coloring seeds) that belongs in any
+    graph suite at this scale.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    rem = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", _pri60(F.col("id")).alias("h"))
+        .localCheckpoint()
+    )
+    e = sym
+    picked: list[DataFrame] = []
+    for i in range(1, max_rounds + 1):
+        nb_min = (
+            e.join(rem.select(F.col("id").alias("dst"), "h"), "dst")
+            .groupBy("src")
+            .agg(F.min(F.struct("h", F.col("dst").alias("id"))).alias("m"))
+        )
+        win = (
+            rem.join(nb_min, rem.id == nb_min.src, "left")
+            .filter(
+                F.col("m").isNull()
+                | (F.struct("h", "id") < F.col("m"))
+            )
+            .select("id")
+            .localCheckpoint()
+        )
+        picked.append(win.select("id", F.lit(i).alias("mis_round")))
+        killed = win.unionAll(
+            e.join(win.select(F.col("id").alias("src")), "src").select(
+                F.col("dst").alias("id")
+            )
+        ).distinct()
+        prev_rem, prev_e = rem, e
+        rem = _checkpoint_reset_stats(rem.join(killed, "id", "left_anti"))
+        if rem.isEmpty():
+            break
+        e = _checkpoint_reset_stats(
+            e.join(rem.select(F.col("id").alias("src")), "src", "left_semi")
+            .join(rem.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        for df in (prev_rem, prev_e):
+            release = getattr(df, "_graft_release", None)
+            if release is not None:
+                release()
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("id")
+
+
+def maximal_matching(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """``(src, dst, match_round)`` — a maximal matching of the undirected
+    graph by deterministic parallel greedy rounds (the edge-priority
+    mirror of :func:`maximal_independent_set`, i.e. Israeli–Itai-style
+    symmetry breaking de-randomized by hashing): each round, a remaining
+    edge is matched iff its priority ``(md5-60bit("src:dst"), src, dst)``
+    is the minimum among ALL remaining edges sharing either endpoint;
+    matched vertices leave the graph. A total order over distinct
+    canonical edges makes the matching unique, so the unrolled
+    chained-CTE oracle is value-identical.
+
+    Distributed shape, per round: one explode to (endpoint, edge-key)
+    pairs, one per-endpoint min-struct aggregate, one join back to test
+    "minimum at BOTH endpoints", and one anti-join to drop edges touching
+    matched vertices — all edge-keyed shuffles on a shrinking edge set,
+    no driver state. Each round matches at least the globally-minimum
+    remaining edge, and under hash uniformity a constant fraction of
+    edges drop per round (expected O(log E) rounds). Rounds after the
+    edge set empties are no-ops, so early exit is exact.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            _pri60(
+                F.concat_ws(":", F.col("src").cast("string"), F.col("dst").cast("string"))
+            ).alias("h"),
+        )
+        .localCheckpoint()
+    )
+    picked: list[DataFrame] = []
+    for i in range(1, max_rounds + 1):
+        key = F.struct("h", "src", "dst")
+        vmin = (
+            e.select(F.explode(F.array("src", "dst")).alias("v"), key.alias("k"))
+            .groupBy("v")
+            .agg(F.min("k").alias("mk"))
+        )
+        ms = vmin.select(F.col("v").alias("src"), F.col("mk").alias("mk_src"))
+        md = vmin.select(F.col("v").alias("dst"), F.col("mk").alias("mk_dst"))
+        won = (
+            e.join(ms, "src")
+            .join(md, "dst")
+            .filter((key == F.col("mk_src")) & (key == F.col("mk_dst")))
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        if won.isEmpty():
+            break
+        picked.append(won.select("src", "dst", F.lit(i).alias("match_round")))
+        matched_v = (
+            won.select(F.col("src").alias("v"))
+            .unionAll(won.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        prev_e = e
+        e = _checkpoint_reset_stats(
+            e.join(matched_v.select(F.col("v").alias("src")), "src", "left_anti")
+            .join(matched_v.select(F.col("v").alias("dst")), "dst", "left_anti")
+        )
+        release = getattr(prev_e, "_graft_release", None)
+        if release is not None:
+            release()
+        if e.isEmpty():
+            break
+    if not picked:
+        return e.filter(F.lit(False)).select(
+            "src", "dst", F.lit(0).alias("match_round")
+        )
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("src", "dst")

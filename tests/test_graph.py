@@ -1167,3 +1167,153 @@ def test_weighted_sssp_matches_dijkstra_across_seeds(spark):
             ).collect()
         }
         assert got == ref, f"seed {seed}"
+
+
+def _h60_py(s) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+
+def _mis_ref(elist):
+    """Pure-Python mirror of the deterministic Luby rounds: winners are
+    vertices whose (md5-60bit, id) beats every remaining neighbor's."""
+    adj: dict = {}
+    for a, b in elist:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rem = set(adj)
+    out: dict = {}
+    rnd = 0
+    while rem:
+        rnd += 1
+        win = {
+            v
+            for v in rem
+            if all(
+                (_h60_py(v), v) < (_h60_py(u), u)
+                for u in adj[v]
+                if u in rem
+            )
+        }
+        for v in win:
+            out[v] = rnd
+        kill = set(win)
+        for v in win:
+            kill |= adj[v] & rem
+        rem -= kill
+    return out
+
+
+def test_mis_matches_python_mirror_and_is_maximal(spark):
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        maximal_independent_set,
+    )
+
+    rng = random.Random(29)
+    edges = set()
+    for _ in range(150):
+        a, b = rng.sample(range(1, 61), 2)
+        edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    got = {
+        r["id"]: r["mis_round"]
+        for r in maximal_independent_set(_edges_df(spark, edges)).collect()
+    }
+    assert got == _mis_ref(edges)
+    mis = set(got)
+    # independence: no edge inside the set
+    assert not any(a in mis and b in mis for a, b in edges)
+    # maximality: every excluded vertex sees the set
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert all(adj[v] & mis for v in set(adj) - mis)
+    # the kernel actually iterates on this density (not a 1-round fluke)
+    assert max(got.values()) >= 2
+
+
+def test_mis_handles_dirty_input(spark):
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        maximal_independent_set,
+    )
+
+    # duplicates, both orientations, and a self loop must not distort
+    # neighbor priorities
+    edges = [(1, 2), (2, 1), (1, 2), (3, 3), (4, 5), (5, 4)]
+    got = {
+        r["id"]: r["mis_round"]
+        for r in maximal_independent_set(_edges_df(spark, edges)).collect()
+    }
+    clean = [(1, 2), (4, 5)]
+    assert got == _mis_ref(clean)
+
+
+def _matching_ref(elist):
+    """Pure-Python mirror of the deterministic greedy matching rounds."""
+
+    def key(e):
+        return (_h60_py(f"{e[0]}:{e[1]}"), e[0], e[1])
+
+    rem = {(min(a, b), max(a, b)) for a, b in elist if a != b}
+    out: dict = {}
+    rnd = 0
+    while rem:
+        rnd += 1
+        vmin: dict = {}
+        for e in rem:
+            for v in e:
+                if v not in vmin or key(e) < vmin[v]:
+                    vmin[v] = key(e)
+        won = {e for e in rem if key(e) == vmin[e[0]] and key(e) == vmin[e[1]]}
+        if not won:
+            break
+        for e in won:
+            out[e] = rnd
+        mv = {v for e in won for v in e}
+        rem = {e for e in rem if e[0] not in mv and e[1] not in mv}
+    return out
+
+
+def test_matching_matches_python_mirror_across_seeds(spark):
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        maximal_matching,
+    )
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        edges = set()
+        for _ in range(120):
+            a, b = rng.sample(range(1, 51), 2)
+            edges.add((min(a, b), max(a, b)))
+        edges = sorted(edges)
+        got = {
+            (r["src"], r["dst"]): r["match_round"]
+            for r in maximal_matching(_edges_df(spark, edges)).collect()
+        }
+        assert got == _matching_ref(edges)
+        # vertex-disjoint
+        mv = [v for e in got for v in e]
+        assert len(mv) == len(set(mv))
+        # maximal: every unmatched edge touches a matched vertex
+        assert all(a in set(mv) or b in set(mv) for a, b in edges)
+
+
+def test_matching_empty_and_single_edge(spark):
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        maximal_matching,
+    )
+
+    lone = maximal_matching(_edges_df(spark, [(7, 9)])).collect()
+    assert [(r["src"], r["dst"], r["match_round"]) for r in lone] == [
+        (7, 9, 1)
+    ]
+    empty = maximal_matching(
+        _edges_df(spark, [(3, 3)])  # self loop only -> no real edges
+    ).collect()
+    assert empty == []
