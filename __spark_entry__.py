@@ -1492,6 +1492,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_lm_scoring"] = _incremental_lm_scoring
 
+    def _bm25_top_docs(spark, sf):
+        # Okapi BM25 retrieval for a fixed term query, exact fixed point
+        # (idf via the ilog2 fold, tf saturation cleared of fractions by
+        # multiplying through by 20*S) — bit-identical in DuckDB.
+        (d,) = _t(spark, sf, "documents")
+        return T.bm25_search(d, ("dup", "vector", "spark"), top_k=20)
+
+    q["bm25_top_docs"] = _bm25_top_docs
+
+    def _incremental_bm25_scoring(spark, sf):
+        # Ingestion-time BM25 on the standard even/odd split: idf/avgdl
+        # frozen on the indexed (even) corpus, incoming (odd) documents
+        # scored statelessly per batch.
+        (d,) = _t(spark, sf, "documents")
+        return T.incremental_bm25_scoring(
+            d.filter(F.col("doc_id") % 2 == 1),
+            d.filter(F.col("doc_id") % 2 == 0),
+            ("dup", "vector", "spark"),
+        )
+
+    q["incremental_bm25_scoring"] = _incremental_bm25_scoring
+
     def _zorder_layout_stats(spark, sf):
         # Multi-dimensional clustering for scan skipping (the Delta
         # OPTIMIZE ZORDER job as a query): per-file zonemaps of the same
@@ -1725,6 +1747,8 @@ _DRIVER_PRIORITY = [
     # new this round (8) — prove first:
     "maximal_independent_set_customers",
     "maximal_matching_customers",
+    "bm25_top_docs",
+    "incremental_bm25_scoring",
     # carried from round 7 (re-proven by CORRECTNESS_FULL_r07):
     "qsketch_price_quantiles",
     "weighted_sssp_customers",
@@ -1774,8 +1798,6 @@ _DRIVER_PRIORITY = [
     "edge_betweenness_fixedpoint_customers",
     "embedding_quantized_int8",
     "events_daily_zscores",
-    "events_hourly_heatmap",
-    "exact_duplicates_normalized",
 ]
 
 
@@ -2758,6 +2780,10 @@ def oracle_sql() -> dict[str, str]:
     d["weighted_sssp_customers"] = _sssp_oracle(n_landmarks=4, rounds=10)
     d["lm_quality_scores"] = _lm_quality_oracle(train_pct=90)
     d["incremental_lm_scoring"] = _lm_incremental_oracle()
+    d["bm25_top_docs"] = _bm25_oracle(("dup", "vector", "spark"), top_k=20)
+    d["incremental_bm25_scoring"] = _bm25_incremental_oracle(
+        ("dup", "vector", "spark")
+    )
     d["hashed_feature_principal_component"] = _pca_oracle(
         dims=64, iters=6, scale=16384
     )
@@ -5312,24 +5338,125 @@ def _incremental_assignment_oracle(rounds: int, min_shared: int = 4) -> str:
     """
 
 
-def _duck_ilog2(n_expr: str, q: int = 6) -> str:
-    """DuckDB twin of ``text._ilog2_q_sql``: the same fixed-point log2
-    fold (octave via bin-length, ``q`` mantissa squarings) as a
-    ``list_reduce`` over a struct accumulator. list_reduce has no init
-    arg in this DuckDB, so the seed struct is prepended to a dummy list
-    of the right length — the BPE-oracle trick."""
-    e = f"(length(bin({n_expr})) - 1)"
-    m0 = (
-        f"(CASE WHEN {e} >= 30 THEN ({n_expr}) >> ({e} - 30)"
-        f" ELSE ({n_expr}) << (30 - {e}) END)"
-    )
-    return f"""list_reduce(
-        [{{'m': CAST({m0} AS BIGINT), 'r': CAST({e} AS BIGINT)}}] ||
-        list_transform(range({q}), i -> {{'m': CAST(0 AS BIGINT), 'r': CAST(0 AS BIGINT)}}),
-        (acc, x) -> CASE WHEN acc.m * acc.m >= 2305843009213693952
-            THEN {{'m': (acc.m * acc.m) >> 31, 'r': acc.r * 2 + 1}}
-            ELSE {{'m': (acc.m * acc.m) >> 30, 'r': acc.r * 2}} END
-    ).r"""
+def _duck_ilog2_chain(
+    src: str, out: str, inputs: dict[str, str], keep: str, q: int = 6
+) -> str:
+    """Chained-CTE twin of ``text._ilog2_q_sql`` with NO lambdas: one CTE
+    per squaring step, plain scalar arithmetic only. DuckDB 1.0.0's
+    list_reduce fold (``_duck_ilog2``) returns plan-dependent garbage
+    when the surrounding query runs two parallel UNNEST pipelines (the
+    BM25 incremental shape — observed: same SQL, wrong idf on a fresh
+    connection, right when CTE pruning kicked in), so the BM25 oracles
+    unroll the fold structurally instead. ``inputs`` maps result-column
+    prefix -> positive BIGINT expression over ``src``; the final CTE
+    ``out`` carries ``keep`` plus ``{prefix}_r`` fixed-point log2s."""
+    names = list(inputs)
+    seed_cols = []
+    for n in names:
+        x = f"CAST({inputs[n]} AS BIGINT)"
+        e = f"(length(bin({x})) - 1)"
+        m0 = (
+            f"(CASE WHEN {e} >= 30 THEN ({x}) >> ({e} - 30)"
+            f" ELSE ({x}) << (30 - {e}) END)"
+        )
+        seed_cols.append(
+            f"CAST({m0} AS BIGINT) AS {n}_m, CAST({e} AS BIGINT) AS {n}_r"
+        )
+    ctes = [f"{out}_f0 AS (SELECT {keep}, {', '.join(seed_cols)} FROM {src})"]
+    for i in range(1, q + 1):
+        step_cols = []
+        for n in names:
+            hi = f"{n}_m * {n}_m >= 2305843009213693952"
+            step_cols.append(
+                f"CASE WHEN {hi} THEN ({n}_m * {n}_m) >> 31"
+                f" ELSE ({n}_m * {n}_m) >> 30 END AS {n}_m, "
+                f"CASE WHEN {hi} THEN {n}_r * 2 + 1"
+                f" ELSE {n}_r * 2 END AS {n}_r"
+            )
+        ctes.append(
+            f"{out}_f{i} AS (SELECT {keep}, {', '.join(step_cols)} "
+            f"FROM {out}_f{i - 1})"
+        )
+    final = ", ".join(f"{n}_r" for n in names)
+    ctes.append(f"{out} AS MATERIALIZED (SELECT {keep}, {final} FROM {out}_f{q})")
+    return ",\n        ".join(ctes)
+
+
+def _bm25_ctes(terms: tuple[str, ...], docs: str, idf_docs: str) -> str:
+    """Shared CTE chain for the BM25 oracles: corpus stats + idf over
+    ``idf_docs`` (the frozen index side), tf + dl over ``docs`` (the
+    scored side). Same fixed-point arithmetic as ``text.bm25_search`` —
+    2816 = 44*64 clears k1=6/5, b=3/4, the 2^6 idf scale, and avgdl=S/N
+    of all fractions; `//` on positive BIGINTs truncates exactly like
+    Spark's DIV."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        itoks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+            FROM {idf_docs}
+        ),
+        idl AS (SELECT doc_id, COUNT(*) AS dl FROM itoks GROUP BY 1),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS s_tokens
+            FROM idl
+        ),
+        idf_base AS (
+            SELECT token, df, n_docs FROM (
+                SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM itoks WHERE token IN ({tlist}) GROUP BY 1
+            ), stats
+        ),
+        {_duck_ilog2_chain(
+            "idf_base",
+            "idf_fold",
+            {"nn": "2 * n_docs + 2", "dd": "2 * df + 1"},
+            keep="token",
+        )},
+        idf AS MATERIALIZED (
+            SELECT token, nn_r - dd_r AS idf_q6 FROM idf_fold
+        ),
+        toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+            FROM {docs}
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE token IN ({tlist}) GROUP BY 1, 2
+        ),
+        scored AS MATERIALIZED (
+            SELECT tf.doc_id,
+                   CAST(COUNT(*) AS INTEGER) AS terms_hit,
+                   CAST(SUM(
+                       idf.idf_q6 * ((2816 * s.s_tokens * tf.tf) //
+                           (20 * s.s_tokens * tf.tf + 6 * s.s_tokens
+                            + 18 * dl.dl * s.n_docs))
+                   ) AS BIGINT) AS score_q12
+            FROM tf
+            JOIN dl ON tf.doc_id = dl.doc_id
+            JOIN idf USING (token), stats s
+            GROUP BY tf.doc_id
+        )"""
+
+
+def _bm25_oracle(terms: tuple[str, ...], top_k: int) -> str:
+    return f"""
+        WITH {_bm25_ctes(terms, "documents", "documents")}
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY score_q12 DESC, doc_id) AS INTEGER) AS rank,
+               doc_id, terms_hit, score_q12
+        FROM scored ORDER BY score_q12 DESC, doc_id LIMIT {top_k}
+    """
+
+
+def _bm25_incremental_oracle(terms: tuple[str, ...]) -> str:
+    return f"""
+        WITH odd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        even AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        {_bm25_ctes(terms, "odd", "even")}
+        SELECT doc_id, terms_hit, score_q12 FROM scored ORDER BY doc_id
+    """
 
 
 def _lm_quality_oracle(train_pct: int = 90) -> str:
@@ -5359,16 +5486,22 @@ def _lm_quality_oracle(train_pct: int = 90) -> str:
             WHERE bucket < {train_pct}
         ),
         vv AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM trainb),
-        unk AS (SELECT v, {_duck_ilog2("v")} AS unk_bits FROM vv),
-        ctxb AS MATERIALIZED (
-            SELECT w1, {_duck_ilog2("c1 + v")} AS ctx_bits
+        {_duck_ilog2_chain("vv", "unkf", {"ub": "v"}, keep="v")},
+        unk AS (SELECT v, ub_r AS unk_bits FROM unkf),
+        c1v AS (
+            SELECT w1, c1, v
             FROM (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
                   FROM trainb GROUP BY 1) CROSS JOIN vv
         ),
+        {_duck_ilog2_chain("c1v", "ctxf", {"cb": "c1 + v"}, keep="w1")},
+        ctxb AS MATERIALIZED (SELECT w1, cb_r AS ctx_bits FROM ctxf),
+        p12 AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM trainb GROUP BY 1, 2
+        ),
+        {_duck_ilog2_chain("p12", "pairf", {"pb": "c12 + 1"}, keep="w1, w2")},
         pairb AS MATERIALIZED (
-            SELECT w1, w2, {_duck_ilog2("c12 + 1")} AS pair_bits
-            FROM (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-                  FROM trainb GROUP BY 1, 2)
+            SELECT w1, w2, pb_r AS pair_bits FROM pairf
         ),
         scored AS (
             SELECT big.doc_id,
@@ -5688,16 +5821,22 @@ def _lm_incremental_oracle() -> str:
         trainb AS MATERIALIZED (SELECT * FROM big WHERE doc_id % 2 = 0),
         probe AS (SELECT * FROM big WHERE doc_id % 2 = 1),
         vv AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM trainb),
-        unk AS (SELECT v, {_duck_ilog2("v")} AS unk_bits FROM vv),
-        ctxb AS MATERIALIZED (
-            SELECT w1, {_duck_ilog2("c1 + v")} AS ctx_bits
+        {_duck_ilog2_chain("vv", "unkf", {"ub": "v"}, keep="v")},
+        unk AS (SELECT v, ub_r AS unk_bits FROM unkf),
+        c1v AS (
+            SELECT w1, c1, v
             FROM (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
                   FROM trainb GROUP BY 1) CROSS JOIN vv
         ),
+        {_duck_ilog2_chain("c1v", "ctxf", {"cb": "c1 + v"}, keep="w1")},
+        ctxb AS MATERIALIZED (SELECT w1, cb_r AS ctx_bits FROM ctxf),
+        p12 AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM trainb GROUP BY 1, 2
+        ),
+        {_duck_ilog2_chain("p12", "pairf", {"pb": "c12 + 1"}, keep="w1, w2")},
         pairb AS MATERIALIZED (
-            SELECT w1, w2, {_duck_ilog2("c12 + 1")} AS pair_bits
-            FROM (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-                  FROM trainb GROUP BY 1, 2)
+            SELECT w1, w2, pb_r AS pair_bits FROM pairf
         ),
         scored AS (
             SELECT probe.doc_id,

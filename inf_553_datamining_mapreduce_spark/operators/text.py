@@ -11,6 +11,8 @@ fingerprint, which is a library helper rather than a query path.
 
 from __future__ import annotations
 
+from collections.abc import Iterable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1919,6 +1921,190 @@ def incremental_lm_scoring(
             "n_tokens",
             "total_bits_q6",
             F.expr("total_bits_q6 DIV n_tokens").alias("bits_per_token_q6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (exact fixed point)
+# ---------------------------------------------------------------------------
+
+# Okapi BM25 constants as exact rationals: k1 = 6/5 (1.2), b = 3/4 (0.75).
+BM25_K1 = (6, 5)
+BM25_B = (3, 4)
+
+
+def bm25_search(
+    documents: DataFrame,
+    query_terms: Iterable[str] = ("dup", "vector", "spark"),
+    top_k: int = 20,
+) -> DataFrame:
+    """``(rank, doc_id, terms_hit, score_q12)`` — top-``top_k`` documents
+    for a fixed term query under Okapi BM25 (Robertson & Zaragoza 2009),
+    the retrieval scorer the TF-IDF family (``tfidf_top_terms``) stops
+    short of. EXACT fixed-point arithmetic end to end, so the DuckDB
+    oracle reproduces every score bit for bit:
+
+    * ``idf_q6(t) = ilog2(2N + 2) - ilog2(2df + 1)`` — the +1-smoothed
+      Robertson idf ``log((N - df + .5)/(df + .5) + 1) = log((N + 1) /
+      (df + .5))`` in base 2 at 2^-6 resolution via the LM scorer's
+      integer log2 fold (``_ilog2_q_sql``); always positive.
+    * tf saturation with k1 = 6/5, b = 3/4 and avgdl = S/N (S = corpus
+      tokens, N = docs) cleared of ALL fractions by multiplying through
+      by 20·S:  ``tf_part_q6 = (2816·S·tf) DIV (20·S·tf + 6·S +
+      18·dl·N)`` (2816 = 44·64). Positive-operand truncating division —
+      identical in Spark ``DIV`` and DuckDB ``//``.
+    * ``score_q12 = Σ_t idf_q6(t) · tf_part_q6(t, d)``; ties broken by
+      doc_id, so the top-k cut is a total order.
+
+    Shape at 100 TB: ONE corpus-sized explode feeds both the per-doc
+    length aggregate and the term-filtered tf/df aggregates (the filter
+    keeps only |Q| terms — everything downstream is query-sized except
+    the doc-keyed tf table); N, S ride as a 1-row broadcast scalar (the
+    Louvain-``m`` pattern) and the idf table broadcasts. Top-k is a
+    global sort LIMIT (TakeOrdered — no single-partition window over the
+    corpus; the rank window runs on ≤ top_k rows). int64-safe while
+    2816·S·tf < 2^63 — S·tf ≤ 3.2e15, e.g. a 10^12-token corpus with
+    per-doc tf ≤ 3200.
+    """
+    terms = [str(t) for t in query_terms]
+    toks = documents.select(
+        "doc_id", F.explode(tokens_col("text")).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("s_tokens"),
+    )
+    qt = toks.filter(F.col("token").isin(terms))
+    idf = (
+        qt.groupBy("token")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "token",
+            (
+                F.expr(_ilog2_q_sql("2 * n_docs + 2"))
+                - F.expr(_ilog2_q_sql("2 * df + 1"))
+            ).alias("idf_q6"),
+        )
+    )
+    tf = qt.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(idf), "token")
+        .select(
+            "doc_id",
+            (
+                F.col("idf_q6")
+                * F.expr(
+                    "(2816 * s_tokens * tf) DIV "
+                    "(20 * s_tokens * tf + 6 * s_tokens + 18 * dl * n_docs)"
+                )
+            ).alias("contrib_q12"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("terms_hit"),
+            F.sum("contrib_q12").alias("score_q12"),
+        )
+    )
+    top = scored.orderBy(F.desc("score_q12"), "doc_id").limit(top_k)
+    w = Window.orderBy(F.desc("score_q12"), "doc_id")
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        "terms_hit",
+        "score_q12",
+    ).orderBy("rank")
+
+
+def build_bm25_index(
+    indexed_docs: DataFrame,
+    query_terms: Iterable[str] = ("dup", "vector", "spark"),
+) -> tuple[DataFrame, DataFrame]:
+    """FROZEN BM25 statistics over the indexed corpus — the static side
+    of the ingestion-time scorer: the 1-row (n_docs, s_tokens) scalar and
+    the per-term idf table, both localCheckpoint'd so micro-batch scoring
+    never re-scans the corpus (the ``build_lm_model`` convention)."""
+    terms = [str(t) for t in query_terms]
+    toks = indexed_docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("s_tokens"),
+    )
+    idf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "token",
+            (
+                F.expr(_ilog2_q_sql("2 * n_docs + 2"))
+                - F.expr(_ilog2_q_sql("2 * df + 1"))
+            ).alias("idf_q6"),
+        )
+    )
+    return stats.localCheckpoint(), idf.localCheckpoint()
+
+
+def incremental_bm25_scoring(
+    new_docs: DataFrame,
+    indexed_docs: DataFrame | tuple[DataFrame, DataFrame],
+    query_terms: Iterable[str] = ("dup", "vector", "spark"),
+) -> DataFrame:
+    """Ingestion-time BM25: incoming documents scored against the FROZEN
+    index statistics (idf and avgdl from the indexed corpus; tf and dl
+    from the incoming document itself) — the stream-static shape of
+    ``incremental_lm_scoring``. Stateless per batch: a score depends only
+    on (document, frozen stats), so any batch partition of the incoming
+    stream concatenates to the batch result. Same exact fixed-point
+    arithmetic as :func:`bm25_search`; no rank column (a stream has no
+    global top-k — rank at query time over the landed scores).
+
+    Returns ``(doc_id, terms_hit, score_q12)`` ordered by doc_id.
+    """
+    terms = [str(t) for t in query_terms]
+    stats, idf = (
+        indexed_docs
+        if isinstance(indexed_docs, tuple)
+        else build_bm25_index(indexed_docs, terms)
+    )
+    toks = new_docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(idf), "token")
+        .select(
+            "doc_id",
+            (
+                F.col("idf_q6")
+                * F.expr(
+                    "(2816 * s_tokens * tf) DIV "
+                    "(20 * s_tokens * tf + 6 * s_tokens + 18 * dl * n_docs)"
+                )
+            ).alias("contrib_q12"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("terms_hit"),
+            F.sum("contrib_q12").alias("score_q12"),
         )
         .orderBy("doc_id")
     )

@@ -3849,3 +3849,145 @@ def test_incremental_semantic_dedup_stateless_across_microbatches(
     }
     assert got == direct and len(direct) == incoming.count()
     assert direct[planted_id][1] is False  # the near-copy is caught
+
+
+def _ilog2_q6_py(n: int) -> int:
+    """Python mirror of text._ilog2_q_sql (Q=6)."""
+    e = n.bit_length() - 1
+    m = n >> (e - 30) if e >= 30 else n << (30 - e)
+    r = e
+    for _ in range(6):
+        mm = m * m
+        if mm >= 1 << 61:
+            m, r = mm >> 31, r * 2 + 1
+        else:
+            m, r = mm >> 30, r * 2
+    return r
+
+
+def _bm25_py(texts: dict, terms, top_k: int):
+    """Integer BM25 mirror: same fixed-point arithmetic as bm25_search."""
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    dl = {i: len(ts) for i, ts in toks.items()}
+    n, s = len(toks), sum(dl.values())
+    out = {}
+    for term in terms:
+        df = sum(1 for ts in toks.values() if term in ts)
+        if df == 0:
+            continue
+        idf = _ilog2_q6_py(2 * n + 2) - _ilog2_q6_py(2 * df + 1)
+        for i, ts in toks.items():
+            tf = ts.count(term)
+            if tf == 0:
+                continue
+            part = (2816 * s * tf) // (20 * s * tf + 6 * s + 18 * dl[i] * n)
+            hit, score = out.get(i, (0, 0))
+            out[i] = (hit + 1, score + idf * part)
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1][1], kv[0]))[:top_k]
+    return [
+        (rank + 1, i, hit, score)
+        for rank, (i, (hit, score)) in enumerate(ranked)
+    ]
+
+
+def test_bm25_matches_integer_mirror_and_ranks_rare_terms_first(spark):
+    """BM25 scores must equal the pure-Python fixed-point mirror bit for
+    bit, rank the rare-term document above the common-term one (idf), and
+    saturate tf (20 repetitions buy < 3x the score of one occurrence —
+    k1 = 1.2 caps term contribution)."""
+    from inf_553_datamining_mapreduce_spark.operators.text import bm25_search
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = {1: "needle " + filler, 2: "common " + filler}
+    for i in range(3, 40):
+        texts[i] = f"common word{i} " + filler
+    texts[40] = ("needle " * 20).strip() + " " + filler
+    docs = spark.createDataFrame(
+        [(i, t, "src") for i, t in texts.items()],
+        "doc_id long, text string, source string",
+    )
+    got = [
+        (r["rank"], r["doc_id"], r["terms_hit"], r["score_q12"])
+        for r in bm25_search(
+            docs, ("needle", "common"), top_k=10
+        ).collect()
+    ]
+    assert got == _bm25_py(texts, ("needle", "common"), 10)
+    scores = {doc: score for _, doc, _, score in got}
+    # rare term beats common term at equal tf/dl
+    assert scores[1] > scores[2]
+    # tf saturation: 20x repetition is far from 20x (even 3x) the score
+    assert scores[40] < 3 * scores[1]
+    # and still the top hit overall
+    assert got[0][1] == 40
+
+
+def test_incremental_bm25_stateless_and_frozen_stats(spark, tmp_path):
+    """Ingestion-time BM25 scores depend only on (document, frozen index
+    stats): micro-batched scoring concatenates to the batch result, and
+    a document's score is unchanged by other incoming documents (the
+    idf/avgdl side is frozen)."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        build_bm25_index,
+        incremental_bm25_scoring,
+    )
+
+    filler = "alpha beta gamma delta"
+    indexed_rows = [
+        (2 * i, f"common word{i} " + filler, "src") for i in range(1, 30)
+    ] + [(60, "needle " + filler, "src")]
+    indexed = spark.createDataFrame(
+        indexed_rows, "doc_id long, text string, source string"
+    )
+    incoming_rows = [
+        (1, "needle common " + filler, "src"),
+        (3, "common " + filler, "src"),
+        (5, "needle needle needle " + filler, "src"),
+    ]
+    incoming = spark.createDataFrame(
+        incoming_rows, "doc_id long, text string, source string"
+    )
+    index = build_bm25_index(indexed, ("needle", "common"))
+
+    direct = {
+        r["doc_id"]: (r["terms_hit"], r["score_q12"])
+        for r in incremental_bm25_scoring(
+            incoming, index, ("needle", "common")
+        ).collect()
+    }
+    assert set(direct) == {1, 3, 5}
+    # frozen stats: scoring doc 1 alone gives the identical score
+    alone = {
+        r["doc_id"]: (r["terms_hit"], r["score_q12"])
+        for r in incremental_bm25_scoring(
+            incoming.filter(F.col("doc_id") == 1), index, ("needle", "common")
+        ).collect()
+    }
+    assert alone[1] == direct[1]
+
+    sd = tmp_path / "bm25_stream"
+    sd.mkdir()
+    incoming.filter(F.col("doc_id") == 1).coalesce(1).write.parquet(
+        str(sd / "b1")
+    )
+    incoming.filter(F.col("doc_id") != 1).coalesce(1).write.parquet(
+        str(sd / "b2")
+    )
+    got: dict = {}
+
+    def score_batch(batch_df, _bid):
+        for r in incremental_bm25_scoring(
+            batch_df, index, ("needle", "common")
+        ).collect():
+            got[r["doc_id"]] = (r["terms_hit"], r["score_q12"])
+
+    q = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sd / "*"))
+        .writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == direct
