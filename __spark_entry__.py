@@ -1612,6 +1612,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["maximal_matching_customers"] = _maximal_matching_customers
 
+    def _hyperball_neighborhood_customers(spark, sf):
+        # HyperBall (Boldi & Vigna 2013): per-vertex HLL registers merged
+        # along edges per round; NF(t) saturation = effective diameter.
+        # Deterministic md5 registers + one pinned IEEE division per
+        # (vertex, round) — the hll_distinct_orders oracle contract.
+        return G.hyperball_neighborhood(
+            _customer_graph_edges(spark, sf), max_rounds=6
+        )
+
+    q["hyperball_neighborhood_customers"] = (
+        _hyperball_neighborhood_customers
+    )
+
     def _kmeans_centroids_fixedpoint(spark, sf):
         # Lloyd's k-means in engine-exact integer arithmetic — the IVF
         # coarse-quantizer training loop under the oracle gate (the
@@ -1749,6 +1762,7 @@ _DRIVER_PRIORITY = [
     "maximal_matching_customers",
     "bm25_top_docs",
     "incremental_bm25_scoring",
+    "hyperball_neighborhood_customers",
     # carried from round 7 (re-proven by CORRECTNESS_FULL_r07):
     "qsketch_price_quantiles",
     "weighted_sssp_customers",
@@ -1797,7 +1811,6 @@ _DRIVER_PRIORITY = [
     "degree_distribution_customers",
     "edge_betweenness_fixedpoint_customers",
     "embedding_quantized_int8",
-    "events_daily_zscores",
 ]
 
 
@@ -4566,6 +4579,7 @@ def oracle_sql() -> dict[str, str]:
     d["minimum_spanning_forest_customers"] = _msf_oracle(rounds=12)
     d["maximal_independent_set_customers"] = _mis_oracle(rounds=12)
     d["maximal_matching_customers"] = _matching_oracle(rounds=12)
+    d["hyperball_neighborhood_customers"] = _hyperball_oracle(rounds=6)
     return d
 
 
@@ -4730,6 +4744,57 @@ def _matching_oracle(rounds: int) -> str:
         SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
                CAST(match_round AS INTEGER) AS match_round
         FROM ({sel}) ORDER BY src, dst
+    """
+
+
+def _hyperball_oracle(rounds: int) -> str:
+    """Unrolled oracle for HyperBall: the hll_distinct_orders register
+    arithmetic (md5 bucket/rho, exact BIGINT scaled harmonic sum, ONE
+    pinned IEEE division per vertex) with a max-merge CTE per round over
+    the co-occurrence graph."""
+    est_sel = """
+            SELECT id,
+                   CAST(FLOOR(47072.71267120224
+                              / (CAST(ss AS DOUBLE) / 9007199254740992.0))
+                        AS BIGINT) AS vest
+            FROM (
+                SELECT id,
+                       SUM(1::BIGINT << (53 - reg))
+                       + (256 - COUNT(*)) * (1::BIGINT << 53) AS ss
+                FROM hb{t} GROUP BY id
+            )"""
+    steps, ests = [], []
+    for t in range(1, rounds + 1):
+        steps.append(f"""
+        hb{t} AS MATERIALIZED (
+            SELECT id, bucket, MAX(reg) AS reg FROM (
+                SELECT * FROM hb{t - 1}
+                UNION ALL
+                SELECT s.src AS id, r.bucket, r.reg
+                FROM sym s JOIN hb{t - 1} r ON r.id = s.dst
+            ) GROUP BY 1, 2
+        )""")
+    for t in range(0, rounds + 1):
+        ests.append(f"""
+            SELECT {t} AS t, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+                   CAST(SUM(vest) AS BIGINT) AS nf_estimate
+            FROM ({est_sel.format(t=t)})""")
+    return f"""
+        WITH {_GRAPH_PREAMBLE},
+        vh AS (
+            SELECT id,
+                   CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+            FROM (SELECT DISTINCT src AS id FROM sym)
+        ),
+        hb0 AS MATERIALIZED (
+            SELECT id, h & 255 AS bucket,
+                   CASE WHEN (h >> 8) = 0 THEN 53
+                        ELSE 53 - length(bin(h >> 8)) END AS reg
+            FROM vh
+        ),{",".join(steps)}
+        SELECT CAST(t AS INTEGER) AS t, n_vertices, nf_estimate
+        FROM ({" UNION ALL ".join(ests)}) ORDER BY t
     """
 
 

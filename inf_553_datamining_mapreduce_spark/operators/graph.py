@@ -2526,3 +2526,112 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
     for p in picked[1:]:
         out = out.unionByName(p)
     return out.orderBy("src", "dst")
+
+
+def hyperball_neighborhood(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
+    """``(t, n_vertices, nf_estimate)`` for t = 0..``max_rounds`` — the
+    NEIGHBORHOOD FUNCTION NF(t) = estimated number of (u, v) pairs within
+    distance t, by HyperBall (Boldi & Vigna 2013): every vertex carries a
+    256-register HLL sketch of its ball, initialized to {v}; each round
+    every vertex max-merges its neighbors' sketches (registers merge by
+    plain MAX — the property the whole algorithm rides); NF(t) is the sum
+    of per-vertex ball estimates. NF's saturation curve yields the
+    effective diameter; this is how diameter got measured on
+    billion-vertex graphs where all-pairs BFS (V * E) is unthinkable.
+
+    Deterministic end to end: the md5-derived registers are the engine's
+    ``sketches.hll_registers`` convention, merges are integer MAX, each
+    per-vertex scaled harmonic sum is an exact BIGINT, and the estimate
+    spends exactly ONE inexact IEEE division per (vertex, round) —
+    pinned to the identical sequence in the DuckDB oracle (the
+    ``hll_distinct_orders`` contract), so the unrolled oracle matches
+    bit for bit.
+
+    Distributed shape, per round: one edges-sized join + one
+    (id, bucket)-keyed max-aggregate with map-side partials — state is
+    exactly V x 256 small integers regardless of E or diameter (choose
+    HLL_P to fit the cluster; the 100-TB trade IS this constant-size
+    state). No early exit: registers are monotone and bounded so rounds
+    past convergence repeat the same estimates, and the fixed unroll
+    keeps Spark and the oracle structurally identical.
+    """
+    from inf_553_datamining_mapreduce_spark.operators.sketches import (
+        HLL_ALPHA_M2,
+        HLL_M,
+        HLL_P,
+        HLL_W,
+        _HLL_SCALE,
+    )
+
+    sym = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    h = _pri60(F.col("id"))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == F.lit(0), F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.conv(w, 10, 2))
+    )
+    regs = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select(
+            "id",
+            h.bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
+            rho.cast("int").alias("reg"),
+        )
+        .localCheckpoint()
+    )
+
+    # keep every round's (checkpointed) register table and evaluate ALL
+    # estimates in ONE union + two aggregates at the end — 1 job instead
+    # of one per round (round tables are eagerly materialized anyway, so
+    # no recomputation; state is (rounds+1) x V x <=256 small rows).
+    round_regs = [regs]
+    for _ in range(1, max_rounds + 1):
+        regs = _checkpoint_reset_stats(
+            regs.unionByName(
+                sym.join(
+                    regs.select(F.col("id").alias("dst"), "bucket", "reg"),
+                    "dst",
+                ).select(F.col("src").alias("id"), "bucket", "reg")
+            )
+            .groupBy("id", "bucket")
+            .agg(F.max("reg").alias("reg"))
+        )
+        round_regs.append(regs)
+    tagged = round_regs[0].select(
+        F.lit(0).cast("int").alias("t"), "id", "bucket", "reg"
+    )
+    for t, r in enumerate(round_regs[1:], start=1):
+        tagged = tagged.unionByName(
+            r.select(F.lit(t).cast("int").alias("t"), "id", "bucket", "reg")
+        )
+    term = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        (F.lit(HLL_W + 1) - F.col("reg")).cast("int"),
+    )
+    per_v = tagged.groupBy("t", "id").agg(
+        (
+            F.sum(term)
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << (HLL_W + 1))
+        ).cast("long").alias("ss")
+    )
+    vest = F.floor(
+        F.lit(HLL_ALPHA_M2)
+        / (F.col("ss").cast("double") / F.lit(_HLL_SCALE))
+    ).cast("long")
+    return (
+        per_v.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.sum(vest).alias("nf_estimate"),
+        )
+        .orderBy("t")
+    )

@@ -1317,3 +1317,79 @@ def test_matching_empty_and_single_edge(spark):
         _edges_df(spark, [(3, 3)])  # self loop only -> no real edges
     ).collect()
     assert empty == []
+
+
+def test_hyperball_matches_exact_ball_registers(spark):
+    """HyperBall's round-t registers equal the HLL registers of the EXACT
+    radius-t ball (max-merge over neighbors' sketches = sketch of the
+    union), so the whole output is reproducible from a BFS mirror: same
+    md5 buckets, same rho, same scaled harmonic sum, same single IEEE
+    division per (vertex, round)."""
+    import math
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        hyperball_neighborhood,
+    )
+
+    rng = random.Random(41)
+    edges = set()
+    for _ in range(70):
+        a, b = rng.sample(range(1, 41), 2)
+        edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def ball(v, t):
+        cur = {v}
+        for _ in range(t):
+            cur = cur | {u for x in cur for u in adj[x]}
+        return cur
+
+    def est(members):
+        regs: dict = {}
+        for u in members:
+            h = _h60_py(u)
+            w = h >> 8
+            rho = 53 if w == 0 else 53 - w.bit_length()
+            b = h & 255
+            regs[b] = max(regs.get(b, 0), rho)
+        ss = sum(1 << (53 - r) for r in regs.values()) + (256 - len(regs)) * (
+            1 << 53
+        )
+        return math.floor(47072.71267120224 / (ss / 9007199254740992.0))
+
+    rounds = 3
+    exp = {
+        t: (len(adj), sum(est(ball(v, t)) for v in adj))
+        for t in range(rounds + 1)
+    }
+    got = {
+        r["t"]: (r["n_vertices"], r["nf_estimate"])
+        for r in hyperball_neighborhood(
+            _edges_df(spark, edges), max_rounds=rounds
+        ).collect()
+    }
+    assert got == exp
+    # NF is monotone non-decreasing (balls only grow)
+    vals = [got[t][1] for t in range(rounds + 1)]
+    assert vals == sorted(vals)
+
+
+def test_hyperball_saturates_at_component_reach(spark):
+    """On a 6-path the ball stops growing at the diameter: NF(5) == NF(6)
+    == NF(10-capped rounds), and NF(0) estimates V singleton balls."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        hyperball_neighborhood,
+    )
+
+    path = _edges_df(spark, [(i, i + 1) for i in range(1, 7)])
+    got = {
+        r["t"]: r["nf_estimate"]
+        for r in hyperball_neighborhood(path, max_rounds=8).collect()
+    }
+    assert got[6] == got[7] == got[8] == got[5]
+    assert got[0] < got[1] <= got[5]
