@@ -1625,6 +1625,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _hyperball_neighborhood_customers
     )
 
+    def _palette_coloring_customers(spark, sf):
+        # Johansson palette coloring: hash-indexed pick from the
+        # available palette, conflict losers retry — O(log n) rounds
+        # even on the dense co-occurrence graph (JP's priority-path
+        # depth is clique-sized there; see graph.palette_coloring).
+        return G.palette_coloring(
+            _customer_graph_edges(spark, sf), max_rounds=8
+        )
+
+    q["palette_coloring_customers"] = _palette_coloring_customers
+
     def _kmeans_centroids_fixedpoint(spark, sf):
         # Lloyd's k-means in engine-exact integer arithmetic — the IVF
         # coarse-quantizer training loop under the oracle gate (the
@@ -1763,6 +1774,7 @@ _DRIVER_PRIORITY = [
     "bm25_top_docs",
     "incremental_bm25_scoring",
     "hyperball_neighborhood_customers",
+    "palette_coloring_customers",
     # carried from round 7 (re-proven by CORRECTNESS_FULL_r07):
     "qsketch_price_quantiles",
     "weighted_sssp_customers",
@@ -1810,7 +1822,6 @@ _DRIVER_PRIORITY = [
     "daily_revenue_drawdown",
     "degree_distribution_customers",
     "edge_betweenness_fixedpoint_customers",
-    "embedding_quantized_int8",
 ]
 
 
@@ -4580,6 +4591,7 @@ def oracle_sql() -> dict[str, str]:
     d["maximal_independent_set_customers"] = _mis_oracle(rounds=12)
     d["maximal_matching_customers"] = _matching_oracle(rounds=12)
     d["hyperball_neighborhood_customers"] = _hyperball_oracle(rounds=6)
+    d["palette_coloring_customers"] = _palette_coloring_oracle(rounds=8)
     return d
 
 
@@ -4744,6 +4756,76 @@ def _matching_oracle(rounds: int) -> str:
         SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
                CAST(match_round AS INTEGER) AS match_round
         FROM ({sel}) ORDER BY src, dst
+    """
+
+
+def _palette_coloring_oracle(rounds: int) -> str:
+    """Unrolled oracle for Johansson palette coloring: per round an
+    available-palette explode (range(0, deg+1) minus colored-neighbor
+    colors), a deg-bounded ROW_NUMBER/COUNT window pair indexing the
+    palette with the round-salted md5 hash, a same-color smaller-priority
+    conflict join, and the keep/shrink anti-joins — the identical
+    deterministic steps as graph.palette_coloring."""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(f"""
+        av{t} AS MATERIALIZED (
+            SELECT u.v, u.h, c.k
+            FROM unc{t - 1} u, UNNEST(range(0, u.deg + 1)) AS c(k)
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym g JOIN col{t - 1} x ON x.v = g.dst
+                WHERE g.src = u.v AND x.color = c.k
+            )
+        ),
+        cd{t} AS MATERIALIZED (
+            SELECT v, h, k AS color FROM (
+                SELECT v, h, k,
+                       ROW_NUMBER() OVER (PARTITION BY v ORDER BY k) - 1
+                           AS rn,
+                       COUNT(*) OVER (PARTITION BY v) AS na,
+                       CAST('0x' || substr(md5(
+                           CAST(v AS VARCHAR) || ':{t}'), 1, 15) AS BIGINT)
+                           AS hp
+                FROM av{t}
+            ) WHERE rn = hp % na
+        ),
+        ls{t} AS (
+            SELECT b.v FROM sym g
+            JOIN cd{t} a ON a.v = g.dst
+            JOIN cd{t} b ON b.v = g.src
+            WHERE a.color = b.color
+              AND (a.h < b.h OR (a.h = b.h AND a.v < b.v))
+        ),
+        kp{t} AS MATERIALIZED (
+            SELECT c.v, c.color, {t} AS color_round FROM cd{t} c
+            WHERE NOT EXISTS (SELECT 1 FROM ls{t} l WHERE l.v = c.v)
+        ),
+        col{t} AS MATERIALIZED (
+            SELECT * FROM col{t - 1} UNION ALL SELECT * FROM kp{t}
+        ),
+        unc{t} AS MATERIALIZED (
+            SELECT u.* FROM unc{t - 1} u
+            WHERE NOT EXISTS (SELECT 1 FROM kp{t} k WHERE k.v = u.v)
+        )""")
+    return f"""
+        WITH {_GRAPH_PREAMBLE},
+        degs AS (SELECT src AS v, COUNT(*) AS deg FROM sym GROUP BY 1),
+        unc0 AS MATERIALIZED (
+            SELECT d.v,
+                   CAST('0x' || substr(md5(CAST(d.v AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h,
+                   d.deg
+            FROM degs d
+        ),
+        col0 AS (
+            SELECT CAST(NULL AS BIGINT) AS v,
+                   CAST(NULL AS BIGINT) AS color,
+                   CAST(NULL AS INTEGER) AS color_round
+            WHERE FALSE
+        ),{",".join(steps)}
+        SELECT CAST(v AS BIGINT) AS id, CAST(color AS INTEGER) AS color,
+               CAST(color_round AS INTEGER) AS color_round
+        FROM col{rounds} ORDER BY id
     """
 
 

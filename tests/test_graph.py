@@ -1393,3 +1393,82 @@ def test_hyperball_saturates_at_component_reach(spark):
     }
     assert got[6] == got[7] == got[8] == got[5]
     assert got[0] < got[1] <= got[5]
+
+
+def _palette_ref(elist, max_rounds=8):
+    """Pure-Python mirror of the deterministic Johansson palette rounds."""
+    adj: dict = {}
+    for a, b in elist:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    unc = set(adj)
+    out: dict = {}
+    for rnd in range(1, max_rounds + 1):
+        if not unc:
+            break
+        cand = {}
+        for v in unc:
+            used = {out[u][0] for u in adj[v] if u in out}
+            avail = [k for k in range(len(adj[v]) + 1) if k not in used]
+            cand[v] = avail[_h60_py(f"{v}:{rnd}") % len(avail)]
+        keep = {
+            v
+            for v in unc
+            if not any(
+                u in cand
+                and cand[u] == cand[v]
+                and (_h60_py(u), u) < (_h60_py(v), v)
+                for u in adj[v]
+            )
+        }
+        for v in keep:
+            out[v] = (cand[v], rnd)
+        unc -= keep
+    return out
+
+
+def test_palette_coloring_matches_mirror_and_is_proper(spark):
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        palette_coloring,
+    )
+
+    rng = random.Random(13)
+    edges = set()
+    for _ in range(150):
+        a, b = rng.sample(range(1, 51), 2)
+        edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    got = {
+        r["id"]: (r["color"], r["color_round"])
+        for r in palette_coloring(_edges_df(spark, edges)).collect()
+    }
+    assert got == _palette_ref(edges)
+    col = {v: c for v, (c, _) in got.items()}
+    assert all(col[a] != col[b] for a, b in edges)
+    # palette bound: color of v never exceeds deg(v)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert all(col[v] <= len(adj[v]) for v in col)
+
+
+def test_palette_coloring_bounded_rounds_on_a_clique(spark):
+    """The reason this kernel replaces Jones-Plassmann: JP needs k rounds
+    on K_k (the priority path is the whole clique); hash-palette indexing
+    must finish K12 well inside 8 rounds with a proper 12-coloring."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        palette_coloring,
+    )
+
+    k12 = [(a, b) for a in range(1, 13) for b in range(a + 1, 13)]
+    got = {
+        r["id"]: (r["color"], r["color_round"])
+        for r in palette_coloring(_edges_df(spark, k12), max_rounds=8).collect()
+    }
+    assert got == _palette_ref(k12)
+    assert len(got) == 12
+    assert len({c for c, _ in got.values()}) == 12  # clique: all distinct
+    assert max(r for _, r in got.values()) <= 5
