@@ -1636,6 +1636,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["palette_coloring_customers"] = _palette_coloring_customers
 
+    def _hits_supplier_parts(spark, sf):
+        # Kleinberg HITS on the directed supplier->part supply graph:
+        # hubs = suppliers, authorities = parts, integer max-rescaled
+        # power iteration (the PCA normalization trick).
+        (li,) = _t(spark, sf, "lineitem")
+        e = li.select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            F.col("l_partkey").cast("long").alias("dst"),
+        )
+        return G.hits_scores(e, iters=5)
+
+    q["hits_supplier_parts"] = _hits_supplier_parts
+
     def _kmeans_centroids_fixedpoint(spark, sf):
         # Lloyd's k-means in engine-exact integer arithmetic — the IVF
         # coarse-quantizer training loop under the oracle gate (the
@@ -1775,6 +1788,7 @@ _DRIVER_PRIORITY = [
     "incremental_bm25_scoring",
     "hyperball_neighborhood_customers",
     "palette_coloring_customers",
+    "hits_supplier_parts",
     # carried from round 7 (re-proven by CORRECTNESS_FULL_r07):
     "qsketch_price_quantiles",
     "weighted_sssp_customers",
@@ -1821,7 +1835,6 @@ _DRIVER_PRIORITY = [
     "daily_priority_share",
     "daily_revenue_drawdown",
     "degree_distribution_customers",
-    "edge_betweenness_fixedpoint_customers",
 ]
 
 
@@ -4592,6 +4605,7 @@ def oracle_sql() -> dict[str, str]:
     d["maximal_matching_customers"] = _matching_oracle(rounds=12)
     d["hyperball_neighborhood_customers"] = _hyperball_oracle(rounds=6)
     d["palette_coloring_customers"] = _palette_coloring_oracle(rounds=8)
+    d["hits_supplier_parts"] = _hits_oracle(iters=5)
     return d
 
 
@@ -4756,6 +4770,47 @@ def _matching_oracle(rounds: int) -> str:
         SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
                CAST(match_round AS INTEGER) AS match_round
         FROM ({sel}) ORDER BY src, dst
+    """
+
+
+def _hits_oracle(iters: int, scale: int = 1 << 14) -> str:
+    """Chained-CTE oracle for integer HITS on the supplier->part graph:
+    per iteration a sum-join, a 1-row MAX scalar, and the same truncating
+    max-rescale as graph.hits_scores."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+        ar{i} AS MATERIALIZED (
+            SELECT e.p, SUM(h.hub) AS raw
+            FROM e JOIN h{i - 1} h USING (s) GROUP BY 1
+        ),
+        am{i} AS (SELECT MAX(raw) AS m FROM ar{i}),
+        a{i} AS MATERIALIZED (
+            SELECT p, (raw * {scale}) // m AS auth FROM ar{i}, am{i}
+        ),
+        hr{i} AS MATERIALIZED (
+            SELECT e.s, SUM(a.auth) AS raw
+            FROM e JOIN a{i} a USING (p) GROUP BY 1
+        ),
+        hm{i} AS (SELECT MAX(raw) AS m FROM hr{i}),
+        h{i} AS MATERIALIZED (
+            SELECT s, (raw * {scale}) // m AS hub FROM hr{i}, hm{i}
+        )""")
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                   CAST(l_partkey AS BIGINT) AS p
+            FROM lineitem
+        ),
+        h0 AS (
+            SELECT s, CAST({scale} AS BIGINT) AS hub
+            FROM (SELECT DISTINCT s FROM e)
+        ),{",".join(steps)}
+        SELECT kind, id, CAST(score_fp AS BIGINT) AS score_fp FROM (
+            SELECT 'hub' AS kind, s AS id, hub AS score_fp FROM h{iters}
+            UNION ALL
+            SELECT 'authority', p, auth FROM a{iters}
+        ) ORDER BY kind, id
     """
 
 

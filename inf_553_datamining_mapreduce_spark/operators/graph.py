@@ -2776,3 +2776,69 @@ def palette_coloring(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
         if uncolored.isEmpty():
             break
     return colored.orderBy("id")
+
+
+def hits_scores(
+    edges: DataFrame, iters: int = 5, scale: int = 1 << 14
+) -> DataFrame:
+    """``(kind, id, score_fp)`` — HITS hubs & authorities (Kleinberg 1999)
+    over a DIRECTED edge set ``(src -> dst)`` in exact fixed-point
+    integers: per iteration ``auth(d) = Σ_{s->d} hub(s)`` then
+    ``hub(s) = Σ_{s->d} auth(d)``, each side rescaled to ``scale`` (2^14)
+    by its own max — the power-iteration normalization trick shared with
+    ``similarity.hashed_feature_principal_component``, with the 1-row max
+    riding as a broadcast scalar (the Louvain-``m`` pattern). Truncating
+    integer division matches across engines, so a fixed iteration count
+    is bit-reproducible and the chained-CTE oracle proves it.
+
+    The co-occurrence graph family is undirected (hub = authority there);
+    HITS belongs on a directed relation — the registered instance ranks
+    suppliers (hubs) against parts (authorities) over the distinct
+    supplier->part supply edges, the classic bipartite HITS reading.
+
+    Shape at 100 TB: the edge build is one distinct; each iteration is
+    two edge-sized hash joins + two key-keyed sum aggregates with
+    map-side partials + two 1-row max scalars. No driver state.
+    int64-safe while max-degree * scale^2 < 2^63 (degree <= 2^35 at
+    scale 2^14) — value-bounded at any corpus size.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    hub = (
+        e.select("src")
+        .distinct()
+        .select("src", F.lit(scale).cast("long").alias("hub"))
+        .localCheckpoint()
+    )
+    auth = None
+    for _ in range(iters):
+        araw = e.join(hub, "src").groupBy("dst").agg(F.sum("hub").alias("raw"))
+        amax = araw.agg(F.max("raw").alias("m"))
+        auth = (
+            araw.crossJoin(F.broadcast(amax))
+            .select("dst", F.expr(f"(raw * {scale}) div m").alias("auth"))
+            .localCheckpoint()
+        )
+        hraw = e.join(auth, "dst").groupBy("src").agg(
+            F.sum("auth").alias("raw")
+        )
+        hmax = hraw.agg(F.max("raw").alias("m"))
+        hub = (
+            hraw.crossJoin(F.broadcast(hmax))
+            .select("src", F.expr(f"(raw * {scale}) div m").alias("hub"))
+            .localCheckpoint()
+        )
+    return (
+        hub.select(
+            F.lit("hub").alias("kind"),
+            F.col("src").alias("id"),
+            F.col("hub").alias("score_fp"),
+        )
+        .unionByName(
+            auth.select(
+                F.lit("authority").alias("kind"),
+                F.col("dst").alias("id"),
+                F.col("auth").alias("score_fp"),
+            )
+        )
+        .orderBy("kind", "id")
+    )

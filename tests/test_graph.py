@@ -1472,3 +1472,48 @@ def test_palette_coloring_bounded_rounds_on_a_clique(spark):
     assert len(got) == 12
     assert len({c for c, _ in got.values()}) == 12  # clique: all distinct
     assert max(r for _, r in got.values()) <= 5
+
+
+def test_hits_matches_integer_mirror_and_ranks_the_planted_hub(spark):
+    """HITS in fixed point must equal the Python mirror exactly, rank the
+    supplier covering the most authoritative parts as the top hub, and
+    rank the part supplied by every hub as the top authority."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import hits_scores
+
+    # suppliers 1..4; supplier 1 supplies every part, part 100 supplied
+    # by everyone; supplier 4 supplies only a fringe part
+    edges = [
+        (1, 100), (1, 101), (1, 102), (1, 103),
+        (2, 100), (2, 101),
+        (3, 100), (3, 102),
+        (4, 104), (4, 100),
+    ]
+
+    def mirror(elist, iters=5, scale=1 << 14):
+        e = sorted(set(elist))
+        hub = {s: scale for s, _ in e}
+        auth = {}
+        for _ in range(iters):
+            araw: dict = {}
+            for s, p in e:
+                araw[p] = araw.get(p, 0) + hub[s]
+            am = max(araw.values())
+            auth = {p: (r * scale) // am for p, r in araw.items()}
+            hraw: dict = {}
+            for s, p in e:
+                hraw[s] = hraw.get(s, 0) + auth[p]
+            hm = max(hraw.values())
+            hub = {s: (r * scale) // hm for s, r in hraw.items()}
+        return hub, auth
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["kind"], r["id"]): r["score_fp"] for r in hits_scores(df).collect()}
+    hub, auth = mirror(edges)
+    assert got == {
+        **{("hub", s): v for s, v in hub.items()},
+        **{("authority", p): v for p, v in auth.items()},
+    }
+    assert max(hub, key=lambda s: (hub[s], -s)) == 1
+    assert max(auth, key=lambda p: (auth[p], -p)) == 100
+    # normalization: every score in [0, scale]
+    assert all(0 <= v <= (1 << 14) for v in got.values())
