@@ -1387,6 +1387,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_phash_near_duplicates"] = _media_phash_near_duplicates
 
+    def _wav_assets(d):
+        # Each document's first 1024 bytes become a REAL 16-bit PCM WAV
+        # payload: a fixed 44-byte canonical RIFF header (1024 mono
+        # samples @ 8 kHz) + every byte duplicated, so little-endian
+        # int16 sample i = 257 * byte i — the audio queries exercise the
+        # actual decode -> mono -> integer-spectral path end-to-end
+        # while staying byte-derivable for the oracle (the _ppm_assets
+        # convention, audio edition).
+        import struct
+
+        header = (
+            b"RIFF"
+            + struct.pack("<I", 36 + 2048)
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data"
+            + struct.pack("<I", 2048)
+        )
+        return d.select(
+            F.col("doc_id").alias("asset_id"),
+            F.concat(
+                F.lit(header),
+                F.regexp_replace(
+                    F.rpad(F.substring("text", 1, 1024), 1024, " "),
+                    "(.)",
+                    "$1$1",
+                ).cast("binary"),
+            ).alias("payload"),
+        )
+
+    def _audio_fp_near_duplicates(spark, sf):
+        from inf_553_datamining_mapreduce_spark.operators import multimodal as MM
+
+        (d,) = _t(spark, sf, "documents")
+        return MM.audio_near_duplicates(_wav_assets(d), max_hamming=8)
+
+    q["audio_fp_near_duplicates"] = _audio_fp_near_duplicates
+
+    def _incremental_audio_fp(spark, sf):
+        from inf_553_datamining_mapreduce_spark.operators import multimodal as MM
+
+        # Ingestion-time audio dedup on the standard even/odd split —
+        # the incremental_media_phash composition for the audio modality.
+        (d,) = _t(spark, sf, "documents")
+        band_tbl, index_sig = MM.build_afp_index(
+            _wav_assets(d.filter(F.col("doc_id") % 2 == 0))
+        )
+        return MM.index_audio_near_duplicates(
+            _wav_assets(d.filter(F.col("doc_id") % 2 == 1)),
+            band_tbl,
+            index_sig,
+            max_hamming=8,
+        )
+
+    q["incremental_audio_fp"] = _incremental_audio_fp
+
     def _incremental_media_phash(spark, sf):
         from inf_553_datamining_mapreduce_spark.operators import multimodal as MM
 
@@ -1789,6 +1845,8 @@ _DRIVER_PRIORITY = [
     "hyperball_neighborhood_customers",
     "palette_coloring_customers",
     "hits_supplier_parts",
+    "audio_fp_near_duplicates",
+    "incremental_audio_fp",
     # carried from round 7 (re-proven by CORRECTNESS_FULL_r07):
     "qsketch_price_quantiles",
     "weighted_sssp_customers",
@@ -1833,8 +1891,6 @@ _DRIVER_PRIORITY = [
     "customer_rfm_segments",
     "customer_running_spend",
     "daily_priority_share",
-    "daily_revenue_drawdown",
-    "degree_distribution_customers",
 ]
 
 
@@ -4334,6 +4390,8 @@ def oracle_sql() -> dict[str, str]:
         rounds=4
     )
     d["media_phash_near_duplicates"] = _phash_oracle(max_hamming=8)
+    d["audio_fp_near_duplicates"] = _afp_oracle(max_hamming=8)
+    d["incremental_audio_fp"] = _afp_probe_oracle(max_hamming=8)
     d["incremental_media_phash"] = _phash_probe_oracle(max_hamming=8)
     d["bpe_merges"] = _bpe_oracle(8, _bpe_merges_final(8))
     d["bpe_vocab_compression"] = _bpe_oracle(8, _bpe_compression_final(8))
@@ -5457,6 +5515,79 @@ def _phash_probe_oracle(max_hamming: int = 8) -> str:
           ON n.band = i.band AND n.chunk = i.chunk
         WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
           AND bit_count(xor(n.phash, i.phash)) <= {max_hamming}
+        ORDER BY asset_id, index_asset_id
+    """
+
+
+def _afp_sig_ctes() -> str:
+    """Shared CTE chain computing every document's audio fingerprint
+    RELATIONALLY from the same text bytes the Spark queries wrap into
+    16-bit PCM WAV payloads (sample i = 257 * byte i from the "$1$1"
+    little-endian duplication, decode is exact), using the same 8x32
+    fixed-point DCT table as the pHash oracle. Ends at
+    ``sig(doc_id, afp)``; callers append their banding tail."""
+    from inf_553_datamining_mapreduce_spark.operators import multimodal as MM
+
+    qvals = ", ".join(
+        f"({u}, {i}, {c})"
+        for u, row in enumerate(MM._PHASH_DCT_Q)
+        for i, c in enumerate(row)
+    )
+    return f"""
+        WITH q(u, i, c) AS (VALUES {qvals}),
+        docs AS (
+            SELECT doc_id, rpad(substring(text, 1, 1024), 1024, ' ') AS p
+            FROM documents
+        ),
+        pix AS (
+            SELECT d.doc_id,
+                   CAST(u.i AS INTEGER) // 32 AS r,
+                   CAST(u.i AS INTEGER) % 32 AS t,
+                   257 * ord(substring(d.p, CAST(u.i AS INTEGER) + 1, 1)) AS v
+            FROM docs d, UNNEST(range(0, 1024)) AS u(i)
+        ),
+        en AS MATERIALIZED (
+            SELECT p.doc_id, q.u AS k, p.t, ABS(SUM(q.c * p.v)) AS e
+            FROM pix p JOIN q ON q.i = p.r
+            GROUP BY 1, 2, 3
+        ),
+        sig AS MATERIALIZED (
+            SELECT a.doc_id,
+                   CAST(SUM(CASE WHEN a.e > b.e
+                        THEN (CAST(1 AS BIGINT) << ((a.t - 1) * 7 + a.k))
+                        ELSE 0 END) AS BIGINT) AS afp
+            FROM en a JOIN en b
+              ON a.doc_id = b.doc_id AND a.k = b.k AND b.t = a.t - 1
+            WHERE a.t BETWEEN 1 AND 9 AND a.k <= 6
+            GROUP BY 1
+        ),
+        bands AS (
+            SELECT s.doc_id, s.afp, CAST(b.b AS INTEGER) AS band,
+                   (s.afp >> (CAST(b.b AS INTEGER) * 7)) & 127 AS chunk
+            FROM sig s, UNNEST(range(0, 9)) AS b(b)
+        )"""
+
+
+def _afp_oracle(max_hamming: int = 8) -> str:
+    return f"""{_afp_sig_ctes()}
+        SELECT DISTINCT a.doc_id AS asset_a, b.doc_id AS asset_b,
+               CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.afp, b.afp)) <= {max_hamming}
+        ORDER BY asset_a, asset_b
+    """
+
+
+def _afp_probe_oracle(max_hamming: int = 8) -> str:
+    return f"""{_afp_sig_ctes()}
+        SELECT DISTINCT n.doc_id AS asset_id,
+               i.doc_id AS index_asset_id,
+               CAST(bit_count(xor(n.afp, i.afp)) AS INTEGER) AS hamming
+        FROM bands n JOIN bands i
+          ON n.band = i.band AND n.chunk = i.chunk
+        WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+          AND bit_count(xor(n.afp, i.afp)) <= {max_hamming}
         ORDER BY asset_id, index_asset_id
     """
 

@@ -1114,3 +1114,202 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 1024, max_frames: int 
         .select("asset_id", "payload")
         .mapInPandas(kernel, FRAME_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-duplicates (Haitsma-Kalker-style, exact integer)
+# ---------------------------------------------------------------------------
+
+AFP_SAMPLES = 1024  # fingerprint window: first 1024 mono samples
+
+
+def audio_fingerprint64(payload: bytes) -> int:
+    """63-bit AUDIO fingerprint from REAL PCM decode, every step integer:
+    ``decode_audio`` -> mono by floor-averaged channels -> the first
+    ``AFP_SAMPLES`` samples (zero-padded) arranged as a 32x32 matrix G
+    (row j = samples 32j..32j+31) -> fixed-point spectral transform
+    ``C = Q @ G`` with the shared 8x32 DCT table ``_PHASH_DCT_Q`` (so
+    column t of C is the 8-band spectrum of the strided frame
+    [t, 32+t, 64+t, ...] — every band mixes samples across the whole
+    clip) -> band energies ``E = |C|`` -> the Haitsma & Kalker (2002)
+    bit rule: bit ``(t-1)*7 + k`` (t = 1..9, k = 0..6) set iff
+    ``E[k][t] > E[k][t-1]`` — the sign of adjacent-frame band-energy
+    DELTAS, robust to overall level because scaling every sample by a
+    positive constant scales every energy equally and flips no bit.
+
+    Exact BIGINT throughout (no truncation anywhere), so the DuckDB
+    oracle reproduces the hash from the same payload bytes. Payloads
+    ``decode_audio`` rejects fall back to the deterministic byte raster
+    (the ``phash64`` stand-in convention) so mixed corpora flow."""
+    import numpy as np
+
+    try:
+        samples, _rate = decode_audio(bytes(payload))
+        if samples.size == 0:
+            raise NotImplementedError("empty PCM payload")
+        mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
+    except (NotImplementedError, ValueError, IndexError):
+        buf = np.frombuffer(bytes(payload), np.uint8)
+        if buf.size == 0:
+            buf = np.zeros(1, np.uint8)
+        mono = np.resize(buf, AFP_SAMPLES).astype(np.int64)
+    x = np.zeros(AFP_SAMPLES, np.int64)
+    n = min(mono.shape[0], AFP_SAMPLES)
+    x[:n] = mono[:n]
+    g = x.reshape(32, 32)
+    q = np.array(_PHASH_DCT_Q, np.int64)
+    e = np.abs(q @ g)  # E[k][t]: band k energy of strided frame t
+    h64 = 0
+    for t in range(1, 10):
+        for k in range(7):
+            if e[k][t] > e[k][t - 1]:
+                h64 |= 1 << ((t - 1) * 7 + k)
+    return h64
+
+
+def media_audio_fingerprints(assets: DataFrame) -> DataFrame:
+    """Per-asset audio fingerprint over Arrow batches — ``(asset_id,
+    afp)``; the ``media_phash`` plumbing applied to the audio kernel."""
+    ensure_worker_imports(assets.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "afp": [
+                        audio_fingerprint64(
+                            bytes(p) if p is not None else b""
+                        )
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        kernel, "asset_id long, afp long"
+    )
+
+
+def _afp_bands_expr() -> Column:
+    """9x7-bit band explode of an ``afp`` column (the pHash pigeonhole
+    banding applied to the audio fingerprint)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("afp"), i * 7)
+                    .bitwiseAND(F.lit(0x7F))
+                    .alias("chunk"),
+                )
+                for i in range(9)
+            ]
+        )
+    )
+
+
+def audio_near_duplicates(
+    assets: DataFrame, max_hamming: int = 8
+) -> DataFrame:
+    """Audio near-duplicate pairs — ``(asset_a, asset_b, hamming)`` —
+    banded exactly like ``media_phash_near_duplicates``: 9x7-bit
+    pigeonhole bands (any pair within Hamming 8 collides on at least one
+    band), exact popcount verification on candidates only, never
+    all-pairs. A re-levelled or lightly-edited copy of a clip flips few
+    delta bits; distinct clips differ in ~half of 63."""
+    sig = media_audio_fingerprints(assets).localCheckpoint()
+    bands = sig.select("asset_id", "afp", _afp_bands_expr().alias("bb")).select(
+        "asset_id",
+        "afp",
+        F.col("bb.band").alias("band"),
+        F.col("bb.chunk").alias("chunk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.afp").alias("sig_a"),
+            F.col("b.afp").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("asset_a", "asset_b", "hamming")
+        .orderBy("asset_a", "asset_b")
+    )
+
+
+def build_afp_index(assets: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Persistable audio-fingerprint index — ``(band_tbl, sig_tbl)``,
+    the ``build_phash_index`` artifact for the audio modality."""
+    sig = media_audio_fingerprints(assets).localCheckpoint()
+    band_tbl = (
+        sig.select(
+            F.col("asset_id").alias("index_asset_id"),
+            _afp_bands_expr().alias("bb"),
+        )
+        .select(
+            "index_asset_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.chunk").alias("chunk"),
+        )
+        .localCheckpoint()
+    )
+    index_sig = sig.select(
+        F.col("asset_id").alias("index_asset_id"),
+        F.col("afp").alias("index_afp"),
+    ).localCheckpoint()
+    return band_tbl, index_sig
+
+
+def index_audio_near_duplicates(
+    new_assets: DataFrame,
+    band_tbl: DataFrame,
+    index_sig: DataFrame,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Ingestion-time audio near-dup probe — the stream-static twin of
+    ``audio_near_duplicates`` (the ``index_phash_near_duplicates``
+    composition): hash incoming clips, band, bucket-join the static
+    index, verify by popcount; pair emission pinned to the FIRST
+    colliding band so no stateful distinct is needed. ``(asset_id,
+    index_asset_id, hamming)``."""
+    sig = media_audio_fingerprints(new_assets)
+    banded = sig.select("asset_id", "afp", _afp_bands_expr().alias("bb")).select(
+        "asset_id",
+        "afp",
+        F.col("bb.band").alias("band"),
+        F.col("bb.chunk").alias("chunk"),
+    )
+    cand = banded.join(band_tbl, ["band", "chunk"]).join(
+        index_sig, "index_asset_id"
+    )
+    first_band = F.expr(
+        "filter(sequence(0, 8), b -> "
+        "(shiftright(afp, b * 7) & 127) = "
+        "(shiftright(index_afp, b * 7) & 127))[0]"
+    )
+    return (
+        cand.filter(F.col("band") == first_band)
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("afp").bitwiseXOR(F.col("index_afp"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("asset_id", "index_asset_id", "hamming")
+    )

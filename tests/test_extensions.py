@@ -3991,3 +3991,101 @@ def test_incremental_bm25_stateless_and_frozen_stats(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert got == direct
+
+
+def _wav_bytes(samples, channels=1, rate=8000):
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", int(s)) for frame in samples for s in (
+            frame if isinstance(frame, (tuple, list)) else (frame,)
+        )
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate, rate * 2 * channels,
+            2 * channels, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_audio_fingerprint_level_invariance_and_discrimination():
+    """The delta-sign fingerprint is invariant under exact gain (x2
+    scales every band energy equally), moves a few bits under a light
+    edit, and differs in ~half of 63 bits for an unrelated clip. Stereo
+    whose floor-averaged mono equals the original fingerprints
+    identically (the decode -> mono path)."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        audio_fingerprint64,
+    )
+
+    rng = random.Random(5)
+    a = [rng.randint(-12000, 12000) for _ in range(1024)]
+    fa = audio_fingerprint64(_wav_bytes(a))
+    # exact gain: every sample doubled
+    assert audio_fingerprint64(_wav_bytes([2 * s for s in a])) == fa
+    # light edit: a 16-sample splice
+    edited = list(a)
+    for i in range(200, 216):
+        edited[i] = -edited[i]
+    he = bin(fa ^ audio_fingerprint64(_wav_bytes(edited))).count("1")
+    assert he <= 8
+    # unrelated clip
+    c = [rng.randint(-12000, 12000) for _ in range(1024)]
+    hc = bin(fa ^ audio_fingerprint64(_wav_bytes(c))).count("1")
+    assert hc > 12
+    # stereo averaging to the same mono
+    stereo = [(s - 1, s + 1) for s in a]  # floor((2s)/2) = s
+    assert audio_fingerprint64(_wav_bytes(stereo, channels=2)) == fa
+    # undecodable payload falls back deterministically, no raise
+    assert isinstance(audio_fingerprint64(b"not audio"), int)
+
+
+def test_audio_near_duplicates_banding_and_index_probe(spark):
+    """The banded self-join finds the re-levelled copy and not the
+    unrelated clip; the frozen-index probe (ingestion twin) catches an
+    incoming near-copy of an indexed clip with the same hamming."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        audio_near_duplicates,
+        build_afp_index,
+        index_audio_near_duplicates,
+    )
+
+    rng = random.Random(11)
+    a = [rng.randint(-12000, 12000) for _ in range(1024)]
+    c = [rng.randint(-12000, 12000) for _ in range(1024)]
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(a))),
+            (2, bytearray(_wav_bytes([2 * s for s in a]))),
+            (3, bytearray(_wav_bytes(c))),
+        ],
+        "asset_id long, payload binary",
+    )
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in audio_near_duplicates(assets, max_hamming=8).collect()
+    }
+    assert pairs == {(1, 2): 0}
+
+    band_tbl, index_sig = build_afp_index(
+        assets.filter(F.col("asset_id") == 1)
+    )
+    probes = {
+        (r["asset_id"], r["index_asset_id"]): r["hamming"]
+        for r in index_audio_near_duplicates(
+            assets.filter(F.col("asset_id") > 1), band_tbl, index_sig,
+            max_hamming=8,
+        ).collect()
+    }
+    assert probes == {(2, 1): 0}
