@@ -1705,6 +1705,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hits_supplier_parts"] = _hits_supplier_parts
 
+    def _random_walk_corpus_customers(spark, sf):
+        # DeepWalk corpus generation (Perozzi et al. 2014), hash-driven
+        # neighbor choice so the walks are reproducible and oracled.
+        return G.random_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            walk_length=8,
+            walks_per_vertex=2,
+        )
+
+    q["random_walk_corpus_customers"] = _random_walk_corpus_customers
+
     def _kmeans_centroids_fixedpoint(spark, sf):
         # Lloyd's k-means in engine-exact integer arithmetic — the IVF
         # coarse-quantizer training loop under the oracle gate (the
@@ -1847,6 +1858,7 @@ _DRIVER_PRIORITY = [
     "hits_supplier_parts",
     "audio_fp_near_duplicates",
     "incremental_audio_fp",
+    "random_walk_corpus_customers",
     # carried from round 7 (re-proven by CORRECTNESS_FULL_r07):
     "qsketch_price_quantiles",
     "weighted_sssp_customers",
@@ -1890,7 +1902,6 @@ _DRIVER_PRIORITY = [
     "customer_revenue_percent_rank",
     "customer_rfm_segments",
     "customer_running_spend",
-    "daily_priority_share",
 ]
 
 
@@ -4664,6 +4675,9 @@ def oracle_sql() -> dict[str, str]:
     d["hyperball_neighborhood_customers"] = _hyperball_oracle(rounds=6)
     d["palette_coloring_customers"] = _palette_coloring_oracle(rounds=8)
     d["hits_supplier_parts"] = _hits_oracle(iters=5)
+    d["random_walk_corpus_customers"] = _random_walk_oracle(
+        walk_length=8, walks_per_vertex=2
+    )
     return d
 
 
@@ -4828,6 +4842,48 @@ def _matching_oracle(rounds: int) -> str:
         SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
                CAST(match_round AS INTEGER) AS match_round
         FROM ({sel}) ORDER BY src, dst
+    """
+
+
+def _random_walk_oracle(walk_length: int, walks_per_vertex: int) -> str:
+    """Unrolled oracle for the deterministic random-walk corpus: the same
+    (src, dst)-ordered ROW_NUMBER neighbor ranking and the same
+    round-salted md5 pick, one frontier CTE per step."""
+    steps = []
+    for s in range(1, walk_length + 1):
+        steps.append(f"""
+        f{s} AS MATERIALIZED (
+            SELECT f.walk_id, f.start_id, r.dst AS vertex
+            FROM f{s - 1} f JOIN rk r ON r.src = f.vertex
+            WHERE r.rk = CAST('0x' || substr(md5(
+                      CAST(f.vertex AS VARCHAR) || ':'
+                      || CAST(f.walk_id AS VARCHAR) || ':{s}'), 1, 15)
+                  AS BIGINT) % r.deg
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT walk_id, start_id, {s} AS step, vertex FROM f{s}"
+        for s in range(0, walk_length + 1)
+    )
+    return f"""
+        WITH {_GRAPH_PREAMBLE},
+        rk AS MATERIALIZED (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                       AS rk,
+                   COUNT(*) OVER (PARTITION BY src) AS deg
+            FROM sym
+        ),
+        f0 AS MATERIALIZED (
+            SELECT CAST(w.w AS INTEGER) AS walk_id, v.v AS start_id,
+                   v.v AS vertex
+            FROM (SELECT DISTINCT src AS v FROM sym) v,
+                 UNNEST(range(0, {walks_per_vertex})) AS w(w)
+        ),{",".join(steps)}
+        SELECT CAST(walk_id AS INTEGER) AS walk_id,
+               CAST(start_id AS BIGINT) AS start_id,
+               CAST(step AS INTEGER) AS step,
+               CAST(vertex AS BIGINT) AS vertex
+        FROM ({sel}) ORDER BY start_id, walk_id, step
     """
 
 

@@ -2390,11 +2390,10 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 12) -> DataFrame
     breaking kernel (scheduling, coloring seeds) that belongs in any
     graph suite at this scale.
     """
+    base = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     sym = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .unionAll(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        base.unionAll(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .localCheckpoint()
@@ -2563,11 +2562,10 @@ def hyperball_neighborhood(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
         _HLL_SCALE,
     )
 
+    base = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     sym = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .unionAll(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        base.unionAll(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .localCheckpoint()
@@ -2670,11 +2668,10 @@ def palette_coloring(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
     the Pregel-class companion kernel the reference's graph family
     (SURVEY.md §2.G) stops short of.
     """
+    base = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     sym = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .unionAll(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        base.unionAll(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .localCheckpoint()
@@ -2842,3 +2839,87 @@ def hits_scores(
         )
         .orderBy("kind", "id")
     )
+
+
+def random_walk_corpus(
+    edges: DataFrame, walk_length: int = 8, walks_per_vertex: int = 2
+) -> DataFrame:
+    """``(walk_id, start_id, step, vertex)`` — a DeepWalk-style random-walk
+    corpus (Perozzi et al. 2014: walks are the "sentences" a skip-gram
+    embedding trains on), DE-RANDOMIZED so the corpus is reproducible and
+    oracle-able: at step s, walk w at vertex v moves to its neighbor with
+    rank ``md5-60bit("v:w:s") mod deg(v)`` under the (dst ascending)
+    neighbor order. Every walk advances in the SAME join — per step one
+    frontier ⋈ edges join + one deg-bounded rank filter, never a per-walk
+    loop — so the whole corpus costs ``walk_length`` edge-sized joins
+    regardless of how many walks run (the Pregel formulation of walk
+    sampling).
+
+    The neighbor rank comes from a ROW_NUMBER over (src, dst) — bounded
+    by deg(v) rows per partition — and the identical window exists in
+    the unrolled chained-CTE oracle, so Spark and DuckDB emit the same
+    corpus bit for bit. Isolated vertices produce length-1 walks (the
+    start vertex only); walks never terminate early otherwise.
+
+    At 100 TB this is the standard embedding-corpus generator: state per
+    step is (n_walks) rows, edges are reused from one checkpoint, and
+    the hash choice means no RNG state needs coordinating across
+    executors or resumes.
+    """
+    base = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = (
+        base.unionAll(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    w_rank = Window.partitionBy("src").orderBy("dst")
+    ranked = (
+        sym.select(
+            "src",
+            "dst",
+            (F.row_number().over(w_rank) - 1).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+        )
+        .localCheckpoint()
+    )
+    starts = sym.select(F.col("src").alias("start_id")).distinct()
+    frontier = starts.select(
+        "start_id",
+        F.explode(
+            F.array(*[F.lit(w) for w in range(walks_per_vertex)])
+        ).alias("walk_id"),
+    ).select(
+        "walk_id", "start_id", F.col("start_id").alias("vertex")
+    ).localCheckpoint()
+    out = frontier.select(
+        "walk_id", "start_id", F.lit(0).cast("int").alias("step"), "vertex"
+    )
+    for s in range(1, walk_length + 1):
+        pick = F.pmod(
+            _pri60(
+                F.concat_ws(
+                    ":",
+                    F.col("vertex").cast("string"),
+                    F.col("walk_id").cast("string"),
+                    F.lit(s),
+                )
+            ),
+            F.col("deg"),
+        )
+        frontier = (
+            frontier.join(ranked, frontier.vertex == ranked.src)
+            .filter(F.col("rk") == pick)
+            .select("walk_id", "start_id", F.col("dst").alias("vertex"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            frontier.select(
+                "walk_id",
+                "start_id",
+                F.lit(s).cast("int").alias("step"),
+                "vertex",
+            )
+        )
+    return out.orderBy("start_id", "walk_id", "step")

@@ -1517,3 +1517,69 @@ def test_hits_matches_integer_mirror_and_ranks_the_planted_hub(spark):
     assert max(auth, key=lambda p: (auth[p], -p)) == 100
     # normalization: every score in [0, scale]
     assert all(0 <= v <= (1 << 14) for v in got.values())
+
+
+def test_random_walk_corpus_matches_mirror_and_walks_are_valid(spark):
+    """Walks must follow edges, start ``walks_per_vertex`` per vertex,
+    advance by the hash-ranked neighbor pick, and match the Python
+    mirror row for row."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        random_walk_corpus,
+    )
+
+    rng = random.Random(23)
+    edges = set()
+    for _ in range(60):
+        a, b = rng.sample(range(1, 26), 2)
+        edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def mirror(walk_length=5, wpv=2):
+        rows = set()
+        for v0 in adj:
+            nbrs = {v: sorted(us) for v, us in adj.items()}
+            for w in range(wpv):
+                v = v0
+                rows.add((w, v0, 0, v))
+                for s in range(1, walk_length + 1):
+                    v = nbrs[v][_h60_py(f"{v}:{w}:{s}") % len(nbrs[v])]
+                    rows.add((w, v0, s, v))
+        return rows
+
+    got = {
+        (r["walk_id"], r["start_id"], r["step"], r["vertex"])
+        for r in random_walk_corpus(
+            _edges_df(spark, edges), walk_length=5, walks_per_vertex=2
+        ).collect()
+    }
+    assert got == mirror()
+    # every transition is an edge
+    bywalk: dict = {}
+    for w, v0, s, v in got:
+        bywalk.setdefault((w, v0), {})[s] = v
+    for steps in bywalk.values():
+        assert len(steps) == 6
+        for s in range(1, 6):
+            assert steps[s] in adj[steps[s - 1]]
+
+
+def test_random_walk_isolated_vertex_emits_start_only(spark):
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        random_walk_corpus,
+    )
+
+    # 9 is isolated in the EDGE table sense (self loop only)
+    rows = random_walk_corpus(
+        _edges_df(spark, [(1, 2), (9, 9)]), walk_length=4, walks_per_vertex=1
+    ).collect()
+    by_start: dict = {}
+    for r in rows:
+        by_start.setdefault(r["start_id"], []).append(r["step"])
+    assert sorted(by_start[1]) == [0, 1, 2, 3, 4]
+    assert 9 not in by_start  # self loops are dropped with no vertices left
