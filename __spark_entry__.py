@@ -1716,6 +1716,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["random_walk_corpus_customers"] = _random_walk_corpus_customers
 
+    def _skipgram_pairs_customers(spark, sf):
+        # The word2vec-over-walks step: banded self-join of the walk
+        # corpus within a +/-2-step window, aggregated to pair counts.
+        walks = G.random_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            walk_length=8,
+            walks_per_vertex=2,
+        )
+        return G.skipgram_pairs(walks, window=2)
+
+    q["skipgram_pairs_customers"] = _skipgram_pairs_customers
+
     def _kmeans_centroids_fixedpoint(spark, sf):
         # Lloyd's k-means in engine-exact integer arithmetic — the IVF
         # coarse-quantizer training loop under the oracle gate (the
@@ -1859,6 +1871,7 @@ _DRIVER_PRIORITY = [
     "audio_fp_near_duplicates",
     "incremental_audio_fp",
     "random_walk_corpus_customers",
+    "skipgram_pairs_customers",
     # carried from round 7 (re-proven by CORRECTNESS_FULL_r07):
     "qsketch_price_quantiles",
     "weighted_sssp_customers",
@@ -1901,7 +1914,6 @@ _DRIVER_PRIORITY = [
     "approx_distinct_parts",
     "customer_revenue_percent_rank",
     "customer_rfm_segments",
-    "customer_running_spend",
 ]
 
 
@@ -4678,6 +4690,9 @@ def oracle_sql() -> dict[str, str]:
     d["random_walk_corpus_customers"] = _random_walk_oracle(
         walk_length=8, walks_per_vertex=2
     )
+    d["skipgram_pairs_customers"] = _skipgram_oracle(
+        walk_length=8, walks_per_vertex=2, window=2
+    )
     return d
 
 
@@ -4845,10 +4860,11 @@ def _matching_oracle(rounds: int) -> str:
     """
 
 
-def _random_walk_oracle(walk_length: int, walks_per_vertex: int) -> str:
-    """Unrolled oracle for the deterministic random-walk corpus: the same
+def _walk_ctes(walk_length: int, walks_per_vertex: int) -> str:
+    """Shared CTE chain for the deterministic random-walk corpus: the same
     (src, dst)-ordered ROW_NUMBER neighbor ranking and the same
-    round-salted md5 pick, one frontier CTE per step."""
+    round-salted md5 pick, one frontier CTE per step; ends at
+    ``corpus(walk_id, start_id, step, vertex)``."""
     steps = []
     for s in range(1, walk_length + 1):
         steps.append(f"""
@@ -4878,12 +4894,33 @@ def _random_walk_oracle(walk_length: int, walks_per_vertex: int) -> str:
                    v.v AS vertex
             FROM (SELECT DISTINCT src AS v FROM sym) v,
                  UNNEST(range(0, {walks_per_vertex})) AS w(w)
-        ),{",".join(steps)}
+        ),{",".join(steps)},
+        corpus AS (SELECT * FROM ({sel}))"""
+
+
+def _random_walk_oracle(walk_length: int, walks_per_vertex: int) -> str:
+    return f"""{_walk_ctes(walk_length, walks_per_vertex)}
         SELECT CAST(walk_id AS INTEGER) AS walk_id,
                CAST(start_id AS BIGINT) AS start_id,
                CAST(step AS INTEGER) AS step,
                CAST(vertex AS BIGINT) AS vertex
-        FROM ({sel}) ORDER BY start_id, walk_id, step
+        FROM corpus ORDER BY start_id, walk_id, step
+    """
+
+
+def _skipgram_oracle(
+    walk_length: int, walks_per_vertex: int, window: int
+) -> str:
+    """Walk CTE chain + the same banded |step delta| self-join and pair
+    count as graph.skipgram_pairs."""
+    return f"""{_walk_ctes(walk_length, walks_per_vertex)}
+        SELECT CAST(a.vertex AS BIGINT) AS center,
+               CAST(b.vertex AS BIGINT) AS context,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM corpus a JOIN corpus b
+          ON a.walk_id = b.walk_id AND a.start_id = b.start_id
+         AND a.step <> b.step AND ABS(a.step - b.step) <= {window}
+        GROUP BY 1, 2 ORDER BY center, context
     """
 
 

@@ -2923,3 +2923,39 @@ def random_walk_corpus(
             )
         )
     return out.orderBy("start_id", "walk_id", "step")
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """``(center, context, n_pairs)`` — skip-gram training pairs from a
+    random-walk corpus (the word2vec-over-walks step that makes DeepWalk
+    an embedding method): within every walk, each vertex pairs with the
+    vertices up to ``window`` steps around it, aggregated to pair counts
+    — the exact input a negative-sampling trainer consumes.
+
+    Pure composition: one self-equi-join of the walk table on
+    ``(walk_id, start_id)`` with the bounded ``|step delta| <= window``
+    band predicate (walks are length-bounded, so per-walk fan-out is
+    O(len * window), never quadratic in the corpus), then one count
+    aggregate with map-side partials. No new shuffle key appears at
+    scale beyond the walk id and the pair.
+    """
+    a = walks.select(
+        "walk_id", "start_id", F.col("step").alias("s_a"),
+        F.col("vertex").alias("center"),
+    )
+    b = walks.select(
+        "walk_id", "start_id", F.col("step").alias("s_b"),
+        F.col("vertex").alias("context"),
+    )
+    return (
+        a.join(b, ["walk_id", "start_id"])
+        .filter(
+            (F.col("s_a") != F.col("s_b"))
+            & (F.abs(F.col("s_a") - F.col("s_b")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("center", "context")
+    )

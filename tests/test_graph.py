@@ -1583,3 +1583,38 @@ def test_random_walk_isolated_vertex_emits_start_only(spark):
         by_start.setdefault(r["start_id"], []).append(r["step"])
     assert sorted(by_start[1]) == [0, 1, 2, 3, 4]
     assert 9 not in by_start  # self loops are dropped with no vertices left
+
+
+def test_skipgram_pairs_window_and_counts(spark):
+    """Pairs come only from within a walk, respect the step window, are
+    emitted in both (center, context) directions, and aggregate counts
+    across walks."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        skipgram_pairs,
+    )
+
+    walks = spark.createDataFrame(
+        [
+            # walk (0, 1): 1 -> 2 -> 3 -> 4
+            (0, 1, 0, 1), (0, 1, 1, 2), (0, 1, 2, 3), (0, 1, 3, 4),
+            # walk (0, 9): 9 -> 2 -> 1 (revisits vertices 2 and 1)
+            (0, 9, 0, 9), (0, 9, 1, 2), (0, 9, 2, 1),
+        ],
+        "walk_id int, start_id long, step int, vertex long",
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    # brute-force mirror
+    exp: dict = {}
+    for wk in ([(0, 1), (1, 2), (2, 3), (3, 4)], [(0, 9), (1, 2), (2, 1)]):
+        for sa, va in wk:
+            for sb, vb in wk:
+                if sa != sb and abs(sa - sb) <= 2:
+                    exp[(va, vb)] = exp.get((va, vb), 0) + 1
+    assert got == exp
+    # window respected: (1, 4) are 3 steps apart in walk 1
+    assert (1, 4) not in got
+    # symmetric directions both present
+    assert got[(1, 2)] == got[(2, 1)] == 2
