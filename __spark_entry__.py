@@ -1785,77 +1785,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-7 window, 23 + 13 + 14 = 50:
-# (1) 23 new this round: qsketch_price_quantiles (deterministic mergeable
-#     log2-histogram quantile sketch — register-exact oracle with the
-#     merged 'ALL' row, the HLL pattern),
-#     weighted_sssp_customers (frontier Bellman-Ford weighted landmark
-#     shortest paths, chained-CTE oracle),
-#     lm_quality_scores (CCNet-style bigram-LM perplexity filter in exact
-#     fixed-point bits via the ilog2 fold),
-#     incremental_lm_scoring (its ingestion-time twin — frozen model on
-#     the indexed corpus, incoming docs scored statelessly),
-#     zorder_layout_stats (Morton-interleaved layout zonemaps vs natural
-#     — the OPTIMIZE ZORDER maintenance job as an oracled query),
-#     hashed_feature_principal_component (integer power iteration on the
-#     hashed-feature second moment — chained-CTE oracle),
-#     semantic_dedup_keep_best (SemDeDup: Lloyd clusters + integer
-#     cosine gate + smaller-id keep rule),
-#     incremental_semantic_dedup (its ingestion-time twin — frozen
-#     centroids + cluster index, incoming vectors gated statelessly),
-#     connected_components_twostar_customers (alternating large/small
-#     star CC, log-round convergence, oracle shared with the labelprop
-#     row),
-#     minimum_spanning_forest_customers (Boruvka MSF, per-component
-#     argmin + two-star merges, recursive-reach-merge oracle),
-#     bpe_merges + bpe_vocab_compression (distributed
-#     BPE tokenizer training, Sennrich et al. 2016, chained-CTE oracle),
-#     hll_distinct_orders (deterministic md5 HLL registers with the
-#     merged-union row — register-exact oracle, unlike the library
-#     HLL++ bounds check),
-#     kmeans_centroids_fixedpoint (integer Lloyd's — the IVF coarse
-#     quantizer training loop under the oracle gate),
-#     topk_ivf_fixedpoint (end-to-end integer IVF ANN whose oracle runs
-#     the same approximate pipeline, honest 2/8 probe fraction),
-#     incremental_bpe_tokenize (ingestion-time tokenizer application on
-#     the even/odd split — learn on indexed, apply to incoming),
-#     hashed_doc_features (vocabulary-free signed feature hashing),
-#     document_clusters_fixedpoint (corpus clustering composing the
-#     hashed features with the integer Lloyd loop),
-#     span_deduped_corpus (ExactSubstr removal — the
-#     deduplicated corpus, closing the measure->remove loop),
-#     incremental_span_scrub (its ingestion-time twin — indexed spans
-#     cut from incoming documents),
-#     incremental_community_assignment (one frozen-label Louvain round as
-#     a stream-static join — the ingestion-time community twin),
-#     media_phash_near_duplicates (integer pHash over REAL image decode,
-#     banded like simhash),
-#     incremental_media_phash (its stream-static index probe);
-# (2) the 13 round-3 greens deferred by the round-6 rotation (the
-#     pure-codegen TPC-H scan-agg-join family + date-bucketed
-#     distinct-count + argmax-dedup window + cohort-pivot), now the
-#     stalest proofs in the registry;
-# (3) 14 of the 49 queries whose latest green is round 4 (alphabetical
-#     prefix; the remaining 35 — inverted_index_postings,
-#     label_propagation_customers, language_confusion_matrix,
-#     lineitem_key_skew_report, link_prediction_customers,
-#     minhash_lsh_near_duplicates, most_common_event_per_user,
-#     near_duplicate_keep_best, open_order_backlog_by_month,
-#     order_price_percent_rank (the ten pushed past the 50-cut by the
-#     session-4 slots),
-#     orders_time_rollup, orders_yoy_growth,
-#     pmi_collocations, prefix_duplicate_rate_by_source,
-#     qty_price_correlation, session_paths, session_stats,
-#     session_time_to_purchase, session_window_stats_plan,
-#     simhash_near_duplicates, source_language_mix,
-#     stratum_sample_exact_k, supplier_part_pareto,
-#     supplier_revenue_share, term_frequency_stats, tfidf_top_terms,
-#     top_brands_per_type_with_ties, topk_cosine_ivf, topk_cosine_lsh,
-#     training_batches, user_first_last_events, user_state_intervals,
-#     user_value_ntiles, weighted_corpus_sample, winsorized_price_stats —
-#     head the round-8 rotation; CORRECTNESS_FULL_r07.json re-proves all
-#     of them this round regardless).
-# Window rotation is belt-and-braces from this round on: the committed
+# round. The round-8 window, 34 + 13 + 3 = 50:
+# (1) 11 NEW this round:
+#     maximal_independent_set_customers (deterministic Luby MIS, hash-
+#     priority symmetry breaking, unrolled-CTE oracle),
+#     maximal_matching_customers (its edge-priority mirror — greedy
+#     parallel maximal matching),
+#     bm25_top_docs (Okapi BM25 retrieval in exact fixed point: ilog2
+#     idf, fraction-cleared tf saturation, total-order top-k),
+#     incremental_bm25_scoring (its ingestion twin: frozen idf/avgdl,
+#     incoming docs scored statelessly),
+#     hyperball_neighborhood_customers (HyperBall NF(t): per-vertex HLL
+#     registers max-merged along edges; one pinned IEEE division per
+#     (vertex, round), the hll_distinct_orders contract),
+#     palette_coloring_customers (Johansson palette coloring — bounded
+#     rounds on dense graphs where Jones-Plassmann is clique-depth),
+#     hits_supplier_parts (integer HITS hubs/authorities on the directed
+#     supplier->part graph, max-rescaled power iteration),
+#     audio_fp_near_duplicates (Haitsma-Kalker delta-sign audio
+#     fingerprint over REAL WAV decode, pHash-style pigeonhole banding),
+#     incremental_audio_fp (its frozen-index ingestion probe),
+#     random_walk_corpus_customers (DeepWalk corpus, hash-ranked
+#     neighbor picks — all walks advance in one join per step),
+#     skipgram_pairs_customers (word2vec pair counts over the walks,
+#     banded |step delta| self-join);
+# (2) the 23 round-7 queries (qsketch/SSSP/LM/Z-order/PCA/SemDeDup/
+#     two-star/Boruvka/BPE/HLL/kmeans/IVF/span/phash families): the r7
+#     driver artifact was not committed to the repo, so none of them has
+#     a committed window-green row yet — they stay in the window until
+#     one lands (CORRECTNESS_FULL_r07.json proves all of them at 185/185,
+#     but the window artifact is the driver's own record);
+# (3) the 13 round-3 greens (stalest committed window proofs) + the 3
+#     alphabetically-first round-4 greens (approx_distinct_parts,
+#     customer_revenue_percent_rank, customer_rfm_segments).
+# Window rotation is belt-and-braces: the committed
 # CORRECTNESS_FULL_r{N}.json (scripts/full_correctness.py) re-proves the
 # ENTIRE registry against the DuckDB oracles every round, so staleness is
 # auditable directly. Semantics are unchanged — this is pure dict ordering.
@@ -1872,7 +1835,9 @@ _DRIVER_PRIORITY = [
     "incremental_audio_fp",
     "random_walk_corpus_customers",
     "skipgram_pairs_customers",
-    # carried from round 7 (re-proven by CORRECTNESS_FULL_r07):
+    # round-7 queries with no committed window-green row yet (the r7
+    # window artifact never landed in the repo; CORRECTNESS_FULL_r07
+    # proves them, but they hold window slots until a driver row exists):
     "qsketch_price_quantiles",
     "weighted_sssp_customers",
     "lm_quality_scores",
@@ -1910,7 +1875,8 @@ _DRIVER_PRIORITY = [
     "user_retention_cohorts",
     "volume_shipping_by_year",
     "weekly_active_users",
-    # round-4 greens (14 of 49, alphabetical prefix):
+    # round-4 greens (3 of 49, alphabetical prefix — the rest wait for
+    # the round-9 rotation):
     "approx_distinct_parts",
     "customer_revenue_percent_rank",
     "customer_rfm_segments",

@@ -79,6 +79,12 @@ HEADLINE = [
     "media_phash_near_duplicates",
     "incremental_span_scrub",
     "incremental_media_phash",
+    # round-8 additions (the rest of the round-8 family is in
+    # BENCH_FULL.json — the stdout line must stay under the driver's
+    # ~2000-byte tail capture):
+    "hyperball_neighborhood_customers",
+    "palette_coloring_customers",
+    "bm25_top_docs",
 ]
 
 
