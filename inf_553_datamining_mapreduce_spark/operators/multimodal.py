@@ -1210,14 +1210,27 @@ def _afp_bands_expr() -> Column:
 
 
 def audio_near_duplicates(
-    assets: DataFrame, max_hamming: int = 8
+    assets: DataFrame, max_hamming: int = 8, max_band_df: int | None = 2000
 ) -> DataFrame:
     """Audio near-duplicate pairs — ``(asset_a, asset_b, hamming)`` —
     banded exactly like ``media_phash_near_duplicates``: 9x7-bit
     pigeonhole bands (any pair within Hamming 8 collides on at least one
     band), exact popcount verification on candidates only, never
     all-pairs. A re-levelled or lightly-edited copy of a clip flips few
-    delta bits; distinct clips differ in ~half of 63."""
+    delta bits; distinct clips differ in ~half of 63.
+
+    ``max_band_df`` is the hot-bucket skew cut (the ``max_shingle_df``
+    lever of the Jaccard family): delta-sign bits skew toward all-0 /
+    all-1 chunks on homogeneous corpora, and one hot (band, chunk)
+    bucket makes the candidate join quadratic (measured at sf1: 5e8
+    candidate rows, 40x the sf0.1 wall clock). Buckets larger than the
+    cut are dropped from candidate GENERATION only — a within-Hamming-8
+    pair loses at most the 8 differing bands, so real near-dups still
+    collide on a cooler band unless they agree ONLY on ultra-hot
+    patterns. The default sits far above every observed bucket at the
+    oracle gate and the bench SF (max 45 at sf0.01, ~460 at sf0.1), so
+    results there are identical to the uncut form; the cut is the
+    documented lossy lever beyond that."""
     sig = media_audio_fingerprints(assets).localCheckpoint()
     bands = sig.select("asset_id", "afp", _afp_bands_expr().alias("bb")).select(
         "asset_id",
@@ -1225,6 +1238,14 @@ def audio_near_duplicates(
         F.col("bb.band").alias("band"),
         F.col("bb.chunk").alias("chunk"),
     )
+    if max_band_df is not None:
+        hot = (
+            bands.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_band_df)
+            .select("band", "chunk")
+        )
+        bands = bands.join(hot, ["band", "chunk"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -1252,22 +1273,32 @@ def audio_near_duplicates(
     )
 
 
-def build_afp_index(assets: DataFrame) -> tuple[DataFrame, DataFrame]:
+def build_afp_index(
+    assets: DataFrame, max_band_df: int | None = 2000
+) -> tuple[DataFrame, DataFrame]:
     """Persistable audio-fingerprint index — ``(band_tbl, sig_tbl)``,
-    the ``build_phash_index`` artifact for the audio modality."""
+    the ``build_phash_index`` artifact for the audio modality. Hot
+    (band, chunk) buckets beyond ``max_band_df`` are cut from the INDEX
+    side (see ``audio_near_duplicates``) — the stream probe side needs
+    no count state because the frozen index carries the cut."""
     sig = media_audio_fingerprints(assets).localCheckpoint()
-    band_tbl = (
-        sig.select(
-            F.col("asset_id").alias("index_asset_id"),
-            _afp_bands_expr().alias("bb"),
-        )
-        .select(
-            "index_asset_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.chunk").alias("chunk"),
-        )
-        .localCheckpoint()
+    raw_bands = sig.select(
+        F.col("asset_id").alias("index_asset_id"),
+        _afp_bands_expr().alias("bb"),
+    ).select(
+        "index_asset_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.chunk").alias("chunk"),
     )
+    if max_band_df is not None:
+        hot = (
+            raw_bands.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_band_df)
+            .select("band", "chunk")
+        )
+        raw_bands = raw_bands.join(hot, ["band", "chunk"], "left_anti")
+    band_tbl = raw_bands.localCheckpoint()
     index_sig = sig.select(
         F.col("asset_id").alias("index_asset_id"),
         F.col("afp").alias("index_afp"),
