@@ -1728,6 +1728,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["skipgram_pairs_customers"] = _skipgram_pairs_customers
 
+    def _personalized_pagerank_customers(spark, sf):
+        # Rooted PageRank (Jeh & Widom 2003): teleport mass concentrated
+        # on the 4 smallest vertices (the SSSP landmark convention) —
+        # seed-proximity scores in the same exact-integer contract as
+        # pagerank_customers.
+        return G.personalized_pagerank(
+            _customer_graph_edges(spark, sf), n_seeds=4, iterations=10
+        )
+
+    q["personalized_pagerank_customers"] = (
+        _personalized_pagerank_customers
+    )
+
     def _kmeans_centroids_fixedpoint(spark, sf):
         # Lloyd's k-means in engine-exact integer arithmetic — the IVF
         # coarse-quantizer training loop under the oracle gate (the
@@ -1835,6 +1848,7 @@ _DRIVER_PRIORITY = [
     "incremental_audio_fp",
     "random_walk_corpus_customers",
     "skipgram_pairs_customers",
+    "personalized_pagerank_customers",
     # round-7 queries with no committed window-green row yet (the r7
     # window artifact never landed in the repo; CORRECTNESS_FULL_r07
     # proves them, but they hold window slots until a driver row exists):
@@ -1879,7 +1893,6 @@ _DRIVER_PRIORITY = [
     # the round-9 rotation):
     "approx_distinct_parts",
     "customer_revenue_percent_rank",
-    "customer_rfm_segments",
 ]
 
 
@@ -4659,6 +4672,9 @@ def oracle_sql() -> dict[str, str]:
     d["skipgram_pairs_customers"] = _skipgram_oracle(
         walk_length=8, walks_per_vertex=2, window=2
     )
+    d["personalized_pagerank_customers"] = _ppr_oracle(
+        n_seeds=4, iterations=10
+    )
     return d
 
 
@@ -6358,6 +6374,66 @@ def _pagerank_oracle(iterations: int, damping_pct: int = 85, scale: int = 1_000_
         sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
         deg AS (SELECT src AS id, COUNT(*) AS out_deg FROM sym GROUP BY src),
         r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM deg),
+        {",".join(steps)}
+        SELECT id, rank AS rank_fp FROM r{iterations} ORDER BY id
+    """
+
+
+def _ppr_oracle(
+    n_seeds: int = 4,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> str:
+    """Chained-CTE oracle for personalized PageRank: the pagerank oracle
+    with the teleport term concentrated on the seed set (total mass
+    |V| * (100-d) * scale / 100, split over n_seeds)."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+            r{i} AS (
+                SELECT sd.id,
+                       CAST((CASE WHEN sd.seed THEN smass.m ELSE 0 END)
+                            + ({damping_pct} * COALESCE(agg.s, 0)) // 100
+                            AS BIGINT) AS rank
+                FROM sd CROSS JOIN smass
+                LEFT JOIN (
+                    SELECT sym.dst AS id, SUM(r.rank // deg.out_deg) AS s
+                    FROM r{i - 1} r
+                    JOIN deg ON deg.id = r.id
+                    JOIN sym ON sym.src = r.id
+                    GROUP BY sym.dst
+                ) agg ON agg.id = sd.id
+            )""")
+    return f"""
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS (
+            SELECT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+        ),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        deg AS (SELECT src AS id, COUNT(*) AS out_deg FROM sym GROUP BY src),
+        seeds AS (SELECT id FROM deg ORDER BY id LIMIT {n_seeds}),
+        sd AS MATERIALIZED (
+            SELECT deg.id, deg.out_deg,
+                   EXISTS (SELECT 1 FROM seeds s WHERE s.id = deg.id)
+                       AS seed
+            FROM deg
+        ),
+        smass AS (
+            SELECT CAST((100 - {damping_pct}) * {scale} * COUNT(*)
+                        // (100 * {n_seeds}) AS BIGINT) AS m
+            FROM deg
+        ),
+        r0 AS (
+            SELECT id, CAST(CASE WHEN seed THEN {scale} ELSE 0 END
+                            AS BIGINT) AS rank
+            FROM sd
+        ),
         {",".join(steps)}
         SELECT id, rank AS rank_fp FROM r{iterations} ORDER BY id
     """

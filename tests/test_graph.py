@@ -1618,3 +1618,49 @@ def test_skipgram_pairs_window_and_counts(spark):
     assert (1, 4) not in got
     # symmetric directions both present
     assert got[(1, 2)] == got[(2, 1)] == 2
+
+
+def test_personalized_pagerank_mass_concentrates_near_seeds(spark):
+    """Rooted PageRank: vertices near the seeds outrank distant ones,
+    disconnected vertices settle at exactly 0, and the integer output
+    matches a Python mirror of the same truncating arithmetic."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # a path 1-2-3-4-5 plus a disconnected pair 10-11; seed = {1} only
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+
+    def mirror(n_seeds=1, iters=10, d=85, scale=1_000_000):
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        ids = sorted(adj)
+        seeds = ids[:n_seeds]
+        smass = (100 - d) * scale * len(ids) // (100 * n_seeds)
+        rank = {v: scale if v in seeds else 0 for v in ids}
+        for _ in range(iters):
+            s = {v: 0 for v in ids}
+            for v in ids:
+                c = rank[v] // len(adj[v])
+                for u in adj[v]:
+                    s[u] += c
+            rank = {
+                v: (smass if v in seeds else 0) + d * s[v] // 100
+                for v in ids
+            }
+        return rank
+
+    got = {
+        r["id"]: r["rank_fp"]
+        for r in personalized_pagerank(
+            _edges_df(spark, edges), n_seeds=1, iterations=10
+        ).collect()
+    }
+    assert got == mirror()
+    # proximity: the seed's 2-hop neighborhood outranks the far end of
+    # the path (NOT strictly monotone per hop — a degree-1 seed forwards
+    # its whole rank to its only neighbor, so got[2] > got[1] is normal)
+    assert min(got[1], got[2]) > max(got[4], got[5])
+    assert got[10] == got[11] == 0
