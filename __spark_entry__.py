@@ -1728,6 +1728,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["skipgram_pairs_customers"] = _skipgram_pairs_customers
 
+    def _node2vec_walk_corpus_customers(spark, sf):
+        # Second-order biased walks (Grover & Leskovec 2016) on the
+        # DeepWalk engine: the frontier carries prev, transition weights
+        # (return, common-neighbor, far) = (2, 2, 1) — i.e. p=1, q=2,
+        # the mildly BFS-leaning setting — banded into a deg-bounded
+        # cumulative-weight ladder; hash-derandomized like the
+        # first-order corpus.
+        return G.node2vec_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            walk_length=8,
+            walks_per_vertex=2,
+            return_w=2,
+            common_w=2,
+            far_w=1,
+        )
+
+    q["node2vec_walk_corpus_customers"] = _node2vec_walk_corpus_customers
+
     def _personalized_pagerank_customers(spark, sf):
         # Rooted PageRank (Jeh & Widom 2003): teleport mass concentrated
         # on the 4 smallest vertices (the SSSP landmark convention) —
@@ -4672,6 +4690,9 @@ def oracle_sql() -> dict[str, str]:
     d["skipgram_pairs_customers"] = _skipgram_oracle(
         walk_length=8, walks_per_vertex=2, window=2
     )
+    d["node2vec_walk_corpus_customers"] = _node2vec_oracle(
+        walk_length=8, walks_per_vertex=2, return_w=2, common_w=2, far_w=1
+    )
     d["personalized_pagerank_customers"] = _ppr_oracle(
         n_seeds=4, iterations=10
     )
@@ -4842,6 +4863,27 @@ def _matching_oracle(rounds: int) -> str:
     """
 
 
+def _walk_head_ctes(walks_per_vertex: int) -> str:
+    """Shared HEAD of every walk-corpus oracle (first- and second-order):
+    the graph preamble, the (src, dst)-ordered ROW_NUMBER neighbor
+    ranking ``rk``, and the per-vertex walk fan-out ``f0``."""
+    return f"""
+        WITH {_GRAPH_PREAMBLE},
+        rk AS MATERIALIZED (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                       AS rk,
+                   COUNT(*) OVER (PARTITION BY src) AS deg
+            FROM sym
+        ),
+        f0 AS MATERIALIZED (
+            SELECT CAST(w.w AS INTEGER) AS walk_id, v.v AS start_id,
+                   v.v AS vertex
+            FROM (SELECT DISTINCT src AS v FROM sym) v,
+                 UNNEST(range(0, {walks_per_vertex})) AS w(w)
+        )"""
+
+
 def _walk_ctes(walk_length: int, walks_per_vertex: int) -> str:
     """Shared CTE chain for the deterministic random-walk corpus: the same
     (src, dst)-ordered ROW_NUMBER neighbor ranking and the same
@@ -4862,22 +4904,93 @@ def _walk_ctes(walk_length: int, walks_per_vertex: int) -> str:
         f"SELECT walk_id, start_id, {s} AS step, vertex FROM f{s}"
         for s in range(0, walk_length + 1)
     )
-    return f"""
-        WITH {_GRAPH_PREAMBLE},
-        rk AS MATERIALIZED (
-            SELECT src, dst,
-                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
-                       AS rk,
-                   COUNT(*) OVER (PARTITION BY src) AS deg
-            FROM sym
-        ),
-        f0 AS MATERIALIZED (
-            SELECT CAST(w.w AS INTEGER) AS walk_id, v.v AS start_id,
-                   v.v AS vertex
-            FROM (SELECT DISTINCT src AS v FROM sym) v,
-                 UNNEST(range(0, {walks_per_vertex})) AS w(w)
-        ),{",".join(steps)},
+    return f"""{_walk_head_ctes(walks_per_vertex)},{",".join(steps)},
         corpus AS (SELECT * FROM ({sel}))"""
+
+
+def _node2vec_ctes(
+    walk_length: int,
+    walks_per_vertex: int,
+    return_w: int,
+    common_w: int,
+    far_w: int,
+) -> str:
+    """Second-order (node2vec) walk CTE chain on the shared walk head:
+    step 1 is the first-order uniform pick; step s >= 2 weights each
+    candidate (return_w / common_w / far_w by its relation to ``prev``),
+    builds the dst-ascending cumulative-weight ladder with a running-SUM
+    window, and indexes it with the ``md5("prev:v:w:s") mod W`` pick —
+    the exact arithmetic of ``graph.node2vec_walk_corpus``."""
+    h1 = (
+        "CAST('0x' || substr(md5(CAST(f.vertex AS VARCHAR) || ':' "
+        "|| CAST(f.walk_id AS VARCHAR) || ':1'), 1, 15) AS BIGINT)"
+    )
+    steps = [f"""
+        f1 AS MATERIALIZED (
+            SELECT f.walk_id, f.start_id, f.vertex AS prev,
+                   r.dst AS vertex
+            FROM f0 f JOIN rk r ON r.src = f.vertex
+            WHERE r.rk = {h1} % r.deg
+        )"""]
+    for s in range(2, walk_length + 1):
+        hs = (
+            "CAST('0x' || substr(md5(CAST(prev AS VARCHAR) || ':' "
+            "|| CAST(vertex AS VARCHAR) || ':' "
+            f"|| CAST(walk_id AS VARCHAR) || ':{s}'), 1, 15) AS BIGINT)"
+        )
+        steps.append(f"""
+        c{s} AS (
+            SELECT f.walk_id, f.start_id, f.prev, f.vertex, r.dst,
+                   CAST(CASE WHEN r.dst = f.prev THEN {return_w}
+                        WHEN EXISTS (SELECT 1 FROM sym n
+                                     WHERE n.src = f.prev
+                                       AND n.dst = r.dst)
+                             THEN {common_w}
+                        ELSE {far_w} END AS BIGINT) AS wgt
+            FROM f{s - 1} f JOIN rk r ON r.src = f.vertex
+        ),
+        g{s} AS (
+            SELECT *, SUM(wgt) OVER (
+                       PARTITION BY walk_id, start_id ORDER BY dst
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   SUM(wgt) OVER (PARTITION BY walk_id, start_id) AS tot
+            FROM c{s}
+        ),
+        f{s} AS MATERIALIZED (
+            SELECT walk_id, start_id, vertex AS prev, dst AS vertex
+            FROM g{s}
+            WHERE tot > 0 AND wgt > 0
+              AND {hs} % tot >= cum - wgt
+              AND {hs} % tot < cum
+        )""")
+    sel = " UNION ALL ".join(
+        ["SELECT walk_id, start_id, 0 AS step, vertex FROM f0"]
+        + [
+            f"SELECT walk_id, start_id, {s} AS step, vertex FROM f{s}"
+            for s in range(1, walk_length + 1)
+        ]
+    )
+    return f"""{_walk_head_ctes(walks_per_vertex)},{",".join(steps)},
+        corpus AS (SELECT * FROM ({sel}))"""
+
+
+def _node2vec_oracle(
+    walk_length: int,
+    walks_per_vertex: int,
+    return_w: int,
+    common_w: int,
+    far_w: int,
+) -> str:
+    return f"""{_node2vec_ctes(
+        walk_length, walks_per_vertex, return_w, common_w, far_w
+    )}
+        SELECT CAST(walk_id AS INTEGER) AS walk_id,
+               CAST(start_id AS BIGINT) AS start_id,
+               CAST(step AS INTEGER) AS step,
+               CAST(vertex AS BIGINT) AS vertex
+        FROM corpus ORDER BY start_id, walk_id, step
+    """
 
 
 def _random_walk_oracle(walk_length: int, walks_per_vertex: int) -> str:
@@ -5809,11 +5922,16 @@ def _bm25_ctes(terms: tuple[str, ...], docs: str, idf_docs: str) -> str:
                    CAST(SUM(dl) AS BIGINT) AS s_tokens
             FROM idl
         ),
+        qterms AS (SELECT UNNEST([{tlist}]) AS token),
         idf_base AS (
-            SELECT token, df, n_docs FROM (
+            -- LEFT join so a query term the indexed corpus never saw
+            -- keeps Okapi's +1-smoothed df=0 idf (mirrors
+            -- text.build_bm25_index)
+            SELECT q.token, CAST(COALESCE(c.df, 0) AS BIGINT) AS df, n_docs
+            FROM qterms q LEFT JOIN (
                 SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
                 FROM itoks WHERE token IN ({tlist}) GROUP BY 1
-            ), stats
+            ) c USING (token), stats
         ),
         {_duck_ilog2_chain(
             "idf_base",
@@ -6425,8 +6543,10 @@ def _ppr_oracle(
             FROM deg
         ),
         smass AS (
+            -- seed count clamped to |V|, mirroring the engine's clamp
             SELECT CAST((100 - {damping_pct}) * {scale} * COUNT(*)
-                        // (100 * {n_seeds}) AS BIGINT) AS m
+                        // (100 * LEAST({n_seeds}, COUNT(*)))
+                        AS BIGINT) AS m
             FROM deg
         ),
         r0 AS (

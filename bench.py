@@ -258,14 +258,19 @@ def main() -> None:
     round_tag = os.environ.get("SPARK_GRAFT_ROUND")
     if not round_tag:
         # Infer: this run produces the round AFTER the latest committed
-        # BENCH_r{N}.json snapshot.
+        # CORRECTNESS artifact. The driver commits CORRECTNESS_r{N}.json /
+        # CORRECTNESS_FULL_r{N}.json every round, whereas BENCH_r{N}.json
+        # snapshots can skip a round — inferring from BENCH landed the
+        # round-8 artifact stamped "7" (r8 verdict item 2).
         import glob
         import re
 
         ns = [
             int(m.group(1))
-            for p in glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))
-            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+            for p in glob.glob(
+                os.path.join(REPO_DIR, "CORRECTNESS*_r*.json")
+            )
+            if (m := re.search(r"_r(\d+)\.json$", p))
         ]
         round_tag = str(max(ns) + 1) if ns else None
     if round_tag:

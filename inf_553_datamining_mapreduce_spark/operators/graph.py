@@ -2799,6 +2799,8 @@ def hits_scores(
     int64-safe while max-degree * scale^2 < 2^63 (degree <= 2^35 at
     scale 2^14) — value-bounded at any corpus size.
     """
+    if iters < 1:
+        raise ValueError(f"hits_scores needs iters >= 1, got {iters}")
     e = edges.select("src", "dst").distinct().localCheckpoint()
     hub = (
         e.select("src")
@@ -2842,7 +2844,10 @@ def hits_scores(
 
 
 def random_walk_corpus(
-    edges: DataFrame, walk_length: int = 8, walks_per_vertex: int = 2
+    edges: DataFrame,
+    walk_length: int = 8,
+    walks_per_vertex: int = 2,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """``(walk_id, start_id, step, vertex)`` — a DeepWalk-style random-walk
     corpus (Perozzi et al. 2014: walks are the "sentences" a skip-gram
@@ -2861,6 +2866,20 @@ def random_walk_corpus(
     corpus bit for bit. Isolated vertices produce length-1 walks (the
     start vertex only); walks never terminate early otherwise.
 
+    CELEBRITY-VERTEX BOUND: the per-``src`` ROW_NUMBER sort concentrates
+    one task per vertex, so the largest single task is O(max-degree log
+    max-degree) — acceptable for the registered co-occurrence graphs
+    (max degree ≲ 10^3), but a power-law graph with a degree-10^8 hub at
+    100 TB needs the ``max_degree`` lever: a deterministic hash-threshold
+    neighbor sample (keep edge iff ``md5-60bit("src:dst") mod 2^30 <
+    (2^30 * max_degree) div deg``, always keeping the min-hash neighbor
+    so no vertex goes dark) that bounds the EXPECTED surviving degree by
+    ``max_degree`` with binomial concentration — no window, no sort, one
+    groupBy-count + one groupBy-min, so the cut itself has no skewed
+    task. Lossy by design (walks explore a sampled neighborhood),
+    mirroring the ``max_band_df`` convention of the dedup family;
+    ``None`` (default, and the registered queries) is exact.
+
     At 100 TB this is the standard embedding-corpus generator: state per
     step is (n_walks) rows, edges are reused from one checkpoint, and
     the hash choice means no RNG state needs coordinating across
@@ -2874,6 +2893,39 @@ def random_walk_corpus(
         .distinct()
         .localCheckpoint()
     )
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError(f"max_degree must be >= 1, got {max_degree}")
+        hcut = 1 << 30
+        hashed = sym.select(
+            "src",
+            "dst",
+            F.pmod(
+                _pri60(
+                    F.concat_ws(
+                        ":",
+                        F.col("src").cast("string"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                F.lit(hcut),
+            ).alias("h_cut"),
+        )
+        deg0 = hashed.groupBy("src").agg(
+            F.count(F.lit(1)).alias("deg0"), F.min("h_cut").alias("h_keep")
+        )
+        sym = (
+            hashed.join(deg0, "src")
+            .filter(
+                (
+                    F.col("h_cut")
+                    < F.expr(f"({hcut} * {max_degree}L) div deg0")
+                )
+                | (F.col("h_cut") == F.col("h_keep"))
+            )
+            .select("src", "dst")
+            .localCheckpoint()
+        )
     w_rank = Window.partitionBy("src").orderBy("dst")
     ranked = (
         sym.select(
@@ -2912,6 +2964,180 @@ def random_walk_corpus(
             frontier.join(ranked, frontier.vertex == ranked.src)
             .filter(F.col("rk") == pick)
             .select("walk_id", "start_id", F.col("dst").alias("vertex"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            frontier.select(
+                "walk_id",
+                "start_id",
+                F.lit(s).cast("int").alias("step"),
+                "vertex",
+            )
+        )
+    return out.orderBy("start_id", "walk_id", "step")
+
+
+def node2vec_walk_corpus(
+    edges: DataFrame,
+    walk_length: int = 8,
+    walks_per_vertex: int = 2,
+    return_w: int = 2,
+    common_w: int = 2,
+    far_w: int = 1,
+) -> DataFrame:
+    """``(walk_id, start_id, step, vertex)`` — node2vec SECOND-ORDER
+    biased walks (Grover & Leskovec 2016) on the :func:`random_walk_corpus`
+    engine: the frontier carries ``prev`` (the vertex it came from), and
+    step ``s >= 2`` picks the next neighbor x of v with integer weight
+
+    * ``return_w``  if ``x == prev``            (node2vec 1/p, scaled pq)
+    * ``common_w``  if ``x`` is a neighbor of ``prev`` (node2vec 1, scaled)
+    * ``far_w``     otherwise                   (node2vec 1/q, scaled pq)
+
+    i.e. for rational p, q the paper's (1/p, 1, 1/q) cleared of fractions
+    is ``(q, pq, p)`` — the default (2, 2, 1) is p=1, q=2, the mildly
+    BFS-leaning setting. Degeneracies the tests pin: ``(1, 0, 0)``
+    oscillates prev<->v (pure backtrack, the p->0 limit), ``(0, 0, 1)``
+    never revisits ``prev`` or its neighborhood (the q->0 DFS limit).
+
+    DE-RANDOMIZED like the first-order engine: the pick is
+    ``md5-60bit("prev:v:w:s") mod W(v, prev)`` indexed into the
+    dst-ascending cumulative-weight ladder (a running SUM window bounded
+    by deg(v) rows per walk — the DeepWalk celebrity bound applies, and
+    the same chained-CTE oracle reproduces every hop bit for bit). Step
+    1 is the first-order uniform pick (the paper's convention). A walk
+    ends early only if every candidate's weight is 0 (possible only when
+    ``return_w = 0``; ``prev`` is always a candidate on an undirected
+    graph).
+
+    Shape at 100 TB: per step one frontier ⋈ edges join, one
+    (prev, dst)-keyed edges join for the common-neighbor flag, and one
+    walk-keyed running-sum window over deg(v)-bounded partitions — all
+    edge-sized, no driver state, no RNG coordination.
+    """
+    if min(return_w, common_w, far_w) < 0 or max(
+        return_w, common_w, far_w
+    ) == 0:
+        raise ValueError(
+            "node2vec weights must be non-negative and not all zero"
+        )
+    base = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = (
+        base.unionAll(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    w_rank = Window.partitionBy("src").orderBy("dst")
+    ranked = sym.select(
+        "src",
+        "dst",
+        (F.row_number().over(w_rank) - 1).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+    ).localCheckpoint()
+    starts = sym.select(F.col("src").alias("start_id")).distinct()
+    frontier0 = starts.select(
+        "start_id",
+        F.explode(
+            F.array(*[F.lit(w) for w in range(walks_per_vertex)])
+        ).alias("walk_id"),
+    ).select("walk_id", "start_id", F.col("start_id").alias("vertex"))
+    out = frontier0.select(
+        "walk_id", "start_id", F.lit(0).cast("int").alias("step"), "vertex"
+    ).localCheckpoint()
+    # step 1: first-order uniform (no prev yet), the DeepWalk rule
+    pick1 = F.pmod(
+        _pri60(
+            F.concat_ws(
+                ":",
+                F.col("vertex").cast("string"),
+                F.col("walk_id").cast("string"),
+                F.lit(1),
+            )
+        ),
+        F.col("deg"),
+    )
+    frontier = (
+        frontier0.join(ranked, frontier0.vertex == ranked.src)
+        .filter(F.col("rk") == pick1)
+        .select(
+            "walk_id",
+            "start_id",
+            F.col("src").alias("prev"),
+            F.col("dst").alias("vertex"),
+        )
+        .localCheckpoint()
+    )
+    out = out.unionByName(
+        frontier.select(
+            "walk_id", "start_id", F.lit(1).cast("int").alias("step"), "vertex"
+        )
+    )
+    nbr = sym.select(
+        F.col("src").alias("nb_prev"),
+        F.col("dst").alias("nb_cand"),
+        F.lit(1).alias("is_nbr"),
+    )
+    w_cum = (
+        Window.partitionBy("walk_id", "start_id")
+        .orderBy("dst")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("walk_id", "start_id")
+    for s in range(2, walk_length + 1):
+        cand = (
+            frontier.join(ranked, frontier.vertex == ranked.src)
+            .select("walk_id", "start_id", "prev", "vertex", "dst")
+            .join(
+                nbr,
+                (F.col("prev") == F.col("nb_prev"))
+                & (F.col("dst") == F.col("nb_cand")),
+                "left",
+            )
+            .select(
+                "walk_id",
+                "start_id",
+                "prev",
+                "vertex",
+                "dst",
+                F.when(F.col("dst") == F.col("prev"), F.lit(return_w))
+                .when(F.col("is_nbr").isNotNull(), F.lit(common_w))
+                .otherwise(F.lit(far_w))
+                .cast("long")
+                .alias("wgt"),
+            )
+        )
+        pick = F.pmod(
+            _pri60(
+                F.concat_ws(
+                    ":",
+                    F.col("prev").cast("string"),
+                    F.col("vertex").cast("string"),
+                    F.col("walk_id").cast("string"),
+                    F.lit(s),
+                )
+            ),
+            F.col("tot"),
+        )
+        frontier = (
+            cand.select(
+                "*",
+                F.sum("wgt").over(w_cum).alias("cum"),
+                F.sum("wgt").over(w_tot).alias("tot"),
+            )
+            .filter(
+                (F.col("tot") > 0)
+                & (F.col("wgt") > 0)
+                & (pick >= F.col("cum") - F.col("wgt"))
+                & (pick < F.col("cum"))
+            )
+            .select(
+                "walk_id",
+                "start_id",
+                F.col("vertex").alias("prev"),
+                F.col("dst").alias("vertex"),
+            )
             .localCheckpoint()
         )
         out = out.unionByName(
@@ -2997,7 +3223,18 @@ def personalized_pagerank(
         .select(F.col("src").alias("id"), "out_deg")
         .localCheckpoint()
     )
+    if n_seeds < 1:
+        raise ValueError(
+            f"personalized_pagerank needs n_seeds >= 1, got {n_seeds}"
+        )
     n_vertices = deg.count()
+    if n_vertices == 0:
+        return deg.select("id", F.lit(0).cast("long").alias("rank_fp"))
+    # Clamp to the vertices that exist: limit(n_seeds) on a smaller graph
+    # returns fewer seeds, and dividing by the REQUESTED count would
+    # shrink total teleport mass below the documented
+    # |V|*(100-d)*scale/100 invariant (ADVICE r8).
+    n_seeds = min(n_seeds, n_vertices)
     seeds = deg.select("id").orderBy("id").limit(n_seeds)
     ed = (
         sym.join(deg, sym.src == deg.id)

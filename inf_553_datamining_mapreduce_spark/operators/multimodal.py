@@ -1315,9 +1315,17 @@ def index_audio_near_duplicates(
     """Ingestion-time audio near-dup probe — the stream-static twin of
     ``audio_near_duplicates`` (the ``index_phash_near_duplicates``
     composition): hash incoming clips, band, bucket-join the static
-    index, verify by popcount; pair emission pinned to the FIRST
-    colliding band so no stateful distinct is needed. ``(asset_id,
-    index_asset_id, hamming)``."""
+    index, verify by popcount. Pair emission dedups by keeping the
+    MINIMUM band actually present in the joined rows — NOT the first
+    colliding band of the raw fingerprints (the pHash probe's
+    convention): ``build_afp_index`` cuts hot buckets from the index
+    side, so a pair's first-colliding band may be absent from
+    ``band_tbl`` while a cooler band survives; a raw-fingerprint
+    first-band filter would then silently drop the pair, diverging from
+    the batch twin's ``distinct``. The group-by is per micro-batch
+    (foreachBatch probes), candidate-sized, and exact: ``afp`` /
+    ``index_afp`` are functionally determined by their ids, so
+    ``min`` reproduces them. ``(asset_id, index_asset_id, hamming)``."""
     sig = media_audio_fingerprints(new_assets)
     banded = sig.select("asset_id", "afp", _afp_bands_expr().alias("bb")).select(
         "asset_id",
@@ -1328,13 +1336,12 @@ def index_audio_near_duplicates(
     cand = banded.join(band_tbl, ["band", "chunk"]).join(
         index_sig, "index_asset_id"
     )
-    first_band = F.expr(
-        "filter(sequence(0, 8), b -> "
-        "(shiftright(afp, b * 7) & 127) = "
-        "(shiftright(index_afp, b * 7) & 127))[0]"
-    )
     return (
-        cand.filter(F.col("band") == first_band)
+        cand.groupBy("asset_id", "index_asset_id")
+        .agg(
+            F.min("afp").alias("afp"),
+            F.min("index_afp").alias("index_afp"),
+        )
         .withColumn(
             "hamming",
             F.bit_count(

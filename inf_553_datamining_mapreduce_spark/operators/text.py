@@ -2030,7 +2030,13 @@ def build_bm25_index(
     """FROZEN BM25 statistics over the indexed corpus — the static side
     of the ingestion-time scorer: the 1-row (n_docs, s_tokens) scalar and
     the per-term idf table, both localCheckpoint'd so micro-batch scoring
-    never re-scans the corpus (the ``build_lm_model`` convention)."""
+    never re-scans the corpus (the ``build_lm_model`` convention).
+
+    The idf table carries EVERY query term, including ones the indexed
+    corpus never saw: Okapi's +1-smoothed idf assigns df=0 the positive
+    weight ``ilog2_q6(2N+2) - ilog2_q6(1) = ilog2_q6(2N+2)``, so an
+    unseen term still contributes at score time instead of being
+    silently inner-joined away (ADVICE r8)."""
     terms = [str(t) for t in query_terms]
     toks = indexed_docs.select(
         "doc_id", F.explode(tokens_col("text")).alias("token")
@@ -2040,10 +2046,20 @@ def build_bm25_index(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("s_tokens"),
     )
-    idf = (
+    term_rows = indexed_docs.sparkSession.createDataFrame(
+        [(t,) for t in terms], "token string"
+    )
+    seen_df = (
         toks.filter(F.col("token").isin(terms))
         .groupBy("token")
         .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    )
+    idf = (
+        term_rows.join(seen_df, "token", "left")
+        .select(
+            "token",
+            F.coalesce(F.col("df"), F.lit(0).cast("long")).alias("df"),
+        )
         .crossJoin(F.broadcast(stats.select("n_docs")))
         .select(
             "token",

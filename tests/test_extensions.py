@@ -4089,3 +4089,81 @@ def test_audio_near_duplicates_banding_and_index_probe(spark):
         ).collect()
     }
     assert probes == {(2, 1): 0}
+
+
+def test_index_audio_probe_survives_hot_band_cut(spark):
+    """The frozen-index probe must emit a pair even when the hot-bucket
+    cut removed the pair's FIRST colliding band from the index (ADVICE
+    r8): a raw-fingerprint first-band filter drops it silently; the
+    cut-aware min-band dedup keeps it via the surviving cooler band —
+    and emits it exactly once."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        audio_fingerprint64,
+        index_audio_near_duplicates,
+    )
+
+    rng = random.Random(7)
+    payload = _wav_bytes([rng.randint(-12000, 12000) for _ in range(1024)])
+    fa = audio_fingerprint64(payload)
+    # Index bands of an IDENTICAL clip (id 100) with band 0 — the pair's
+    # first colliding band — cut, as max_band_df would on a hot bucket.
+    band_tbl = spark.createDataFrame(
+        [(100, b, (fa >> (7 * b)) & 0x7F) for b in range(1, 9)],
+        "index_asset_id long, band int, chunk long",
+    )
+    index_sig = spark.createDataFrame(
+        [(100, fa)], "index_asset_id long, index_afp long"
+    )
+    rows = index_audio_near_duplicates(
+        spark.createDataFrame(
+            [(1, bytearray(payload))], "asset_id long, payload binary"
+        ),
+        band_tbl,
+        index_sig,
+        max_hamming=8,
+    ).collect()
+    assert [(r["asset_id"], r["index_asset_id"], r["hamming"]) for r in rows] \
+        == [(1, 100, 0)]
+
+
+def test_incremental_bm25_unseen_query_term_gets_smoothed_idf(spark):
+    """A query term ABSENT from the indexed corpus still scores incoming
+    documents with Okapi's +1-smoothed df=0 idf ilog2_q6(2N+2) and is
+    counted in terms_hit (ADVICE r8) — bit-exact vs the Python mirror."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        build_bm25_index,
+        incremental_bm25_scoring,
+    )
+
+    filler = "alpha beta gamma delta"
+    indexed_texts = [f"common word{i} {filler}" for i in range(1, 6)]
+    indexed = spark.createDataFrame(
+        [(2 * i, t, "src") for i, t in enumerate(indexed_texts, start=1)],
+        "doc_id long, text string, source string",
+    )
+    incoming_text = "needle common " + filler
+    incoming = spark.createDataFrame(
+        [(1, incoming_text, "src")],
+        "doc_id long, text string, source string",
+    )
+    index = build_bm25_index(indexed, ("needle", "common"))
+    got = {
+        r["doc_id"]: (r["terms_hit"], r["score_q12"])
+        for r in incremental_bm25_scoring(
+            incoming, index, ("needle", "common")
+        ).collect()
+    }
+    n = len(indexed_texts)
+    s = sum(len(t.split(" ")) for t in indexed_texts)
+    dl = len(incoming_text.split(" "))
+
+    def contrib(df: int, tf: int) -> int:
+        idf = _ilog2_q6_py(2 * n + 2) - _ilog2_q6_py(2 * df + 1)
+        return idf * (
+            (2816 * s * tf) // (20 * s * tf + 6 * s + 18 * dl * n)
+        )
+
+    # "needle" never appears in the index: df=0, idf = ilog2_q6(2N+2) > 0
+    assert got == {1: (2, contrib(0, 1) + contrib(5, 1))}

@@ -1664,3 +1664,159 @@ def test_personalized_pagerank_mass_concentrates_near_seeds(spark):
     # its whole rank to its only neighbor, so got[2] > got[1] is normal)
     assert min(got[1], got[2]) > max(got[4], got[5])
     assert got[10] == got[11] == 0
+
+
+def test_hits_rejects_zero_iterations(spark):
+    """iters=0 is a contract violation (auth never materializes), not an
+    AttributeError crash (ADVICE r8)."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import hits_scores
+
+    with pytest.raises(ValueError, match="iters"):
+        hits_scores(_edges_df(spark, [(1, 2)]), iters=0)
+
+
+def test_personalized_pagerank_clamps_seed_count(spark):
+    """Requesting more seeds than the graph has vertices clamps the
+    teleport split to the ACTUAL seed count, preserving the documented
+    |V|*(100-d)*scale/100 total-mass invariant (ADVICE r8); n_seeds=0
+    raises instead of ZeroDivisionError."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = [(1, 2), (2, 3)]
+    base = {
+        r["id"]: r["rank_fp"]
+        for r in personalized_pagerank(
+            _edges_df(spark, edges), n_seeds=3, iterations=5
+        ).collect()
+    }
+    clamped = {
+        r["id"]: r["rank_fp"]
+        for r in personalized_pagerank(
+            _edges_df(spark, edges), n_seeds=50, iterations=5
+        ).collect()
+    }
+    assert clamped == base
+    with pytest.raises(ValueError, match="n_seeds"):
+        personalized_pagerank(_edges_df(spark, edges), n_seeds=0)
+
+
+def test_random_walk_max_degree_lever_bounds_hub_fanout(spark):
+    """The celebrity-vertex lever: on a planted star (hub 0, 400 leaves)
+    ``max_degree=16`` bounds the hub's surviving neighbor set near the
+    cap (binomial around 16, never the full 400), keeps every vertex
+    reachable (min-hash neighbor always survives), stays deterministic,
+    and leaves small-degree graphs untouched (exact = unlevered)."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        random_walk_corpus,
+    )
+
+    star = [(0, i) for i in range(1, 401)]
+    walks = random_walk_corpus(
+        _edges_df(spark, star), walk_length=4, walks_per_vertex=1,
+        max_degree=16,
+    )
+    rows = walks.collect()
+    # hub steps only visit the sampled neighbor set: collect the distinct
+    # vertices reached from the hub's own walk plus leaf walks bouncing
+    # through the hub — bounded well under the full 400 fan-out
+    hub_walk = sorted(
+        (r["step"], r["vertex"]) for r in rows if r["start_id"] == 0
+    )
+    assert hub_walk[0] == (0, 0) and len(hub_walk) == 5  # full length
+    reached_from_hub = {
+        r["vertex"]
+        for r in rows
+        if r["step"] == 1 and r["start_id"] == 0
+    }
+    assert reached_from_hub and len(reached_from_hub) <= 64
+    # every leaf's step-1 hop lands on the hub (its only neighbor — the
+    # min-hash guarantee keeps leaf->hub edges alive in both directions)
+    leaf_step1 = {r["vertex"] for r in rows if r["step"] == 1 and r["start_id"] != 0}
+    assert leaf_step1 == {0}
+    # deterministic: a second invocation is bit-identical
+    again = random_walk_corpus(
+        _edges_df(spark, star), walk_length=4, walks_per_vertex=1,
+        max_degree=16,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # a graph under the cap is EXACT: lever output == unlevered output
+    small = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    exact = random_walk_corpus(
+        _edges_df(spark, small), walk_length=5, walks_per_vertex=2
+    ).collect()
+    levered = random_walk_corpus(
+        _edges_df(spark, small), walk_length=5, walks_per_vertex=2,
+        max_degree=16,
+    ).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, levered))
+
+
+def test_node2vec_degenerate_weights_pin_bfs_and_dfs_limits(spark):
+    """The verdict-prescribed degeneracy pins: weights (1, 0, 0) — the
+    p->0 limit — oscillate prev<->current (pure backtrack, BFS-like
+    locality); weights (0, 0, 1) — the q->0 limit — never revisit prev
+    or its neighborhood, marching monotonically down a path (DFS-like);
+    and steps 0-1 agree with the first-order engine (uniform first
+    hop)."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        node2vec_walk_corpus,
+        random_walk_corpus,
+    )
+
+    path = [(i, i + 1) for i in range(1, 8)]  # 1-2-3-4-5-6-7-8
+
+    # p->0: always return. From any start the walk alternates between
+    # its first two vertices.
+    back = node2vec_walk_corpus(
+        _edges_df(spark, path), walk_length=6, walks_per_vertex=1,
+        return_w=1, common_w=0, far_w=0,
+    ).collect()
+    by_start: dict = {}
+    for r in back:
+        by_start.setdefault(r["start_id"], []).append((r["step"], r["vertex"]))
+    for start, seq in by_start.items():
+        seq = [v for _, v in sorted(seq)]
+        assert len(seq) == 7
+        assert seq[0] == start
+        assert all(v == seq[s % 2] for s, v in enumerate(seq))
+
+    # q->0: never backtrack into prev's closed neighborhood. On a path
+    # the only non-returning candidate is the next vertex over, so the
+    # walk is strictly monotone until it hits an endpoint and dies
+    # (tot = 0: return_w is 0).
+    dfs = node2vec_walk_corpus(
+        _edges_df(spark, path), walk_length=10, walks_per_vertex=1,
+        return_w=0, common_w=0, far_w=1,
+    ).collect()
+    seqs: dict = {}
+    for r in dfs:
+        seqs.setdefault(r["start_id"], []).append((r["step"], r["vertex"]))
+    for start, seq in seqs.items():
+        seq = [v for _, v in sorted(seq)]
+        diffs = {b - a for a, b in zip(seq[1:], seq[2:])}
+        # after the uniform first hop the march is monotone
+        assert diffs <= {1} or diffs <= {-1}
+        # and it dies exactly at the endpoint, never wrapping back
+        assert seq[-1] in (1, 8)
+
+    # steps 0-1 match the first-order engine bit for bit
+    ring = [(i, (i % 6) + 1) for i in range(1, 7)]
+    n2v = {
+        (r["walk_id"], r["start_id"], r["step"], r["vertex"])
+        for r in node2vec_walk_corpus(
+            _edges_df(spark, ring), walk_length=1, walks_per_vertex=2
+        ).collect()
+    }
+    first = {
+        (r["walk_id"], r["start_id"], r["step"], r["vertex"])
+        for r in random_walk_corpus(
+            _edges_df(spark, ring), walk_length=1, walks_per_vertex=2
+        ).collect()
+    }
+    assert n2v == first
+
+    with pytest.raises(ValueError, match="weights"):
+        node2vec_walk_corpus(_edges_df(spark, path), return_w=0,
+                             common_w=0, far_w=0)
