@@ -1746,6 +1746,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["node2vec_walk_corpus_customers"] = _node2vec_walk_corpus_customers
 
+    def _sgns_embeddings_customers(spark, sf):
+        # The walks -> pairs -> embeddings leg: one synchronous epoch of
+        # fixed-point skip-gram negative sampling (Mikolov et al. 2013)
+        # over the DeepWalk pair counts — hash-seeded init, hard-sigmoid
+        # gradients, md5-rank negative draws, shifted floor-div updates.
+        walks = G.random_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            walk_length=8,
+            walks_per_vertex=2,
+        )
+        return G.sgns_embeddings(
+            G.skipgram_pairs(walks, window=2),
+            dim=8,
+            negatives=2,
+            amp=64,
+            sig_scale=4096,
+            lr_den=16,
+        )
+
+    q["sgns_embeddings_customers"] = _sgns_embeddings_customers
+
     def _personalized_pagerank_customers(spark, sf):
         # Rooted PageRank (Jeh & Widom 2003): teleport mass concentrated
         # on the 4 smallest vertices (the SSSP landmark convention) —
@@ -4693,6 +4714,10 @@ def oracle_sql() -> dict[str, str]:
     d["node2vec_walk_corpus_customers"] = _node2vec_oracle(
         walk_length=8, walks_per_vertex=2, return_w=2, common_w=2, far_w=1
     )
+    d["sgns_embeddings_customers"] = _sgns_oracle(
+        walk_length=8, walks_per_vertex=2, window=2,
+        dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16,
+    )
     d["personalized_pagerank_customers"] = _ppr_oracle(
         n_seeds=4, iterations=10
     )
@@ -4973,6 +4998,122 @@ def _node2vec_ctes(
     )
     return f"""{_walk_head_ctes(walks_per_vertex)},{",".join(steps)},
         corpus AS (SELECT * FROM ({sel}))"""
+
+
+def _sgns_oracle(
+    walk_length: int,
+    walks_per_vertex: int,
+    window: int,
+    dim: int,
+    negatives: int,
+    amp: int,
+    sig_scale: int,
+    lr_den: int,
+) -> str:
+    """Chained-CTE oracle for the fixed-point SGNS epoch: the shared walk
+    CTEs -> the skipgram pair counts -> hash-seeded init embeddings ->
+    hard-sigmoid gradients (positives + md5-rank negative draws, draw
+    identity (c, x_pos, j) preserved so coinciding draws keep their
+    multiplicity) -> one synchronous shifted-floor-div update per side.
+    Mirrors ``graph.sgns_embeddings`` operation for operation."""
+    sc_, a_ = sig_scale, amp
+    z0 = dim * a_ * a_
+    c_shift = 1 << 32
+
+    def sdiv(x: str, den: int) -> str:
+        return f"((({x}) + {den} * {c_shift}) // {den} - {c_shift})"
+
+    def h60(s: str) -> str:
+        return f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+    sig = (
+        f"LEAST({sc_}, GREATEST(0, ((z + {2 * z0}) * {sc_}) // {4 * z0}))"
+    )
+    return f"""{_walk_ctes(walk_length, walks_per_vertex)},
+        pairs AS MATERIALIZED (
+            SELECT a.vertex AS c, b.vertex AS x,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM corpus a JOIN corpus b
+              ON a.walk_id = b.walk_id AND a.start_id = b.start_id
+             AND a.step <> b.step AND ABS(a.step - b.step) <= {window}
+            GROUP BY 1, 2
+        ),
+        vocab AS MATERIALIZED (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rnk
+            FROM (SELECT c AS v FROM pairs UNION SELECT x FROM pairs)
+        ),
+        vn AS (SELECT COUNT(*) AS nv FROM vocab),
+        emb0 AS MATERIALIZED (
+            SELECT v, CAST(dd.d AS INTEGER) AS d,
+                   CAST({h60("CAST(v AS VARCHAR) || ':i:' || CAST(dd.d AS VARCHAR)")}
+                        % {2 * a_ + 1} - {a_} AS BIGINT) AS iv,
+                   CAST({h60("CAST(v AS VARCHAR) || ':o:' || CAST(dd.d AS VARCHAR)")}
+                        % {2 * a_ + 1} - {a_} AS BIGINT) AS ov
+            FROM vocab, UNNEST(range(0, {dim})) AS dd(d)
+        ),
+        pos0 AS (
+            SELECT p.c, p.x, p.n, CAST(SUM(a.iv * b.ov) AS BIGINT) AS z
+            FROM pairs p
+            JOIN emb0 a ON a.v = p.c
+            JOIN emb0 b ON b.v = p.x AND b.d = a.d
+            GROUP BY 1, 2, 3
+        ),
+        pos AS MATERIALIZED (
+            SELECT c, x, n, {sc_} - {sig} AS g, 1 AS sgn FROM pos0
+        ),
+        negdraw AS (
+            SELECT q.c, q.n, q.x_pos, q.j, vo.v AS x
+            FROM (
+                SELECT p.c, p.n, p.x AS x_pos, jj.j,
+                       {h60(
+                           "CAST(p.c AS VARCHAR) || ':' "
+                           "|| CAST(p.x AS VARCHAR) || ':' "
+                           "|| CAST(jj.j AS VARCHAR)"
+                       )} % (SELECT nv FROM vn) AS rnk
+                FROM pairs p, UNNEST(range(1, {negatives + 1})) AS jj(j)
+            ) q JOIN vocab vo ON vo.rnk = q.rnk
+        ),
+        neg0 AS (
+            SELECT nd.c, nd.x, nd.n, nd.x_pos, nd.j,
+                   CAST(SUM(a.iv * b.ov) AS BIGINT) AS z
+            FROM negdraw nd
+            JOIN emb0 a ON a.v = nd.c
+            JOIN emb0 b ON b.v = nd.x AND b.d = a.d
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        neg AS MATERIALIZED (
+            SELECT c, x, n, {sig} AS g, -1 AS sgn FROM neg0
+        ),
+        grads AS (
+            SELECT c, x, n, g, sgn FROM pos
+            UNION ALL SELECT c, x, n, g, sgn FROM neg
+        ),
+        din AS MATERIALIZED (
+            SELECT g.c AS v, o.d,
+                   CAST(SUM(g.sgn * {sdiv("g.n * g.g * o.ov", sc_)})
+                        AS BIGINT) AS dd
+            FROM grads g JOIN emb0 o ON o.v = g.x
+            GROUP BY 1, 2
+        ),
+        dout AS MATERIALIZED (
+            SELECT g.x AS v, i.d,
+                   CAST(SUM(g.sgn * {sdiv("g.n * g.g * i.iv", sc_)})
+                        AS BIGINT) AS dd
+            FROM grads g JOIN emb0 i ON i.v = g.c
+            GROUP BY 1, 2
+        )
+        SELECT kind, CAST(id AS BIGINT) AS id, CAST(d AS INTEGER) AS d,
+               CAST(emb_fp AS BIGINT) AS emb_fp
+        FROM (
+            SELECT 'in' AS kind, e.v AS id, e.d,
+                   e.iv + {sdiv("COALESCE(di.dd, 0)", lr_den)} AS emb_fp
+            FROM emb0 e LEFT JOIN din di ON di.v = e.v AND di.d = e.d
+            UNION ALL
+            SELECT 'out', e.v, e.d,
+                   e.ov + {sdiv("COALESCE(dz.dd, 0)", lr_den)}
+            FROM emb0 e LEFT JOIN dout dz ON dz.v = e.v AND dz.d = e.d
+        ) ORDER BY kind, id, d
+    """
 
 
 def _node2vec_oracle(

@@ -3187,6 +3187,212 @@ def skipgram_pairs(
     )
 
 
+SGNS_SDIV_C = 1 << 32  # positivity shift: floor-div on shifted operands
+
+
+def _sgns_sdiv(x_expr: str, den: int) -> str:
+    """Spark-SQL floor division of a possibly-NEGATIVE BIGINT expression
+    by a positive constant, as truncating division on shifted positive
+    operands: ``floor(x / den) = (x + den*C) div den - C`` whenever
+    ``|x| < den * C``. Positive-operand truncating division is identical
+    in Spark ``div`` and DuckDB ``//``, so the oracle reproduces every
+    update bit for bit — the convention every fixed-point kernel in this
+    module relies on, extended to signed gradients."""
+    return (
+        f"((({x_expr}) + {den}L * {SGNS_SDIV_C}L) div {den}L"
+        f" - {SGNS_SDIV_C}L)"
+    )
+
+
+def sgns_embeddings(
+    pairs: DataFrame,
+    dim: int = 8,
+    negatives: int = 2,
+    amp: int = 64,
+    sig_scale: int = 4096,
+    lr_den: int = 16,
+) -> DataFrame:
+    """``(kind, id, d, emb_fp)`` — ONE synchronous epoch of skip-gram
+    negative sampling (Mikolov et al. 2013) over a ``skipgram_pairs``
+    table, in exact fixed-point integers: the walks → pairs → embeddings
+    leg that closes the DeepWalk/node2vec loop (the vectors a
+    ``semantic_dedup`` or ANN stage consumes).
+
+    Every step is BIGINT-exact so the chained-CTE oracle matches bit for
+    bit:
+
+    * init: ``emb0[v][d] = md5-60bit("v:i:d") mod (2*amp+1) - amp`` (the
+      ``:o:`` salt for the output side) — hash-random in [-amp, amp],
+      no RNG state.
+    * hard sigmoid: ``σ̂(z) = clamp((z + 2*Z0) * S div (4*Z0), 0, S)``
+      with ``Z0 = dim*amp²`` (the dot-product bound, so the clamp never
+      binds on init-scale dots) and ``S = sig_scale`` — the
+      piecewise-linear stand-in that keeps the transcendental sigmoid
+      oracle-able.
+    * per pair (c, x, n): positive gradient ``g⁺ = S - σ̂(in[c]·out[x])``;
+      ``negatives`` draws by the md5-rank convention — negative j is the
+      vocab vertex with rank ``md5-60bit("c:x:j") mod |V|`` under the
+      id-ascending rank — each with ``g⁻ = σ̂(in[c]·out[v'])``.
+    * synchronous update from the INITIAL vectors (one epoch — no
+      sequential dependence, so the whole epoch is two joins + one
+      aggregate per side): ``in'[c] = in[c] + floor(Σ ±n·g·out0[·]/S) /
+      lr_den`` (floor-div via the shifted-positive trick, identical in
+      Spark div and DuckDB //), and symmetrically for ``out``.
+
+    int64 bound: per-term ``n·g·amp ≤ n·2^18`` and the shift constant
+    2^32 require ``n < 2^26`` co-occurrences per pair and per-vector
+    gradient sums < 2^36 — far above any real corpus at the registered
+    walk lengths.
+
+    Scale note: the vocab rank table uses one global ROW_NUMBER — a
+    |V|-row single-partition sort. Fine to ~10^7 vocab; at
+    billion-vertex scale replace with a prefix-sum rank over sorted
+    buckets (a one-time |V| op). Everything else is pairs-sized joins
+    with map-side-combinable aggregates.
+    """
+    if dim < 1 or negatives < 0 or amp < 1 or sig_scale < 4 or lr_den < 1:
+        raise ValueError("sgns_embeddings: invalid hyperparameters")
+    sc_, a_ = sig_scale, amp
+    z0 = dim * a_ * a_
+    p = pairs.select(
+        F.col("center").alias("c"),
+        F.col("context").alias("x"),
+        F.col("n_pairs").cast("long").alias("n"),
+    ).localCheckpoint()
+    vocab = (
+        p.select(F.col("c").alias("v"))
+        .union(p.select(F.col("x").alias("v")))
+        .distinct()
+        .select("v", (F.row_number().over(Window.orderBy("v")) - 1).alias("rnk"))
+        .localCheckpoint()
+    )
+    n_vocab = vocab.count()
+    dims = F.array(*[F.lit(d) for d in range(dim)])
+
+    def _init(salt: str) -> DataFrame:
+        return vocab.select("v", F.explode(dims).alias("d")).select(
+            "v",
+            "d",
+            (
+                F.pmod(
+                    _pri60(
+                        F.concat_ws(
+                            ":",
+                            F.col("v").cast("string"),
+                            F.lit(salt),
+                            F.col("d").cast("string"),
+                        )
+                    ),
+                    F.lit(2 * a_ + 1),
+                )
+                - a_
+            )
+            .cast("long")
+            .alias("e"),
+        )
+
+    in0 = _init("i").localCheckpoint()
+    out0 = _init("o").localCheckpoint()
+    in_c = in0.select(F.col("v").alias("c"), "d", F.col("e").alias("iv"))
+    out_x = out0.select(F.col("v").alias("x"), "d", F.col("e").alias("ov"))
+
+    def _with_sig(df: DataFrame, keys: list[str]) -> DataFrame:
+        # df carries (c, x, n, *keys); keys uniquely identify each draw
+        # so two draws landing on the same vocab vertex stay distinct
+        # rows (multiplicity preserved). Adds the hard-sigmoid of
+        # in0[c]·out0[x].
+        gb = ["c", "x", "n"] + keys
+        return (
+            df.join(in_c, "c")
+            .join(out_x, ["x", "d"])
+            .groupBy(*gb)
+            .agg(F.sum(F.col("iv") * F.col("ov")).alias("z"))
+            .select(
+                *gb,
+                F.expr(
+                    f"least({sc_}L, greatest(0L, "
+                    f"((z + {2 * z0}L) * {sc_}L) div {4 * z0}L))"
+                ).alias("sig"),
+            )
+        )
+
+    pos = _with_sig(p, []).select(
+        "c", "x", "n", (F.lit(sc_) - F.col("sig")).alias("g"),
+        F.lit(1).alias("sgn"),
+    )
+    if negatives > 0:
+        draws = p.select(
+            "c",
+            "n",
+            F.col("x").alias("x_pos"),
+            F.explode(
+                F.array(*[F.lit(j) for j in range(1, negatives + 1)])
+            ).alias("j"),
+        ).withColumn(
+            "rnk",
+            F.pmod(
+                _pri60(
+                    F.concat_ws(
+                        ":",
+                        F.col("c").cast("string"),
+                        F.col("x_pos").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                F.lit(n_vocab),
+            ),
+        )
+        negs = draws.join(vocab, "rnk").select(
+            "c", F.col("v").alias("x"), "n", "x_pos", "j"
+        )
+        neg = _with_sig(negs, ["x_pos", "j"]).select(
+            "c", "x", "n", F.col("sig").alias("g"), F.lit(-1).alias("sgn")
+        )
+        grads = pos.unionByName(neg)
+    else:
+        grads = pos
+    # Δin[c][d] = Σ sgn * floor(n*g*out0[x][d] / S); Δout symmetric
+    d_in = (
+        grads.join(out_x, "x")
+        .groupBy("c", "d")
+        .agg(
+            F.sum(F.expr(f"sgn * {_sgns_sdiv('n * g * ov', sc_)}")).alias(
+                "dd"
+            )
+        )
+        .select(F.col("c").alias("v"), "d", "dd")
+    )
+    d_out = (
+        grads.join(in_c, "c")
+        .groupBy("x", "d")
+        .agg(
+            F.sum(F.expr(f"sgn * {_sgns_sdiv('n * g * iv', sc_)}")).alias(
+                "dd"
+            )
+        )
+        .select(F.col("x").alias("v"), "d", "dd")
+    )
+
+    def _apply(e0: DataFrame, delta: DataFrame, kind: str) -> DataFrame:
+        return (
+            e0.join(delta, ["v", "d"], "left")
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col("v").alias("id"),
+                "d",
+                F.expr(
+                    f"e + {_sgns_sdiv('coalesce(dd, 0L)', lr_den)}"
+                ).alias("emb_fp"),
+            )
+        )
+
+    return (
+        _apply(in0, d_in, "in")
+        .unionByName(_apply(out0, d_out, "out"))
+        .orderBy("kind", "id", "d")
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     n_seeds: int = 4,

@@ -4167,3 +4167,169 @@ def test_incremental_bm25_unseen_query_term_gets_smoothed_idf(spark):
 
     # "needle" never appears in the index: df=0, idf = ilog2_q6(2N+2) > 0
     assert got == {1: (2, contrib(0, 1) + contrib(5, 1))}
+
+
+def test_streaming_incremental_bm25_recovery_resumes_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Kill-and-resume for the frozen-index BM25 scorer: stateless
+    per-document scoring (frozen idf/avgdl), so exactly-once across a
+    restart rests on the file source's checkpointed offsets plus an
+    idempotent per-batch sink (overwrite by batch id — a replayed batch
+    lands on its own path). Run 1 scores half the incoming docs and
+    terminates; run 2 resumes from the SAME checkpoint with the rest
+    staged. The union of landed scores must equal the batch twin exactly
+    once — no doc lost at the kill point, none double-scored."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        build_bm25_index,
+        incremental_bm25_scoring,
+    )
+
+    terms = ("dup", "vector", "spark")
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    index = build_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), terms)
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    golden = {
+        r["doc_id"]: (r["terms_hit"], r["score_q12"])
+        for r in incremental_bm25_scoring(new_docs, index, terms).collect()
+    }
+    assert golden, "expected scored incoming docs"
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    new_docs.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+        str(stream_dir / "a")
+    )
+    out_dir = tmp_path / "scores_out"
+    ckpt = str(tmp_path / "ckpt")
+
+    def score_batch(batch_df, bid):
+        incremental_bm25_scoring(batch_df, index, terms).write.mode(
+            "overwrite"
+        ).parquet(str(out_dir / f"batch={bid}"))
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(new_docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/*")
+            .writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()  # run 1: first half, then "killed"
+    got_half = {
+        r["doc_id"]: (r["terms_hit"], r["score_q12"])
+        for r in spark.read.parquet(str(out_dir / "batch=*")).collect()
+    }
+    want_half = {
+        r["doc_id"]: (r["terms_hit"], r["score_q12"])
+        for r in incremental_bm25_scoring(
+            new_docs.filter(F.col("doc_id") % 4 == 1), index, terms
+        ).collect()
+    }
+    assert got_half == want_half
+
+    new_docs.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+        str(stream_dir / "b")
+    )
+    run_stream()  # resume from the same checkpoint
+    landed = spark.read.parquet(str(out_dir / "batch=*"))
+    got_all = {
+        r["doc_id"]: (r["terms_hit"], r["score_q12"])
+        for r in landed.collect()
+    }
+    assert got_all == golden
+    assert landed.count() == len(golden)  # exactly once, no dupes
+
+
+def test_streaming_incremental_audio_fp_recovery_resumes_exactly_once(
+    spark, tmp_path
+):
+    """Kill-and-resume for the frozen-index audio-fingerprint probe:
+    per-clip banding + stream-static bucket join, idempotent per-batch
+    sink. Run 1 probes half the incoming clips, run 2 resumes from the
+    same checkpoint; the landed pairs equal the batch probe exactly
+    once."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.multimodal import (
+        build_afp_index,
+        index_audio_near_duplicates,
+    )
+
+    rng = random.Random(23)
+    clips = {
+        i: [rng.randint(-12000, 12000) for _ in range(1024)]
+        for i in range(1, 5)
+    }
+    index_assets = spark.createDataFrame(
+        [(i, bytearray(_wav_bytes(s))) for i, s in clips.items()],
+        "asset_id long, payload binary",
+    )
+    band_tbl, index_sig = build_afp_index(index_assets)
+    incoming_rows = [
+        (11, bytearray(_wav_bytes([2 * v for v in clips[1]]))),  # dup of 1
+        (12, bytearray(_wav_bytes(
+            [rng.randint(-12000, 12000) for _ in range(1024)]))),
+        (13, bytearray(_wav_bytes([2 * v for v in clips[3]]))),  # dup of 3
+        (14, bytearray(_wav_bytes(
+            [rng.randint(-12000, 12000) for _ in range(1024)]))),
+    ]
+    incoming = spark.createDataFrame(
+        incoming_rows, "asset_id long, payload binary"
+    )
+    golden = {
+        (r["asset_id"], r["index_asset_id"]): r["hamming"]
+        for r in index_audio_near_duplicates(
+            incoming, band_tbl, index_sig, max_hamming=8
+        ).collect()
+    }
+    assert {(11, 1), (13, 3)} <= set(golden)
+
+    stream_dir = tmp_path / "clips_stream"
+    stream_dir.mkdir()
+    incoming.filter(F.col("asset_id") <= 12).coalesce(1).write.parquet(
+        str(stream_dir / "a")
+    )
+    out_dir = tmp_path / "pairs_out"
+    ckpt = str(tmp_path / "ckpt")
+
+    def probe_batch(batch_df, bid):
+        index_audio_near_duplicates(
+            batch_df, band_tbl, index_sig, max_hamming=8
+        ).write.mode("overwrite").parquet(str(out_dir / f"batch={bid}"))
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/*")
+            .writeStream.foreachBatch(probe_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()  # run 1: clips 11-12 only
+    got_half = {
+        (r["asset_id"], r["index_asset_id"]): r["hamming"]
+        for r in spark.read.parquet(str(out_dir / "batch=*")).collect()
+    }
+    assert got_half == {k: v for k, v in golden.items() if k[0] <= 12}
+
+    incoming.filter(F.col("asset_id") > 12).coalesce(1).write.parquet(
+        str(stream_dir / "b")
+    )
+    run_stream()  # resume
+    landed = spark.read.parquet(str(out_dir / "batch=*"))
+    got_all = {
+        (r["asset_id"], r["index_asset_id"]): r["hamming"]
+        for r in landed.collect()
+    }
+    assert got_all == golden
+    assert landed.count() == len(golden)

@@ -1820,3 +1820,90 @@ def test_node2vec_degenerate_weights_pin_bfs_and_dfs_limits(spark):
     with pytest.raises(ValueError, match="weights"):
         node2vec_walk_corpus(_edges_df(spark, path), return_w=0,
                              common_w=0, far_w=0)
+
+
+def test_sgns_epoch_matches_python_mirror_and_pulls_cooccurring_pairs(spark):
+    """One synchronous SGNS epoch: (a) bit-exact against a pure-Python
+    mirror of the fixed-point arithmetic (hash init, hard sigmoid,
+    md5-rank negatives, shifted floor-div); (b) the planted co-occurring
+    pair's in·out affinity strictly increases while a stranger pair's
+    does not (positives only touch their own rows)."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        sgns_embeddings,
+    )
+
+    DIM, K, A, SC, LR = 4, 2, 64, 4096, 16
+    Z0 = DIM * A * A
+    C = 1 << 32
+
+    def sdiv(x, den):
+        return (x + den * C) // den - C
+
+    # planted: 1<->2 co-occur heavily, 3<->4 co-occur heavily, no cross
+    plist = [(1, 2, 40), (2, 1, 40), (3, 4, 40), (4, 3, 40)]
+    pairs = spark.createDataFrame(
+        plist, "center long, context long, n_pairs long"
+    )
+    got = {
+        (r["kind"], r["id"], r["d"]): r["emb_fp"]
+        for r in sgns_embeddings(
+            pairs, dim=DIM, negatives=K, amp=A, sig_scale=SC, lr_den=LR
+        ).collect()
+    }
+
+    vocab = sorted({c for c, _, _ in plist} | {x for _, x, _ in plist})
+    rnk = {i: v for i, v in enumerate(vocab)}
+    iv = {
+        (v, d): _h60_py(f"{v}:i:{d}") % (2 * A + 1) - A
+        for v in vocab for d in range(DIM)
+    }
+    ov = {
+        (v, d): _h60_py(f"{v}:o:{d}") % (2 * A + 1) - A
+        for v in vocab for d in range(DIM)
+    }
+
+    def sig(z):
+        return min(SC, max(0, ((z + 2 * Z0) * SC) // (4 * Z0)))
+
+    din: dict = {}
+    dout: dict = {}
+    for c, x, n in plist:
+        z = sum(iv[(c, d)] * ov[(x, d)] for d in range(DIM))
+        g = SC - sig(z)
+        for d in range(DIM):
+            din[(c, d)] = din.get((c, d), 0) + sdiv(n * g * ov[(x, d)], SC)
+            dout[(x, d)] = dout.get((x, d), 0) + sdiv(n * g * iv[(c, d)], SC)
+        for j in range(1, K + 1):
+            nv = rnk[_h60_py(f"{c}:{x}:{j}") % len(vocab)]
+            zn = sum(iv[(c, d)] * ov[(nv, d)] for d in range(DIM))
+            gn = sig(zn)
+            for d in range(DIM):
+                din[(c, d)] = din.get((c, d), 0) - sdiv(
+                    n * gn * ov[(nv, d)], SC
+                )
+                dout[(nv, d)] = dout.get((nv, d), 0) - sdiv(
+                    n * gn * iv[(c, d)], SC
+                )
+    exp = {}
+    for v in vocab:
+        for d in range(DIM):
+            exp[("in", v, d)] = iv[(v, d)] + sdiv(din.get((v, d), 0), LR)
+            exp[("out", v, d)] = ov[(v, d)] + sdiv(dout.get((v, d), 0), LR)
+    assert got == exp
+
+    def affinity(emb, u, v):
+        return sum(
+            emb[("in", u, d)] * emb[("out", v, d)] for d in range(DIM)
+        )
+
+    init = {}
+    for v in vocab:
+        for d in range(DIM):
+            init[("in", v, d)] = iv[(v, d)]
+            init[("out", v, d)] = ov[(v, d)]
+    # co-occurring pairs move strictly closer in the in·out affinity
+    assert affinity(got, 1, 2) > affinity(init, 1, 2)
+    assert affinity(got, 3, 4) > affinity(init, 3, 4)
+    # and land above the stranger affinity
+    assert affinity(got, 1, 2) > affinity(got, 1, 4)
+    assert affinity(got, 3, 4) > affinity(got, 3, 2)
