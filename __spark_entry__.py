@@ -1837,101 +1837,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-8 window, 34 + 13 + 3 = 50:
-# (1) 11 NEW this round:
-#     maximal_independent_set_customers (deterministic Luby MIS, hash-
-#     priority symmetry breaking, unrolled-CTE oracle),
-#     maximal_matching_customers (its edge-priority mirror — greedy
-#     parallel maximal matching),
-#     bm25_top_docs (Okapi BM25 retrieval in exact fixed point: ilog2
-#     idf, fraction-cleared tf saturation, total-order top-k),
-#     incremental_bm25_scoring (its ingestion twin: frozen idf/avgdl,
-#     incoming docs scored statelessly),
-#     hyperball_neighborhood_customers (HyperBall NF(t): per-vertex HLL
-#     registers max-merged along edges; one pinned IEEE division per
-#     (vertex, round), the hll_distinct_orders contract),
-#     palette_coloring_customers (Johansson palette coloring — bounded
-#     rounds on dense graphs where Jones-Plassmann is clique-depth),
-#     hits_supplier_parts (integer HITS hubs/authorities on the directed
-#     supplier->part graph, max-rescaled power iteration),
-#     audio_fp_near_duplicates (Haitsma-Kalker delta-sign audio
-#     fingerprint over REAL WAV decode, pHash-style pigeonhole banding),
-#     incremental_audio_fp (its frozen-index ingestion probe),
-#     random_walk_corpus_customers (DeepWalk corpus, hash-ranked
-#     neighbor picks — all walks advance in one join per step),
-#     skipgram_pairs_customers (word2vec pair counts over the walks,
-#     banded |step delta| self-join);
-# (2) the 23 round-7 queries (qsketch/SSSP/LM/Z-order/PCA/SemDeDup/
-#     two-star/Boruvka/BPE/HLL/kmeans/IVF/span/phash families): the r7
-#     driver artifact was not committed to the repo, so none of them has
-#     a committed window-green row yet — they stay in the window until
-#     one lands (CORRECTNESS_FULL_r07.json proves all of them at 185/185,
-#     but the window artifact is the driver's own record);
-# (3) the 13 round-3 greens (stalest committed window proofs) + the 3
-#     alphabetically-first round-4 greens (approx_distinct_parts,
-#     customer_revenue_percent_rank, customer_rfm_segments).
-# Window rotation is belt-and-braces: the committed
-# CORRECTNESS_FULL_r{N}.json (scripts/full_correctness.py) re-proves the
-# ENTIRE registry against the DuckDB oracles every round, so staleness is
-# auditable directly. Semantics are unchanged — this is pure dict ordering.
+# round. The round-9 window, 2 + 47 + 1 = 50:
+# (1) 2 NEW this round:
+#     node2vec_walk_corpus_customers (second-order biased walks, Grover &
+#     Leskovec 2016 — prev-carrying frontier, integer (return, common,
+#     far) transition weights over a deg-bounded cumulative-weight
+#     ladder, md5-derandomized; unrolled chained-CTE oracle on the
+#     shared walk head),
+#     sgns_embeddings_customers (one synchronous epoch of skip-gram
+#     negative sampling in exact fixed point: hash-seeded init, hard-
+#     sigmoid gradients, md5-rank negative draws, shifted floor-div
+#     updates — the walks -> pairs -> embeddings leg);
+# (2) the 47 stalest committed greens (round 4 — every other row has a
+#     fresher proof);
+# (3) the alphabetically-first round-5 green
+#     (approx_distinct_parts_bounds) to fill slot 50.
+# All 50 round-8 window rows came back green in CORRECTNESS_r08.json, so
+# the whole r8 set rotated out. Window rotation is belt-and-braces: the
+# committed CORRECTNESS_FULL_r{N}.json (scripts/full_correctness.py)
+# re-proves the ENTIRE registry against the DuckDB oracles every round,
+# so staleness is auditable directly. Semantics are unchanged — this is
+# pure dict ordering.
 _DRIVER_PRIORITY = [
-    # new this round (8) — prove first:
-    "maximal_independent_set_customers",
-    "maximal_matching_customers",
-    "bm25_top_docs",
-    "incremental_bm25_scoring",
-    "hyperball_neighborhood_customers",
-    "palette_coloring_customers",
-    "hits_supplier_parts",
-    "audio_fp_near_duplicates",
-    "incremental_audio_fp",
-    "random_walk_corpus_customers",
-    "skipgram_pairs_customers",
-    "personalized_pagerank_customers",
-    # round-7 queries with no committed window-green row yet (the r7
-    # window artifact never landed in the repo; CORRECTNESS_FULL_r07
-    # proves them, but they hold window slots until a driver row exists):
-    "qsketch_price_quantiles",
-    "weighted_sssp_customers",
-    "lm_quality_scores",
-    "incremental_lm_scoring",
-    "zorder_layout_stats",
-    "hashed_feature_principal_component",
-    "semantic_dedup_keep_best",
-    "incremental_semantic_dedup",
-    "connected_components_twostar_customers",
-    "minimum_spanning_forest_customers",
-    "bpe_merges",
-    "bpe_vocab_compression",
-    "hll_distinct_orders",
-    "kmeans_centroids_fixedpoint",
-    "topk_ivf_fixedpoint",
-    "incremental_bpe_tokenize",
-    "hashed_doc_features",
-    "document_clusters_fixedpoint",
-    "span_deduped_corpus",
-    "incremental_span_scrub",
-    "incremental_community_assignment",
-    "media_phash_near_duplicates",
-    "incremental_media_phash",
-    # stalest greens (round 3) — the 13 deferred by the round-6 rotation:
-    "bigram_counts",
-    "brand_supplier_counts",
-    "customers_with_urgent_orders",
-    "large_volume_customers",
-    "late_shipment_priority_counts",
-    "latest_events_snapshot",
-    "local_supplier_volume",
-    "promo_revenue",
-    "returnflag_priority_counts",
-    "shipping_priority",
-    "user_retention_cohorts",
-    "volume_shipping_by_year",
-    "weekly_active_users",
-    # round-4 greens (3 of 49, alphabetical prefix — the rest wait for
-    # the round-9 rotation):
-    "approx_distinct_parts",
-    "customer_revenue_percent_rank",
+    # new this round (2) — prove first:
+    "node2vec_walk_corpus_customers",
+    "sgns_embeddings_customers",
+    # stalest committed greens (round 4):
+    "customer_rfm_segments",
+    "customer_running_spend",
+    "daily_priority_share",
+    "daily_revenue_drawdown",
+    "degree_distribution_customers",
+    "edge_betweenness_fixedpoint_customers",
+    "embedding_quantized_int8",
+    "events_daily_zscores",
+    "events_hourly_heatmap",
+    "exact_duplicates_normalized",
+    "first_purchase_attribution",
+    "funnel_conversion_rates",
+    "inverted_index_postings",
+    "label_propagation_customers",
+    "language_confusion_matrix",
+    "lineitem_key_skew_report",
+    "link_prediction_customers",
+    "minhash_lsh_near_duplicates",
+    "most_common_event_per_user",
+    "near_duplicate_keep_best",
+    "open_order_backlog_by_month",
+    "order_price_percent_rank",
+    "orders_time_rollup",
+    "orders_yoy_growth",
+    "pmi_collocations",
+    "prefix_duplicate_rate_by_source",
+    "qty_price_correlation",
+    "session_paths",
+    "session_stats",
+    "session_time_to_purchase",
+    "session_window_stats_plan",
+    "simhash_near_duplicates",
+    "source_language_mix",
+    "stratum_sample_exact_k",
+    "supplier_part_pareto",
+    "supplier_revenue_share",
+    "term_frequency_stats",
+    "tfidf_top_terms",
+    "top_brands_per_type_with_ties",
+    "topk_cosine_ivf",
+    "topk_cosine_lsh",
+    "training_batches",
+    "user_first_last_events",
+    "user_state_intervals",
+    "user_value_ntiles",
+    "weighted_corpus_sample",
+    "winsorized_price_stats",
+    # round-5 green (alphabetical prefix) filling slot 50:
+    "approx_distinct_parts_bounds",
 ]
 
 

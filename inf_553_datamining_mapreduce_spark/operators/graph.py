@@ -2809,14 +2809,22 @@ def hits_scores(
         .localCheckpoint()
     )
     auth = None
-    for _ in range(iters):
+    for it in range(iters):
         araw = e.join(hub, "src").groupBy("dst").agg(F.sum("hub").alias("raw"))
         amax = araw.agg(F.max("raw").alias("m"))
-        auth = (
-            araw.crossJoin(F.broadcast(amax))
-            .select("dst", F.expr(f"(raw * {scale}) div m").alias("auth"))
-            .localCheckpoint()
+        auth = araw.crossJoin(F.broadcast(amax)).select(
+            "dst", F.expr(f"(raw * {scale}) div m").alias("auth")
         )
+        if it == iters - 1:
+            # Only the FINAL auth needs materializing (it feeds the
+            # output union). Mid-iteration auth stays lazy: the lineage
+            # between hub checkpoints is two joins + two aggregates —
+            # statistics-safe — with bit-identical output. Fresh-process
+            # A/B/C (r8 verdict item 7): eager-auth 45.8-49.0 s at sf1 /
+            # 8.6 s at sf0.1; this shape 36.2-42.4 / 8.1; checkpointing
+            # the raw sums instead 45.2 / 7.8 — lazy-auth wins where it
+            # matters (the big SF) and ties at bench scale.
+            auth = auth.localCheckpoint()
         hraw = e.join(auth, "dst").groupBy("src").agg(
             F.sum("auth").alias("raw")
         )

@@ -1315,17 +1315,18 @@ def index_audio_near_duplicates(
     """Ingestion-time audio near-dup probe — the stream-static twin of
     ``audio_near_duplicates`` (the ``index_phash_near_duplicates``
     composition): hash incoming clips, band, bucket-join the static
-    index, verify by popcount. Pair emission dedups by keeping the
-    MINIMUM band actually present in the joined rows — NOT the first
-    colliding band of the raw fingerprints (the pHash probe's
-    convention): ``build_afp_index`` cuts hot buckets from the index
-    side, so a pair's first-colliding band may be absent from
-    ``band_tbl`` while a cooler band survives; a raw-fingerprint
-    first-band filter would then silently drop the pair, diverging from
-    the batch twin's ``distinct``. The group-by is per micro-batch
-    (foreachBatch probes), candidate-sized, and exact: ``afp`` /
-    ``index_afp`` are functionally determined by their ids, so
-    ``min`` reproduces them. ``(asset_id, index_asset_id, hamming)``."""
+    index, verify by popcount. Pair emission dedups over the bands
+    ACTUALLY PRESENT in the joined rows — NOT by the first colliding
+    band of the raw fingerprints (the pHash probe's convention):
+    ``build_afp_index`` cuts hot buckets from the index side, so a
+    pair's first-colliding band may be absent from ``band_tbl`` while a
+    cooler band survives; a raw-fingerprint first-band filter would
+    then silently drop the pair, diverging from the batch twin's
+    ``distinct``. Order matters for the shuffle: the popcount VERIFY
+    runs map-side on the raw candidate rows and the dedup group-by
+    shuffles only the surviving near-dup pairs (≤ 9 rows each) — a
+    candidate-sized group-by instead measured 36 → 103 s at sf1.
+    ``(asset_id, index_asset_id, hamming)``."""
     sig = media_audio_fingerprints(new_assets)
     banded = sig.select("asset_id", "afp", _afp_bands_expr().alias("bb")).select(
         "asset_id",
@@ -1337,17 +1338,14 @@ def index_audio_near_duplicates(
         index_sig, "index_asset_id"
     )
     return (
-        cand.groupBy("asset_id", "index_asset_id")
-        .agg(
-            F.min("afp").alias("afp"),
-            F.min("index_afp").alias("index_afp"),
-        )
-        .withColumn(
+        cand.withColumn(
             "hamming",
             F.bit_count(
                 F.col("afp").bitwiseXOR(F.col("index_afp"))
             ).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .groupBy("asset_id", "index_asset_id")
+        .agg(F.min("hamming").alias("hamming"))
         .select("asset_id", "index_asset_id", "hamming")
     )
