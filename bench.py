@@ -261,7 +261,10 @@ def main() -> None:
         # CORRECTNESS artifact. The driver commits CORRECTNESS_r{N}.json /
         # CORRECTNESS_FULL_r{N}.json every round, whereas BENCH_r{N}.json
         # snapshots can skip a round — inferring from BENCH landed the
-        # round-8 artifact stamped "7" (r8 verdict item 2).
+        # round-8 artifact stamped "7" (r8 verdict item 2). The inference
+        # assumes the driver's flow (bench BEFORE this round's artifacts
+        # land); when re-benchmarking after committing the current
+        # round's CORRECTNESS files, set SPARK_GRAFT_ROUND explicitly.
         import glob
         import re
 
