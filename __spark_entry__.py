@@ -1716,6 +1716,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["random_walk_corpus_customers"] = _random_walk_corpus_customers
 
+    def _random_walk_corpus_capped_customers(spark, sf):
+        # The celebrity-vertex lever under the oracle gate: deterministic
+        # hash-threshold neighbor sampling (expected surviving degree <=
+        # max_degree, min-hash neighbor always kept), then the same
+        # hash-ranked walk engine over the sampled graph. max_degree=8
+        # sits BELOW real co-occurrence degrees at the gate SF, so the
+        # cut is exercised, not vacuous.
+        return G.random_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            walk_length=6,
+            walks_per_vertex=1,
+            max_degree=8,
+        )
+
+    q["random_walk_corpus_capped_customers"] = (
+        _random_walk_corpus_capped_customers
+    )
+
     def _skipgram_pairs_customers(spark, sf):
         # The word2vec-over-walks step: banded self-join of the walk
         # corpus within a +/-2-step window, aggregated to pair counts.
@@ -1837,8 +1855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-9 window, 2 + 47 + 1 = 50:
-# (1) 2 NEW this round:
+# round. The round-9 window, 3 + 47 = 50:
+# (1) 3 NEW this round:
 #     node2vec_walk_corpus_customers (second-order biased walks, Grover &
 #     Leskovec 2016 — prev-carrying frontier, integer (return, common,
 #     far) transition weights over a deg-bounded cumulative-weight
@@ -1847,11 +1865,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     sgns_embeddings_customers (one synchronous epoch of skip-gram
 #     negative sampling in exact fixed point: hash-seeded init, hard-
 #     sigmoid gradients, md5-rank negative draws, shifted floor-div
-#     updates — the walks -> pairs -> embeddings leg);
+#     updates — the walks -> pairs -> embeddings leg),
+#     random_walk_corpus_capped_customers (the max_degree celebrity-
+#     vertex lever itself under the oracle gate: hash-threshold
+#     neighbor sampling with the min-hash keep, then the walk engine
+#     over the sampled graph);
 # (2) the 47 stalest committed greens (round 4 — every other row has a
-#     fresher proof);
-# (3) the alphabetically-first round-5 green
-#     (approx_distinct_parts_bounds) to fill slot 50.
+#     fresher proof).
 # All 50 round-8 window rows came back green in CORRECTNESS_r08.json, so
 # the whole r8 set rotated out. Window rotation is belt-and-braces: the
 # committed CORRECTNESS_FULL_r{N}.json (scripts/full_correctness.py)
@@ -1862,6 +1882,7 @@ _DRIVER_PRIORITY = [
     # new this round (2) — prove first:
     "node2vec_walk_corpus_customers",
     "sgns_embeddings_customers",
+    "random_walk_corpus_capped_customers",
     # stalest committed greens (round 4):
     "customer_rfm_segments",
     "customer_running_spend",
@@ -1910,8 +1931,6 @@ _DRIVER_PRIORITY = [
     "user_value_ntiles",
     "weighted_corpus_sample",
     "winsorized_price_stats",
-    # round-5 green (alphabetical prefix) filling slot 50:
-    "approx_distinct_parts_bounds",
 ]
 
 
@@ -4688,6 +4707,9 @@ def oracle_sql() -> dict[str, str]:
     d["random_walk_corpus_customers"] = _random_walk_oracle(
         walk_length=8, walks_per_vertex=2
     )
+    d["random_walk_corpus_capped_customers"] = _random_walk_oracle(
+        walk_length=6, walks_per_vertex=1, max_degree=8
+    )
     d["skipgram_pairs_customers"] = _skipgram_oracle(
         walk_length=8, walks_per_vertex=2, window=2
     )
@@ -4868,28 +4890,58 @@ def _matching_oracle(rounds: int) -> str:
     """
 
 
-def _walk_head_ctes(walks_per_vertex: int) -> str:
+def _walk_head_ctes(walks_per_vertex: int, max_degree: int | None = None) -> str:
     """Shared HEAD of every walk-corpus oracle (first- and second-order):
     the graph preamble, the (src, dst)-ordered ROW_NUMBER neighbor
-    ranking ``rk``, and the per-vertex walk fan-out ``f0``."""
+    ranking ``rk``, and the per-vertex walk fan-out ``f0``. With
+    ``max_degree`` set, the head mirrors the engine's celebrity-vertex
+    lever first: keep edge iff ``md5-60bit("src:dst") mod 2^30 <
+    (2^30 * max_degree) div deg`` OR it is the src's min-hash neighbor
+    (so no vertex goes dark), then rank over the survivors."""
+    walk_src = "sym"
+    cut = ""
+    if max_degree is not None:
+        hcut = 1 << 30
+        cut = f""",
+        whashed AS (
+            SELECT src, dst,
+                   CAST('0x' || substr(md5(
+                       CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)
+                   ), 1, 15) AS BIGINT) % {hcut} AS h_cut
+            FROM sym
+        ),
+        wdeg0 AS (
+            SELECT src, COUNT(*) AS deg0, MIN(h_cut) AS h_keep
+            FROM whashed GROUP BY 1
+        ),
+        symc AS MATERIALIZED (
+            SELECT h.src, h.dst
+            FROM whashed h JOIN wdeg0 d USING (src)
+            WHERE h.h_cut < (CAST({hcut} AS BIGINT) * {max_degree})
+                            // d.deg0
+               OR h.h_cut = d.h_keep
+        )"""
+        walk_src = "symc"
     return f"""
-        WITH {_GRAPH_PREAMBLE},
+        WITH {_GRAPH_PREAMBLE}{cut},
         rk AS MATERIALIZED (
             SELECT src, dst,
                    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
                        AS rk,
                    COUNT(*) OVER (PARTITION BY src) AS deg
-            FROM sym
+            FROM {walk_src}
         ),
         f0 AS MATERIALIZED (
             SELECT CAST(w.w AS INTEGER) AS walk_id, v.v AS start_id,
                    v.v AS vertex
-            FROM (SELECT DISTINCT src AS v FROM sym) v,
+            FROM (SELECT DISTINCT src AS v FROM {walk_src}) v,
                  UNNEST(range(0, {walks_per_vertex})) AS w(w)
         )"""
 
 
-def _walk_ctes(walk_length: int, walks_per_vertex: int) -> str:
+def _walk_ctes(
+    walk_length: int, walks_per_vertex: int, max_degree: int | None = None
+) -> str:
     """Shared CTE chain for the deterministic random-walk corpus: the same
     (src, dst)-ordered ROW_NUMBER neighbor ranking and the same
     round-salted md5 pick, one frontier CTE per step; ends at
@@ -4909,7 +4961,7 @@ def _walk_ctes(walk_length: int, walks_per_vertex: int) -> str:
         f"SELECT walk_id, start_id, {s} AS step, vertex FROM f{s}"
         for s in range(0, walk_length + 1)
     )
-    return f"""{_walk_head_ctes(walks_per_vertex)},{",".join(steps)},
+    return f"""{_walk_head_ctes(walks_per_vertex, max_degree)},{",".join(steps)},
         corpus AS (SELECT * FROM ({sel}))"""
 
 
@@ -5114,8 +5166,10 @@ def _node2vec_oracle(
     """
 
 
-def _random_walk_oracle(walk_length: int, walks_per_vertex: int) -> str:
-    return f"""{_walk_ctes(walk_length, walks_per_vertex)}
+def _random_walk_oracle(
+    walk_length: int, walks_per_vertex: int, max_degree: int | None = None
+) -> str:
+    return f"""{_walk_ctes(walk_length, walks_per_vertex, max_degree)}
         SELECT CAST(walk_id AS INTEGER) AS walk_id,
                CAST(start_id AS BIGINT) AS start_id,
                CAST(step AS INTEGER) AS step,
