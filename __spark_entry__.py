@@ -1785,6 +1785,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sgns_embeddings_customers"] = _sgns_embeddings_customers
 
+    def _sgns_embeddings_epochs_customers(spark, sf):
+        # The ITERATED trainer: two synchronous SGNS epochs (each
+        # epoch's gradients computed from that epoch's starting
+        # vectors, fixed negative draws) — proves the update composes
+        # under the oracle gate, not just the single step.
+        walks = G.random_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            walk_length=8,
+            walks_per_vertex=2,
+        )
+        return G.sgns_embeddings(
+            G.skipgram_pairs(walks, window=2),
+            dim=8,
+            negatives=2,
+            amp=64,
+            sig_scale=4096,
+            lr_den=16,
+            epochs=2,
+        )
+
+    q["sgns_embeddings_epochs_customers"] = (
+        _sgns_embeddings_epochs_customers
+    )
+
     def _personalized_pagerank_customers(spark, sf):
         # Rooted PageRank (Jeh & Widom 2003): teleport mass concentrated
         # on the 4 smallest vertices (the SSSP landmark convention) —
@@ -1855,8 +1879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-9 window, 3 + 47 = 50:
-# (1) 3 NEW this round:
+# round. The round-9 window, 4 + 46 = 50:
+# (1) 4 NEW this round:
 #     node2vec_walk_corpus_customers (second-order biased walks, Grover &
 #     Leskovec 2016 — prev-carrying frontier, integer (return, common,
 #     far) transition weights over a deg-bounded cumulative-weight
@@ -1869,8 +1893,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     random_walk_corpus_capped_customers (the max_degree celebrity-
 #     vertex lever itself under the oracle gate: hash-threshold
 #     neighbor sampling with the min-hash keep, then the walk engine
-#     over the sampled graph);
-# (2) the 47 stalest committed greens (round 4 — every other row has a
+#     over the sampled graph),
+#     sgns_embeddings_epochs_customers (two synchronous SGNS epochs —
+#     the iterated trainer, epoch e's gradients from epoch e's starting
+#     vectors, per-epoch-unrolled oracle);
+# (2) the 46 stalest committed greens (round 4 — every other row has a
 #     fresher proof).
 # All 50 round-8 window rows came back green in CORRECTNESS_r08.json, so
 # the whole r8 set rotated out. Window rotation is belt-and-braces: the
@@ -1883,7 +1910,9 @@ _DRIVER_PRIORITY = [
     "node2vec_walk_corpus_customers",
     "sgns_embeddings_customers",
     "random_walk_corpus_capped_customers",
-    # stalest committed greens (round 4):
+    "sgns_embeddings_epochs_customers",
+    # stalest committed greens (round 4, 46 of 47 — winsorized_price_stats
+    # waits for the next rotation):
     "customer_rfm_segments",
     "customer_running_spend",
     "daily_priority_share",
@@ -1930,7 +1959,6 @@ _DRIVER_PRIORITY = [
     "user_state_intervals",
     "user_value_ntiles",
     "weighted_corpus_sample",
-    "winsorized_price_stats",
 ]
 
 
@@ -4720,6 +4748,10 @@ def oracle_sql() -> dict[str, str]:
         walk_length=8, walks_per_vertex=2, window=2,
         dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16,
     )
+    d["sgns_embeddings_epochs_customers"] = _sgns_oracle(
+        walk_length=8, walks_per_vertex=2, window=2,
+        dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16, epochs=2,
+    )
     d["personalized_pagerank_customers"] = _ppr_oracle(
         n_seeds=4, iterations=10
     )
@@ -5041,13 +5073,18 @@ def _sgns_oracle(
     amp: int,
     sig_scale: int,
     lr_den: int,
+    epochs: int = 1,
 ) -> str:
-    """Chained-CTE oracle for the fixed-point SGNS epoch: the shared walk
-    CTEs -> the skipgram pair counts -> hash-seeded init embeddings ->
-    hard-sigmoid gradients (positives + md5-rank negative draws, draw
-    identity (c, x_pos, j) preserved so coinciding draws keep their
-    multiplicity) -> one synchronous shifted-floor-div update per side.
-    Mirrors ``graph.sgns_embeddings`` operation for operation."""
+    """Chained-CTE oracle for the fixed-point SGNS trainer: the shared
+    walk CTEs -> the skipgram pair counts -> hash-seeded init embeddings
+    -> per EPOCH a hard-sigmoid gradient block (positives + the fixed
+    md5-rank negative draws, draw identity (c, x_pos, j) preserved so
+    coinciding draws keep their multiplicity) and one synchronous
+    shifted-floor-div update producing emb{e} from emb{e-1}. Mirrors
+    ``graph.sgns_embeddings`` operation for operation; the negative
+    +2*Z0 sigmoid shift is safe cross-engine because any negative
+    operand lands < 0 under both truncating and floor division and the
+    GREATEST(0, ·) clamp maps both to 0."""
     sc_, a_ = sig_scale, amp
     z0 = dim * a_ * a_
     c_shift = 1 << 32
@@ -5061,6 +5098,57 @@ def _sgns_oracle(
     sig = (
         f"LEAST({sc_}, GREATEST(0, ((z + {2 * z0}) * {sc_}) // {4 * z0}))"
     )
+    epoch_blocks = []
+    for e in range(1, epochs + 1):
+        prev = f"emb{e - 1}"
+        epoch_blocks.append(f"""
+        pos0_{e} AS (
+            SELECT p.c, p.x, p.n, CAST(SUM(a.iv * b.ov) AS BIGINT) AS z
+            FROM pairs p
+            JOIN {prev} a ON a.v = p.c
+            JOIN {prev} b ON b.v = p.x AND b.d = a.d
+            GROUP BY 1, 2, 3
+        ),
+        pos_{e} AS MATERIALIZED (
+            SELECT c, x, n, {sc_} - {sig} AS g, 1 AS sgn FROM pos0_{e}
+        ),
+        neg0_{e} AS (
+            SELECT nd.c, nd.x, nd.n, nd.x_pos, nd.j,
+                   CAST(SUM(a.iv * b.ov) AS BIGINT) AS z
+            FROM negdraw nd
+            JOIN {prev} a ON a.v = nd.c
+            JOIN {prev} b ON b.v = nd.x AND b.d = a.d
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        neg_{e} AS MATERIALIZED (
+            SELECT c, x, n, {sig} AS g, -1 AS sgn FROM neg0_{e}
+        ),
+        grads_{e} AS (
+            SELECT c, x, n, g, sgn FROM pos_{e}
+            UNION ALL SELECT c, x, n, g, sgn FROM neg_{e}
+        ),
+        din_{e} AS MATERIALIZED (
+            SELECT g.c AS v, o.d,
+                   CAST(SUM(g.sgn * {sdiv("g.n * g.g * o.ov", sc_)})
+                        AS BIGINT) AS dd
+            FROM grads_{e} g JOIN {prev} o ON o.v = g.x
+            GROUP BY 1, 2
+        ),
+        dout_{e} AS MATERIALIZED (
+            SELECT g.x AS v, i.d,
+                   CAST(SUM(g.sgn * {sdiv("g.n * g.g * i.iv", sc_)})
+                        AS BIGINT) AS dd
+            FROM grads_{e} g JOIN {prev} i ON i.v = g.c
+            GROUP BY 1, 2
+        ),
+        emb{e} AS MATERIALIZED (
+            SELECT p.v, p.d,
+                   p.iv + {sdiv("COALESCE(di.dd, 0)", lr_den)} AS iv,
+                   p.ov + {sdiv("COALESCE(dz.dd, 0)", lr_den)} AS ov
+            FROM {prev} p
+            LEFT JOIN din_{e} di ON di.v = p.v AND di.d = p.d
+            LEFT JOIN dout_{e} dz ON dz.v = p.v AND dz.d = p.d
+        )""")
     return f"""{_walk_ctes(walk_length, walks_per_vertex)},
         pairs AS MATERIALIZED (
             SELECT a.vertex AS c, b.vertex AS x,
@@ -5083,17 +5171,7 @@ def _sgns_oracle(
                         % {2 * a_ + 1} - {a_} AS BIGINT) AS ov
             FROM vocab, UNNEST(range(0, {dim})) AS dd(d)
         ),
-        pos0 AS (
-            SELECT p.c, p.x, p.n, CAST(SUM(a.iv * b.ov) AS BIGINT) AS z
-            FROM pairs p
-            JOIN emb0 a ON a.v = p.c
-            JOIN emb0 b ON b.v = p.x AND b.d = a.d
-            GROUP BY 1, 2, 3
-        ),
-        pos AS MATERIALIZED (
-            SELECT c, x, n, {sc_} - {sig} AS g, 1 AS sgn FROM pos0
-        ),
-        negdraw AS (
+        negdraw AS MATERIALIZED (
             SELECT q.c, q.n, q.x_pos, q.j, vo.v AS x
             FROM (
                 SELECT p.c, p.n, p.x AS x_pos, jj.j,
@@ -5104,46 +5182,13 @@ def _sgns_oracle(
                        )} % (SELECT nv FROM vn) AS rnk
                 FROM pairs p, UNNEST(range(1, {negatives + 1})) AS jj(j)
             ) q JOIN vocab vo ON vo.rnk = q.rnk
-        ),
-        neg0 AS (
-            SELECT nd.c, nd.x, nd.n, nd.x_pos, nd.j,
-                   CAST(SUM(a.iv * b.ov) AS BIGINT) AS z
-            FROM negdraw nd
-            JOIN emb0 a ON a.v = nd.c
-            JOIN emb0 b ON b.v = nd.x AND b.d = a.d
-            GROUP BY 1, 2, 3, 4, 5
-        ),
-        neg AS MATERIALIZED (
-            SELECT c, x, n, {sig} AS g, -1 AS sgn FROM neg0
-        ),
-        grads AS (
-            SELECT c, x, n, g, sgn FROM pos
-            UNION ALL SELECT c, x, n, g, sgn FROM neg
-        ),
-        din AS MATERIALIZED (
-            SELECT g.c AS v, o.d,
-                   CAST(SUM(g.sgn * {sdiv("g.n * g.g * o.ov", sc_)})
-                        AS BIGINT) AS dd
-            FROM grads g JOIN emb0 o ON o.v = g.x
-            GROUP BY 1, 2
-        ),
-        dout AS MATERIALIZED (
-            SELECT g.x AS v, i.d,
-                   CAST(SUM(g.sgn * {sdiv("g.n * g.g * i.iv", sc_)})
-                        AS BIGINT) AS dd
-            FROM grads g JOIN emb0 i ON i.v = g.c
-            GROUP BY 1, 2
-        )
+        ),{",".join(epoch_blocks)}
         SELECT kind, CAST(id AS BIGINT) AS id, CAST(d AS INTEGER) AS d,
                CAST(emb_fp AS BIGINT) AS emb_fp
         FROM (
-            SELECT 'in' AS kind, e.v AS id, e.d,
-                   e.iv + {sdiv("COALESCE(di.dd, 0)", lr_den)} AS emb_fp
-            FROM emb0 e LEFT JOIN din di ON di.v = e.v AND di.d = e.d
+            SELECT 'in' AS kind, v AS id, d, iv AS emb_fp FROM emb{epochs}
             UNION ALL
-            SELECT 'out', e.v, e.d,
-                   e.ov + {sdiv("COALESCE(dz.dd, 0)", lr_den)}
-            FROM emb0 e LEFT JOIN dout dz ON dz.v = e.v AND dz.d = e.d
+            SELECT 'out', v, d, ov FROM emb{epochs}
         ) ORDER BY kind, id, d
     """
 

@@ -3219,12 +3219,17 @@ def sgns_embeddings(
     amp: int = 64,
     sig_scale: int = 4096,
     lr_den: int = 16,
+    epochs: int = 1,
 ) -> DataFrame:
-    """``(kind, id, d, emb_fp)`` — ONE synchronous epoch of skip-gram
-    negative sampling (Mikolov et al. 2013) over a ``skipgram_pairs``
-    table, in exact fixed-point integers: the walks → pairs → embeddings
-    leg that closes the DeepWalk/node2vec loop (the vectors a
-    ``semantic_dedup`` or ANN stage consumes).
+    """``(kind, id, d, emb_fp)`` — ``epochs`` SYNCHRONOUS epochs of
+    skip-gram negative sampling (Mikolov et al. 2013) over a
+    ``skipgram_pairs`` table, in exact fixed-point integers: the walks →
+    pairs → embeddings leg that closes the DeepWalk/node2vec loop (the
+    vectors a ``semantic_dedup`` or ANN stage consumes). Each epoch
+    computes every gradient from THAT epoch's starting vectors and
+    applies them once (synchronous — no intra-epoch ordering), so a
+    fixed epoch count unrolls into one chained-CTE oracle; negative
+    draws are fixed across epochs (the draw key is (c, x_pos, j)).
 
     Every step is BIGINT-exact so the chained-CTE oracle matches bit for
     bit:
@@ -3258,7 +3263,10 @@ def sgns_embeddings(
     buckets (a one-time |V| op). Everything else is pairs-sized joins
     with map-side-combinable aggregates.
     """
-    if dim < 1 or negatives < 0 or amp < 1 or sig_scale < 4 or lr_den < 1:
+    if (
+        dim < 1 or negatives < 0 or amp < 1 or sig_scale < 4
+        or lr_den < 1 or epochs < 1
+    ):
         raise ValueError("sgns_embeddings: invalid hyperparameters")
     sc_, a_ = sig_scale, amp
     z0 = dim * a_ * a_
@@ -3299,35 +3307,8 @@ def sgns_embeddings(
             .alias("e"),
         )
 
-    in0 = _init("i").localCheckpoint()
-    out0 = _init("o").localCheckpoint()
-    in_c = in0.select(F.col("v").alias("c"), "d", F.col("e").alias("iv"))
-    out_x = out0.select(F.col("v").alias("x"), "d", F.col("e").alias("ov"))
-
-    def _with_sig(df: DataFrame, keys: list[str]) -> DataFrame:
-        # df carries (c, x, n, *keys); keys uniquely identify each draw
-        # so two draws landing on the same vocab vertex stay distinct
-        # rows (multiplicity preserved). Adds the hard-sigmoid of
-        # in0[c]·out0[x].
-        gb = ["c", "x", "n"] + keys
-        return (
-            df.join(in_c, "c")
-            .join(out_x, ["x", "d"])
-            .groupBy(*gb)
-            .agg(F.sum(F.col("iv") * F.col("ov")).alias("z"))
-            .select(
-                *gb,
-                F.expr(
-                    f"least({sc_}L, greatest(0L, "
-                    f"((z + {2 * z0}L) * {sc_}L) div {4 * z0}L))"
-                ).alias("sig"),
-            )
-        )
-
-    pos = _with_sig(p, []).select(
-        "c", "x", "n", (F.lit(sc_) - F.col("sig")).alias("g"),
-        F.lit(1).alias("sgn"),
-    )
+    in_cur = _init("i").localCheckpoint()
+    out_cur = _init("o").localCheckpoint()
     if negatives > 0:
         draws = p.select(
             "c",
@@ -3350,53 +3331,112 @@ def sgns_embeddings(
                 F.lit(n_vocab),
             ),
         )
+        # Fixed draws across epochs (the deterministic convention: the
+        # draw key is (c, x_pos, j), unsalted by epoch — documented).
         negs = draws.join(vocab, "rnk").select(
             "c", F.col("v").alias("x"), "n", "x_pos", "j"
-        )
-        neg = _with_sig(negs, ["x_pos", "j"]).select(
-            "c", "x", "n", F.col("sig").alias("g"), F.lit(-1).alias("sgn")
-        )
-        grads = pos.unionByName(neg)
+        ).localCheckpoint()
     else:
-        grads = pos
-    # Δin[c][d] = Σ sgn * floor(n*g*out0[x][d] / S); Δout symmetric
-    d_in = (
-        grads.join(out_x, "x")
-        .groupBy("c", "d")
-        .agg(
-            F.sum(F.expr(f"sgn * {_sgns_sdiv('n * g * ov', sc_)}")).alias(
-                "dd"
-            )
-        )
-        .select(F.col("c").alias("v"), "d", "dd")
-    )
-    d_out = (
-        grads.join(in_c, "c")
-        .groupBy("x", "d")
-        .agg(
-            F.sum(F.expr(f"sgn * {_sgns_sdiv('n * g * iv', sc_)}")).alias(
-                "dd"
-            )
-        )
-        .select(F.col("x").alias("v"), "d", "dd")
-    )
+        negs = None
 
-    def _apply(e0: DataFrame, delta: DataFrame, kind: str) -> DataFrame:
-        return (
-            e0.join(delta, ["v", "d"], "left")
-            .select(
-                F.lit(kind).alias("kind"),
-                F.col("v").alias("id"),
-                "d",
-                F.expr(
-                    f"e + {_sgns_sdiv('coalesce(dd, 0L)', lr_den)}"
-                ).alias("emb_fp"),
+    for _epoch in range(epochs):
+        in_c = in_cur.select(
+            F.col("v").alias("c"), "d", F.col("e").alias("iv")
+        )
+        out_x = out_cur.select(
+            F.col("v").alias("x"), "d", F.col("e").alias("ov")
+        )
+
+        def _with_sig(df: DataFrame, keys: list[str]) -> DataFrame:
+            # df carries (c, x, n, *keys); keys uniquely identify each
+            # draw so two draws landing on the same vocab vertex stay
+            # distinct rows (multiplicity preserved). Adds the
+            # hard-sigmoid of in[c]·out[x] under the CURRENT epoch's
+            # vectors. The +2*Z0 shift can go negative once updates grow
+            # |emb| past amp — safe: any negative operand lands < 0
+            # under BOTH truncating (Spark div) and floor (DuckDB //)
+            # division, and the greatest(0, ·) clamp maps both to 0.
+            gb = ["c", "x", "n"] + keys
+            return (
+                df.join(in_c, "c")
+                .join(out_x, ["x", "d"])
+                .groupBy(*gb)
+                .agg(F.sum(F.col("iv") * F.col("ov")).alias("z"))
+                .select(
+                    *gb,
+                    F.expr(
+                        f"least({sc_}L, greatest(0L, "
+                        f"((z + {2 * z0}L) * {sc_}L) div {4 * z0}L))"
+                    ).alias("sig"),
+                )
             )
+
+        pos = _with_sig(p, []).select(
+            "c", "x", "n", (F.lit(sc_) - F.col("sig")).alias("g"),
+            F.lit(1).alias("sgn"),
+        )
+        if negs is not None:
+            neg = _with_sig(negs, ["x_pos", "j"]).select(
+                "c", "x", "n", F.col("sig").alias("g"),
+                F.lit(-1).alias("sgn"),
+            )
+            grads = pos.unionByName(neg)
+        else:
+            grads = pos
+        # Δin[c][d] = Σ sgn * floor(n*g*out[x][d] / S); Δout symmetric
+        d_in = (
+            grads.join(out_x, "x")
+            .groupBy("c", "d")
+            .agg(
+                F.sum(
+                    F.expr(f"sgn * {_sgns_sdiv('n * g * ov', sc_)}")
+                ).alias("dd")
+            )
+            .select(F.col("c").alias("v"), "d", "dd")
+        )
+        d_out = (
+            grads.join(in_c, "c")
+            .groupBy("x", "d")
+            .agg(
+                F.sum(
+                    F.expr(f"sgn * {_sgns_sdiv('n * g * iv', sc_)}")
+                ).alias("dd")
+            )
+            .select(F.col("x").alias("v"), "d", "dd")
+        )
+
+        def _step(cur: DataFrame, delta: DataFrame) -> DataFrame:
+            return (
+                cur.join(delta, ["v", "d"], "left")
+                .select(
+                    "v",
+                    "d",
+                    F.expr(
+                        f"e + {_sgns_sdiv('coalesce(dd, 0L)', lr_den)}"
+                    ).alias("e"),
+                )
+                .localCheckpoint()
+            )
+
+        prev_in, prev_out = in_cur, out_cur
+        in_cur = _step(in_cur, d_in)
+        out_cur = _step(out_cur, d_out)
+        for frame in (prev_in, prev_out):
+            release = getattr(frame, "_graft_release", None)
+            if release is not None:
+                release()
+
+    def _kind(cur: DataFrame, kind: str) -> DataFrame:
+        return cur.select(
+            F.lit(kind).alias("kind"),
+            F.col("v").alias("id"),
+            "d",
+            F.col("e").alias("emb_fp"),
         )
 
     return (
-        _apply(in0, d_in, "in")
-        .unionByName(_apply(out0, d_out, "out"))
+        _kind(in_cur, "in")
+        .unionByName(_kind(out_cur, "out"))
         .orderBy("kind", "id", "d")
     )
 

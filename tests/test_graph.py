@@ -1907,3 +1907,97 @@ def test_sgns_epoch_matches_python_mirror_and_pulls_cooccurring_pairs(spark):
     # and land above the stranger affinity
     assert affinity(got, 1, 2) > affinity(got, 1, 4)
     assert affinity(got, 3, 4) > affinity(got, 3, 2)
+
+
+def test_sgns_two_epochs_match_iterated_python_mirror(spark):
+    """epochs=2 must equal applying the synchronous update TWICE in the
+    Python mirror (gradients from each epoch's starting vectors, fixed
+    negative draws) — and differ from the single-epoch output."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        sgns_embeddings,
+    )
+
+    DIM, K, A, SC, LR = 4, 2, 64, 4096, 16
+    Z0 = DIM * A * A
+    C = 1 << 32
+
+    def sdiv(x, den):
+        return (x + den * C) // den - C
+
+    plist = [(1, 2, 40), (2, 1, 40), (3, 4, 40), (4, 3, 40)]
+    pairs = spark.createDataFrame(
+        plist, "center long, context long, n_pairs long"
+    )
+    vocab = sorted({c for c, _, _ in plist} | {x for _, x, _ in plist})
+    rnk = {i: v for i, v in enumerate(vocab)}
+    iv = {
+        (v, d): _h60_py(f"{v}:i:{d}") % (2 * A + 1) - A
+        for v in vocab for d in range(DIM)
+    }
+    ov = {
+        (v, d): _h60_py(f"{v}:o:{d}") % (2 * A + 1) - A
+        for v in vocab for d in range(DIM)
+    }
+    draws = {
+        (c, x, j): rnk[_h60_py(f"{c}:{x}:{j}") % len(vocab)]
+        for c, x, _ in plist for j in range(1, K + 1)
+    }
+
+    def sig(z):
+        return min(SC, max(0, sdiv((z + 2 * Z0) * SC, 4 * Z0)))
+
+    def epoch(iv, ov):
+        din: dict = {}
+        dout: dict = {}
+        for c, x, n in plist:
+            z = sum(iv[(c, d)] * ov[(x, d)] for d in range(DIM))
+            g = SC - sig(z)
+            for d in range(DIM):
+                din[(c, d)] = din.get((c, d), 0) + sdiv(
+                    n * g * ov[(x, d)], SC
+                )
+                dout[(x, d)] = dout.get((x, d), 0) + sdiv(
+                    n * g * iv[(c, d)], SC
+                )
+            for j in range(1, K + 1):
+                nv = draws[(c, x, j)]
+                gn = sig(
+                    sum(iv[(c, d)] * ov[(nv, d)] for d in range(DIM))
+                )
+                for d in range(DIM):
+                    din[(c, d)] = din.get((c, d), 0) - sdiv(
+                        n * gn * ov[(nv, d)], SC
+                    )
+                    dout[(nv, d)] = dout.get((nv, d), 0) - sdiv(
+                        n * gn * iv[(c, d)], SC
+                    )
+        iv2 = {
+            k: iv[k] + sdiv(din.get(k, 0), LR) for k in iv
+        }
+        ov2 = {
+            k: ov[k] + sdiv(dout.get(k, 0), LR) for k in ov
+        }
+        return iv2, ov2
+
+    iv1, ov1 = epoch(iv, ov)
+    iv2, ov2 = epoch(iv1, ov1)
+    got2 = {
+        (r["kind"], r["id"], r["d"]): r["emb_fp"]
+        for r in sgns_embeddings(
+            pairs, dim=DIM, negatives=K, amp=A, sig_scale=SC,
+            lr_den=LR, epochs=2,
+        ).collect()
+    }
+    exp2 = {("in", v, d): iv2[(v, d)] for v in vocab for d in range(DIM)}
+    exp2.update(
+        {("out", v, d): ov2[(v, d)] for v in vocab for d in range(DIM)}
+    )
+    assert got2 == exp2
+    # the second epoch actually moves the vectors
+    exp1 = {("in", v, d): iv1[(v, d)] for v in vocab for d in range(DIM)}
+    assert any(
+        got2[("in", v, d)] != exp1[("in", v, d)]
+        for v in vocab for d in range(DIM)
+    )
+    with pytest.raises(ValueError):
+        sgns_embeddings(pairs, epochs=0)
