@@ -1036,7 +1036,13 @@ def index_phash_near_duplicates(
     candidate de-duplication is structural — a pair is emitted only from
     its FIRST colliding band, computed per row from the two signatures
     (the stateless replacement for ``distinct()``, same trick as the
-    MinHash probe)."""
+    MinHash probe). The first-band convention is sound HERE because
+    ``build_phash_index`` applies no hot-bucket cut: every colliding
+    band of a pair is present in ``band_tbl``, so the first one always
+    joins. It is NOT sound under a df-cut index — the audio twin
+    (``index_audio_near_duplicates``) learned this (ADVICE r8) and uses
+    a verify-then-group-by dedup instead; if a ``max_band_df`` lever is
+    ever added to the pHash index, switch this probe to that form."""
     sig = media_phash(new_assets)
     banded = sig.select(
         "asset_id", "phash", _phash_bands_expr().alias("bb")
