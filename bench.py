@@ -180,6 +180,50 @@ def _warmup(spark, queries, sf_dir) -> None:
         pass
 
 
+def _host_canary() -> dict:
+    """Fixed-size md5 throughput canary, run before AND after the sweep:
+    SCALE.md measured 4-7x aggregate-throughput swings on identical
+    CPU-bound builds across one session while single-thread latency
+    stayed flat, which made any cross-round bench delta under ~2x
+    unadjudicable by prose (r9 verdict item 2). Two legs, both hashing
+    the same pinned 128 MiB of constant bytes per worker:
+
+    * ``canary_1t_sec`` — one thread; moves only if per-core speed moved
+      (thermal/frequency), not with load.
+    * ``canary_mt_sec`` — 32 threads (hashlib releases the GIL on large
+      buffers, so this saturates cores exactly like a 32-slot Spark
+      stage); moves with host contention.
+
+    Cross-round normalization: scale a round's total by
+    ``canary_mt_ref / mean(canary_mt_pre, canary_mt_post)`` before
+    comparing. The work size is pinned (96 x 4 MiB blocks per worker —
+    sized so each leg runs ~0.7-1 s idle, long enough to average over
+    scheduler noise), so the canary itself is comparable across rounds
+    by construction."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    block = b"\x5a" * (1 << 22)  # 4 MiB: large enough to release the GIL
+
+    def one_worker(n_blocks: int) -> str:
+        h = hashlib.md5()
+        for _ in range(n_blocks):
+            h.update(block)
+        return h.hexdigest()
+
+    t0 = time.perf_counter()
+    one_worker(96)  # 384 MiB
+    single = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=32) as ex:
+        list(ex.map(one_worker, [96] * 32))  # 32 x 384 MiB, all cores
+    mt = time.perf_counter() - t0
+    return {
+        "canary_1t_sec": round(single, 3),
+        "canary_mt_sec": round(mt, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as em
@@ -193,6 +237,9 @@ def main() -> None:
     queries = em.queries()
     timings: dict[str, float | None] = {}
     failed: list[str] = []
+
+    canary_pre = _host_canary()
+    print(f"bench: canary pre {canary_pre}", file=sys.stderr)
 
     _warmup(spark, queries, sf_dir)
 
@@ -234,6 +281,9 @@ def main() -> None:
     # stays comparable with rounds where queries paid the builds inline.
     total += sum(v for v in shared.values() if v)
 
+    canary_post = _host_canary()
+    print(f"bench: canary post {canary_post}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     summary = {
@@ -243,6 +293,15 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_failed": len(failed),
+        # Host-throughput canary (pre, post): normalize cross-round
+        # totals by canary_mt_sec before adjudicating deltas — see
+        # _host_canary.
+        "canary_1t_sec": [
+            canary_pre["canary_1t_sec"], canary_post["canary_1t_sec"]
+        ],
+        "canary_mt_sec": [
+            canary_pre["canary_mt_sec"], canary_post["canary_mt_sec"]
+        ],
         "shared_intermediates": shared,
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "full": "BENCH_FULL.json",
@@ -257,14 +316,27 @@ def main() -> None:
     # ($SPARK_GRAFT_ROUND when the driver sets it, else unstamped).
     round_tag = os.environ.get("SPARK_GRAFT_ROUND")
     if not round_tag:
-        # Infer: this run produces the round AFTER the latest committed
-        # CORRECTNESS artifact. The driver commits CORRECTNESS_r{N}.json /
-        # CORRECTNESS_FULL_r{N}.json every round, whereas BENCH_r{N}.json
-        # snapshots can skip a round — inferring from BENCH landed the
-        # round-8 artifact stamped "7" (r8 verdict item 2). The inference
-        # assumes the driver's flow (bench BEFORE this round's artifacts
-        # land); when re-benchmarking after committing the current
-        # round's CORRECTNESS files, set SPARK_GRAFT_ROUND explicitly.
+        # Infer from VERDICT.md's header: the judge writes "# VERDICT —
+        # Round N" at the START of round N+1 and it stays put for the
+        # whole round INCLUDING the driver's post-close re-bench (the
+        # judge for round N+1 runs only after that re-bench), so
+        # header+1 is the current round at every bench the driver runs.
+        # The previous max(CORRECTNESS_r{N})+1 inference overshot
+        # exactly there — it assumed bench runs BEFORE the round's
+        # artifacts land, and the r9 post-close re-bench (run after
+        # CORRECTNESS_r09.json was committed) self-stamped "10"
+        # (r9 verdict item 3).
+        import re
+
+        try:
+            with open(os.path.join(REPO_DIR, "VERDICT.md")) as fh:
+                m = re.search(r"Round\s+(\d+)", fh.readline())
+            round_tag = str(int(m.group(1)) + 1) if m else None
+        except OSError:
+            round_tag = None
+    if not round_tag:
+        # Round 1 (no VERDICT.md yet): fall back to the CORRECTNESS
+        # inference, which is correct there by construction.
         import glob
         import re
 
