@@ -1764,6 +1764,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["node2vec_walk_corpus_customers"] = _node2vec_walk_corpus_customers
 
+    def _node2vec_walk_corpus_capped_customers(spark, sf):
+        # The celebrity-vertex lever on the SECOND-ORDER engine (r9
+        # verdict item 1): the shared hash-threshold degree cut samples
+        # the symmetrized graph BEFORE ranking, and the common-neighbor
+        # weight table reads the same sampled set — one consistent
+        # graph for walk and weights. max_degree=8 sits below real
+        # co-occurrence degrees at the gate SF (same setting the
+        # first-order capped twin exercises), so the cut is active.
+        return G.node2vec_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            walk_length=6,
+            walks_per_vertex=1,
+            return_w=2,
+            common_w=2,
+            far_w=1,
+            max_degree=8,
+        )
+
+    q["node2vec_walk_corpus_capped_customers"] = (
+        _node2vec_walk_corpus_capped_customers
+    )
+
     def _sgns_embeddings_customers(spark, sf):
         # The walks -> pairs -> embeddings leg: one synchronous epoch of
         # fixed-point skip-gram negative sampling (Mikolov et al. 2013)
@@ -1906,7 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # so staleness is auditable directly. Semantics are unchanged — this is
 # pure dict ordering.
 _DRIVER_PRIORITY = [
-    # new this round (2) — prove first:
+    # new this round (4) — prove first:
     "node2vec_walk_corpus_customers",
     "sgns_embeddings_customers",
     "random_walk_corpus_capped_customers",
@@ -4744,6 +4766,10 @@ def oracle_sql() -> dict[str, str]:
     d["node2vec_walk_corpus_customers"] = _node2vec_oracle(
         walk_length=8, walks_per_vertex=2, return_w=2, common_w=2, far_w=1
     )
+    d["node2vec_walk_corpus_capped_customers"] = _node2vec_oracle(
+        walk_length=6, walks_per_vertex=1, return_w=2, common_w=2,
+        far_w=1, max_degree=8,
+    )
     d["sgns_embeddings_customers"] = _sgns_oracle(
         walk_length=8, walks_per_vertex=2, window=2,
         dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16,
@@ -5003,13 +5029,19 @@ def _node2vec_ctes(
     return_w: int,
     common_w: int,
     far_w: int,
+    max_degree: int | None = None,
 ) -> str:
     """Second-order (node2vec) walk CTE chain on the shared walk head:
     step 1 is the first-order uniform pick; step s >= 2 weights each
     candidate (return_w / common_w / far_w by its relation to ``prev``),
     builds the dst-ascending cumulative-weight ladder with a running-SUM
     window, and indexes it with the ``md5("prev:v:w:s") mod W`` pick —
-    the exact arithmetic of ``graph.node2vec_walk_corpus``."""
+    the exact arithmetic of ``graph.node2vec_walk_corpus``. With
+    ``max_degree`` set, the head applies the shared celebrity-vertex
+    cut and BOTH the ranked-neighbor table and the common-neighbor
+    EXISTS probe read the sampled edge set (``symc``), mirroring the
+    engine's one-consistent-graph contract."""
+    nbr_src = "symc" if max_degree is not None else "sym"
     h1 = (
         "CAST('0x' || substr(md5(CAST(f.vertex AS VARCHAR) || ':' "
         "|| CAST(f.walk_id AS VARCHAR) || ':1'), 1, 15) AS BIGINT)"
@@ -5031,7 +5063,7 @@ def _node2vec_ctes(
         c{s} AS (
             SELECT f.walk_id, f.start_id, f.prev, f.vertex, r.dst,
                    CAST(CASE WHEN r.dst = f.prev THEN {return_w}
-                        WHEN EXISTS (SELECT 1 FROM sym n
+                        WHEN EXISTS (SELECT 1 FROM {nbr_src} n
                                      WHERE n.src = f.prev
                                        AND n.dst = r.dst)
                              THEN {common_w}
@@ -5047,11 +5079,16 @@ def _node2vec_ctes(
             FROM c{s}
         ),
         f{s} AS MATERIALIZED (
+            -- GREATEST(tot, 1): the tot > 0 conjunct already excludes
+            -- dead walks (possible only under return_w = 0), but the
+            -- divisor guard avoids relying on modulo-by-zero returning
+            -- NULL rather than erroring (ADVICE r9; mirrors the Spark
+            -- pick's greatest(tot, 1))
             SELECT walk_id, start_id, vertex AS prev, dst AS vertex
             FROM g{s}
             WHERE tot > 0 AND wgt > 0
-              AND {hs} % tot >= cum - wgt
-              AND {hs} % tot < cum
+              AND {hs} % GREATEST(tot, 1) >= cum - wgt
+              AND {hs} % GREATEST(tot, 1) < cum
         )""")
     sel = " UNION ALL ".join(
         ["SELECT walk_id, start_id, 0 AS step, vertex FROM f0"]
@@ -5060,7 +5097,7 @@ def _node2vec_ctes(
             for s in range(1, walk_length + 1)
         ]
     )
-    return f"""{_walk_head_ctes(walks_per_vertex)},{",".join(steps)},
+    return f"""{_walk_head_ctes(walks_per_vertex, max_degree)},{",".join(steps)},
         corpus AS (SELECT * FROM ({sel}))"""
 
 
@@ -5199,9 +5236,11 @@ def _node2vec_oracle(
     return_w: int,
     common_w: int,
     far_w: int,
+    max_degree: int | None = None,
 ) -> str:
     return f"""{_node2vec_ctes(
-        walk_length, walks_per_vertex, return_w, common_w, far_w
+        walk_length, walks_per_vertex, return_w, common_w, far_w,
+        max_degree,
     )}
         SELECT CAST(walk_id AS INTEGER) AS walk_id,
                CAST(start_id AS BIGINT) AS start_id,
@@ -6129,7 +6168,10 @@ def _bm25_ctes(terms: tuple[str, ...], docs: str, idf_docs: str) -> str:
     scored side). Same fixed-point arithmetic as ``text.bm25_search`` —
     2816 = 44*64 clears k1=6/5, b=3/4, the 2^6 idf scale, and avgdl=S/N
     of all fractions; `//` on positive BIGINTs truncates exactly like
-    Spark's DIV."""
+    Spark's DIV. Terms are deduplicated order-preservingly, mirroring
+    ``text.build_bm25_index`` (ADVICE r9: the UNNEST would otherwise
+    emit one idf row per duplicate and double-count its score)."""
+    terms = tuple(dict.fromkeys(str(t) for t in terms))
     tlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
         itoks AS (

@@ -2851,6 +2851,49 @@ def hits_scores(
     )
 
 
+def _degree_cap(sym: DataFrame, max_degree: int) -> DataFrame:
+    """The walk engines' shared celebrity-vertex lever: deterministic
+    hash-threshold neighbor sampling over a symmetrized edge table —
+    keep edge iff ``md5-60bit("src:dst") mod 2^30 < (2^30 * max_degree)
+    div deg(src)``, ALWAYS keeping the src's min-hash neighbor so no
+    vertex goes dark. Bounds the EXPECTED surviving degree by
+    ``max_degree`` with binomial concentration; the cut itself is one
+    groupBy-count + one groupBy-min — no window, no sort, so it has no
+    skewed task even on a degree-10^8 hub. Lossy by design (walks
+    explore a sampled neighborhood), mirroring the ``max_band_df``
+    convention of the dedup family. The identical arithmetic lives in
+    the oracle head (``_walk_head_ctes``'s ``symc`` CTE)."""
+    if max_degree < 1:
+        raise ValueError(f"max_degree must be >= 1, got {max_degree}")
+    hcut = 1 << 30
+    hashed = sym.select(
+        "src",
+        "dst",
+        F.pmod(
+            _pri60(
+                F.concat_ws(
+                    ":",
+                    F.col("src").cast("string"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+            F.lit(hcut),
+        ).alias("h_cut"),
+    )
+    deg0 = hashed.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg0"), F.min("h_cut").alias("h_keep")
+    )
+    return (
+        hashed.join(deg0, "src")
+        .filter(
+            (F.col("h_cut") < F.expr(f"({hcut} * {max_degree}L) div deg0"))
+            | (F.col("h_cut") == F.col("h_keep"))
+        )
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+
+
 def random_walk_corpus(
     edges: DataFrame,
     walk_length: int = 8,
@@ -2871,8 +2914,11 @@ def random_walk_corpus(
     The neighbor rank comes from a ROW_NUMBER over (src, dst) — bounded
     by deg(v) rows per partition — and the identical window exists in
     the unrolled chained-CTE oracle, so Spark and DuckDB emit the same
-    corpus bit for bit. Isolated vertices produce length-1 walks (the
-    start vertex only); walks never terminate early otherwise.
+    corpus bit for bit. Starts are drawn from the symmetrized,
+    self-loop-filtered edge table, so a vertex with no (non-self) edges
+    emits NO rows at all — isolated vertices are absent from the corpus
+    (pinned by ``test_random_walk_isolated_vertex_emits_no_rows``);
+    walks from connected starts never terminate early.
 
     CELEBRITY-VERTEX BOUND: the per-``src`` ROW_NUMBER sort concentrates
     one task per vertex, so the largest single task is O(max-degree log
@@ -2902,38 +2948,7 @@ def random_walk_corpus(
         .localCheckpoint()
     )
     if max_degree is not None:
-        if max_degree < 1:
-            raise ValueError(f"max_degree must be >= 1, got {max_degree}")
-        hcut = 1 << 30
-        hashed = sym.select(
-            "src",
-            "dst",
-            F.pmod(
-                _pri60(
-                    F.concat_ws(
-                        ":",
-                        F.col("src").cast("string"),
-                        F.col("dst").cast("string"),
-                    )
-                ),
-                F.lit(hcut),
-            ).alias("h_cut"),
-        )
-        deg0 = hashed.groupBy("src").agg(
-            F.count(F.lit(1)).alias("deg0"), F.min("h_cut").alias("h_keep")
-        )
-        sym = (
-            hashed.join(deg0, "src")
-            .filter(
-                (
-                    F.col("h_cut")
-                    < F.expr(f"({hcut} * {max_degree}L) div deg0")
-                )
-                | (F.col("h_cut") == F.col("h_keep"))
-            )
-            .select("src", "dst")
-            .localCheckpoint()
-        )
+        sym = _degree_cap(sym, max_degree)
     w_rank = Window.partitionBy("src").orderBy("dst")
     ranked = (
         sym.select(
@@ -2992,6 +3007,7 @@ def node2vec_walk_corpus(
     return_w: int = 2,
     common_w: int = 2,
     far_w: int = 1,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """``(walk_id, start_id, step, vertex)`` — node2vec SECOND-ORDER
     biased walks (Grover & Leskovec 2016) on the :func:`random_walk_corpus`
@@ -3022,6 +3038,16 @@ def node2vec_walk_corpus(
     (prev, dst)-keyed edges join for the common-neighbor flag, and one
     walk-keyed running-sum window over deg(v)-bounded partitions — all
     edge-sized, no driver state, no RNG coordination.
+
+    CELEBRITY-VERTEX BOUND: the candidate running-sum ladder is deg(v)
+    rows per walk in one window partition, so a degree-10^8 hub at
+    100 TB concentrates one giant window task per walk sitting on it
+    (r9 verdict item 1). ``max_degree`` applies the engines' shared
+    hash-threshold neighbor sample (:func:`_degree_cap`) BEFORE
+    ranking; the common-neighbor table uses the SAME sampled edge set
+    (walk and weights see one consistent graph — and the oracle stays
+    bit-exact). ``None`` (default, and the uncapped registered query)
+    is exact.
     """
     if min(return_w, common_w, far_w) < 0 or max(
         return_w, common_w, far_w
@@ -3037,6 +3063,8 @@ def node2vec_walk_corpus(
         .distinct()
         .localCheckpoint()
     )
+    if max_degree is not None:
+        sym = _degree_cap(sym, max_degree)
     w_rank = Window.partitionBy("src").orderBy("dst")
     ranked = sym.select(
         "src",
@@ -3116,6 +3144,11 @@ def node2vec_walk_corpus(
                 .alias("wgt"),
             )
         )
+        # greatest(tot, 1): tot = 0 rows (dead walks under return_w = 0
+        # configs) are excluded by the tot > 0 conjunct below, but the
+        # divisor guard keeps the expression ANSI-safe — pmod-by-zero
+        # would error under spark.sql.ansi.enabled instead of returning
+        # the NULL the filter happens to discard (ADVICE r9).
         pick = F.pmod(
             _pri60(
                 F.concat_ws(
@@ -3126,7 +3159,7 @@ def node2vec_walk_corpus(
                     F.lit(s),
                 )
             ),
-            F.col("tot"),
+            F.greatest(F.col("tot"), F.lit(1).cast("long")),
         )
         frontier = (
             cand.select(
@@ -3252,10 +3285,19 @@ def sgns_embeddings(
       lr_den`` (floor-div via the shifted-positive trick, identical in
       Spark div and DuckDB //), and symmetrically for ``out``.
 
-    int64 bound: per-term ``n·g·amp ≤ n·2^18`` and the shift constant
-    2^32 require ``n < 2^26`` co-occurrences per pair and per-vector
-    gradient sums < 2^36 — far above any real corpus at the registered
-    walk lengths.
+    int64 bound (stated in terms of the EPOCH-GROWN magnitudes, not the
+    init-scale ``amp`` — updates can grow ``|emb|`` past ``amp`` once
+    ``epochs > 1``): ``_sgns_sdiv`` is floor-exact and Spark-div /
+    DuckDB-`//` identical only while its operand satisfies ``|x| <
+    den·2^32``, so each per-term gradient needs ``n·g·|emb| <
+    sig_scale·2^32``, i.e. ``max(n) · max|emb| < 2^32`` (``g ≤
+    sig_scale`` cancels). That product is ASSERTED before every epoch's
+    gradient pass from the current vectors — a violation surfaces as a
+    loud ValueError instead of a silent ±1 Spark/DuckDB divergence
+    (ADVICE r9). The per-(v,d) gradient sums fed to the ``lr_den``
+    divide must additionally stay below ``lr_den·2^32`` (documented,
+    not asserted: a sum that large requires ~2^32/max|emb| colliding
+    draws on one vector, far past the asserted per-term bound).
 
     Scale note: the vocab rank table uses one global ROW_NUMBER — a
     |V|-row single-partition sort. Fine to ~10^7 vocab; at
@@ -3339,7 +3381,23 @@ def sgns_embeddings(
     else:
         negs = None
 
+    n_max = p.agg(F.max("n")).collect()[0][0] or 0
     for _epoch in range(epochs):
+        # _sgns_sdiv exactness guard (ADVICE r9): per-term gradients are
+        # n·g·emb with g ≤ sig_scale, so floor-div correctness needs
+        # max(n)·max|emb| < 2^32 under THIS epoch's (possibly grown)
+        # vectors. One cheap vocab·dim-sized agg per side per epoch.
+        m_abs = max(
+            cur.agg(F.max(F.abs(F.col("e")))).collect()[0][0] or 0
+            for cur in (in_cur, out_cur)
+        )
+        if n_max * m_abs >= (1 << 32):
+            raise ValueError(
+                "sgns_embeddings: epoch-grown embedding magnitude "
+                f"breaks the _sgns_sdiv exactness bound (max n={n_max} "
+                f"* max|emb|={m_abs} >= 2^32); lower lr (raise lr_den) "
+                "or epochs"
+            )
         in_c = in_cur.select(
             F.col("v").alias("c"), "d", F.col("e").alias("iv")
         )

@@ -2036,8 +2036,14 @@ def build_bm25_index(
     corpus never saw: Okapi's +1-smoothed idf assigns df=0 the positive
     weight ``ilog2_q6(2N+2) - ilog2_q6(1) = ilog2_q6(2N+2)``, so an
     unseen term still contributes at score time instead of being
-    silently inner-joined away (ADVICE r8)."""
-    terms = [str(t) for t in query_terms]
+    silently inner-joined away (ADVICE r8).
+
+    Query terms are DEDUPLICATED order-preservingly first: the idf table
+    is built row-per-term from the raw list, so a duplicated input term
+    would otherwise double-count its score_q12 contribution and
+    terms_hit in ``incremental_bm25_scoring`` (ADVICE r9; the oracle
+    dedupes identically)."""
+    terms = list(dict.fromkeys(str(t) for t in query_terms))
     toks = indexed_docs.select(
         "doc_id", F.explode(tokens_col("text")).alias("token")
     )
@@ -2088,7 +2094,7 @@ def incremental_bm25_scoring(
 
     Returns ``(doc_id, terms_hit, score_q12)`` ordered by doc_id.
     """
-    terms = [str(t) for t in query_terms]
+    terms = list(dict.fromkeys(str(t) for t in query_terms))
     stats, idf = (
         indexed_docs
         if isinstance(indexed_docs, tuple)

@@ -3993,6 +3993,44 @@ def test_incremental_bm25_stateless_and_frozen_stats(spark, tmp_path):
     assert got == direct
 
 
+def test_bm25_index_dedupes_query_terms(spark):
+    """A duplicated query term must not double-count its idf row: the
+    index dedupes order-preservingly, so scores and terms_hit match the
+    distinct-terms run exactly (ADVICE r9)."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        build_bm25_index,
+        incremental_bm25_scoring,
+    )
+
+    filler = "alpha beta gamma delta"
+    indexed = spark.createDataFrame(
+        [(2, "needle " + filler, "s"), (4, "common " + filler, "s")],
+        "doc_id long, text string, source string",
+    )
+    incoming = spark.createDataFrame(
+        [(1, "needle common " + filler, "s")],
+        "doc_id long, text string, source string",
+    )
+    base = {
+        r["doc_id"]: (r["terms_hit"], r["score_q12"])
+        for r in incremental_bm25_scoring(
+            incoming,
+            build_bm25_index(indexed, ("needle", "common")),
+            ("needle", "common"),
+        ).collect()
+    }
+    duped = {
+        r["doc_id"]: (r["terms_hit"], r["score_q12"])
+        for r in incremental_bm25_scoring(
+            incoming,
+            build_bm25_index(indexed, ("needle", "common", "needle")),
+            ("needle", "common", "needle"),
+        ).collect()
+    }
+    assert duped == base
+    assert base[1][0] == 2
+
+
 def _wav_bytes(samples, channels=1, rate=8000):
     import struct
 

@@ -1569,7 +1569,7 @@ def test_random_walk_corpus_matches_mirror_and_walks_are_valid(spark):
             assert steps[s] in adj[steps[s - 1]]
 
 
-def test_random_walk_isolated_vertex_emits_start_only(spark):
+def test_random_walk_isolated_vertex_emits_no_rows(spark):
     from inf_553_datamining_mapreduce_spark.operators.graph import (
         random_walk_corpus,
     )
@@ -1747,6 +1747,61 @@ def test_random_walk_max_degree_lever_bounds_hub_fanout(spark):
         _edges_df(spark, small), walk_length=5, walks_per_vertex=2
     ).collect()
     levered = random_walk_corpus(
+        _edges_df(spark, small), walk_length=5, walks_per_vertex=2,
+        max_degree=16,
+    ).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, levered))
+
+
+def test_node2vec_max_degree_lever_bounds_hub_fanout(spark):
+    """The celebrity lever on the SECOND-ORDER engine (r9 verdict item
+    1): same planted star as the first-order test — the hub's surviving
+    fan-out is bounded near the cap, every leaf stays reachable through
+    the min-hash guarantee, the run is deterministic, and a small graph
+    under the cap is bit-identical to the unlevered walk (which itself
+    is pinned equal to the shared _degree_cap sample of the first-order
+    engine at step 1)."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        node2vec_walk_corpus,
+    )
+
+    star = [(0, i) for i in range(1, 401)]
+    walks = node2vec_walk_corpus(
+        _edges_df(spark, star), walk_length=4, walks_per_vertex=1,
+        max_degree=16,
+    )
+    rows = walks.collect()
+    hub_walk = sorted(
+        (r["step"], r["vertex"]) for r in rows if r["start_id"] == 0
+    )
+    assert hub_walk[0] == (0, 0) and len(hub_walk) == 5  # full length
+    # the hub's step-1 hop and every leaf-walk step-2 bounce through the
+    # hub can only land on the SAMPLED neighbor set — bounded well under
+    # the 400-leaf fan-out (binomial around 16)
+    reached_via_hub = {
+        r["vertex"]
+        for r in rows
+        if (r["step"] == 1 and r["start_id"] == 0)
+        or (r["step"] == 2 and r["start_id"] != 0 and r["vertex"] != 0)
+    }
+    assert reached_via_hub and len(reached_via_hub) <= 64
+    # every leaf's step-1 hop lands on the hub (min-hash keeps it alive)
+    leaf_step1 = {
+        r["vertex"] for r in rows if r["step"] == 1 and r["start_id"] != 0
+    }
+    assert leaf_step1 == {0}
+    # deterministic: a second invocation is bit-identical
+    again = node2vec_walk_corpus(
+        _edges_df(spark, star), walk_length=4, walks_per_vertex=1,
+        max_degree=16,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # a graph under the cap is EXACT: lever output == unlevered output
+    small = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    exact = node2vec_walk_corpus(
+        _edges_df(spark, small), walk_length=5, walks_per_vertex=2
+    ).collect()
+    levered = node2vec_walk_corpus(
         _edges_df(spark, small), walk_length=5, walks_per_vertex=2,
         max_degree=16,
     ).collect()
@@ -2001,3 +2056,21 @@ def test_sgns_two_epochs_match_iterated_python_mirror(spark):
     )
     with pytest.raises(ValueError):
         sgns_embeddings(pairs, epochs=0)
+
+
+def test_sgns_sdiv_bound_violation_raises(spark):
+    """A pair count big enough to break the _sgns_sdiv exactness bound
+    (max(n) * max|emb| >= 2^32) must surface as a loud ValueError, not a
+    silent Spark/DuckDB off-by-one (ADVICE r9)."""
+    import pytest
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        sgns_embeddings,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1 << 40), (2, 1, 1 << 40)],
+        "center long, context long, n_pairs long",
+    )
+    with pytest.raises(ValueError, match="_sgns_sdiv exactness bound"):
+        sgns_embeddings(pairs, dim=4, negatives=0, epochs=1)
