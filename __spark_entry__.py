@@ -1831,6 +1831,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _sgns_embeddings_epochs_customers
     )
 
+    def _sgns_embeddings_weighted_customers(spark, sf):
+        # word2vec's unigram^0.75 noise distribution (Mikolov et al.
+        # 2013 §2.2) under the oracle gate: negatives drawn from the
+        # floor(freq^0.75 * 8) cumulative-weight ladder — exact integer
+        # fourth root via two corrected isqrt's — banded into buckets
+        # Spark-side, range-joined oracle-side, identical winners.
+        walks = G.random_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            walk_length=8,
+            walks_per_vertex=2,
+        )
+        return G.sgns_embeddings(
+            G.skipgram_pairs(walks, window=2),
+            dim=8,
+            negatives=2,
+            amp=64,
+            sig_scale=4096,
+            lr_den=16,
+            neg_weighting="unigram34",
+        )
+
+    q["sgns_embeddings_weighted_customers"] = (
+        _sgns_embeddings_weighted_customers
+    )
+
     def _personalized_pagerank_customers(spark, sf):
         # Rooted PageRank (Jeh & Widom 2003): teleport mass concentrated
         # on the 4 smallest vertices (the SSSP landmark convention) —
@@ -4778,6 +4803,11 @@ def oracle_sql() -> dict[str, str]:
         walk_length=8, walks_per_vertex=2, window=2,
         dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16, epochs=2,
     )
+    d["sgns_embeddings_weighted_customers"] = _sgns_oracle(
+        walk_length=8, walks_per_vertex=2, window=2,
+        dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16,
+        neg_weighting="unigram34",
+    )
     d["personalized_pagerank_customers"] = _ppr_oracle(
         n_seeds=4, iterations=10
     )
@@ -5111,6 +5141,7 @@ def _sgns_oracle(
     sig_scale: int,
     lr_den: int,
     epochs: int = 1,
+    neg_weighting: str = "uniform",
 ) -> str:
     """Chained-CTE oracle for the fixed-point SGNS trainer: the shared
     walk CTEs -> the skipgram pair counts -> hash-seeded init embeddings
@@ -5208,18 +5239,7 @@ def _sgns_oracle(
                         % {2 * a_ + 1} - {a_} AS BIGINT) AS ov
             FROM vocab, UNNEST(range(0, {dim})) AS dd(d)
         ),
-        negdraw AS MATERIALIZED (
-            SELECT q.c, q.n, q.x_pos, q.j, vo.v AS x
-            FROM (
-                SELECT p.c, p.n, p.x AS x_pos, jj.j,
-                       {h60(
-                           "CAST(p.c AS VARCHAR) || ':' "
-                           "|| CAST(p.x AS VARCHAR) || ':' "
-                           "|| CAST(jj.j AS VARCHAR)"
-                       )} % (SELECT nv FROM vn) AS rnk
-                FROM pairs p, UNNEST(range(1, {negatives + 1})) AS jj(j)
-            ) q JOIN vocab vo ON vo.rnk = q.rnk
-        ),{",".join(epoch_blocks)}
+        {_sgns_negdraw_ctes(h60, negatives, neg_weighting)},{",".join(epoch_blocks)}
         SELECT kind, CAST(id AS BIGINT) AS id, CAST(d AS INTEGER) AS d,
                CAST(emb_fp AS BIGINT) AS emb_fp
         FROM (
@@ -5228,6 +5248,64 @@ def _sgns_oracle(
             SELECT 'out', v, d, ov FROM emb{epochs}
         ) ORDER BY kind, id, d
     """
+
+
+def _sgns_negdraw_ctes(h60, negatives: int, neg_weighting: str) -> str:
+    """The negative-draw CTE block, mirroring
+    ``graph._sgns_negative_draws`` draw for draw. ``"uniform"`` is the
+    md5-rank equi-join against the vocab rank; ``"unigram34"`` builds
+    the ``floor(freq^0.75 * 8)`` weight ladder (shared engine SQL text
+    via ``graph._sgns_w34_sql`` — the nested exact integer sqrt) and
+    lands each pick by the interval test. DuckDB's IEJoin handles the
+    range predicate directly; the Spark side bands the same ladder into
+    buckets, landing on identical winners."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        _sgns_w34_sql,
+    )
+
+    key = h60(
+        "CAST(p.c AS VARCHAR) || ':' "
+        "|| CAST(p.x AS VARCHAR) || ':' "
+        "|| CAST(jj.j AS VARCHAR)"
+    )
+    if neg_weighting == "uniform":
+        return f"""negdraw AS MATERIALIZED (
+            SELECT q.c, q.n, q.x_pos, q.j, vo.v AS x
+            FROM (
+                SELECT p.c, p.n, p.x AS x_pos, jj.j,
+                       {key} % (SELECT nv FROM vn) AS rnk
+                FROM pairs p, UNNEST(range(1, {negatives + 1})) AS jj(j)
+            ) q JOIN vocab vo ON vo.rnk = q.rnk
+        )"""
+    assert neg_weighting == "unigram34", neg_weighting
+    return f"""freqs AS (
+            SELECT c AS v, CAST(SUM(n) AS BIGINT) AS freq
+            FROM pairs GROUP BY 1
+        ),
+        wl AS (
+            SELECT vo.v,
+                   {_sgns_w34_sql("CAST(COALESCE(f.freq, 0) AS BIGINT)")}
+                       AS w
+            FROM vocab vo LEFT JOIN freqs f USING (v)
+        ),
+        lad AS MATERIALIZED (
+            SELECT v, w,
+                   CAST(SUM(w) OVER (
+                       ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM wl
+        ),
+        lt AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM wl),
+        negdraw AS MATERIALIZED (
+            SELECT q.c, q.n, q.x_pos, q.j, l.v AS x
+            FROM (
+                SELECT p.c, p.n, p.x AS x_pos, jj.j,
+                       {key} % (SELECT tot FROM lt) AS pick
+                FROM pairs p, UNNEST(range(1, {negatives + 1})) AS jj(j)
+            ) q JOIN lad l
+              ON l.w > 0 AND q.pick >= l.cum - l.w AND q.pick < l.cum
+        )"""
 
 
 def _node2vec_oracle(

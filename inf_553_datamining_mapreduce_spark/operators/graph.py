@@ -2894,6 +2894,64 @@ def _degree_cap(sym: DataFrame, max_degree: int) -> DataFrame:
     )
 
 
+def weighted_pick(
+    cand: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    order_col: str,
+    draw: Column,
+) -> DataFrame:
+    """The md5-mod-cumulative-weight LADDER PICK, factored out of its
+    hand-rolled call sites (r9 verdict item 8): per ``key_cols`` group,
+    order the candidate rows by ``order_col`` ascending, build the
+    running-sum weight ladder, and keep exactly the row whose
+    ``[cum - w, cum)`` interval contains ``draw mod total_weight`` — a
+    deterministic weighted draw with zero RNG state. ``draw`` is a
+    64-bit column expression (conventionally ``_pri60`` of a salted
+    key); rows with ``weight_col <= 0`` never win, and a group whose
+    total weight is 0 emits nothing (the divisor is guarded with
+    ``greatest(tot, 1)`` so the expression stays ANSI-safe). ``cum`` /
+    ``tot`` are internal column names — ``cand`` must not carry them.
+
+    Shape at scale: one running-sum window bounded by the per-key
+    candidate count — the deg(v) bound when candidates come from a
+    frontier ⋈ edges join, so the celebrity-vertex caveat (and the
+    ``max_degree`` lever) of the walk engines applies to every caller.
+
+    Call-site inventory (why the OTHER deterministic samplers do NOT
+    route through here): ``sgns_embeddings``'s uniform negative draw is
+    the degenerate unit-weight ladder, where ``cum = rank + 1`` makes
+    the pick an EQUI-join on the precomputed vocab rank — strictly
+    better than a range filter, so it keeps its specialized form;
+    ``text.weighted_corpus_sample`` is systematic PPS sampling (k
+    equally-spaced thresholds over one global ladder, many winners),
+    not a per-key single draw; the unigram^0.75 negative sampler is the
+    many-draws-one-ladder sibling (``_sgns_weighted_draws``) where the
+    ladder is banded into buckets so each draw equi-joins its bucket
+    instead of range-scanning the vocabulary."""
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*key_cols)
+    pick = F.pmod(draw, F.greatest(F.col("tot"), F.lit(1).cast("long")))
+    return (
+        cand.select(
+            "*",
+            F.sum(weight_col).over(w_cum).alias("cum"),
+            F.sum(weight_col).over(w_tot).alias("tot"),
+        )
+        .filter(
+            (F.col("tot") > 0)
+            & (F.col(weight_col) > 0)
+            & (pick >= F.col("cum") - F.col(weight_col))
+            & (pick < F.col("cum"))
+        )
+        .drop("cum", "tot")
+    )
+
+
 def random_walk_corpus(
     edges: DataFrame,
     walk_length: int = 8,
@@ -3115,12 +3173,6 @@ def node2vec_walk_corpus(
         F.col("dst").alias("nb_cand"),
         F.lit(1).alias("is_nbr"),
     )
-    w_cum = (
-        Window.partitionBy("walk_id", "start_id")
-        .orderBy("dst")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_tot = Window.partitionBy("walk_id", "start_id")
     for s in range(2, walk_length + 1):
         cand = (
             frontier.join(ranked, frontier.vertex == ranked.src)
@@ -3144,34 +3196,22 @@ def node2vec_walk_corpus(
                 .alias("wgt"),
             )
         )
-        # greatest(tot, 1): tot = 0 rows (dead walks under return_w = 0
-        # configs) are excluded by the tot > 0 conjunct below, but the
-        # divisor guard keeps the expression ANSI-safe — pmod-by-zero
-        # would error under spark.sql.ansi.enabled instead of returning
-        # the NULL the filter happens to discard (ADVICE r9).
-        pick = F.pmod(
-            _pri60(
-                F.concat_ws(
-                    ":",
-                    F.col("prev").cast("string"),
-                    F.col("vertex").cast("string"),
-                    F.col("walk_id").cast("string"),
-                    F.lit(s),
-                )
-            ),
-            F.greatest(F.col("tot"), F.lit(1).cast("long")),
+        # The shared ladder pick (weighted_pick guards the modulo
+        # divisor with greatest(tot, 1), so dead walks under
+        # return_w = 0 stay ANSI-safe — ADVICE r9): draw key
+        # "prev:vertex:walk:step", dst-ascending ladder per walk.
+        draw = _pri60(
+            F.concat_ws(
+                ":",
+                F.col("prev").cast("string"),
+                F.col("vertex").cast("string"),
+                F.col("walk_id").cast("string"),
+                F.lit(s),
+            )
         )
         frontier = (
-            cand.select(
-                "*",
-                F.sum("wgt").over(w_cum).alias("cum"),
-                F.sum("wgt").over(w_tot).alias("tot"),
-            )
-            .filter(
-                (F.col("tot") > 0)
-                & (F.col("wgt") > 0)
-                & (pick >= F.col("cum") - F.col("wgt"))
-                & (pick < F.col("cum"))
+            weighted_pick(
+                cand, ["walk_id", "start_id"], "wgt", "dst", draw
             )
             .select(
                 "walk_id",
@@ -3228,6 +3268,168 @@ def skipgram_pairs(
     )
 
 
+def _isqrt_sql(x: str) -> str:
+    """EXACT integer square root of a non-negative BIGINT expression as
+    engine-shared SQL text: IEEE-754 requires SQRT to be correctly
+    rounded, and the BIGINT->DOUBLE cast is round-to-nearest in both
+    Spark and DuckDB, so ``FLOOR(SQRT(double(x)))`` is within ±1 of
+    ``isqrt(x)`` (the cast's rounding is the only error source); one
+    symmetric integer correction pins it exactly. Requires ``x < 2^62``
+    so the correction's squares never overflow int64 (Spark would wrap
+    silently where DuckDB errors — callers assert their inputs'
+    bound)."""
+    y0 = f"CAST(FLOOR(SQRT(CAST(({x}) AS DOUBLE))) AS BIGINT)"
+    y1 = f"(CASE WHEN {y0} * {y0} > ({x}) THEN {y0} - 1 ELSE {y0} END)"
+    return (
+        f"(CASE WHEN ({y1} + 1) * ({y1} + 1) <= ({x})"
+        f" THEN {y1} + 1 ELSE {y1} END)"
+    )
+
+
+# unigram^0.75 weight scale: weights are floor(freq^(3/4) * 8), computed
+# BIGINT-exactly as isqrt(isqrt(freq^3 * 8^4)) — the fourth root via two
+# exact integer square roots (floor(sqrt(floor(sqrt(n)))) = floor(n^(1/4))
+# for non-negative integers).
+SGNS_W34_SCALE = 8
+SGNS_W34_FREQ_MAX = 1 << 16  # freq^3 * 8^4 < 2^60 keeps _isqrt_sql exact
+
+
+def _sgns_w34_sql(freq: str) -> str:
+    """``floor(freq^0.75 * SGNS_W34_SCALE)`` as engine-shared SQL (the
+    word2vec noise-distribution exponent, Mikolov et al. 2013 §2.2),
+    BIGINT-exact for ``freq < SGNS_W34_FREQ_MAX``."""
+    s4 = SGNS_W34_SCALE ** 4
+    # CAST(... AS BIGINT) rather than an L suffix: the text is shared
+    # verbatim with the DuckDB oracle, which has no L literals — and the
+    # first factor is widened explicitly so an INT32-typed input can't
+    # overflow mid-product under DuckDB's narrow literal typing.
+    f64 = f"CAST(({freq}) AS BIGINT)"
+    cubed = f"({f64} * {f64} * {f64} * CAST({s4} AS BIGINT))"
+    return _isqrt_sql(_isqrt_sql(cubed))
+
+
+def _sgns_negative_draws(
+    p: DataFrame,
+    vocab: DataFrame,
+    n_vocab: int,
+    negatives: int,
+    weighting: str,
+) -> DataFrame:
+    """The deterministic negative-sampling table ``(c, x, n, x_pos, j)``:
+    ``negatives`` draws per pair, draw key ``md5-60bit("c:x_pos:j")``
+    (fixed across epochs — the documented convention).
+
+    * ``"uniform"`` — the original draw: key mod ``|V|`` equi-joined to
+      the vocab rank (the degenerate unit-weight ladder, where
+      ``cum = rank + 1`` collapses the interval test to an equality —
+      strictly better than a range filter, so it does NOT route through
+      :func:`weighted_pick`).
+    * ``"unigram34"`` — word2vec's noise distribution (Mikolov et al.
+      2013 §2.2): vertex v is drawn with weight ``floor(freq(v)^0.75 *
+      8)`` where ``freq(v) = Σ_x n(v, x)`` (the corpus unigram count up
+      to the constant 2·window pair fan-out — exact for the symmetric
+      ``skipgram_pairs`` output), BIGINT-exact via the nested integer
+      square root (:func:`_sgns_w34_sql`). The pick indexes the
+      id-ascending cumulative-weight ladder; because EVERY draw shares
+      the one vocab-sized ladder, the range test is banded into
+      ``n_vocab`` equal-width buckets so each draw EQUI-joins its
+      bucket (expected O(1) ladder rows each) instead of range-scanning
+      the vocabulary — the many-draws-one-ladder sibling of
+      :func:`weighted_pick`, same banding philosophy as the dedup
+      family. Exactness bounds, both asserted or documented:
+      ``freq < 2^16`` (keeps ``freq^3·8^4 < 2^60`` for the isqrt
+      correction squares) and ``tot·n_vocab < 2^63`` for the bucket
+      arithmetic. The ladder rides the same global single-partition
+      window as the vocab rank (fine to ~10^7 vocab; same prefix-sum
+      escape hatch documented there).
+    """
+    draws = p.select(
+        "c",
+        "n",
+        F.col("x").alias("x_pos"),
+        F.explode(
+            F.array(*[F.lit(j) for j in range(1, negatives + 1)])
+        ).alias("j"),
+    )
+    h = _pri60(
+        F.concat_ws(
+            ":",
+            F.col("c").cast("string"),
+            F.col("x_pos").cast("string"),
+            F.col("j").cast("string"),
+        )
+    )
+    if weighting == "uniform":
+        return (
+            draws.withColumn("rnk", F.pmod(h, F.lit(n_vocab)))
+            .join(vocab, "rnk")
+            .select("c", F.col("v").alias("x"), "n", "x_pos", "j")
+        )
+    if weighting != "unigram34":
+        raise ValueError(
+            f"neg_weighting must be 'uniform' or 'unigram34', got "
+            f"{weighting!r}"
+        )
+    freq = p.groupBy(F.col("c").alias("v")).agg(
+        F.sum("n").cast("long").alias("freq")
+    )
+    f_max = freq.agg(F.max("freq")).collect()[0][0] or 0
+    if f_max >= SGNS_W34_FREQ_MAX:
+        raise ValueError(
+            "sgns unigram34 negatives: max per-vertex pair count "
+            f"{f_max} >= 2^16 breaks the isqrt exactness bound; bucket "
+            "the counts (divide all freqs by a constant) before training"
+        )
+    # LEFT join + coalesce: with a symmetric pairs table every vocab
+    # vertex appears as a center, but a user-supplied directed table may
+    # not — such vertices get weight 0 and are simply never drawn.
+    wl = vocab.join(freq, "v", "left").select(
+        "v",
+        F.expr(_sgns_w34_sql("coalesce(freq, 0L)")).alias("w"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ladder = wl.select(
+        "v", "w", F.sum("w").over(w_cum).alias("cum")
+    ).localCheckpoint()
+    tot = ladder.agg(F.max("cum")).collect()[0][0] or 0
+    if tot <= 0:
+        raise ValueError(
+            "sgns unigram34 negatives: total vocabulary weight is 0"
+        )
+    n_b = n_vocab  # bucket count: expected one ladder row per bucket
+    if tot * n_b >= (1 << 63):
+        raise ValueError(
+            "sgns unigram34 negatives: tot * n_vocab overflows int64; "
+            "reduce the weight scale or bucket counts"
+        )
+    bucketed = (
+        ladder.filter(F.col("w") > 0)
+        .select(
+            "v",
+            "w",
+            "cum",
+            F.explode(
+                F.expr(
+                    f"sequence(((cum - w) * {n_b}L) div {tot}L,"
+                    f" ((cum - 1) * {n_b}L) div {tot}L)"
+                )
+            ).alias("bk"),
+        )
+    )
+    return (
+        draws.withColumn("pick", F.pmod(h, F.lit(tot)))
+        .withColumn("bk", F.expr(f"(pick * {n_b}L) div {tot}L"))
+        .join(bucketed, "bk")
+        .filter(
+            (F.col("pick") >= F.col("cum") - F.col("w"))
+            & (F.col("pick") < F.col("cum"))
+        )
+        .select("c", F.col("v").alias("x"), "n", "x_pos", "j")
+    )
+
+
 SGNS_SDIV_C = 1 << 32  # positivity shift: floor-div on shifted operands
 
 
@@ -3253,6 +3455,7 @@ def sgns_embeddings(
     sig_scale: int = 4096,
     lr_den: int = 16,
     epochs: int = 1,
+    neg_weighting: str = "uniform",
 ) -> DataFrame:
     """``(kind, id, d, emb_fp)`` — ``epochs`` SYNCHRONOUS epochs of
     skip-gram negative sampling (Mikolov et al. 2013) over a
@@ -3276,9 +3479,13 @@ def sgns_embeddings(
       piecewise-linear stand-in that keeps the transcendental sigmoid
       oracle-able.
     * per pair (c, x, n): positive gradient ``g⁺ = S - σ̂(in[c]·out[x])``;
-      ``negatives`` draws by the md5-rank convention — negative j is the
-      vocab vertex with rank ``md5-60bit("c:x:j") mod |V|`` under the
-      id-ascending rank — each with ``g⁻ = σ̂(in[c]·out[v'])``.
+      ``negatives`` draws by the md5-rank convention — under
+      ``neg_weighting="uniform"`` negative j is the vocab vertex with
+      rank ``md5-60bit("c:x:j") mod |V|`` under the id-ascending rank;
+      under ``"unigram34"`` the same key indexes the unigram^0.75
+      cumulative-weight ladder (word2vec's noise distribution, exact
+      integer arithmetic — :func:`_sgns_negative_draws`) — each with
+      ``g⁻ = σ̂(in[c]·out[v'])``.
     * synchronous update from the INITIAL vectors (one epoch — no
       sequential dependence, so the whole epoch is two joins + one
       aggregate per side): ``in'[c] = in[c] + floor(Σ ±n·g·out0[·]/S) /
@@ -3352,31 +3559,12 @@ def sgns_embeddings(
     in_cur = _init("i").localCheckpoint()
     out_cur = _init("o").localCheckpoint()
     if negatives > 0:
-        draws = p.select(
-            "c",
-            "n",
-            F.col("x").alias("x_pos"),
-            F.explode(
-                F.array(*[F.lit(j) for j in range(1, negatives + 1)])
-            ).alias("j"),
-        ).withColumn(
-            "rnk",
-            F.pmod(
-                _pri60(
-                    F.concat_ws(
-                        ":",
-                        F.col("c").cast("string"),
-                        F.col("x_pos").cast("string"),
-                        F.col("j").cast("string"),
-                    )
-                ),
-                F.lit(n_vocab),
-            ),
-        )
         # Fixed draws across epochs (the deterministic convention: the
         # draw key is (c, x_pos, j), unsalted by epoch — documented).
-        negs = draws.join(vocab, "rnk").select(
-            "c", F.col("v").alias("x"), "n", "x_pos", "j"
+        # neg_weighting picks uniform vs word2vec's unigram^0.75 noise
+        # distribution — see _sgns_negative_draws.
+        negs = _sgns_negative_draws(
+            p, vocab, n_vocab, negatives, neg_weighting
         ).localCheckpoint()
     else:
         negs = None

@@ -2058,6 +2058,164 @@ def test_sgns_two_epochs_match_iterated_python_mirror(spark):
         sgns_embeddings(pairs, epochs=0)
 
 
+def test_weighted_pick_matches_python_mirror(spark):
+    """The shared ladder pick (r9 verdict item 8): per key exactly one
+    winner, landed on the same row a pure-Python cumulative-weight
+    mirror picks; zero-weight rows never win; an all-zero group emits
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        _pri60,
+        weighted_pick,
+    )
+
+    rows = []
+    weights = {
+        1: [(10, 3), (11, 0), (12, 5), (13, 1)],
+        2: [(20, 7)],
+        3: [(30, 0), (31, 0)],  # all-zero group: no winner
+        4: [(40, 2), (41, 2), (42, 2)],
+    }
+    for k, cands in weights.items():
+        for v, w in cands:
+            rows.append((k, v, w))
+    df = spark.createDataFrame(rows, "k long, v long, w long")
+    got = {
+        r["k"]: r["v"]
+        for r in weighted_pick(
+            df, ["k"], "w", "v",
+            _pri60(F.concat_ws(":", F.col("k").cast("string"), F.lit("s"))),
+        ).collect()
+    }
+    exp = {}
+    for k, cands in weights.items():
+        tot = sum(w for _, w in cands)
+        if tot == 0:
+            continue
+        pick = _h60_py(f"{k}:s") % tot
+        cum = 0
+        for v, w in sorted(cands):
+            cum += w
+            if w > 0 and cum - w <= pick < cum:
+                exp[k] = v
+                break
+    assert got == exp
+    assert 3 not in got and len(got) == 3
+
+
+def test_sgns_w34_weight_matches_python_and_duckdb(spark):
+    """floor(freq^0.75 * 8) via the nested exact isqrt: bit-equal to
+    Python's math.isqrt composition across the whole supported range
+    boundary region, and the SAME SQL text evaluates identically in
+    DuckDB (the oracle shares it verbatim)."""
+    import math
+
+    import duckdb
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        SGNS_W34_FREQ_MAX,
+        SGNS_W34_SCALE,
+        _sgns_w34_sql,
+    )
+
+    freqs = list(range(0, 300)) + [
+        999, 1000, 4095, 4096, 65534, SGNS_W34_FREQ_MAX - 1
+    ]
+    fdf = spark.createDataFrame([(f,) for f in freqs], "freq long")
+    got = {
+        r["freq"]: r["w"]
+        for r in fdf.selectExpr(
+            "freq", f"{_sgns_w34_sql('freq')} AS w"
+        ).collect()
+    }
+    s4 = SGNS_W34_SCALE ** 4
+    exp = {f: math.isqrt(math.isqrt(f ** 3 * s4)) for f in freqs}
+    assert got == exp
+    # the exponent really is 0.75 at scale 8 (float cross-check)
+    assert all(
+        got[f] == int(f ** 0.75 * SGNS_W34_SCALE + 1e-9)
+        for f in freqs if f in (1, 16, 256, 4096, 65534)
+    )
+    con = duckdb.connect()
+    duck = {
+        f: con.execute(
+            f"SELECT {_sgns_w34_sql(str(f))} AS w"
+        ).fetchone()[0]
+        for f in (0, 1, 7, 100, 4096, SGNS_W34_FREQ_MAX - 1)
+    }
+    assert all(duck[f] == exp[f] for f in duck)
+
+
+def test_sgns_weighted_negatives_favor_frequent_vertices(spark):
+    """The unigram^0.75 draw (r9 verdict item 4): a high-frequency
+    vertex is drawn as negative far more often than a rare one, every
+    draw matches the pure-Python ladder mirror exactly, and zero-weight
+    vertices are never drawn."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        SGNS_W34_SCALE,
+        _sgns_negative_draws,
+    )
+    import math
+
+    # vertex 1 is the celebrity: total pair count 1000; 2..20 have 1
+    plist = [(1, 1 + (i % 19 + 1), 50) for i in range(20)]  # freq(1)=1000
+    plist += [(v, 1, 1) for v in range(2, 21)]  # freq(v)=1 each
+    p = spark.createDataFrame(
+        plist, "center long, context long, n_pairs long"
+    ).select(
+        F.col("center").alias("c"),
+        F.col("context").alias("x"),
+        F.col("n_pairs").cast("long").alias("n"),
+    )
+    vocab = (
+        p.select(F.col("c").alias("v"))
+        .union(p.select(F.col("x").alias("v")))
+        .distinct()
+        .select(
+            "v", (F.row_number().over(Window.orderBy("v")) - 1).alias("rnk")
+        )
+    )
+    n_vocab = vocab.count()
+    draws = _sgns_negative_draws(p, vocab, n_vocab, 4, "unigram34").collect()
+    # python mirror of the ladder
+    freq = {1: 1000, **{v: 1 for v in range(2, 21)}}
+    w = {
+        v: math.isqrt(math.isqrt(freq[v] ** 3 * SGNS_W34_SCALE ** 4))
+        for v in freq
+    }
+    ladder = []
+    cum = 0
+    for v in sorted(w):
+        cum += w[v]
+        ladder.append((v, cum - w[v], cum))
+    tot = cum
+
+    def mirror(c, x_pos, j):
+        pick = _h60_py(f"{c}:{x_pos}:{j}") % tot
+        for v, lo, hi in ladder:
+            if lo <= pick < hi and hi > lo:
+                return v
+        raise AssertionError("pick landed nowhere")
+
+    assert draws  # non-empty
+    for r in draws:
+        assert r["x"] == mirror(r["c"], r["x_pos"], r["j"])
+    counts: dict = {}
+    for r in draws:
+        counts[r["x"]] = counts.get(r["x"], 0) + 1
+    n_draws = len(draws)
+    # celebrity weight share = w(1)/tot ≈ 90%: it must dominate every
+    # rare vertex and take well over half the draws
+    assert counts.get(1, 0) > n_draws // 2
+    assert counts.get(1, 0) > max(
+        (counts.get(v, 0) for v in range(2, 21)), default=0
+    )
+
+
 def test_sgns_sdiv_bound_violation_raises(spark):
     """A pair count big enough to break the _sgns_sdiv exactness bound
     (max(n) * max|emb| >= 2^32) must surface as a loud ValueError, not a
