@@ -1856,6 +1856,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _sgns_embeddings_weighted_customers
     )
 
+    def _walk_embedding_neighbors_customers(spark, sf):
+        # The FULL pipeline as one registered query (r9 verdict item
+        # 5): walks -> skip-gram pairs -> fixed-point SGNS -> top-k
+        # inner-product neighbors of the 10 smallest vertices over the
+        # trained kind='in' vectors — the embedding family's vec_id<10
+        # query convention. Oracle chains the walk/SGNS CTEs straight
+        # into the consumer's CTE.
+        walks = G.random_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            walk_length=8,
+            walks_per_vertex=2,
+        )
+        emb = G.sgns_embeddings(
+            G.skipgram_pairs(walks, window=2),
+            dim=8,
+            negatives=2,
+            amp=64,
+            sig_scale=4096,
+            lr_den=16,
+        )
+        return G.sgns_topk_neighbors(emb, k=5, n_queries=10)
+
+    q["walk_embedding_neighbors_customers"] = (
+        _walk_embedding_neighbors_customers
+    )
+
     def _personalized_pagerank_customers(spark, sf):
         # Rooted PageRank (Jeh & Widom 2003): teleport mass concentrated
         # on the 4 smallest vertices (the SSSP landmark convention) —
@@ -4808,6 +4834,11 @@ def oracle_sql() -> dict[str, str]:
         dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16,
         neg_weighting="unigram34",
     )
+    d["walk_embedding_neighbors_customers"] = _sgns_topk_oracle(
+        walk_length=8, walks_per_vertex=2, window=2,
+        dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16,
+        k=5, n_queries=10,
+    )
     d["personalized_pagerank_customers"] = _ppr_oracle(
         n_seeds=4, iterations=10
     )
@@ -5131,7 +5162,7 @@ def _node2vec_ctes(
         corpus AS (SELECT * FROM ({sel}))"""
 
 
-def _sgns_oracle(
+def _sgns_ctes(
     walk_length: int,
     walks_per_vertex: int,
     window: int,
@@ -5143,7 +5174,9 @@ def _sgns_oracle(
     epochs: int = 1,
     neg_weighting: str = "uniform",
 ) -> str:
-    """Chained-CTE oracle for the fixed-point SGNS trainer: the shared
+    """Chained-CTE chain for the fixed-point SGNS trainer (shared by the
+    embedding oracles and the top-k consumer oracle; ends at
+    ``emb{epochs}(v, d, iv, ov)``): the shared
     walk CTEs -> the skipgram pair counts -> hash-seeded init embeddings
     -> per EPOCH a hard-sigmoid gradient block (positives + the fixed
     md5-rank negative draws, draw identity (c, x_pos, j) preserved so
@@ -5240,6 +5273,15 @@ def _sgns_oracle(
             FROM vocab, UNNEST(range(0, {dim})) AS dd(d)
         ),
         {_sgns_negdraw_ctes(h60, negatives, neg_weighting)},{",".join(epoch_blocks)}
+    """
+
+
+def _sgns_oracle(*args, **kwargs) -> str:
+    """The embedding-table oracle: the shared SGNS CTE chain, selected
+    out as the (kind, id, d, emb_fp) contract of
+    ``graph.sgns_embeddings``."""
+    epochs = kwargs.get("epochs", 1)
+    return f"""{_sgns_ctes(*args, **kwargs)}
         SELECT kind, CAST(id AS BIGINT) AS id, CAST(d AS INTEGER) AS d,
                CAST(emb_fp AS BIGINT) AS emb_fp
         FROM (
@@ -5247,6 +5289,37 @@ def _sgns_oracle(
             UNION ALL
             SELECT 'out', v, d, ov FROM emb{epochs}
         ) ORDER BY kind, id, d
+    """
+
+
+def _sgns_topk_oracle(*args, k: int = 5, n_queries: int = 10, **kwargs) -> str:
+    """The walks → embeddings → CONSUMER pipeline oracle (r9 verdict
+    item 5): the shared SGNS CTE chain, then ``graph.sgns_topk_neighbors``
+    re-expressed — the n_queries smallest vocab ids, exact integer
+    inner-product candidates over the kind='in' vectors, and the
+    (dot DESC, neighbor ASC) top-k."""
+    epochs = kwargs.get("epochs", 1)
+    return f"""{_sgns_ctes(*args, **kwargs)},
+        invec AS MATERIALIZED (SELECT v, d, iv FROM emb{epochs}),
+        qids AS (
+            SELECT v FROM (SELECT DISTINCT v FROM invec)
+            ORDER BY v LIMIT {n_queries}
+        ),
+        cand AS (
+            SELECT qe.v AS query_id, c.v AS neighbor_id,
+                   CAST(SUM(qe.iv * c.iv) AS BIGINT) AS dot_q
+            FROM qids q
+                 JOIN invec qe ON qe.v = q.v
+                 JOIN invec c ON c.d = qe.d AND c.v != q.v
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, dot_q, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY dot_q DESC, neighbor_id) AS rank
+              FROM cand)
+        WHERE rank <= {k}
+        ORDER BY query_id, rank
     """
 
 

@@ -2216,6 +2216,52 @@ def test_sgns_weighted_negatives_favor_frequent_vertices(spark):
     )
 
 
+def test_walk_embedding_pipeline_planted_communities_are_topk(spark):
+    """The composed walks -> pairs -> SGNS -> top-k pipeline (r9 verdict
+    item 5) on two DISCONNECTED planted cliques: walks never cross, so
+    trained same-clique affinity dominates — every vertex's top
+    neighbors under the inner-product consumer are its own clique
+    mates, mutually."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        random_walk_corpus,
+        sgns_embeddings,
+        sgns_topk_neighbors,
+        skipgram_pairs,
+    )
+
+    import itertools
+
+    cliques = [[1, 2, 3, 4, 5], [11, 12, 13, 14, 15]]
+    edges = [
+        (a, b)
+        for cl in cliques
+        for a, b in itertools.combinations(cl, 2)
+    ]
+    walks = random_walk_corpus(
+        _edges_df(spark, edges), walk_length=8, walks_per_vertex=4
+    )
+    # negatives=1 / lr_den=8: enough negative-sampling signal to
+    # exercise the draw path while the positive same-clique gradients
+    # (which share each clique's Σ out0 direction) dominate the
+    # hash-random init — measured: this setting separates the cliques
+    # PERFECTLY, while heavy uniform negatives (drawn across cliques)
+    # inject cross-community correlation at this toy scale.
+    emb = sgns_embeddings(
+        skipgram_pairs(walks, window=2),
+        dim=8, negatives=1, amp=64, sig_scale=4096, lr_den=8, epochs=2,
+    )
+    got = sgns_topk_neighbors(emb, k=4, n_queries=10).collect()
+    mates = {v: set(cl) - {v} for cl in cliques for v in cl}
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    assert set(by_q) == {v for cl in cliques for v in cl}
+    for qv, ranked in by_q.items():
+        assert {n for _, n in ranked} == mates[qv], (qv, sorted(ranked))
+
+
 def test_sgns_sdiv_bound_violation_raises(spark):
     """A pair count big enough to break the _sgns_sdiv exactness bound
     (max(n) * max|emb| >= 2^32) must surface as a loud ValueError, not a
