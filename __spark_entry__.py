@@ -1882,6 +1882,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _walk_embedding_neighbors_customers
     )
 
+    def _sgns_embeddings_node2vec_customers(spark, sf):
+        # Composition depth: the SECOND-ORDER (node2vec) corpus feeding
+        # the fixed-point SGNS trainer — the two round-9/10 engines
+        # composed under one oracle (the SGNS CTE chain with its corpus
+        # head swapped for the node2vec chain). Shorter walks than the
+        # standalone corpora keep the gate runtime bounded.
+        walks = G.node2vec_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            walk_length=6,
+            walks_per_vertex=1,
+            return_w=2,
+            common_w=2,
+            far_w=1,
+        )
+        return G.sgns_embeddings(
+            G.skipgram_pairs(walks, window=2),
+            dim=8,
+            negatives=2,
+            amp=64,
+            sig_scale=4096,
+            lr_den=16,
+        )
+
+    q["sgns_embeddings_node2vec_customers"] = (
+        _sgns_embeddings_node2vec_customers
+    )
+
     def _personalized_pagerank_customers(spark, sf):
         # Rooted PageRank (Jeh & Widom 2003): teleport mass concentrated
         # on the 4 smallest vertices (the SSSP landmark convention) —
@@ -1952,86 +1979,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The external correctness gate verifies the FIRST 50 registered queries per
-# round. The round-9 window, 4 + 46 = 50:
+# round. The round-10 window, 4 + 46 = 50:
 # (1) 4 NEW this round:
-#     node2vec_walk_corpus_customers (second-order biased walks, Grover &
-#     Leskovec 2016 — prev-carrying frontier, integer (return, common,
-#     far) transition weights over a deg-bounded cumulative-weight
-#     ladder, md5-derandomized; unrolled chained-CTE oracle on the
-#     shared walk head),
-#     sgns_embeddings_customers (one synchronous epoch of skip-gram
-#     negative sampling in exact fixed point: hash-seeded init, hard-
-#     sigmoid gradients, md5-rank negative draws, shifted floor-div
-#     updates — the walks -> pairs -> embeddings leg),
-#     random_walk_corpus_capped_customers (the max_degree celebrity-
-#     vertex lever itself under the oracle gate: hash-threshold
-#     neighbor sampling with the min-hash keep, then the walk engine
-#     over the sampled graph),
-#     sgns_embeddings_epochs_customers (two synchronous SGNS epochs —
-#     the iterated trainer, epoch e's gradients from epoch e's starting
-#     vectors, per-epoch-unrolled oracle);
-# (2) the 46 stalest committed greens (round 4 — every other row has a
-#     fresher proof).
-# All 50 round-8 window rows came back green in CORRECTNESS_r08.json, so
-# the whole r8 set rotated out. Window rotation is belt-and-braces: the
+#     node2vec_walk_corpus_capped_customers (the max_degree celebrity
+#     lever on the SECOND-ORDER walk engine — shared _degree_cap sample
+#     feeds both the neighbor ranking and the common-neighbor weights,
+#     one consistent graph, oracle head's symc CTE),
+#     sgns_embeddings_weighted_customers (word2vec's unigram^0.75 noise
+#     distribution: floor(freq^0.75 * 8) weights via the nested exact
+#     integer sqrt, bucket-banded ladder draw Spark-side, interval-join
+#     oracle-side),
+#     walk_embedding_neighbors_customers (the composed pipeline: walks
+#     -> skip-gram pairs -> fixed-point SGNS -> integer inner-product
+#     top-k of the 10 smallest vertices over the kind='in' vectors —
+#     oracle chains the walk/SGNS CTEs into the consumer CTE),
+#     sgns_embeddings_node2vec_customers (the second-order corpus
+#     feeding the trainer: the SGNS CTE chain with its corpus head
+#     swapped for the node2vec chain);
+# (2) the 46 stalest committed greens: the 2 float golden_only rows
+#     (last windowed r2 — rows-only check refresh), winsorized_price_stats
+#     (r4, the one r9 left out), and the 43 alphabetically-first round-5
+#     greens (every other row has a fresher proof; the remaining 5 r5
+#     rows rotate next round).
+# All 50 round-9 window rows came back green in CORRECTNESS_r09.json, so
+# the whole r9 set rotated out. Window rotation is belt-and-braces: the
 # committed CORRECTNESS_FULL_r{N}.json (scripts/full_correctness.py)
 # re-proves the ENTIRE registry against the DuckDB oracles every round,
 # so staleness is auditable directly. Semantics are unchanged — this is
 # pure dict ordering.
 _DRIVER_PRIORITY = [
     # new this round (4) — prove first:
-    "node2vec_walk_corpus_customers",
-    "sgns_embeddings_customers",
-    "random_walk_corpus_capped_customers",
-    "sgns_embeddings_epochs_customers",
-    # stalest committed greens (round 4, 46 of 47 — winsorized_price_stats
-    # waits for the next rotation):
-    "customer_rfm_segments",
-    "customer_running_spend",
-    "daily_priority_share",
-    "daily_revenue_drawdown",
-    "degree_distribution_customers",
-    "edge_betweenness_fixedpoint_customers",
-    "embedding_quantized_int8",
-    "events_daily_zscores",
-    "events_hourly_heatmap",
-    "exact_duplicates_normalized",
-    "first_purchase_attribution",
-    "funnel_conversion_rates",
-    "inverted_index_postings",
-    "label_propagation_customers",
-    "language_confusion_matrix",
-    "lineitem_key_skew_report",
-    "link_prediction_customers",
-    "minhash_lsh_near_duplicates",
-    "most_common_event_per_user",
-    "near_duplicate_keep_best",
-    "open_order_backlog_by_month",
-    "order_price_percent_rank",
-    "orders_time_rollup",
-    "orders_yoy_growth",
-    "pmi_collocations",
-    "prefix_duplicate_rate_by_source",
-    "qty_price_correlation",
-    "session_paths",
-    "session_stats",
-    "session_time_to_purchase",
-    "session_window_stats_plan",
-    "simhash_near_duplicates",
-    "source_language_mix",
-    "stratum_sample_exact_k",
-    "supplier_part_pareto",
-    "supplier_revenue_share",
-    "term_frequency_stats",
-    "tfidf_top_terms",
-    "top_brands_per_type_with_ties",
-    "topk_cosine_ivf",
-    "topk_cosine_lsh",
-    "training_batches",
-    "user_first_last_events",
-    "user_state_intervals",
-    "user_value_ntiles",
-    "weighted_corpus_sample",
+    "node2vec_walk_corpus_capped_customers",
+    "sgns_embeddings_weighted_customers",
+    "walk_embedding_neighbors_customers",
+    "sgns_embeddings_node2vec_customers",
+    # stalest committed greens (2 golden_only from r2, 1 from r4, 43 of
+    # the 48 round-5 rows — topk_cosine/triangle_counts/tumbling_window/
+    # winnow/word_frequencies wait for the next rotation):
+    "communities_girvan_newman",
+    "edge_betweenness_customers",
+    "winsorized_price_stats",
+    "approx_distinct_parts_bounds",
+    "chunk_dedup_stats",
+    "clicks_asof_views",
+    "clustering_coefficients_customers",
+    "connected_components_customers",
+    "cooccurrence_pairs",
+    "cross_source_overlap",
+    "customer_cooccurrence_edges",
+    "customer_order_activity",
+    "customers_without_orders",
+    "distinct_users_per_event_type",
+    "edge_betweenness_brandes_customers",
+    "embedding_near_duplicates",
+    "errors_near_purchases",
+    "event_props_stats",
+    "exact_duplicates",
+    "filter_having",
+    "frequent_itemsets_fpgrowth",
+    "frequent_itemsets_son",
+    "group_avg_brand_status",
+    "group_avg_nation_region",
+    "jaccard_near_duplicates",
+    "language_id",
+    "media_fingerprints",
+    "nations_with_both",
+    "near_duplicate_clusters",
+    "order_baskets",
+    "orders_cube",
+    "orders_rollup",
+    "pagerank_customers",
+    "price_percentiles",
+    "pricing_summary",
+    "quality_scores",
+    "rolling_event_values",
+    "salted_event_counts",
+    "sliding_window_stats",
+    "split_drift_report",
+    "supplier_degrees",
+    "token_gini_diversity",
+    "token_rarity_stats",
+    "token_stats",
+    "top_customers_sql",
+    "top_orders_per_customer",
 ]
 
 
@@ -4839,6 +4869,14 @@ def oracle_sql() -> dict[str, str]:
         dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16,
         k=5, n_queries=10,
     )
+    d["sgns_embeddings_node2vec_customers"] = _sgns_oracle(
+        walk_length=6, walks_per_vertex=1, window=2,
+        dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16,
+        corpus_ctes=_node2vec_ctes(
+            walk_length=6, walks_per_vertex=1,
+            return_w=2, common_w=2, far_w=1,
+        ),
+    )
     d["personalized_pagerank_customers"] = _ppr_oracle(
         n_seeds=4, iterations=10
     )
@@ -5173,11 +5211,15 @@ def _sgns_ctes(
     lr_den: int,
     epochs: int = 1,
     neg_weighting: str = "uniform",
+    corpus_ctes: str | None = None,
 ) -> str:
     """Chained-CTE chain for the fixed-point SGNS trainer (shared by the
     embedding oracles and the top-k consumer oracle; ends at
-    ``emb{epochs}(v, d, iv, ov)``): the shared
-    walk CTEs -> the skipgram pair counts -> hash-seeded init embeddings
+    ``emb{epochs}(v, d, iv, ov)``): the shared walk CTEs (first-order by
+    default; pass ``corpus_ctes`` — any chain ending at
+    ``corpus(walk_id, start_id, step, vertex)``, e.g. ``_node2vec_ctes``
+    — to train on a different corpus)
+    -> the skipgram pair counts -> hash-seeded init embeddings
     -> per EPOCH a hard-sigmoid gradient block (positives + the fixed
     md5-rank negative draws, draw identity (c, x_pos, j) preserved so
     coinciding draws keep their multiplicity) and one synchronous
@@ -5250,7 +5292,9 @@ def _sgns_ctes(
             LEFT JOIN din_{e} di ON di.v = p.v AND di.d = p.d
             LEFT JOIN dout_{e} dz ON dz.v = p.v AND dz.d = p.d
         )""")
-    return f"""{_walk_ctes(walk_length, walks_per_vertex)},
+    if corpus_ctes is None:
+        corpus_ctes = _walk_ctes(walk_length, walks_per_vertex)
+    return f"""{corpus_ctes},
         pairs AS MATERIALIZED (
             SELECT a.vertex AS c, b.vertex AS x,
                    CAST(COUNT(*) AS BIGINT) AS n
