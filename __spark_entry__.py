@@ -1734,6 +1734,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _random_walk_corpus_capped_customers
     )
 
+    def _weighted_walk_corpus_customers(spark, sf):
+        # DeepWalk on the WEIGHTED co-occurrence graph: the next vertex
+        # is drawn proportional to the co-purchase count `shared` (the
+        # w_vx factor of node2vec's transition kernel with alpha == 1,
+        # Grover & Leskovec 2016 §3.2) via the shared weighted_pick
+        # ladder — walks concentrate on strong ties instead of treating
+        # a threshold-grazing edge like a 10x-evidence one.
+        return G.weighted_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            weight_col="shared",
+            walk_length=8,
+            walks_per_vertex=2,
+        )
+
+    q["weighted_walk_corpus_customers"] = _weighted_walk_corpus_customers
+
+    def _weighted_walk_corpus_capped_customers(spark, sf):
+        # The celebrity-vertex lever on the weighted engine: the shared
+        # hash-threshold degree cut samples the symmetrized graph, the
+        # survivors KEEP their weights (one consistent sampled graph for
+        # topology and ladder), then the same weighted draw. max_degree=8
+        # sits below real co-occurrence degrees at the gate SF, so the
+        # cut is active — the setting the first/second-order capped
+        # twins share.
+        return G.weighted_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            weight_col="shared",
+            walk_length=6,
+            walks_per_vertex=1,
+            max_degree=8,
+        )
+
+    q["weighted_walk_corpus_capped_customers"] = (
+        _weighted_walk_corpus_capped_customers
+    )
+
     def _skipgram_pairs_customers(spark, sf):
         # The word2vec-over-walks step: banded self-join of the walk
         # corpus within a +/-2-step window, aggregated to pair counts.
@@ -2008,14 +2044,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # so staleness is auditable directly. Semantics are unchanged — this is
 # pure dict ordering.
 _DRIVER_PRIORITY = [
-    # new this round (4) — prove first:
+    # new this round (6) — prove first:
     "node2vec_walk_corpus_capped_customers",
     "sgns_embeddings_weighted_customers",
     "walk_embedding_neighbors_customers",
     "sgns_embeddings_node2vec_customers",
-    # stalest committed greens (2 golden_only from r2, 1 from r4, 43 of
-    # the 48 round-5 rows — topk_cosine/triangle_counts/tumbling_window/
-    # winnow/word_frequencies wait for the next rotation):
+    "weighted_walk_corpus_customers",
+    "weighted_walk_corpus_capped_customers",
+    # stalest committed greens (2 golden_only from r2, 1 from r4, 41 of
+    # the 48 round-5 rows — the last two of this block rotated out to
+    # keep the window at 50; they rejoin topk_cosine/triangle_counts/
+    # tumbling_window/winnow/word_frequencies in the next rotation):
     "communities_girvan_newman",
     "edge_betweenness_customers",
     "winsorized_price_stats",
@@ -2060,8 +2099,6 @@ _DRIVER_PRIORITY = [
     "token_gini_diversity",
     "token_rarity_stats",
     "token_stats",
-    "top_customers_sql",
-    "top_orders_per_customer",
 ]
 
 
@@ -4841,6 +4878,12 @@ def oracle_sql() -> dict[str, str]:
     d["random_walk_corpus_capped_customers"] = _random_walk_oracle(
         walk_length=6, walks_per_vertex=1, max_degree=8
     )
+    d["weighted_walk_corpus_customers"] = _weighted_walk_oracle(
+        walk_length=8, walks_per_vertex=2
+    )
+    d["weighted_walk_corpus_capped_customers"] = _weighted_walk_oracle(
+        walk_length=6, walks_per_vertex=1, max_degree=8
+    )
     d["skipgram_pairs_customers"] = _skipgram_oracle(
         walk_length=8, walks_per_vertex=2, window=2
     )
@@ -5119,6 +5162,98 @@ def _walk_ctes(
         for s in range(0, walk_length + 1)
     )
     return f"""{_walk_head_ctes(walks_per_vertex, max_degree)},{",".join(steps)},
+        corpus AS (SELECT * FROM ({sel}))"""
+
+
+def _wwalk_ctes(
+    walk_length: int, walks_per_vertex: int, max_degree: int | None = None
+) -> str:
+    """CTE chain for the WEIGHTED first-order walk corpus
+    (``graph.weighted_walk_corpus``): the graph preamble rebuilt with the
+    co-purchase count carried as the edge weight (``wgt``, the HAVING
+    COUNT(*) that the unweighted ``e0`` discards), then per step the
+    dst-ascending cumulative-weight ladder indexed by the
+    ``md5("v:w:s") mod W(v)`` draw — the shared ``weighted_pick``
+    arithmetic, GREATEST(tot, 1) divisor guard included (wgt >= 4 > 0
+    here, so walks never die; the guard keeps the expression ANSI-safe).
+    With ``max_degree`` the head applies the engines' shared
+    hash-threshold celebrity cut to the symmetrized WEIGHTED table —
+    survivors keep their weights, one consistent graph for topology and
+    ladder. Ends at ``corpus(walk_id, start_id, step, vertex)``."""
+    walk_src = "symw0"
+    cut = ""
+    if max_degree is not None:
+        hcut = 1 << 30
+        cut = f""",
+        whashed AS (
+            SELECT src, dst, wgt,
+                   CAST('0x' || substr(md5(
+                       CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)
+                   ), 1, 15) AS BIGINT) % {hcut} AS h_cut
+            FROM symw0
+        ),
+        wdeg0 AS (
+            SELECT src, COUNT(*) AS deg0, MIN(h_cut) AS h_keep
+            FROM whashed GROUP BY 1
+        ),
+        symw AS MATERIALIZED (
+            SELECT h.src, h.dst, h.wgt
+            FROM whashed h JOIN wdeg0 d USING (src)
+            WHERE h.h_cut < (CAST({hcut} AS BIGINT) * {max_degree})
+                            // d.deg0
+               OR h.h_cut = d.h_keep
+        )"""
+        walk_src = "symw"
+    steps = []
+    for s in range(1, walk_length + 1):
+        hs = (
+            "CAST('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' "
+            f"|| CAST(walk_id AS VARCHAR) || ':{s}'), 1, 15) AS BIGINT)"
+        )
+        steps.append(f"""
+        c{s} AS (
+            SELECT f.walk_id, f.start_id, f.vertex AS cur, r.dst, r.wgt
+            FROM f{s - 1} f JOIN {walk_src} r ON r.src = f.vertex
+        ),
+        g{s} AS (
+            SELECT *, SUM(wgt) OVER (
+                       PARTITION BY walk_id, start_id ORDER BY dst
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   SUM(wgt) OVER (PARTITION BY walk_id, start_id) AS tot
+            FROM c{s}
+        ),
+        f{s} AS MATERIALIZED (
+            SELECT walk_id, start_id, dst AS vertex FROM g{s}
+            WHERE tot > 0 AND wgt > 0
+              AND {hs} % GREATEST(tot, 1) >= cum - wgt
+              AND {hs} % GREATEST(tot, 1) < cum
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT walk_id, start_id, {s} AS step, vertex FROM f{s}"
+        for s in range(0, walk_length + 1)
+    )
+    return f"""
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e0w AS MATERIALIZED (
+            SELECT a.c AS src, b.c AS dst, CAST(COUNT(*) AS BIGINT) AS wgt
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+        ),
+        symw0 AS MATERIALIZED (
+            SELECT src, dst, wgt FROM e0w
+            UNION ALL
+            SELECT dst AS src, src AS dst, wgt FROM e0w
+        ){cut},
+        f0 AS MATERIALIZED (
+            SELECT CAST(w.w AS INTEGER) AS walk_id, v.v AS start_id,
+                   v.v AS vertex
+            FROM (SELECT DISTINCT src AS v FROM {walk_src}) v,
+                 UNNEST(range(0, {walks_per_vertex})) AS w(w)
+        ),{",".join(steps)},
         corpus AS (SELECT * FROM ({sel}))"""
 
 
@@ -5449,6 +5584,18 @@ def _random_walk_oracle(
     walk_length: int, walks_per_vertex: int, max_degree: int | None = None
 ) -> str:
     return f"""{_walk_ctes(walk_length, walks_per_vertex, max_degree)}
+        SELECT CAST(walk_id AS INTEGER) AS walk_id,
+               CAST(start_id AS BIGINT) AS start_id,
+               CAST(step AS INTEGER) AS step,
+               CAST(vertex AS BIGINT) AS vertex
+        FROM corpus ORDER BY start_id, walk_id, step
+    """
+
+
+def _weighted_walk_oracle(
+    walk_length: int, walks_per_vertex: int, max_degree: int | None = None
+) -> str:
+    return f"""{_wwalk_ctes(walk_length, walks_per_vertex, max_degree)}
         SELECT CAST(walk_id AS INTEGER) AS walk_id,
                CAST(start_id AS BIGINT) AS start_id,
                CAST(step AS INTEGER) AS step,

@@ -3058,6 +3058,102 @@ def random_walk_corpus(
     return out.orderBy("start_id", "walk_id", "step")
 
 
+def weighted_walk_corpus(
+    edges: DataFrame,
+    weight_col: str = "shared",
+    walk_length: int = 8,
+    walks_per_vertex: int = 2,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """``(walk_id, start_id, step, vertex)`` — DeepWalk on a WEIGHTED
+    graph: at every step the next vertex is drawn with probability
+    proportional to the edge weight (the w_vx factor of node2vec's
+    transition kernel pi = alpha_pq(t, x) * w_vx, Grover & Leskovec
+    2016 §3.2, with alpha == 1 — the first-order weighted walk both
+    papers assume for weighted inputs; :func:`random_walk_corpus` is
+    the unit-weight special case and :func:`node2vec_walk_corpus` the
+    alpha-only one). The co-occurrence graphs this engine registers
+    carry a natural weight — ``shared``, the co-purchase count — so a
+    weighted corpus concentrates walks on strong ties instead of
+    treating a threshold-grazing edge like a 10x-evidence one.
+
+    DE-RANDOMIZED via the shared :func:`weighted_pick` ladder: the draw
+    ``md5-60bit("v:w:s") mod W(v)`` indexes the dst-ascending
+    cumulative-weight ladder of v's incident weights. With ALL weights
+    equal to 1 the ladder pick reduces exactly to the first-order
+    rank pick (``cum = rank + 1`` makes the interval test ``draw mod
+    deg == rank``) — so this engine is bit-identical to
+    :func:`random_walk_corpus` on an unweighted graph, pinned by test.
+
+    Preconditions: one weight per undirected pair (the
+    ``cooccurrence_edges`` contract); rows with ``weight <= 0`` are
+    dropped up front — a zero-weight edge is no edge, so a vertex whose
+    edges are all non-positive emits no rows, like an isolated vertex.
+
+    Shape at 100 TB: identical to the siblings — per step one
+    frontier ⋈ edges join + one walk-keyed running-sum window bounded
+    by deg(v) rows; the same CELEBRITY-VERTEX caveat applies and the
+    same ``max_degree`` hash-threshold cut (:func:`_degree_cap`)
+    bounds it, with the surviving edges keeping their weights (one
+    consistent sampled graph for topology and ladder).
+    """
+    base = edges.select(
+        "src", "dst", F.col(weight_col).cast("long").alias("ew")
+    ).filter((F.col("src") != F.col("dst")) & (F.col("ew") > 0))
+    symw = (
+        base.unionAll(
+            base.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "ew"
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    if max_degree is not None:
+        capped = _degree_cap(symw.select("src", "dst"), max_degree)
+        symw = capped.join(symw, ["src", "dst"]).localCheckpoint()
+    starts = symw.select(F.col("src").alias("start_id")).distinct()
+    frontier = (
+        starts.select(
+            "start_id",
+            F.explode(
+                F.array(*[F.lit(w) for w in range(walks_per_vertex)])
+            ).alias("walk_id"),
+        )
+        .select("walk_id", "start_id", F.col("start_id").alias("vertex"))
+        .localCheckpoint()
+    )
+    out = frontier.select(
+        "walk_id", "start_id", F.lit(0).cast("int").alias("step"), "vertex"
+    )
+    for s in range(1, walk_length + 1):
+        cand = frontier.join(symw, frontier.vertex == symw.src).select(
+            "walk_id", "start_id", "vertex", "dst", "ew"
+        )
+        draw = _pri60(
+            F.concat_ws(
+                ":",
+                F.col("vertex").cast("string"),
+                F.col("walk_id").cast("string"),
+                F.lit(s),
+            )
+        )
+        frontier = (
+            weighted_pick(cand, ["walk_id", "start_id"], "ew", "dst", draw)
+            .select("walk_id", "start_id", F.col("dst").alias("vertex"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            frontier.select(
+                "walk_id",
+                "start_id",
+                F.lit(s).cast("int").alias("step"),
+                "vertex",
+            )
+        )
+    return out.orderBy("start_id", "walk_id", "step")
+
+
 def node2vec_walk_corpus(
     edges: DataFrame,
     walk_length: int = 8,
@@ -3395,8 +3491,17 @@ def _sgns_negative_draws(
     ).localCheckpoint()
     tot = ladder.agg(F.max("cum")).collect()[0][0] or 0
     if tot <= 0:
-        raise ValueError(
-            "sgns unigram34 negatives: total vocabulary weight is 0"
+        # Reachable only with an empty pairs table (any center with a
+        # pair count >= 1 carries w34 >= 8): no positives exist, so the
+        # correct answer is NO negative draws either — return the empty
+        # frame in the draws schema (the empty-tables contract; a raise
+        # here turned freshly-truncated inputs into a crash). The
+        # max(n_vocab, 1) guard keeps the expression ANSI-safe when the
+        # vocabulary itself is empty.
+        return (
+            draws.withColumn("rnk", F.pmod(h, F.lit(max(n_vocab, 1))))
+            .join(vocab, "rnk")
+            .select("c", F.col("v").alias("x"), "n", "x_pos", "j")
         )
     n_b = n_vocab  # bucket count: expected one ladder row per bucket
     if tot * n_b >= (1 << 63):

@@ -1753,6 +1753,166 @@ def test_random_walk_max_degree_lever_bounds_hub_fanout(spark):
     assert sorted(map(tuple, exact)) == sorted(map(tuple, levered))
 
 
+def _wedges_df(spark, triples):
+    return spark.createDataFrame(
+        [(int(a), int(b), int(w)) for a, b, w in triples],
+        "src long, dst long, shared long",
+    )
+
+
+def test_weighted_walk_matches_python_ladder_mirror(spark):
+    """Every weighted-walk transition must match the pure-Python
+    cumulative-weight ladder draw (md5("v:w:s") mod W(v) into the
+    dst-ascending running sum) row for row."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        weighted_walk_corpus,
+    )
+
+    rng = random.Random(41)
+    triples = {}
+    for _ in range(50):
+        a, b = rng.sample(range(1, 21), 2)
+        triples[(min(a, b), max(a, b))] = rng.randint(1, 9)
+    adj: dict = {}
+    for (a, b), w in triples.items():
+        adj.setdefault(a, {})[b] = w
+        adj.setdefault(b, {})[a] = w
+
+    def mirror(walk_length=5, wpv=2):
+        rows = set()
+        for v0 in adj:
+            for w in range(wpv):
+                v = v0
+                rows.add((w, v0, 0, v))
+                for s in range(1, walk_length + 1):
+                    nbrs = sorted(adj[v].items())
+                    tot = sum(wt for _, wt in nbrs)
+                    pick = _h60_py(f"{v}:{w}:{s}") % tot
+                    cum = 0
+                    for dst, wt in nbrs:
+                        cum += wt
+                        if pick < cum:
+                            v = dst
+                            break
+                    rows.add((w, v0, s, v))
+        return rows
+
+    got = {
+        (r["walk_id"], r["start_id"], r["step"], r["vertex"])
+        for r in weighted_walk_corpus(
+            _wedges_df(spark, [(a, b, w) for (a, b), w in triples.items()]),
+            walk_length=5,
+            walks_per_vertex=2,
+        ).collect()
+    }
+    assert got == mirror()
+
+
+def test_weighted_walk_unit_weights_reduce_to_first_order(spark):
+    """With all weights 1 the ladder pick degenerates to the rank pick
+    (cum = rank + 1 makes the interval test draw mod deg == rank), so
+    the weighted engine is BIT-IDENTICAL to random_walk_corpus on an
+    unweighted graph — the documented special case, pinned here."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        random_walk_corpus,
+        weighted_walk_corpus,
+    )
+
+    rng = random.Random(7)
+    pairs = set()
+    for _ in range(40):
+        a, b = rng.sample(range(1, 16), 2)
+        pairs.add((min(a, b), max(a, b)))
+    uw = random_walk_corpus(
+        _edges_df(spark, sorted(pairs)), walk_length=6, walks_per_vertex=2
+    ).collect()
+    ww = weighted_walk_corpus(
+        _wedges_df(spark, [(a, b, 1) for a, b in sorted(pairs)]),
+        walk_length=6,
+        walks_per_vertex=2,
+    ).collect()
+    assert sorted(map(tuple, uw)) == sorted(map(tuple, ww))
+
+
+def test_weighted_walk_bias_and_nonpositive_weights(spark):
+    """A heavy edge dominates the draw (the weight actually steers the
+    walk), and weight <= 0 edges are no edges at all: never walked,
+    never a start."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        weighted_walk_corpus,
+    )
+
+    # star: hub 0 with leaves 1..10; edge 0-1 carries 50x the weight
+    star = [(0, 1, 50)] + [(0, i, 1) for i in range(2, 11)]
+    rows = weighted_walk_corpus(
+        _wedges_df(spark, star), walk_length=6, walks_per_vertex=24
+    ).collect()
+    bywalk: dict = {}
+    for r in rows:
+        bywalk.setdefault((r["walk_id"], r["start_id"]), {})[r["step"]] = r[
+            "vertex"
+        ]
+    hub_exits = [0, 0]  # [to leaf 1, to other leaves]
+    for steps in bywalk.values():
+        for s in range(1, 7):
+            if steps[s - 1] == 0:
+                hub_exits[0 if steps[s] == 1 else 1] += 1
+    # expected share 50/59 ~ 0.85; require a clear majority
+    assert hub_exits[0] > 2 * hub_exits[1]
+    # zero-weight edge: vertex 3 connected only by weight 0 -> absent
+    g = [(1, 2, 3), (1, 3, 0)]
+    rows0 = weighted_walk_corpus(
+        _wedges_df(spark, g), walk_length=4, walks_per_vertex=2
+    ).collect()
+    verts = {r["vertex"] for r in rows0}
+    starts = {r["start_id"] for r in rows0}
+    assert 3 not in verts and 3 not in starts
+    assert starts == {1, 2}
+
+
+def test_weighted_walk_max_degree_lever_bounds_hub_fanout(spark):
+    """The celebrity lever on the WEIGHTED engine: same planted star as
+    the first-order test — hub fan-out bounded near the cap, min-hash
+    reachability, determinism, and under-cap exactness (lever output ==
+    unlevered output)."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        weighted_walk_corpus,
+    )
+
+    star = [(0, i, 1 + (i % 5)) for i in range(1, 401)]
+    walks = weighted_walk_corpus(
+        _wedges_df(spark, star), walk_length=4, walks_per_vertex=1,
+        max_degree=16,
+    )
+    rows = walks.collect()
+    reached_from_hub = {
+        r["vertex"] for r in rows if r["step"] == 1 and r["start_id"] == 0
+    }
+    assert reached_from_hub and len(reached_from_hub) <= 64
+    leaf_step1 = {
+        r["vertex"] for r in rows if r["step"] == 1 and r["start_id"] != 0
+    }
+    assert leaf_step1 == {0}
+    again = weighted_walk_corpus(
+        _wedges_df(spark, star), walk_length=4, walks_per_vertex=1,
+        max_degree=16,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    small = [(1, 2, 5), (2, 3, 2), (3, 4, 1), (1, 4, 7)]
+    exact = weighted_walk_corpus(
+        _wedges_df(spark, small), walk_length=5, walks_per_vertex=2
+    ).collect()
+    levered = weighted_walk_corpus(
+        _wedges_df(spark, small), walk_length=5, walks_per_vertex=2,
+        max_degree=16,
+    ).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, levered))
+
+
 def test_node2vec_max_degree_lever_bounds_hub_fanout(spark):
     """The celebrity lever on the SECOND-ORDER engine (r9 verdict item
     1): same planted star as the first-order test — the hub's surviving
