@@ -1822,6 +1822,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _node2vec_walk_corpus_capped_customers
     )
 
+    def _node2vec_weighted_walk_corpus_customers(spark, sf):
+        # The FULL node2vec transition kernel pi = alpha_pq(t, x) * w_vx
+        # (Grover & Leskovec 2016 §3.2): the second-order alpha weights
+        # (2, 2, 1) TIMES the co-purchase count `shared`, step 1 drawn
+        # proportional to the edge weight alone — the weighted and
+        # biased walk families composed in one engine.
+        return G.node2vec_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            walk_length=6,
+            walks_per_vertex=1,
+            return_w=2,
+            common_w=2,
+            far_w=1,
+            weight_col="shared",
+        )
+
+    q["node2vec_weighted_walk_corpus_customers"] = (
+        _node2vec_weighted_walk_corpus_customers
+    )
+
     def _sgns_embeddings_customers(spark, sf):
         # The walks -> pairs -> embeddings leg: one synchronous epoch of
         # fixed-point skip-gram negative sampling (Mikolov et al. 2013)
@@ -1945,6 +1965,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _sgns_embeddings_node2vec_customers
     )
 
+    def _sgns_embeddings_weighted_walks_customers(spark, sf):
+        # Composition depth: the WEIGHTED first-order corpus feeding the
+        # fixed-point SGNS trainer — strong ties dominate the training
+        # pairs, so embeddings reflect evidence counts, not just
+        # adjacency. Same corpus_ctes hook as the node2vec composition.
+        walks = G.weighted_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            weight_col="shared",
+            walk_length=6,
+            walks_per_vertex=1,
+        )
+        return G.sgns_embeddings(
+            G.skipgram_pairs(walks, window=2),
+            dim=8,
+            negatives=2,
+            amp=64,
+            sig_scale=4096,
+            lr_den=16,
+        )
+
+    q["sgns_embeddings_weighted_walks_customers"] = (
+        _sgns_embeddings_weighted_walks_customers
+    )
+
     def _personalized_pagerank_customers(spark, sf):
         # Rooted PageRank (Jeh & Widom 2003): teleport mass concentrated
         # on the 4 smallest vertices (the SSSP landmark convention) —
@@ -1980,6 +2024,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["topk_ivf_fixedpoint"] = _topk_ivf_fixedpoint
+
+    def _topk_pq_fixedpoint(spark, sf):
+        # Product-quantization ANN (Jégou et al. 2011) end-to-end in
+        # integer arithmetic: per-subspace Lloyd codebooks, corpus
+        # encoded to m_sub code ids (the 64x storage compression), and
+        # asymmetric-distance top-k via a broadcast per-query lookup
+        # table — the oracle runs the SAME approximate pipeline, so
+        # quantization error is specified semantics.
+        (emb,) = _t(spark, sf, "embeddings")
+        return SIM.pq_topk_fixedpoint(
+            emb, _ann_queries(spark, sf), k=5, m_sub=4, k_codes=8,
+            iters=2, dims=64,
+        )
+
+    q["topk_pq_fixedpoint"] = _topk_pq_fixedpoint
 
     def _incremental_bpe_tokenize(spark, sf):
         # Ingestion-time tokenizer application on the standard even/odd
@@ -2044,15 +2103,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # so staleness is auditable directly. Semantics are unchanged — this is
 # pure dict ordering.
 _DRIVER_PRIORITY = [
-    # new this round (6) — prove first:
+    # new this round (9) — prove first:
     "node2vec_walk_corpus_capped_customers",
     "sgns_embeddings_weighted_customers",
     "walk_embedding_neighbors_customers",
     "sgns_embeddings_node2vec_customers",
     "weighted_walk_corpus_customers",
     "weighted_walk_corpus_capped_customers",
-    # stalest committed greens (2 golden_only from r2, 1 from r4, 41 of
-    # the 48 round-5 rows — the last two of this block rotated out to
+    "topk_pq_fixedpoint",
+    "node2vec_weighted_walk_corpus_customers",
+    "sgns_embeddings_weighted_walks_customers",
+    # stalest committed greens (2 golden_only from r2, 1 from r4, 38 of
+    # the 48 round-5 rows — the last five of this block rotated out to
     # keep the window at 50; they rejoin topk_cosine/triangle_counts/
     # tumbling_window/winnow/word_frequencies in the next rotation):
     "communities_girvan_newman",
@@ -2097,8 +2159,6 @@ _DRIVER_PRIORITY = [
     "split_drift_report",
     "supplier_degrees",
     "token_gini_diversity",
-    "token_rarity_stats",
-    "token_stats",
 ]
 
 
@@ -4604,6 +4664,9 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_merges"] = _bpe_oracle(8, _bpe_merges_final(8))
     d["bpe_vocab_compression"] = _bpe_oracle(8, _bpe_compression_final(8))
     d["kmeans_centroids_fixedpoint"] = _kmeans_oracle(k=8, iters=3, dims=64)
+    d["topk_pq_fixedpoint"] = _pq_fixedpoint_oracle(
+        m_sub=4, k_codes=8, iters=2, dims=64, topk=5
+    )
     d["topk_ivf_fixedpoint"] = _ivf_fixedpoint_oracle(
         k_clusters=8, iters=3, dims=64, n_probe=2, topk=5
     )
@@ -4920,6 +4983,22 @@ def oracle_sql() -> dict[str, str]:
             return_w=2, common_w=2, far_w=1,
         ),
     )
+    d["node2vec_weighted_walk_corpus_customers"] = f"""{
+        _node2vec_weighted_ctes(
+            walk_length=6, walks_per_vertex=1,
+            return_w=2, common_w=2, far_w=1,
+        )}
+        SELECT CAST(walk_id AS INTEGER) AS walk_id,
+               CAST(start_id AS BIGINT) AS start_id,
+               CAST(step AS INTEGER) AS step,
+               CAST(vertex AS BIGINT) AS vertex
+        FROM corpus ORDER BY start_id, walk_id, step
+    """
+    d["sgns_embeddings_weighted_walks_customers"] = _sgns_oracle(
+        walk_length=6, walks_per_vertex=1, window=2,
+        dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16,
+        corpus_ctes=_wwalk_ctes(walk_length=6, walks_per_vertex=1),
+    )
     d["personalized_pagerank_customers"] = _ppr_oracle(
         n_seeds=4, iterations=10
     )
@@ -5165,21 +5244,16 @@ def _walk_ctes(
         corpus AS (SELECT * FROM ({sel}))"""
 
 
-def _wwalk_ctes(
-    walk_length: int, walks_per_vertex: int, max_degree: int | None = None
-) -> str:
-    """CTE chain for the WEIGHTED first-order walk corpus
-    (``graph.weighted_walk_corpus``): the graph preamble rebuilt with the
-    co-purchase count carried as the edge weight (``wgt``, the HAVING
-    COUNT(*) that the unweighted ``e0`` discards), then per step the
-    dst-ascending cumulative-weight ladder indexed by the
-    ``md5("v:w:s") mod W(v)`` draw — the shared ``weighted_pick``
-    arithmetic, GREATEST(tot, 1) divisor guard included (wgt >= 4 > 0
-    here, so walks never die; the guard keeps the expression ANSI-safe).
-    With ``max_degree`` the head applies the engines' shared
-    hash-threshold celebrity cut to the symmetrized WEIGHTED table —
-    survivors keep their weights, one consistent graph for topology and
-    ladder. Ends at ``corpus(walk_id, start_id, step, vertex)``."""
+def _wwalk_head_ctes(
+    walks_per_vertex: int, max_degree: int | None = None
+) -> tuple:
+    """Shared HEAD of the WEIGHTED walk oracles (first- and
+    second-order): the graph preamble rebuilt with the co-purchase
+    count carried as the edge weight (``wgt``, the HAVING COUNT(*) that
+    the unweighted ``e0`` discards), the optional celebrity cut over
+    the symmetrized WEIGHTED table (survivors keep their weights), and
+    the per-vertex walk fan-out ``f0``. Returns ``(sql, walk_src)``
+    where ``walk_src`` names the edge CTE downstream steps read."""
     walk_src = "symw0"
     cut = ""
     if max_degree is not None:
@@ -5204,36 +5278,7 @@ def _wwalk_ctes(
                OR h.h_cut = d.h_keep
         )"""
         walk_src = "symw"
-    steps = []
-    for s in range(1, walk_length + 1):
-        hs = (
-            "CAST('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' "
-            f"|| CAST(walk_id AS VARCHAR) || ':{s}'), 1, 15) AS BIGINT)"
-        )
-        steps.append(f"""
-        c{s} AS (
-            SELECT f.walk_id, f.start_id, f.vertex AS cur, r.dst, r.wgt
-            FROM f{s - 1} f JOIN {walk_src} r ON r.src = f.vertex
-        ),
-        g{s} AS (
-            SELECT *, SUM(wgt) OVER (
-                       PARTITION BY walk_id, start_id ORDER BY dst
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS cum,
-                   SUM(wgt) OVER (PARTITION BY walk_id, start_id) AS tot
-            FROM c{s}
-        ),
-        f{s} AS MATERIALIZED (
-            SELECT walk_id, start_id, dst AS vertex FROM g{s}
-            WHERE tot > 0 AND wgt > 0
-              AND {hs} % GREATEST(tot, 1) >= cum - wgt
-              AND {hs} % GREATEST(tot, 1) < cum
-        )""")
-    sel = " UNION ALL ".join(
-        f"SELECT walk_id, start_id, {s} AS step, vertex FROM f{s}"
-        for s in range(0, walk_length + 1)
-    )
-    return f"""
+    sql = f"""
         WITH cp AS (
             SELECT DISTINCT o_custkey AS c, l_partkey AS p
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -5253,7 +5298,128 @@ def _wwalk_ctes(
                    v.v AS vertex
             FROM (SELECT DISTINCT src AS v FROM {walk_src}) v,
                  UNNEST(range(0, {walks_per_vertex})) AS w(w)
-        ),{",".join(steps)},
+        )"""
+    return sql, walk_src
+
+
+_LADDER_WINDOWS = """SUM(wgt) OVER (
+                       PARTITION BY walk_id, start_id ORDER BY dst
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   SUM(wgt) OVER (PARTITION BY walk_id, start_id) AS tot"""
+
+
+def _wwalk_ctes(
+    walk_length: int, walks_per_vertex: int, max_degree: int | None = None
+) -> str:
+    """CTE chain for the WEIGHTED first-order walk corpus
+    (``graph.weighted_walk_corpus``): the weighted head, then per step
+    the dst-ascending cumulative-weight ladder indexed by the
+    ``md5("v:w:s") mod W(v)`` draw — the shared ``weighted_pick``
+    arithmetic, GREATEST(tot, 1) divisor guard included (wgt >= 4 > 0
+    here, so walks never die; the guard keeps the expression ANSI-safe).
+    Ends at ``corpus(walk_id, start_id, step, vertex)``."""
+    head, walk_src = _wwalk_head_ctes(walks_per_vertex, max_degree)
+    steps = []
+    for s in range(1, walk_length + 1):
+        hs = (
+            "CAST('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' "
+            f"|| CAST(walk_id AS VARCHAR) || ':{s}'), 1, 15) AS BIGINT)"
+        )
+        steps.append(f"""
+        c{s} AS (
+            SELECT f.walk_id, f.start_id, f.vertex AS cur, r.dst, r.wgt
+            FROM f{s - 1} f JOIN {walk_src} r ON r.src = f.vertex
+        ),
+        g{s} AS (
+            SELECT *, {_LADDER_WINDOWS}
+            FROM c{s}
+        ),
+        f{s} AS MATERIALIZED (
+            SELECT walk_id, start_id, dst AS vertex FROM g{s}
+            WHERE tot > 0 AND wgt > 0
+              AND {hs} % GREATEST(tot, 1) >= cum - wgt
+              AND {hs} % GREATEST(tot, 1) < cum
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT walk_id, start_id, {s} AS step, vertex FROM f{s}"
+        for s in range(0, walk_length + 1)
+    )
+    return f"""{head},{",".join(steps)},
+        corpus AS (SELECT * FROM ({sel}))"""
+
+
+def _node2vec_weighted_ctes(
+    walk_length: int,
+    walks_per_vertex: int,
+    return_w: int,
+    common_w: int,
+    far_w: int,
+    max_degree: int | None = None,
+) -> str:
+    """Second-order walk CTE chain for the FULL node2vec transition
+    kernel ``pi = alpha_pq(t, x) * w_vx`` on the weighted head: step 1
+    is the first-order WEIGHTED ladder draw (the ``_wwalk_ctes`` rule,
+    same salt), step s >= 2 multiplies each candidate's alpha case
+    value (return_w / common_w / far_w) by its edge weight before the
+    running-sum ladder — the exact arithmetic of
+    ``graph.node2vec_walk_corpus(weight_col=...)``."""
+    head, ws = _wwalk_head_ctes(walks_per_vertex, max_degree)
+    h1 = (
+        "CAST('0x' || substr(md5(CAST(cur AS VARCHAR) || ':' "
+        "|| CAST(walk_id AS VARCHAR) || ':1'), 1, 15) AS BIGINT)"
+    )
+    steps = [f"""
+        c1 AS (
+            SELECT f.walk_id, f.start_id, f.vertex AS cur, r.dst, r.wgt
+            FROM f0 f JOIN {ws} r ON r.src = f.vertex
+        ),
+        g1 AS (
+            SELECT *, {_LADDER_WINDOWS}
+            FROM c1
+        ),
+        f1 AS MATERIALIZED (
+            SELECT walk_id, start_id, cur AS prev, dst AS vertex FROM g1
+            WHERE tot > 0 AND wgt > 0
+              AND {h1} % GREATEST(tot, 1) >= cum - wgt
+              AND {h1} % GREATEST(tot, 1) < cum
+        )"""]
+    for s in range(2, walk_length + 1):
+        hs = (
+            "CAST('0x' || substr(md5(CAST(prev AS VARCHAR) || ':' "
+            "|| CAST(vertex AS VARCHAR) || ':' "
+            f"|| CAST(walk_id AS VARCHAR) || ':{s}'), 1, 15) AS BIGINT)"
+        )
+        steps.append(f"""
+        c{s} AS (
+            SELECT f.walk_id, f.start_id, f.prev, f.vertex, r.dst,
+                   CAST(CASE WHEN r.dst = f.prev THEN {return_w}
+                        WHEN EXISTS (SELECT 1 FROM {ws} n
+                                     WHERE n.src = f.prev
+                                       AND n.dst = r.dst)
+                             THEN {common_w}
+                        ELSE {far_w} END AS BIGINT) * r.wgt AS wgt
+            FROM f{s - 1} f JOIN {ws} r ON r.src = f.vertex
+        ),
+        g{s} AS (
+            SELECT *, {_LADDER_WINDOWS}
+            FROM c{s}
+        ),
+        f{s} AS MATERIALIZED (
+            SELECT walk_id, start_id, vertex AS prev, dst AS vertex
+            FROM g{s}
+            WHERE tot > 0 AND wgt > 0
+              AND {hs} % GREATEST(tot, 1) >= cum - wgt
+              AND {hs} % GREATEST(tot, 1) < cum
+        )""")
+    sel = " UNION ALL ".join(
+        ["SELECT walk_id, start_id, 0 AS step, vertex FROM f0"]
+        + [
+            f"SELECT walk_id, start_id, {s} AS step, vertex FROM f{s}"
+            for s in range(1, walk_length + 1)
+        ]
+    )
+    return f"""{head},{",".join(steps)},
         corpus AS (SELECT * FROM ({sel}))"""
 
 
@@ -6022,6 +6188,110 @@ def _ivf_fixedpoint_oracle(
         FROM (SELECT *, row_number() OVER (
                   PARTITION BY query_id
                   ORDER BY dot_q DESC, neighbor_id) AS rank
+              FROM cand)
+        WHERE rank <= {topk}
+        ORDER BY query_id, rank"""
+    )
+
+
+def _pq_fixedpoint_oracle(
+    m_sub: int, k_codes: int, iters: int, dims: int, topk: int
+) -> str:
+    """Oracle for ``similarity.pq_topk_fixedpoint``: the SAME product-
+    quantization pipeline — subvector split, per-subspace Lloyd chain
+    (one assign/count/sum/update quadruple per iteration, keyed by
+    (sub, code_id)), fresh final encoding, the per-query ADC lookup
+    table, and the summed-partials top-k with the (adc, neighbor_id)
+    total order. Both engines' integer division truncates toward zero
+    (pinned by the kmeans parity test), so every codebook coordinate —
+    and therefore every ADC distance — matches exactly."""
+    dsub = dims // m_sub
+    d1 = dsub + 1
+    parts = [
+        f"""e0 AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(range(1, {dims + 1}), j ->
+                       CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 10000.0)
+                            AS BIGINT)) AS q
+            FROM embeddings
+        )""",
+        f"""subs AS MATERIALIZED (
+            SELECT vec_id, CAST(t.sub AS INTEGER) AS sub,
+                   list_transform(range(1, {d1}), j ->
+                       q[t.sub * {dsub} + j]) AS sq
+            FROM e0, UNNEST(range(0, {m_sub})) t(sub)
+        )""",
+        f"""cb0 AS (
+            SELECT sub, CAST(rn - 1 AS INTEGER) AS code_id, sq AS c
+            FROM (SELECT sub, sq,
+                         row_number() OVER (
+                             PARTITION BY sub ORDER BY vec_id) AS rn
+                  FROM subs)
+            WHERE rn <= {k_codes}
+        )""",
+    ]
+    assign = f"""
+            SELECT vec_id, sub, code_id FROM (
+                SELECT s.vec_id, s.sub, c.code_id,
+                       list_aggregate(list_transform(range(1, {d1}), j ->
+                           (s.sq[j] - c.c[j]) * (s.sq[j] - c.c[j])), 'sum')
+                           AS dist
+                FROM subs s JOIN cb{{src}} c USING (sub)
+            ) QUALIFY row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY dist, code_id) = 1"""
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS MATERIALIZED ({assign.format(src=i - 1)})"
+        )
+        parts.append(f"""n{i} AS (
+            SELECT sub, code_id, COUNT(*) AS n FROM a{i} GROUP BY 1, 2
+        )""")
+        parts.append(f"""s{i} AS (
+            SELECT a.sub, a.code_id, t.dim,
+                   CAST(SUM(s.sq[t.dim]) AS BIGINT) AS sm
+            FROM a{i} a JOIN subs s
+                 ON a.vec_id = s.vec_id AND a.sub = s.sub,
+                 UNNEST(range(1, {d1})) t(dim)
+            GROUP BY 1, 2, 3
+        )""")
+        parts.append(f"""l{i} AS (
+            SELECT s.sub, s.code_id, list(s.sm ORDER BY s.dim) AS sv,
+                   MAX(n.n) AS n
+            FROM s{i} s JOIN n{i} n
+                 ON s.sub = n.sub AND s.code_id = n.code_id
+            GROUP BY 1, 2
+        )""")
+        parts.append(f"""cb{i} AS MATERIALIZED (
+            SELECT p.sub, p.code_id,
+                   COALESCE(list_transform(l.sv, x -> x // l.n), p.c) AS c
+            FROM cb{i - 1} p LEFT JOIN l{i} l
+                 ON p.sub = l.sub AND p.code_id = l.code_id
+        )""")
+    parts.append(f"asg AS MATERIALIZED ({assign.format(src=iters)})")
+    parts.append("""qs AS (
+        SELECT vec_id AS query_id, sub, sq FROM subs WHERE vec_id < 10
+    )""")
+    parts.append(f"""lut AS (
+        SELECT q.query_id, c.sub, c.code_id,
+               list_aggregate(list_transform(range(1, {d1}), j ->
+                   (q.sq[j] - c.c[j]) * (q.sq[j] - c.c[j])), 'sum') AS dist
+        FROM qs q JOIN cb{iters} c USING (sub)
+    )""")
+    parts.append("""cand AS (
+        SELECT l.query_id, a.vec_id AS neighbor_id,
+               CAST(SUM(l.dist) AS BIGINT) AS adc_q
+        FROM asg a JOIN lut l ON a.sub = l.sub AND a.code_id = l.code_id
+        WHERE a.vec_id != l.query_id
+        GROUP BY 1, 2
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT query_id, neighbor_id, adc_q, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY adc_q, neighbor_id) AS rank
               FROM cand)
         WHERE rank <= {topk}
         ORDER BY query_id, rank"""

@@ -3162,6 +3162,7 @@ def node2vec_walk_corpus(
     common_w: int = 2,
     far_w: int = 1,
     max_degree: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """``(walk_id, start_id, step, vertex)`` — node2vec SECOND-ORDER
     biased walks (Grover & Leskovec 2016) on the :func:`random_walk_corpus`
@@ -3171,6 +3172,15 @@ def node2vec_walk_corpus(
     * ``return_w``  if ``x == prev``            (node2vec 1/p, scaled pq)
     * ``common_w``  if ``x`` is a neighbor of ``prev`` (node2vec 1, scaled)
     * ``far_w``     otherwise                   (node2vec 1/q, scaled pq)
+
+    With ``weight_col`` set this is the paper's FULL transition kernel
+    ``pi = alpha_pq(t, x) * w_vx`` (§3.2): each candidate's ladder
+    weight is the alpha case value TIMES its integer edge weight, step
+    1 draws proportional to the edge weight alone (the weighted-graph
+    convention :func:`weighted_walk_corpus` implements first-order),
+    and ``weight <= 0`` edges are dropped up front. ``None`` (default,
+    and the previously-registered queries) is the unweighted kernel,
+    bit-identical to before this parameter existed.
 
     i.e. for rational p, q the paper's (1/p, 1, 1/q) cleared of fractions
     is ``(q, pq, p)`` — the default (2, 2, 1) is p=1, q=2, the mildly
@@ -3209,23 +3219,41 @@ def node2vec_walk_corpus(
         raise ValueError(
             "node2vec weights must be non-negative and not all zero"
         )
-    base = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    sym = (
-        base.unionAll(
-            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if weight_col is None:
+        base = edges.select("src", "dst").filter(
+            F.col("src") != F.col("dst")
         )
-        .distinct()
-        .localCheckpoint()
-    )
-    if max_degree is not None:
-        sym = _degree_cap(sym, max_degree)
-    w_rank = Window.partitionBy("src").orderBy("dst")
-    ranked = sym.select(
-        "src",
-        "dst",
-        (F.row_number().over(w_rank) - 1).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
-    ).localCheckpoint()
+        sym = (
+            base.unionAll(
+                base.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        if max_degree is not None:
+            sym = _degree_cap(sym, max_degree)
+        symw = sym.select("src", "dst", F.lit(1).cast("long").alias("ew"))
+    else:
+        base = edges.select(
+            "src", "dst", F.col(weight_col).cast("long").alias("ew")
+        ).filter((F.col("src") != F.col("dst")) & (F.col("ew") > 0))
+        symw = (
+            base.unionAll(
+                base.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "ew",
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        if max_degree is not None:
+            capped = _degree_cap(symw.select("src", "dst"), max_degree)
+            symw = capped.join(symw, ["src", "dst"]).localCheckpoint()
+        sym = symw.select("src", "dst")
     starts = sym.select(F.col("src").alias("start_id")).distinct()
     frontier0 = starts.select(
         "start_id",
@@ -3236,29 +3264,50 @@ def node2vec_walk_corpus(
     out = frontier0.select(
         "walk_id", "start_id", F.lit(0).cast("int").alias("step"), "vertex"
     ).localCheckpoint()
-    # step 1: first-order uniform (no prev yet), the DeepWalk rule
-    pick1 = F.pmod(
-        _pri60(
-            F.concat_ws(
-                ":",
-                F.col("vertex").cast("string"),
-                F.col("walk_id").cast("string"),
-                F.lit(1),
-            )
-        ),
-        F.col("deg"),
-    )
-    frontier = (
-        frontier0.join(ranked, frontier0.vertex == ranked.src)
-        .filter(F.col("rk") == pick1)
-        .select(
-            "walk_id",
-            "start_id",
-            F.col("src").alias("prev"),
-            F.col("dst").alias("vertex"),
+    draw1 = _pri60(
+        F.concat_ws(
+            ":",
+            F.col("vertex").cast("string"),
+            F.col("walk_id").cast("string"),
+            F.lit(1),
         )
-        .localCheckpoint()
     )
+    if weight_col is None:
+        # step 1: first-order uniform (no prev yet), the DeepWalk rule
+        w_rank = Window.partitionBy("src").orderBy("dst")
+        ranked = sym.select(
+            "src",
+            "dst",
+            (F.row_number().over(w_rank) - 1).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+        ).localCheckpoint()
+        frontier = (
+            frontier0.join(ranked, frontier0.vertex == ranked.src)
+            .filter(F.col("rk") == F.pmod(draw1, F.col("deg")))
+            .select(
+                "walk_id",
+                "start_id",
+                F.col("src").alias("prev"),
+                F.col("dst").alias("vertex"),
+            )
+            .localCheckpoint()
+        )
+    else:
+        # step 1: first-order WEIGHTED draw (the weighted_walk_corpus
+        # rule — same salt, same ladder)
+        cand1 = frontier0.join(symw, frontier0.vertex == symw.src).select(
+            "walk_id", "start_id", "vertex", "dst", "ew"
+        )
+        frontier = (
+            weighted_pick(cand1, ["walk_id", "start_id"], "ew", "dst", draw1)
+            .select(
+                "walk_id",
+                "start_id",
+                F.col("vertex").alias("prev"),
+                F.col("dst").alias("vertex"),
+            )
+            .localCheckpoint()
+        )
     out = out.unionByName(
         frontier.select(
             "walk_id", "start_id", F.lit(1).cast("int").alias("step"), "vertex"
@@ -3271,8 +3320,8 @@ def node2vec_walk_corpus(
     )
     for s in range(2, walk_length + 1):
         cand = (
-            frontier.join(ranked, frontier.vertex == ranked.src)
-            .select("walk_id", "start_id", "prev", "vertex", "dst")
+            frontier.join(symw, frontier.vertex == symw.src)
+            .select("walk_id", "start_id", "prev", "vertex", "dst", "ew")
             .join(
                 nbr,
                 (F.col("prev") == F.col("nb_prev"))
@@ -3285,11 +3334,15 @@ def node2vec_walk_corpus(
                 "prev",
                 "vertex",
                 "dst",
-                F.when(F.col("dst") == F.col("prev"), F.lit(return_w))
-                .when(F.col("is_nbr").isNotNull(), F.lit(common_w))
-                .otherwise(F.lit(far_w))
-                .cast("long")
-                .alias("wgt"),
+                # alpha case value TIMES the edge weight (ew = 1 when
+                # unweighted, so the product is the pure alpha kernel)
+                (
+                    F.when(F.col("dst") == F.col("prev"), F.lit(return_w))
+                    .when(F.col("is_nbr").isNotNull(), F.lit(common_w))
+                    .otherwise(F.lit(far_w))
+                    .cast("long")
+                    * F.col("ew")
+                ).alias("wgt"),
             )
         )
         # The shared ladder pick (weighted_pick guards the modulo

@@ -3227,6 +3227,114 @@ def test_ivf_fixedpoint_equals_bruteforce_over_probed_cells(spark, sf_dir):
         assert [n for _, n in sorted(got[qid])] == brute[qid], qid
 
 
+def test_pq_fixedpoint_matches_python_mirror(spark):
+    """The full PQ pipeline — quantize, per-subspace Lloyd (truncating
+    division, empty codes keep centroids), final encode, ADC lookup-table
+    top-k — must match a pure-Python mirror row for row."""
+    import math
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        pq_topk_fixedpoint,
+    )
+
+    rng = random.Random(13)
+    dims, m_sub, k_codes, iters, k = 8, 2, 3, 2, 4
+    vectors = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(dims)]) for i in range(24)
+    ]
+    df = spark.createDataFrame(vectors, "vec_id long, embedding array<float>")
+    stored = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in df.orderBy("vec_id").collect()
+    ]
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def trunc_div(a, b):
+        d = abs(a) // b
+        return d if a >= 0 else -d
+
+    qv = {i: [math.floor(float(x) * 10000.0) for x in v] for i, v in stored}
+    dsub = dims // m_sub
+    subs = {
+        (i, s): qv[i][s * dsub : (s + 1) * dsub]
+        for i in qv
+        for s in range(m_sub)
+    }
+    ids = sorted(qv)
+    cb = {
+        (s, c): list(subs[(ids[c], s)])
+        for s in range(m_sub)
+        for c in range(k_codes)
+    }
+
+    def argmin_code(sq, s):
+        return min(
+            (sum((a - b) ** 2 for a, b in zip(sq, cb[(s, c)])), c)
+            for c in range(k_codes)
+        )[1]
+
+    for _ in range(iters):
+        assign = {key: argmin_code(sq, key[1]) for key, sq in subs.items()}
+        for s in range(m_sub):
+            for c in range(k_codes):
+                pts = [
+                    subs[(i, s2)]
+                    for (i, s2), cc in assign.items()
+                    if s2 == s and cc == c
+                ]
+                if pts:
+                    n = len(pts)
+                    cb[(s, c)] = [
+                        trunc_div(sum(col), n) for col in zip(*pts)
+                    ]
+    codes = {key: argmin_code(sq, key[1]) for key, sq in subs.items()}
+    expected = set()
+    for qid in range(3):
+        lut = {
+            (s, c): sum(
+                (a - b) ** 2 for a, b in zip(subs[(qid, s)], cb[(s, c)])
+            )
+            for s in range(m_sub)
+            for c in range(k_codes)
+        }
+        scored = sorted(
+            (
+                sum(lut[(s, codes[(i, s)])] for s in range(m_sub)),
+                i,
+            )
+            for i in qv
+            if i != qid
+        )[:k]
+        for r, (d, n) in enumerate(scored):
+            expected.add((qid, n, d, r + 1))
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["adc_q"], r["rank"])
+        for r in pq_topk_fixedpoint(
+            df, queries, k=k, m_sub=m_sub, k_codes=k_codes, iters=iters,
+            dims=dims,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_pq_fixedpoint_rejects_indivisible_dims(spark):
+    import pytest as _pytest
+
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        pq_topk_fixedpoint,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2, 0.3])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_topk_fixedpoint(df, df.select(F.col("vec_id").alias("query_id"), "embedding"), dims=3, m_sub=2)
+
+
 def test_apply_bpe_merges_reproduces_training_segmentation(spark):
     """Applying the learned merges to the training corpus itself must
     reproduce the trainer's final vocabulary segmentation exactly (the

@@ -1968,6 +1968,124 @@ def test_node2vec_max_degree_lever_bounds_hub_fanout(spark):
     assert sorted(map(tuple, exact)) == sorted(map(tuple, levered))
 
 
+def test_node2vec_weighted_kernel_matches_python_mirror(spark):
+    """The FULL node2vec transition kernel pi = alpha_pq(t, x) * w_vx:
+    step 1 draws by edge weight alone, steps >= 2 by alpha * weight —
+    every hop must match the pure-Python ladder mirror, and with all
+    weights 1 the engine must be bit-identical to the unweighted one."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        node2vec_walk_corpus,
+    )
+
+    rng = random.Random(59)
+    triples = {}
+    for _ in range(45):
+        a, b = rng.sample(range(1, 18), 2)
+        triples[(min(a, b), max(a, b))] = rng.randint(1, 7)
+    adj: dict = {}
+    for (a, b), w in triples.items():
+        adj.setdefault(a, {})[b] = w
+        adj.setdefault(b, {})[a] = w
+    rw, cw, fw, L, wpv = 2, 2, 1, 4, 2
+
+    def ladder_pick(cands, pick):
+        # cands: [(dst, wgt)] dst-ascending, wgt > 0 filtered by caller
+        tot = sum(w for _, w in cands)
+        pick %= tot
+        cum = 0
+        for dst, w in cands:
+            cum += w
+            if pick < cum:
+                return dst
+        raise AssertionError("unreachable")
+
+    def mirror():
+        rows = set()
+        for v0 in adj:
+            for w in range(wpv):
+                v = v0
+                rows.add((w, v0, 0, v))
+                cands = sorted(adj[v].items())
+                v, prev = ladder_pick(cands, _h60_py(f"{v}:{w}:1")), v
+                rows.add((w, v0, 1, v))
+                for s in range(2, L + 1):
+                    cands = sorted(
+                        (
+                            dst,
+                            (
+                                rw
+                                if dst == prev
+                                else (cw if dst in adj[prev] else fw)
+                            )
+                            * ew,
+                        )
+                        for dst, ew in adj[v].items()
+                    )
+                    nxt = ladder_pick(
+                        cands, _h60_py(f"{prev}:{v}:{w}:{s}")
+                    )
+                    prev, v = v, nxt
+                    rows.add((w, v0, s, v))
+        return rows
+
+    wedges = _wedges_df(spark, [(a, b, w) for (a, b), w in triples.items()])
+    got = {
+        (r["walk_id"], r["start_id"], r["step"], r["vertex"])
+        for r in node2vec_walk_corpus(
+            wedges, walk_length=L, walks_per_vertex=wpv,
+            return_w=rw, common_w=cw, far_w=fw, weight_col="shared",
+        ).collect()
+    }
+    assert got == mirror()
+    # unit weights: the weighted kernel reduces to the unweighted one
+    pairs = sorted(triples)
+    uw = node2vec_walk_corpus(
+        _edges_df(spark, pairs), walk_length=L, walks_per_vertex=wpv,
+        return_w=rw, common_w=cw, far_w=fw,
+    ).collect()
+    ww = node2vec_walk_corpus(
+        _wedges_df(spark, [(a, b, 1) for a, b in pairs]),
+        walk_length=L, walks_per_vertex=wpv,
+        return_w=rw, common_w=cw, far_w=fw, weight_col="shared",
+    ).collect()
+    assert sorted(map(tuple, uw)) == sorted(map(tuple, ww))
+
+
+def test_node2vec_weighted_step1_equals_weighted_walk(spark):
+    """Step 1 of the weighted second-order engine is the first-order
+    weighted draw (same salt, same ladder), so its step-0/1 rows must
+    equal weighted_walk_corpus's on the same graph — the weighted twin
+    of the step-1-equals-DeepWalk pin."""
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        node2vec_walk_corpus,
+        weighted_walk_corpus,
+    )
+
+    rng = random.Random(3)
+    triples = {}
+    for _ in range(30):
+        a, b = rng.sample(range(1, 13), 2)
+        triples[(min(a, b), max(a, b))] = rng.randint(1, 6)
+    wedges = [(a, b, w) for (a, b), w in triples.items()]
+    n2v = node2vec_walk_corpus(
+        _wedges_df(spark, wedges), walk_length=3, walks_per_vertex=2,
+        weight_col="shared",
+    ).collect()
+    fo = weighted_walk_corpus(
+        _wedges_df(spark, wedges), walk_length=3, walks_per_vertex=2,
+    ).collect()
+    head = lambda rows: sorted(
+        (r["walk_id"], r["start_id"], r["step"], r["vertex"])
+        for r in rows
+        if r["step"] <= 1
+    )
+    assert head(n2v) == head(fo)
+
+
 def test_node2vec_degenerate_weights_pin_bfs_and_dfs_limits(spark):
     """The verdict-prescribed degeneracy pins: weights (1, 0, 0) — the
     p->0 limit — oscillate prev<->current (pure backtrack, BFS-like
