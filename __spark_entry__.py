@@ -2040,6 +2040,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topk_pq_fixedpoint"] = _topk_pq_fixedpoint
 
+    def _topk_ivfpq_fixedpoint(spark, sf):
+        # IVFADC (Jégou et al. 2011 §IV): the inverted-file probe cut
+        # composed with residual product quantization — candidates come
+        # from n_probe coarse cells only AND are scored from m_sub
+        # small-int codes, never a raw vector; the honest 100-TB ANN
+        # shape (scan fraction x 64x compression) under the oracle gate.
+        (emb,) = _t(spark, sf, "embeddings")
+        return SIM.ivfpq_topk_fixedpoint(
+            emb, _ann_queries(spark, sf), k=5, n_clusters=8,
+            coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2, n_probe=2,
+            dims=64,
+        )
+
+    q["topk_ivfpq_fixedpoint"] = _topk_ivfpq_fixedpoint
+
     def _incremental_bpe_tokenize(spark, sf):
         # Ingestion-time tokenizer application on the standard even/odd
         # split: merges learned on the indexed (even) corpus, incoming
@@ -2103,7 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # so staleness is auditable directly. Semantics are unchanged — this is
 # pure dict ordering.
 _DRIVER_PRIORITY = [
-    # new this round (9) — prove first:
+    # new this round (10) — prove first:
     "node2vec_walk_corpus_capped_customers",
     "sgns_embeddings_weighted_customers",
     "walk_embedding_neighbors_customers",
@@ -2113,8 +2128,9 @@ _DRIVER_PRIORITY = [
     "topk_pq_fixedpoint",
     "node2vec_weighted_walk_corpus_customers",
     "sgns_embeddings_weighted_walks_customers",
-    # stalest committed greens (2 golden_only from r2, 1 from r4, 38 of
-    # the 48 round-5 rows — the last five of this block rotated out to
+    "topk_ivfpq_fixedpoint",
+    # stalest committed greens (2 golden_only from r2, 1 from r4, 37 of
+    # the 48 round-5 rows — the last six of this block rotated out to
     # keep the window at 50; they rejoin topk_cosine/triangle_counts/
     # tumbling_window/winnow/word_frequencies in the next rotation):
     "communities_girvan_newman",
@@ -2157,8 +2173,6 @@ _DRIVER_PRIORITY = [
     "salted_event_counts",
     "sliding_window_stats",
     "split_drift_report",
-    "supplier_degrees",
-    "token_gini_diversity",
 ]
 
 
@@ -4667,6 +4681,10 @@ def oracle_sql() -> dict[str, str]:
     d["topk_pq_fixedpoint"] = _pq_fixedpoint_oracle(
         m_sub=4, k_codes=8, iters=2, dims=64, topk=5
     )
+    d["topk_ivfpq_fixedpoint"] = _ivfpq_fixedpoint_oracle(
+        n_clusters=8, coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2,
+        n_probe=2, dims=64, topk=5,
+    )
     d["topk_ivf_fixedpoint"] = _ivf_fixedpoint_oracle(
         k_clusters=8, iters=3, dims=64, n_probe=2, topk=5
     )
@@ -6194,17 +6212,87 @@ def _ivf_fixedpoint_oracle(
     )
 
 
+def _pq_cte_parts(src: str, k_codes: int, iters: int, dsub: int) -> list:
+    """Per-SUBSPACE Lloyd CTE chain over ``{src}(vec_id, sub, sq)`` —
+    the ``similarity._pq_codebooks`` arithmetic: first-``k`` init by
+    vec_id per sub, one assign/count/sum/update quadruple per iteration
+    keyed by (sub, code_id), empty codes keep their centroid. Ends at
+    ``pcb{iters}(sub, code_id, c)`` plus ``pasg(vec_id, sub, code_id)``,
+    the fresh final encoding. Shared by the plain-PQ and IVFADC
+    oracles."""
+    d1 = dsub + 1
+    parts = [
+        f"""pcb0 AS (
+            SELECT sub, CAST(rn - 1 AS INTEGER) AS code_id, sq AS c
+            FROM (SELECT sub, sq,
+                         row_number() OVER (
+                             PARTITION BY sub ORDER BY vec_id) AS rn
+                  FROM {src})
+            WHERE rn <= {k_codes}
+        )""",
+    ]
+    assign = f"""
+            SELECT vec_id, sub, code_id FROM (
+                SELECT s.vec_id, s.sub, c.code_id,
+                       list_aggregate(list_transform(range(1, {d1}), j ->
+                           (s.sq[j] - c.c[j]) * (s.sq[j] - c.c[j])), 'sum')
+                           AS dist
+                FROM {src} s JOIN pcb{{i}} c USING (sub)
+            ) QUALIFY row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY dist, code_id) = 1"""
+    for i in range(1, iters + 1):
+        parts.append(
+            f"pa{i} AS MATERIALIZED ({assign.format(i=i - 1)})"
+        )
+        parts.append(f"""pn{i} AS (
+            SELECT sub, code_id, COUNT(*) AS n FROM pa{i} GROUP BY 1, 2
+        )""")
+        parts.append(f"""ps{i} AS (
+            SELECT a.sub, a.code_id, t.dim,
+                   CAST(SUM(s.sq[t.dim]) AS BIGINT) AS sm
+            FROM pa{i} a JOIN {src} s
+                 ON a.vec_id = s.vec_id AND a.sub = s.sub,
+                 UNNEST(range(1, {d1})) t(dim)
+            GROUP BY 1, 2, 3
+        )""")
+        parts.append(f"""pl{i} AS (
+            SELECT s.sub, s.code_id, list(s.sm ORDER BY s.dim) AS sv,
+                   MAX(n.n) AS n
+            FROM ps{i} s JOIN pn{i} n
+                 ON s.sub = n.sub AND s.code_id = n.code_id
+            GROUP BY 1, 2
+        )""")
+        parts.append(f"""pcb{i} AS MATERIALIZED (
+            SELECT p.sub, p.code_id,
+                   COALESCE(list_transform(l.sv, x -> x // l.n), p.c) AS c
+            FROM pcb{i - 1} p LEFT JOIN pl{i} l
+                 ON p.sub = l.sub AND p.code_id = l.code_id
+        )""")
+    parts.append(f"pasg AS MATERIALIZED ({assign.format(i=iters)})")
+    return parts
+
+
+_PQ_TOPK_TAIL = """
+        SELECT query_id, neighbor_id, adc_q, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY adc_q, neighbor_id) AS rank
+              FROM cand)
+        WHERE rank <= {topk}
+        ORDER BY query_id, rank"""
+
+
 def _pq_fixedpoint_oracle(
     m_sub: int, k_codes: int, iters: int, dims: int, topk: int
 ) -> str:
     """Oracle for ``similarity.pq_topk_fixedpoint``: the SAME product-
-    quantization pipeline — subvector split, per-subspace Lloyd chain
-    (one assign/count/sum/update quadruple per iteration, keyed by
-    (sub, code_id)), fresh final encoding, the per-query ADC lookup
-    table, and the summed-partials top-k with the (adc, neighbor_id)
-    total order. Both engines' integer division truncates toward zero
-    (pinned by the kmeans parity test), so every codebook coordinate —
-    and therefore every ADC distance — matches exactly."""
+    quantization pipeline — subvector split, the shared per-subspace
+    Lloyd chain (``_pq_cte_parts``), fresh final encoding, the
+    per-query ADC lookup table, and the summed-partials top-k with the
+    (adc, neighbor_id) total order. Both engines' integer division
+    truncates toward zero (pinned by the kmeans parity test), so every
+    codebook coordinate — and therefore every ADC distance — matches
+    exactly."""
     dsub = dims // m_sub
     d1 = dsub + 1
     parts = [
@@ -6221,53 +6309,8 @@ def _pq_fixedpoint_oracle(
                        q[t.sub * {dsub} + j]) AS sq
             FROM e0, UNNEST(range(0, {m_sub})) t(sub)
         )""",
-        f"""cb0 AS (
-            SELECT sub, CAST(rn - 1 AS INTEGER) AS code_id, sq AS c
-            FROM (SELECT sub, sq,
-                         row_number() OVER (
-                             PARTITION BY sub ORDER BY vec_id) AS rn
-                  FROM subs)
-            WHERE rn <= {k_codes}
-        )""",
     ]
-    assign = f"""
-            SELECT vec_id, sub, code_id FROM (
-                SELECT s.vec_id, s.sub, c.code_id,
-                       list_aggregate(list_transform(range(1, {d1}), j ->
-                           (s.sq[j] - c.c[j]) * (s.sq[j] - c.c[j])), 'sum')
-                           AS dist
-                FROM subs s JOIN cb{{src}} c USING (sub)
-            ) QUALIFY row_number() OVER (
-                PARTITION BY vec_id, sub ORDER BY dist, code_id) = 1"""
-    for i in range(1, iters + 1):
-        parts.append(
-            f"a{i} AS MATERIALIZED ({assign.format(src=i - 1)})"
-        )
-        parts.append(f"""n{i} AS (
-            SELECT sub, code_id, COUNT(*) AS n FROM a{i} GROUP BY 1, 2
-        )""")
-        parts.append(f"""s{i} AS (
-            SELECT a.sub, a.code_id, t.dim,
-                   CAST(SUM(s.sq[t.dim]) AS BIGINT) AS sm
-            FROM a{i} a JOIN subs s
-                 ON a.vec_id = s.vec_id AND a.sub = s.sub,
-                 UNNEST(range(1, {d1})) t(dim)
-            GROUP BY 1, 2, 3
-        )""")
-        parts.append(f"""l{i} AS (
-            SELECT s.sub, s.code_id, list(s.sm ORDER BY s.dim) AS sv,
-                   MAX(n.n) AS n
-            FROM s{i} s JOIN n{i} n
-                 ON s.sub = n.sub AND s.code_id = n.code_id
-            GROUP BY 1, 2
-        )""")
-        parts.append(f"""cb{i} AS MATERIALIZED (
-            SELECT p.sub, p.code_id,
-                   COALESCE(list_transform(l.sv, x -> x // l.n), p.c) AS c
-            FROM cb{i - 1} p LEFT JOIN l{i} l
-                 ON p.sub = l.sub AND p.code_id = l.code_id
-        )""")
-    parts.append(f"asg AS MATERIALIZED ({assign.format(src=iters)})")
+    parts += _pq_cte_parts("subs", k_codes, iters, dsub)
     parts.append("""qs AS (
         SELECT vec_id AS query_id, sub, sq FROM subs WHERE vec_id < 10
     )""")
@@ -6275,27 +6318,107 @@ def _pq_fixedpoint_oracle(
         SELECT q.query_id, c.sub, c.code_id,
                list_aggregate(list_transform(range(1, {d1}), j ->
                    (q.sq[j] - c.c[j]) * (q.sq[j] - c.c[j])), 'sum') AS dist
-        FROM qs q JOIN cb{iters} c USING (sub)
+        FROM qs q JOIN pcb{iters} c USING (sub)
     )""")
     parts.append("""cand AS (
         SELECT l.query_id, a.vec_id AS neighbor_id,
                CAST(SUM(l.dist) AS BIGINT) AS adc_q
-        FROM asg a JOIN lut l ON a.sub = l.sub AND a.code_id = l.code_id
+        FROM pasg a JOIN lut l ON a.sub = l.sub AND a.code_id = l.code_id
         WHERE a.vec_id != l.query_id
         GROUP BY 1, 2
     )""")
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"""
-        SELECT query_id, neighbor_id, adc_q, CAST(rank AS INTEGER) AS rank
-        FROM (SELECT *, row_number() OVER (
-                  PARTITION BY query_id
-                  ORDER BY adc_q, neighbor_id) AS rank
-              FROM cand)
-        WHERE rank <= {topk}
-        ORDER BY query_id, rank"""
-    )
+    return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(topk=topk)
+
+
+def _ivfpq_fixedpoint_oracle(
+    n_clusters: int,
+    coarse_iters: int,
+    m_sub: int,
+    k_codes: int,
+    pq_iters: int,
+    n_probe: int,
+    dims: int,
+    topk: int,
+) -> str:
+    """Oracle for ``similarity.ivfpq_topk_fixedpoint`` — IVFADC run
+    start to finish in DuckDB: the shared coarse Lloyd chain
+    (``_kmeans_cte_parts``), a fresh cell assignment, per-vector
+    RESIDUALS against the final coarse centroids, the shared
+    per-subspace Lloyd chain over residual subvectors
+    (``_pq_cte_parts``), n_probe-cell probing, per-(query, cell)
+    residual lookup tables, and the summed residual-ADC top-k."""
+    dsub = dims // m_sub
+    d1 = dsub + 1
+    parts = _kmeans_cte_parts(n_clusters, coarse_iters, dims)
+    parts.append(f"""casg AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, CAST(c.cluster_id AS INTEGER) AS cell,
+                   list_aggregate(list_transform(range(1, {dims + 1}), j ->
+                       (e.q[j] - c.c[j]) * (e.q[j] - c.c[j])), 'sum')
+                       AS dist
+            FROM e0 e CROSS JOIN c{coarse_iters} c
+        ) QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist, cell) = 1
+    )""")
+    parts.append(f"""res AS MATERIALIZED (
+        SELECT a.vec_id, a.cell,
+               list_transform(range(1, {dims + 1}), j ->
+                   e.q[j] - c.c[j]) AS r
+        FROM casg a JOIN e0 e USING (vec_id)
+             JOIN c{coarse_iters} c ON c.cluster_id = a.cell
+    )""")
+    parts.append(f"""rsubs AS MATERIALIZED (
+        SELECT vec_id, cell, CAST(t.sub AS INTEGER) AS sub,
+               list_transform(range(1, {d1}), j ->
+                   r[t.sub * {dsub} + j]) AS sq
+        FROM res, UNNEST(range(0, {m_sub})) t(sub)
+    )""")
+    parts += _pq_cte_parts("rsubs", k_codes, pq_iters, dsub)
+    parts.append("""codes AS (
+        SELECT p.vec_id, a.cell, p.sub, p.code_id
+        FROM pasg p JOIN casg a USING (vec_id)
+    )""")
+    parts.append(f"""pr AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id,
+                   CAST(c.cluster_id AS INTEGER) AS cell,
+                   list_aggregate(list_transform(range(1, {dims + 1}), j ->
+                       (q.q[j] - c.c[j]) * (q.q[j] - c.c[j])), 'sum')
+                       AS qdist
+            FROM (SELECT vec_id, q FROM e0 WHERE vec_id < 10) q
+                 CROSS JOIN c{coarse_iters} c
+        ) QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY qdist, cell) <= {n_probe}
+    )""")
+    parts.append(f"""qres AS (
+        SELECT p.query_id, p.cell,
+               list_transform(range(1, {dims + 1}), j ->
+                   e.q[j] - c.c[j]) AS qr
+        FROM pr p JOIN e0 e ON e.vec_id = p.query_id
+             JOIN c{coarse_iters} c ON c.cluster_id = p.cell
+    )""")
+    parts.append(f"""qrsubs AS (
+        SELECT query_id, cell, CAST(t.sub AS INTEGER) AS sub,
+               list_transform(range(1, {d1}), j ->
+                   qr[t.sub * {dsub} + j]) AS sq
+        FROM qres, UNNEST(range(0, {m_sub})) t(sub)
+    )""")
+    parts.append(f"""lut AS (
+        SELECT q.query_id, q.cell, c.sub, c.code_id,
+               list_aggregate(list_transform(range(1, {d1}), j ->
+                   (q.sq[j] - c.c[j]) * (q.sq[j] - c.c[j])), 'sum') AS dist
+        FROM qrsubs q JOIN pcb{pq_iters} c USING (sub)
+    )""")
+    parts.append("""cand AS (
+        SELECT l.query_id, k.vec_id AS neighbor_id,
+               CAST(SUM(l.dist) AS BIGINT) AS adc_q
+        FROM codes k JOIN lut l
+             ON k.cell = l.cell AND k.sub = l.sub
+            AND k.code_id = l.code_id
+        WHERE k.vec_id != l.query_id
+        GROUP BY 1, 2
+    )""")
+    return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(topk=topk)
 
 
 def _bpe_oracle(n_merges: int, final: str) -> str:

@@ -654,6 +654,93 @@ def ivf_topk_fixedpoint(
     )
 
 
+def _pq_split(df: DataFrame, vec_col: str, m_sub: int, dsub: int):
+    """Explode a (.., ``vec_col``: array<long>) table into one row per
+    subvector: the input columns minus ``vec_col``, plus (sub, sq)."""
+    keep = [c for c in df.columns if c != vec_col]
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("sub"),
+                F.slice(vec_col, i * dsub + 1, dsub).alias("sq"),
+            )
+            for i in range(m_sub)
+        ]
+    )
+    return df.select(*keep, F.explode(sub_structs).alias("t")).select(
+        *keep, F.col("t.sub").alias("sub"), F.col("t.sq").alias("sq")
+    )
+
+
+def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Argmin code per (row, sub) against the per-subspace codebooks:
+    one row per sub holding its code array -> broadcast + pure
+    projection, ``_lloyd_loop``'s assignment keyed by sub."""
+    cents = cb.groupBy("sub").agg(
+        F.collect_list(
+            F.struct(F.col("code_id").alias("cluster_id"), "c")
+        ).alias("cents")
+    )
+    return subs.join(F.broadcast(cents), "sub").select(
+        *[c for c in subs.columns],
+        F.array_min(_scored_centroids("cents", "sq"))["cluster_id"]
+        .cast("int")
+        .alias("code_id"),
+    )
+
+
+def _pq_codebooks(
+    subs: DataFrame, k_codes: int, iters: int
+) -> DataFrame:
+    """Train one ``k_codes`` codebook per subspace over a
+    (vec_id, sub, sq) table with the deterministic Lloyd rule shared
+    with :func:`kmeans_fixedpoint` (first-``k`` init by vec_id, integer
+    argmin with (dist, code_id) tie-break, truncating integer mean,
+    empty codes keep their centroid). Returns (sub, code_id, c)."""
+    w_init = Window.partitionBy("sub").orderBy("vec_id")
+    cb = (
+        subs.withColumn("rn", F.row_number().over(w_init))
+        .filter(F.col("rn") <= k_codes)
+        .select(
+            "sub",
+            (F.col("rn") - 1).cast("int").alias("code_id"),
+            F.col("sq").alias("c"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(subs, cb)
+        counts = assigned.groupBy("sub", "code_id").agg(
+            F.count(F.lit(1)).alias("n_points")
+        )
+        sums = (
+            assigned.select(
+                "sub", "code_id", F.posexplode("sq").alias("dim", "val")
+            )
+            .groupBy("sub", "code_id", "dim")
+            .agg(F.sum("val").alias("s"))
+        )
+        upd = (
+            sums.join(counts, ["sub", "code_id"])
+            .select(
+                "sub", "code_id", "dim", F.expr("s div n_points").alias("v")
+            )
+            .groupBy("sub", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                    lambda s: s["v"],
+                ).alias("c_new")
+            )
+        )
+        cb = (
+            cb.join(upd, ["sub", "code_id"], "left")
+            .select("sub", "code_id", F.coalesce("c_new", "c").alias("c"))
+            .localCheckpoint()
+        )
+    return cb
+
+
 def pq_topk_fixedpoint(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -700,91 +787,20 @@ def pq_topk_fixedpoint(
     if dims % m_sub != 0:
         raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
     dsub = dims // m_sub
-    sub_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("int").alias("sub"),
-                F.slice("q", i * dsub + 1, dsub).alias("sq"),
-            )
-            for i in range(m_sub)
-        ]
-    )
-    subs = (
-        _kmeans_quantized(embeddings)
-        .select("vec_id", F.explode(sub_structs).alias("t"))
-        .select("vec_id", F.col("t.sub").alias("sub"), F.col("t.sq").alias("sq"))
-        .localCheckpoint()
-    )
-    w_init = Window.partitionBy("sub").orderBy("vec_id")
-    cb = (
-        subs.withColumn("rn", F.row_number().over(w_init))
-        .filter(F.col("rn") <= k_codes)
-        .select(
-            "sub",
-            (F.col("rn") - 1).cast("int").alias("code_id"),
-            F.col("sq").alias("c"),
-        )
-        .localCheckpoint()
-    )
-
-    def _assign(cb: DataFrame) -> DataFrame:
-        # one row per sub holding its code array -> assignment is a
-        # broadcast + pure projection, like _lloyd_loop but keyed by sub
-        cents = cb.groupBy("sub").agg(
-            F.collect_list(
-                F.struct(F.col("code_id").alias("cluster_id"), "c")
-            ).alias("cents")
-        )
-        return subs.join(F.broadcast(cents), "sub").select(
-            "vec_id",
-            "sub",
-            "sq",
-            F.array_min(_scored_centroids("cents", "sq"))["cluster_id"]
-            .cast("int")
-            .alias("code_id"),
-        )
-
-    for _ in range(iters):
-        assigned = _assign(cb)
-        counts = assigned.groupBy("sub", "code_id").agg(
-            F.count(F.lit(1)).alias("n_points")
-        )
-        sums = (
-            assigned.select(
-                "sub", "code_id", F.posexplode("sq").alias("dim", "val")
-            )
-            .groupBy("sub", "code_id", "dim")
-            .agg(F.sum("val").alias("s"))
-        )
-        upd = (
-            sums.join(counts, ["sub", "code_id"])
-            .select(
-                "sub", "code_id", "dim", F.expr("s div n_points").alias("v")
-            )
-            .groupBy("sub", "code_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
-                    lambda s: s["v"],
-                ).alias("c_new")
-            )
-        )
-        cb = (
-            cb.join(upd, ["sub", "code_id"], "left")
-            .select("sub", "code_id", F.coalesce("c_new", "c").alias("c"))
-            .localCheckpoint()
-        )
-    codes = _assign(cb).select("vec_id", "sub", "code_id")
-    qsub = (
+    subs = _pq_split(
+        _kmeans_quantized(embeddings), "q", m_sub, dsub
+    ).localCheckpoint()
+    cb = _pq_codebooks(subs, k_codes, iters)
+    codes = _pq_assign(subs, cb).select("vec_id", "sub", "code_id")
+    qsub = _pq_split(
         _kmeans_quantized(
             queries.select(F.col(query_id_col).alias("vec_id"), "embedding")
-        )
-        .select(
-            F.col("vec_id").alias("query_id"), F.explode(sub_structs).alias("t")
-        )
-        .select(
-            "query_id", F.col("t.sub").alias("sub"), F.col("t.sq").alias("qq")
-        )
+        ),
+        "q",
+        m_sub,
+        dsub,
+    ).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sq").alias("qq")
     )
     sqdist = F.aggregate(
         F.zip_with("qq", "c", lambda a, b: (a - b) * (a - b)),
@@ -796,6 +812,125 @@ def pq_topk_fixedpoint(
     )
     cands = (
         codes.join(F.broadcast(lut), ["sub", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dist").cast("long").alias("adc_q"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("adc_q").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_q",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivfpq_topk_fixedpoint(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    coarse_iters: int = 2,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    pq_iters: int = 2,
+    n_probe: int = 2,
+    dims: int = 64,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVFADC — the full Jégou, Douze & Schmid 2011 §IV pipeline, every
+    stage engine-exact integer: the coarse quantizer is the shared
+    fixed-point Lloyd loop (``_kmeans_centroids``), each vector is
+    encoded as (cell, PQ codes of its RESIDUAL x - c_cell) with ONE
+    product quantizer shared across cells (the paper's memory/accuracy
+    trade), and a query probes its ``n_probe`` nearest cells, forms the
+    per-cell query residual, and scores candidates by the summed
+    residual-ADC lookup table. Composes :func:`ivf_topk_fixedpoint`'s
+    inverted-file stage with :func:`pq_topk_fixedpoint`'s compressed-
+    domain distance — the scan touches ~n_probe/n_clusters of the
+    corpus AND reads only m_sub small-int codes per candidate, never a
+    raw vector.
+
+    Output ``(query_id, neighbor_id, adc_q, rank)`` — top-``k`` by
+    (residual-ADC ascending, neighbor_id); the DuckDB oracle runs the
+    SAME approximate pipeline, so both the probe cut and the
+    quantization error are specified semantics.
+
+    Shape at scale: coarse training + assignment as in IVF (broadcast
+    passes); residuals are one (cell)-keyed join + a zip_with
+    projection; PQ training is ``pq_iters`` broadcast passes with one
+    (sub, code, dim)-keyed shuffle each; the query path broadcasts a
+    (queries x n_probe x m_sub x k_codes) LUT and the candidate join
+    keys on (cell, sub, code_id) — probed cells only. No UDF, no
+    driver collect.
+    """
+    if dims % m_sub != 0:
+        raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
+    dsub = dims // m_sub
+    vecs, cent, _ = _kmeans_centroids(embeddings, n_clusters, coarse_iters)
+    cent_arr = F.broadcast(_centroid_array(cent))
+    assigned = vecs.crossJoin(cent_arr).select(
+        "vec_id",
+        "q",
+        F.array_min(_scored_centroids("cents", "q"))["cluster_id"]
+        .cast("int")
+        .alias("cell"),
+    )
+    cent_cells = cent.select(
+        F.col("cluster_id").cast("int").alias("cell"), F.col("c").alias("cc")
+    )
+    residual = F.zip_with("q", "cc", lambda a, b: a - b)
+    res = assigned.join(F.broadcast(cent_cells), "cell").select(
+        "vec_id", "cell", residual.alias("r")
+    )
+    rsubs = _pq_split(res, "r", m_sub, dsub).localCheckpoint()
+    # ONE shared product quantizer over all residuals: train on the
+    # (vec_id, sub, sq) projection, then encode keeping the cell key
+    cb = _pq_codebooks(rsubs.select("vec_id", "sub", "sq"), k_codes, pq_iters)
+    codes = _pq_assign(rsubs, cb).select("vec_id", "cell", "sub", "code_id")
+    qv = _kmeans_quantized(
+        queries.select(F.col(query_id_col).alias("vec_id"), "embedding")
+    ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
+    probes = (
+        qv.crossJoin(cent_arr)
+        .select(
+            "query_id",
+            "qq",
+            F.explode(
+                F.slice(
+                    F.array_sort(_scored_centroids("cents", "qq")), 1, n_probe
+                )
+            ).alias("p"),
+        )
+        .select(
+            "query_id", "qq", F.col("p")["cluster_id"].cast("int").alias("cell")
+        )
+    )
+    qres = probes.join(F.broadcast(cent_cells), "cell").select(
+        "query_id",
+        "cell",
+        F.zip_with("qq", "cc", lambda a, b: a - b).alias("qr"),
+    )
+    qrsub = _pq_split(qres, "qr", m_sub, dsub).select(
+        "query_id", "cell", "sub", F.col("sq").alias("qq")
+    )
+    sqdist = F.aggregate(
+        F.zip_with("qq", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = qrsub.join(cb, "sub").select(
+        "query_id", "cell", "sub", "code_id", sqdist.alias("dist")
+    )
+    cands = (
+        codes.join(F.broadcast(lut), ["cell", "sub", "code_id"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("dist").cast("long").alias("adc_q"))

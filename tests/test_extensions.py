@@ -3321,6 +3321,125 @@ def test_pq_fixedpoint_matches_python_mirror(spark):
     assert got == expected
 
 
+def test_ivfpq_fixedpoint_matches_python_mirror(spark):
+    """IVFADC end to end — coarse Lloyd, fresh cell assignment,
+    residuals, the SHARED residual product quantizer, n_probe cell
+    probing, per-(query, cell) residual LUT, summed-ADC top-k — must
+    match a pure-Python mirror row for row."""
+    import math
+    import random
+
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        ivfpq_topk_fixedpoint,
+    )
+
+    rng = random.Random(29)
+    dims, m_sub, k_codes = 8, 2, 3
+    n_clusters, coarse_iters, pq_iters, n_probe, k = 3, 2, 2, 2, 4
+    vectors = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(dims)]) for i in range(26)
+    ]
+    df = spark.createDataFrame(vectors, "vec_id long, embedding array<float>")
+    stored = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in df.orderBy("vec_id").collect()
+    ]
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def trunc_div(a, b):
+        d = abs(a) // b
+        return d if a >= 0 else -d
+
+    def sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    qv = {i: [math.floor(float(x) * 10000.0) for x in v] for i, v in stored}
+    ids = sorted(qv)
+    # coarse Lloyd (first-k init, (dist, c) tie-break, trunc mean)
+    cent = {c: list(qv[ids[c]]) for c in range(n_clusters)}
+    for _ in range(coarse_iters):
+        assign = {
+            vid: min((sq(qv[vid], cent[c]), c) for c in cent)[1]
+            for vid in ids
+        }
+        for c in range(n_clusters):
+            pts = [qv[v] for v, cc in assign.items() if cc == c]
+            if pts:
+                cent[c] = [
+                    trunc_div(sum(col), len(pts)) for col in zip(*pts)
+                ]
+    cell = {
+        vid: min((sq(qv[vid], cent[c]), c) for c in cent)[1] for vid in ids
+    }
+    res = {
+        vid: [a - b for a, b in zip(qv[vid], cent[cell[vid]])] for vid in ids
+    }
+    dsub = dims // m_sub
+    subs = {
+        (i, s): res[i][s * dsub : (s + 1) * dsub]
+        for i in ids
+        for s in range(m_sub)
+    }
+    cb = {
+        (s, c): list(subs[(ids[c], s)])
+        for s in range(m_sub)
+        for c in range(k_codes)
+    }
+
+    def code_of(v, s):
+        return min((sq(v, cb[(s, c)]), c) for c in range(k_codes))[1]
+
+    for _ in range(pq_iters):
+        asg = {key: code_of(v, key[1]) for key, v in subs.items()}
+        for s in range(m_sub):
+            for c in range(k_codes):
+                pts = [
+                    subs[(i, s2)]
+                    for (i, s2), cc in asg.items()
+                    if s2 == s and cc == c
+                ]
+                if pts:
+                    cb[(s, c)] = [
+                        trunc_div(sum(col), len(pts)) for col in zip(*pts)
+                    ]
+    codes = {key: code_of(v, key[1]) for key, v in subs.items()}
+    expected = set()
+    for qid in range(3):
+        probed = [
+            c
+            for _, c in sorted(
+                (sq(qv[qid], cent[c]), c) for c in cent
+            )[:n_probe]
+        ]
+        scored = []
+        for vid in ids:
+            if vid == qid or cell[vid] not in probed:
+                continue
+            qr = [a - b for a, b in zip(qv[qid], cent[cell[vid]])]
+            adc = sum(
+                sq(
+                    qr[s * dsub : (s + 1) * dsub],
+                    cb[(s, codes[(vid, s)])],
+                )
+                for s in range(m_sub)
+            )
+            scored.append((adc, vid))
+        for r, (d, n) in enumerate(sorted(scored)[:k]):
+            expected.add((qid, n, d, r + 1))
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["adc_q"], r["rank"])
+        for r in ivfpq_topk_fixedpoint(
+            df, queries, k=k, n_clusters=n_clusters,
+            coarse_iters=coarse_iters, m_sub=m_sub, k_codes=k_codes,
+            pq_iters=pq_iters, n_probe=n_probe, dims=dims,
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_pq_fixedpoint_rejects_indivisible_dims(spark):
     import pytest as _pytest
 
