@@ -2055,6 +2055,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topk_ivfpq_fixedpoint"] = _topk_ivfpq_fixedpoint
 
+    def _incremental_ann_ivfpq(spark, sf):
+        # Ingestion-time ANN on the standard even/odd split: the IVFADC
+        # index (coarse centroids, residual codebooks, encoded corpus)
+        # is FROZEN over the even half; incoming odd vectors only probe
+        # and score against it — stream-static semantics, state never
+        # grows with the stream (the incremental_semantic_dedup
+        # convention applied to the compressed-domain index).
+        (emb,) = _t(spark, sf, "embeddings")
+        indexed = emb.filter(F.col("vec_id") % 2 == 0)
+        incoming = emb.filter(
+            (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 20)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        return SIM.ivfpq_topk_fixedpoint(
+            indexed, incoming, k=5, n_clusters=8, coarse_iters=2,
+            m_sub=4, k_codes=8, pq_iters=2, n_probe=2, dims=64,
+        )
+
+    q["incremental_ann_ivfpq"] = _incremental_ann_ivfpq
+
     def _incremental_bpe_tokenize(spark, sf):
         # Ingestion-time tokenizer application on the standard even/odd
         # split: merges learned on the indexed (even) corpus, incoming
@@ -2118,7 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # so staleness is auditable directly. Semantics are unchanged — this is
 # pure dict ordering.
 _DRIVER_PRIORITY = [
-    # new this round (10) — prove first:
+    # new this round (11) — prove first:
     "node2vec_walk_corpus_capped_customers",
     "sgns_embeddings_weighted_customers",
     "walk_embedding_neighbors_customers",
@@ -2129,8 +2148,9 @@ _DRIVER_PRIORITY = [
     "node2vec_weighted_walk_corpus_customers",
     "sgns_embeddings_weighted_walks_customers",
     "topk_ivfpq_fixedpoint",
-    # stalest committed greens (2 golden_only from r2, 1 from r4, 37 of
-    # the 48 round-5 rows — the last six of this block rotated out to
+    "incremental_ann_ivfpq",
+    # stalest committed greens (2 golden_only from r2, 1 from r4, 36 of
+    # the 48 round-5 rows — the last seven of this block rotated out to
     # keep the window at 50; they rejoin topk_cosine/triangle_counts/
     # tumbling_window/winnow/word_frequencies in the next rotation):
     "communities_girvan_newman",
@@ -2172,7 +2192,6 @@ _DRIVER_PRIORITY = [
     "rolling_event_values",
     "salted_event_counts",
     "sliding_window_stats",
-    "split_drift_report",
 ]
 
 
@@ -4685,6 +4704,12 @@ def oracle_sql() -> dict[str, str]:
         n_clusters=8, coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2,
         n_probe=2, dims=64, topk=5,
     )
+    d["incremental_ann_ivfpq"] = _ivfpq_fixedpoint_oracle(
+        n_clusters=8, coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2,
+        n_probe=2, dims=64, topk=5,
+        corpus_where="vec_id % 2 = 0",
+        queries_where="vec_id % 2 = 1 AND vec_id < 20",
+    )
     d["topk_ivf_fixedpoint"] = _ivf_fixedpoint_oracle(
         k_clusters=8, iters=3, dims=64, n_probe=2, topk=5
     )
@@ -6339,6 +6364,8 @@ def _ivfpq_fixedpoint_oracle(
     n_probe: int,
     dims: int,
     topk: int,
+    corpus_where: str = "TRUE",
+    queries_where: str = "vec_id < 10",
 ) -> str:
     """Oracle for ``similarity.ivfpq_topk_fixedpoint`` — IVFADC run
     start to finish in DuckDB: the shared coarse Lloyd chain
@@ -6346,10 +6373,34 @@ def _ivfpq_fixedpoint_oracle(
     RESIDUALS against the final coarse centroids, the shared
     per-subspace Lloyd chain over residual subvectors
     (``_pq_cte_parts``), n_probe-cell probing, per-(query, cell)
-    residual lookup tables, and the summed residual-ADC top-k."""
+    residual lookup tables, and the summed residual-ADC top-k.
+
+    ``corpus_where`` restricts which vectors are INDEXED (trained on,
+    encoded, candidates); ``queries_where`` selects the query vectors
+    from the full embeddings table — together they express the
+    frozen-index ingestion twin (index the even half, score incoming
+    odd vectors against it) without touching the pipeline itself."""
     dsub = dims // m_sub
     d1 = dsub + 1
-    parts = _kmeans_cte_parts(n_clusters, coarse_iters, dims)
+    e0_parts = [
+        f"""e0 AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(range(1, {dims + 1}), j ->
+                       CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 10000.0)
+                            AS BIGINT)) AS q
+            FROM embeddings WHERE {corpus_where}
+        )"""
+    ]
+    parts = _kmeans_cte_parts(
+        n_clusters, coarse_iters, dims, e0_parts=e0_parts
+    )
+    parts.append(f"""qsrc AS (
+        SELECT vec_id,
+               list_transform(range(1, {dims + 1}), j ->
+                   CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 10000.0)
+                        AS BIGINT)) AS q
+        FROM embeddings WHERE {queries_where}
+    )""")
     parts.append(f"""casg AS MATERIALIZED (
         SELECT vec_id, cell FROM (
             SELECT e.vec_id, CAST(c.cluster_id AS INTEGER) AS cell,
@@ -6385,8 +6436,7 @@ def _ivfpq_fixedpoint_oracle(
                    list_aggregate(list_transform(range(1, {dims + 1}), j ->
                        (q.q[j] - c.c[j]) * (q.q[j] - c.c[j])), 'sum')
                        AS qdist
-            FROM (SELECT vec_id, q FROM e0 WHERE vec_id < 10) q
-                 CROSS JOIN c{coarse_iters} c
+            FROM qsrc q CROSS JOIN c{coarse_iters} c
         ) QUALIFY row_number() OVER (
             PARTITION BY query_id ORDER BY qdist, cell) <= {n_probe}
     )""")
@@ -6394,7 +6444,7 @@ def _ivfpq_fixedpoint_oracle(
         SELECT p.query_id, p.cell,
                list_transform(range(1, {dims + 1}), j ->
                    e.q[j] - c.c[j]) AS qr
-        FROM pr p JOIN e0 e ON e.vec_id = p.query_id
+        FROM pr p JOIN qsrc e ON e.vec_id = p.query_id
              JOIN c{coarse_iters} c ON c.cluster_id = p.cell
     )""")
     parts.append(f"""qrsubs AS (

@@ -1753,7 +1753,7 @@ def test_random_walk_max_degree_lever_bounds_hub_fanout(spark):
     assert sorted(map(tuple, exact)) == sorted(map(tuple, levered))
 
 
-def _wedges_df(spark, triples):
+def _swedges_df(spark, triples):
     return spark.createDataFrame(
         [(int(a), int(b), int(w)) for a, b, w in triples],
         "src long, dst long, shared long",
@@ -1802,7 +1802,7 @@ def test_weighted_walk_matches_python_ladder_mirror(spark):
     got = {
         (r["walk_id"], r["start_id"], r["step"], r["vertex"])
         for r in weighted_walk_corpus(
-            _wedges_df(spark, [(a, b, w) for (a, b), w in triples.items()]),
+            _swedges_df(spark, [(a, b, w) for (a, b), w in triples.items()]),
             walk_length=5,
             walks_per_vertex=2,
         ).collect()
@@ -1831,7 +1831,7 @@ def test_weighted_walk_unit_weights_reduce_to_first_order(spark):
         _edges_df(spark, sorted(pairs)), walk_length=6, walks_per_vertex=2
     ).collect()
     ww = weighted_walk_corpus(
-        _wedges_df(spark, [(a, b, 1) for a, b in sorted(pairs)]),
+        _swedges_df(spark, [(a, b, 1) for a, b in sorted(pairs)]),
         walk_length=6,
         walks_per_vertex=2,
     ).collect()
@@ -1849,7 +1849,7 @@ def test_weighted_walk_bias_and_nonpositive_weights(spark):
     # star: hub 0 with leaves 1..10; edge 0-1 carries 50x the weight
     star = [(0, 1, 50)] + [(0, i, 1) for i in range(2, 11)]
     rows = weighted_walk_corpus(
-        _wedges_df(spark, star), walk_length=6, walks_per_vertex=24
+        _swedges_df(spark, star), walk_length=6, walks_per_vertex=24
     ).collect()
     bywalk: dict = {}
     for r in rows:
@@ -1866,7 +1866,7 @@ def test_weighted_walk_bias_and_nonpositive_weights(spark):
     # zero-weight edge: vertex 3 connected only by weight 0 -> absent
     g = [(1, 2, 3), (1, 3, 0)]
     rows0 = weighted_walk_corpus(
-        _wedges_df(spark, g), walk_length=4, walks_per_vertex=2
+        _swedges_df(spark, g), walk_length=4, walks_per_vertex=2
     ).collect()
     verts = {r["vertex"] for r in rows0}
     starts = {r["start_id"] for r in rows0}
@@ -1885,7 +1885,7 @@ def test_weighted_walk_max_degree_lever_bounds_hub_fanout(spark):
 
     star = [(0, i, 1 + (i % 5)) for i in range(1, 401)]
     walks = weighted_walk_corpus(
-        _wedges_df(spark, star), walk_length=4, walks_per_vertex=1,
+        _swedges_df(spark, star), walk_length=4, walks_per_vertex=1,
         max_degree=16,
     )
     rows = walks.collect()
@@ -1898,16 +1898,16 @@ def test_weighted_walk_max_degree_lever_bounds_hub_fanout(spark):
     }
     assert leaf_step1 == {0}
     again = weighted_walk_corpus(
-        _wedges_df(spark, star), walk_length=4, walks_per_vertex=1,
+        _swedges_df(spark, star), walk_length=4, walks_per_vertex=1,
         max_degree=16,
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     small = [(1, 2, 5), (2, 3, 2), (3, 4, 1), (1, 4, 7)]
     exact = weighted_walk_corpus(
-        _wedges_df(spark, small), walk_length=5, walks_per_vertex=2
+        _swedges_df(spark, small), walk_length=5, walks_per_vertex=2
     ).collect()
     levered = weighted_walk_corpus(
-        _wedges_df(spark, small), walk_length=5, walks_per_vertex=2,
+        _swedges_df(spark, small), walk_length=5, walks_per_vertex=2,
         max_degree=16,
     ).collect()
     assert sorted(map(tuple, exact)) == sorted(map(tuple, levered))
@@ -2030,7 +2030,7 @@ def test_node2vec_weighted_kernel_matches_python_mirror(spark):
                     rows.add((w, v0, s, v))
         return rows
 
-    wedges = _wedges_df(spark, [(a, b, w) for (a, b), w in triples.items()])
+    wedges = _swedges_df(spark, [(a, b, w) for (a, b), w in triples.items()])
     got = {
         (r["walk_id"], r["start_id"], r["step"], r["vertex"])
         for r in node2vec_walk_corpus(
@@ -2046,7 +2046,7 @@ def test_node2vec_weighted_kernel_matches_python_mirror(spark):
         return_w=rw, common_w=cw, far_w=fw,
     ).collect()
     ww = node2vec_walk_corpus(
-        _wedges_df(spark, [(a, b, 1) for a, b in pairs]),
+        _swedges_df(spark, [(a, b, 1) for a, b in pairs]),
         walk_length=L, walks_per_vertex=wpv,
         return_w=rw, common_w=cw, far_w=fw, weight_col="shared",
     ).collect()
@@ -2072,11 +2072,11 @@ def test_node2vec_weighted_step1_equals_weighted_walk(spark):
         triples[(min(a, b), max(a, b))] = rng.randint(1, 6)
     wedges = [(a, b, w) for (a, b), w in triples.items()]
     n2v = node2vec_walk_corpus(
-        _wedges_df(spark, wedges), walk_length=3, walks_per_vertex=2,
+        _swedges_df(spark, wedges), walk_length=3, walks_per_vertex=2,
         weight_col="shared",
     ).collect()
     fo = weighted_walk_corpus(
-        _wedges_df(spark, wedges), walk_length=3, walks_per_vertex=2,
+        _swedges_df(spark, wedges), walk_length=3, walks_per_vertex=2,
     ).collect()
     head = lambda rows: sorted(
         (r["walk_id"], r["start_id"], r["step"], r["vertex"])
