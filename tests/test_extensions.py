@@ -3440,6 +3440,33 @@ def test_ivfpq_fixedpoint_matches_python_mirror(spark):
     assert got == expected
 
 
+def test_ivfpq_ingestion_twin_only_returns_indexed_neighbors(spark, sf_dir):
+    """The frozen-index contract: incoming (odd) vectors are queries
+    ONLY — every returned neighbor comes from the indexed (even) half,
+    and every incoming query gets its k rows (the probe always lands on
+    trained cells)."""
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        ivfpq_topk_fixedpoint,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    indexed = emb.filter(F.col("vec_id") % 2 == 0)
+    incoming = emb.filter(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 10)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = ivfpq_topk_fixedpoint(
+        indexed, incoming, k=3, n_clusters=4, coarse_iters=1, m_sub=4,
+        k_codes=4, pq_iters=1, n_probe=2, dims=64,
+    ).collect()
+    assert rows
+    assert all(r["neighbor_id"] % 2 == 0 for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(q % 2 == 1 for q in by_q)
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
+
 def test_pq_fixedpoint_rejects_indivisible_dims(spark):
     import pytest as _pytest
 
