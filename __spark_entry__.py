@@ -1938,6 +1938,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _walk_embedding_neighbors_customers
     )
 
+    def _walk_embedding_clusters_customers(spark, sf):
+        # Embedding-based community detection — the pipeline the
+        # DeepWalk/node2vec papers evaluate: walks -> skip-gram pairs ->
+        # fixed-point SGNS -> integer Lloyd over the trained kind='in'
+        # vectors -> fresh final assignment. Every stage integer-exact,
+        # so the whole four-stage pipeline sits under one chained-CTE
+        # oracle. Shorter walks keep the gate runtime bounded.
+        walks = G.random_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            walk_length=6,
+            walks_per_vertex=1,
+        )
+        emb = G.sgns_embeddings(
+            G.skipgram_pairs(walks, window=2),
+            dim=8,
+            negatives=2,
+            amp=64,
+            sig_scale=4096,
+            lr_den=16,
+        )
+        return G.sgns_embedding_clusters(emb, k=4, iters=2)
+
+    q["walk_embedding_clusters_customers"] = (
+        _walk_embedding_clusters_customers
+    )
+
     def _sgns_embeddings_node2vec_customers(spark, sf):
         # Composition depth: the SECOND-ORDER (node2vec) corpus feeding
         # the fixed-point SGNS trainer — the two round-9/10 engines
@@ -2137,7 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # so staleness is auditable directly. Semantics are unchanged — this is
 # pure dict ordering.
 _DRIVER_PRIORITY = [
-    # new this round (11) — prove first:
+    # new this round (12) — prove first:
     "node2vec_walk_corpus_capped_customers",
     "sgns_embeddings_weighted_customers",
     "walk_embedding_neighbors_customers",
@@ -2149,8 +2175,9 @@ _DRIVER_PRIORITY = [
     "sgns_embeddings_weighted_walks_customers",
     "topk_ivfpq_fixedpoint",
     "incremental_ann_ivfpq",
-    # stalest committed greens (2 golden_only from r2, 1 from r4, 36 of
-    # the 48 round-5 rows — the last seven of this block rotated out to
+    "walk_embedding_clusters_customers",
+    # stalest committed greens (2 golden_only from r2, 1 from r4, 35 of
+    # the 48 round-5 rows — the last eight of this block rotated out to
     # keep the window at 50; they rejoin topk_cosine/triangle_counts/
     # tumbling_window/winnow/word_frequencies in the next rotation):
     "communities_girvan_newman",
@@ -2191,7 +2218,6 @@ _DRIVER_PRIORITY = [
     "quality_scores",
     "rolling_event_values",
     "salted_event_counts",
-    "sliding_window_stats",
 ]
 
 
@@ -5018,6 +5044,11 @@ def oracle_sql() -> dict[str, str]:
         dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16,
         k=5, n_queries=10,
     )
+    d["walk_embedding_clusters_customers"] = _sgns_clusters_oracle(
+        walk_length=6, walks_per_vertex=1, window=2,
+        dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16,
+        k_clusters=4, cluster_iters=2,
+    )
     d["sgns_embeddings_node2vec_customers"] = _sgns_oracle(
         walk_length=6, walks_per_vertex=1, window=2,
         dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16,
@@ -5711,6 +5742,45 @@ def _sgns_topk_oracle(*args, k: int = 5, n_queries: int = 10, **kwargs) -> str:
     """
 
 
+def _sgns_clusters_oracle(
+    *args, k_clusters: int = 4, cluster_iters: int = 2, **kwargs
+) -> str:
+    """The walks → embeddings → CLUSTERING pipeline oracle
+    (``graph.sgns_embedding_clusters``): the shared SGNS CTE chain,
+    a (vertex)-keyed pivot of the trained kind='in' vectors to integer
+    arrays, the shared Lloyd chain (``_kmeans_cte_parts`` with the
+    ``k`` prefix — the SGNS chain already owns ``e0``), and the fresh
+    final (dist, cluster_id)-argmin assignment."""
+    epochs = kwargs.get("epochs", 1)
+    dim = kwargs["dim"]
+    d1 = dim + 1
+    e0_parts = [
+        f"""ke0 AS MATERIALIZED (
+            SELECT v AS vec_id, list(iv ORDER BY d) AS q
+            FROM emb{epochs} GROUP BY v
+        )"""
+    ]
+    parts = _kmeans_cte_parts(
+        k_clusters, cluster_iters, dim, e0_parts=e0_parts, prefix="k"
+    )
+    parts.append(f"""fin AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT e.vec_id, c.cluster_id,
+                   list_aggregate(list_transform(range(1, {d1}), j ->
+                       (e.q[j] - c.c[j]) * (e.q[j] - c.c[j])), 'sum')
+                       AS dist
+            FROM ke0 e CROSS JOIN kc{cluster_iters} c
+        ) QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist, cluster_id) = 1
+    )""")
+    return f"""{_sgns_ctes(*args, **kwargs)},
+        {",".join(parts)}
+        SELECT CAST(vec_id AS BIGINT) AS vertex,
+               CAST(cluster_id AS INTEGER) AS cluster_id
+        FROM fin ORDER BY vertex
+    """
+
+
 def _sgns_negdraw_ctes(h60, negatives: int, neg_weighting: str) -> str:
     """The negative-draw CTE block, mirroring
     ``graph._sgns_negative_draws`` draw for draw. ``"uniform"`` is the
@@ -6053,16 +6123,22 @@ def _louvain_round_steps(rounds: int, p: str) -> str:
 
 
 def _kmeans_cte_parts(
-    k: int, iters: int, dims: int, e0_parts: list | None = None
+    k: int, iters: int, dims: int, e0_parts: list | None = None,
+    prefix: str = "",
 ) -> list:
     """The shared Lloyd CTE chain (quantize, init, then one
     assign/count/sum/update quadruple per iteration) used by the
     k-means, IVF, and document-clustering fixed-point oracles.
     ``e0_parts`` overrides the vector-source CTEs (must end by defining
-    ``e0(vec_id, q)``); default is the quantized embeddings table."""
+    ``{prefix}e0(vec_id, q)``); default is the quantized embeddings
+    table. ``prefix`` renames every CTE the chain defines (``{prefix}e0``,
+    ``{prefix}c{{i}}``, ...) so the chain can ride behind another CTE
+    graph that already owns those names (the SGNS chains define their
+    own ``e0``)."""
     d1 = dims + 1
+    p = prefix
     parts = e0_parts if e0_parts is not None else [
-        f"""e0 AS MATERIALIZED (
+        f"""{p}e0 AS MATERIALIZED (
             SELECT vec_id,
                    list_transform(range(1, {d1}), j ->
                        CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 10000.0)
@@ -6071,42 +6147,42 @@ def _kmeans_cte_parts(
         )"""
     ]
     parts = parts + [
-        f"""c0 AS (
+        f"""{p}c0 AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                        AS cluster_id,
                    q AS c
-            FROM (SELECT vec_id, q FROM e0 ORDER BY vec_id LIMIT {k})
+            FROM (SELECT vec_id, q FROM {p}e0 ORDER BY vec_id LIMIT {k})
         )""",
     ]
     for i in range(1, iters + 1):
-        parts.append(f"""a{i} AS MATERIALIZED (
+        parts.append(f"""{p}a{i} AS MATERIALIZED (
             SELECT vec_id, cluster_id FROM (
                 SELECT e.vec_id, c.cluster_id,
                        list_aggregate(list_transform(range(1, {d1}), j ->
                            (e.q[j] - c.c[j]) * (e.q[j] - c.c[j])), 'sum')
                            AS dist
-                FROM e0 e CROSS JOIN c{i - 1} c
+                FROM {p}e0 e CROSS JOIN {p}c{i - 1} c
             ) QUALIFY row_number() OVER (
                 PARTITION BY vec_id ORDER BY dist, cluster_id) = 1
         )""")
-        parts.append(f"""n{i} AS (
-            SELECT cluster_id, COUNT(*) AS n FROM a{i} GROUP BY 1
+        parts.append(f"""{p}n{i} AS (
+            SELECT cluster_id, COUNT(*) AS n FROM {p}a{i} GROUP BY 1
         )""")
-        parts.append(f"""s{i} AS (
+        parts.append(f"""{p}s{i} AS (
             SELECT a.cluster_id, t.dim, CAST(SUM(e.q[t.dim]) AS BIGINT) AS s
-            FROM a{i} a JOIN e0 e USING (vec_id),
+            FROM {p}a{i} a JOIN {p}e0 e USING (vec_id),
                  UNNEST(range(1, {d1})) t(dim)
             GROUP BY 1, 2
         )""")
-        parts.append(f"""l{i} AS (
+        parts.append(f"""{p}l{i} AS (
             SELECT s.cluster_id, list(s.s ORDER BY s.dim) AS sv,
                    MAX(n.n) AS n
-            FROM s{i} s JOIN n{i} n USING (cluster_id) GROUP BY 1
+            FROM {p}s{i} s JOIN {p}n{i} n USING (cluster_id) GROUP BY 1
         )""")
-        parts.append(f"""c{i} AS MATERIALIZED (
+        parts.append(f"""{p}c{i} AS MATERIALIZED (
             SELECT p.cluster_id,
                    COALESCE(list_transform(l.sv, x -> x // l.n), p.c) AS c
-            FROM c{i - 1} p LEFT JOIN l{i} l USING (cluster_id)
+            FROM {p}c{i - 1} p LEFT JOIN {p}l{i} l USING (cluster_id)
         )""")
     return parts
 

@@ -3893,6 +3893,55 @@ def sgns_topk_neighbors(
     )
 
 
+def sgns_embedding_clusters(
+    emb: DataFrame, k: int = 4, iters: int = 2
+) -> DataFrame:
+    """``(vertex, cluster_id)`` — embedding-based community detection,
+    the full walks → skip-gram pairs → SGNS → k-means pipeline's final
+    stage: pivot the trained ``kind='in'`` vectors to one integer array
+    per vertex, run the shared deterministic Lloyd loop
+    (``similarity._lloyd_loop`` — first-``k`` init, integer argmin,
+    truncating mean, empty clusters keep centroids; the vectors are
+    ALREADY fixed-point integers so no quantization step exists), and
+    emit the fresh final assignment. This is the standard
+    embedding-clustering recipe for graphs (DeepWalk/node2vec §4
+    evaluate exactly this pipeline against modularity methods), here
+    oracle-able end to end because every stage is integer-exact.
+
+    Shape at 100 TB: the pivot is one (vertex)-keyed aggregate over the
+    |V|·dim embedding table; Lloyd is ``iters`` broadcast passes with
+    one (cluster, dim)-keyed shuffle each; assignment is a broadcast +
+    pure projection. Nothing exceeds |V|·dim rows.
+    """
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        _centroid_array,
+        _lloyd_loop,
+        _scored_centroids,
+    )
+
+    inv = (
+        emb.filter(F.col("kind") == "in")
+        .groupBy(F.col("id").alias("vec_id"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "emb_fp"))),
+                lambda s: s["emb_fp"],
+            ).alias("q")
+        )
+    )
+    vecs, cent, _ = _lloyd_loop(inv, k, iters)
+    return (
+        vecs.crossJoin(F.broadcast(_centroid_array(cent)))
+        .select(
+            F.col("vec_id").cast("long").alias("vertex"),
+            F.array_min(_scored_centroids("cents", "q"))["cluster_id"]
+            .cast("int")
+            .alias("cluster_id"),
+        )
+        .orderBy("vertex")
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     n_seeds: int = 4,

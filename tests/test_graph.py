@@ -2540,6 +2540,52 @@ def test_walk_embedding_pipeline_planted_communities_are_topk(spark):
         assert {n for _, n in ranked} == mates[qv], (qv, sorted(ranked))
 
 
+def test_walk_embedding_clusters_separate_planted_communities(spark):
+    """The four-stage pipeline walks -> pairs -> SGNS -> integer Lloyd
+    (graph.sgns_embedding_clusters) on two DISCONNECTED planted cliques:
+    same-clique vertices must land in one cluster and the two cliques in
+    DIFFERENT clusters — embedding-based community detection recovering
+    the planted structure end to end."""
+    import itertools
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        random_walk_corpus,
+        sgns_embedding_clusters,
+        sgns_embeddings,
+        skipgram_pairs,
+    )
+
+    # ids interleaved so Lloyd's first-k-by-id seeding (vertices 1 and
+    # 2) puts one seed in EACH clique — with both seeds in one clique,
+    # k=2 must split it and lump the other, by the deterministic rule
+    cliques = [[1, 3, 4, 5, 6], [2, 12, 13, 14, 15]]
+    edges = [
+        (a, b)
+        for cl in cliques
+        for a, b in itertools.combinations(cl, 2)
+    ]
+    walks = random_walk_corpus(
+        _edges_df(spark, edges), walk_length=8, walks_per_vertex=4
+    )
+    # the top-k pipeline's setting plus one more epoch: k-means reads
+    # EUCLIDEAN geometry, not the inner product SGNS optimizes, and the
+    # measured scan shows the L2 structure needs 3 epochs to line up
+    # with the planted partition (2 epochs already separate under the
+    # inner-product consumer)
+    emb = sgns_embeddings(
+        skipgram_pairs(walks, window=2),
+        dim=8, negatives=1, amp=64, sig_scale=4096, lr_den=8, epochs=3,
+    )
+    got = {
+        r["vertex"]: r["cluster_id"]
+        for r in sgns_embedding_clusters(emb, k=2, iters=3).collect()
+    }
+    assert set(got) == {v for cl in cliques for v in cl}
+    c_a = {got[v] for v in cliques[0]}
+    c_b = {got[v] for v in cliques[1]}
+    assert len(c_a) == 1 and len(c_b) == 1 and c_a != c_b
+
+
 def test_sgns_sdiv_bound_violation_raises(spark):
     """A pair count big enough to break the _sgns_sdiv exactness bound
     (max(n) * max|emb| >= 2^32) must surface as a loud ValueError, not a
