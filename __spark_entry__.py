@@ -2100,6 +2100,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_ann_ivfpq"] = _incremental_ann_ivfpq
 
+    def _quality_classifier_fixedpoint(spark, sf):
+        # The TRAINED stage of a quality-filter pipeline (fastText-style
+        # linear classifier over hashed bag-of-words, the Weinberger et
+        # al. 2009 projection): batch logistic regression in fixed-point
+        # integers, three synchronous epochs, demo labels from the
+        # deterministic median-token-count rule. The heuristic stage is
+        # quality_scores; this is its model-based successor, trained
+        # in-engine and proven weight-for-weight against the unrolled
+        # DuckDB chain.
+        (d,) = _t(spark, sf, "documents")
+        return SIM.quality_classifier_fixedpoint(
+            d, dims=64, epochs=3, sig_scale=4096,
+            margin_scale=1 << 16, lr_den=1 << 12, label_min_tokens=56,
+        )
+
+    q["quality_classifier_fixedpoint"] = _quality_classifier_fixedpoint
+
     def _incremental_bpe_tokenize(spark, sf):
         # Ingestion-time tokenizer application on the standard even/odd
         # split: merges learned on the indexed (even) corpus, incoming
@@ -2163,7 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # so staleness is auditable directly. Semantics are unchanged — this is
 # pure dict ordering.
 _DRIVER_PRIORITY = [
-    # new this round (12) — prove first:
+    # new this round (13) — prove first:
     "node2vec_walk_corpus_capped_customers",
     "sgns_embeddings_weighted_customers",
     "walk_embedding_neighbors_customers",
@@ -2176,8 +2193,9 @@ _DRIVER_PRIORITY = [
     "topk_ivfpq_fixedpoint",
     "incremental_ann_ivfpq",
     "walk_embedding_clusters_customers",
-    # stalest committed greens (2 golden_only from r2, 1 from r4, 35 of
-    # the 48 round-5 rows — the last eight of this block rotated out to
+    "quality_classifier_fixedpoint",
+    # stalest committed greens (2 golden_only from r2, 1 from r4, 34 of
+    # the 48 round-5 rows — the last nine of this block rotated out to
     # keep the window at 50; they rejoin topk_cosine/triangle_counts/
     # tumbling_window/winnow/word_frequencies in the next rotation):
     "communities_girvan_newman",
@@ -2217,7 +2235,6 @@ _DRIVER_PRIORITY = [
     "pricing_summary",
     "quality_scores",
     "rolling_event_values",
-    "salted_event_counts",
 ]
 
 
@@ -4730,6 +4747,10 @@ def oracle_sql() -> dict[str, str]:
         n_clusters=8, coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2,
         n_probe=2, dims=64, topk=5,
     )
+    d["quality_classifier_fixedpoint"] = _quality_classifier_oracle(
+        dims=64, epochs=3, sig_scale=4096, margin_scale=1 << 16,
+        lr_den=1 << 12, label_min_tokens=56,
+    )
     d["incremental_ann_ivfpq"] = _ivfpq_fixedpoint_oracle(
         n_clusters=8, coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2,
         n_probe=2, dims=64, topk=5,
@@ -6545,6 +6566,73 @@ def _ivfpq_fixedpoint_oracle(
         GROUP BY 1, 2
     )""")
     return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(topk=topk)
+
+
+def _quality_classifier_oracle(
+    dims: int,
+    epochs: int,
+    sig_scale: int,
+    margin_scale: int,
+    lr_den: int,
+    label_min_tokens: int,
+) -> str:
+    """Oracle for ``similarity.quality_classifier_fixedpoint``: the
+    hashed-feature CTE (the ``_doc_clusters_oracle`` arithmetic), the
+    deterministic token-count labels, and one unrolled
+    (margin, sigmoid, error-gradient, update) CTE quadruple per epoch —
+    the SGNS hard-sigmoid text, truncating division on both engines."""
+    s, z0 = sig_scale, margin_scale
+    parts = [
+        f"""f AS MATERIALIZED (
+            SELECT doc_id, CAST(h % {dims} AS INTEGER) AS dim,
+                   CAST(SUM(((h >> 6) % 2) * 2 - 1) AS BIGINT) AS value
+            FROM (SELECT doc_id,
+                         CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                             AS h
+                  FROM (SELECT doc_id,
+                               UNNEST(string_split(text, ' ')) AS token
+                        FROM documents))
+            GROUP BY doc_id, h % {dims}
+        )""",
+        f"""y AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' '))
+                        >= {label_min_tokens} AS BIGINT) AS y
+            FROM documents
+        )""",
+        f"""w0 AS (
+            SELECT CAST(t.d AS INTEGER) AS dim, CAST(0 AS BIGINT) AS w
+            FROM UNNEST(range(0, {dims})) t(d)
+        )""",
+    ]
+    for e in range(1, epochs + 1):
+        parts.append(f"""z{e} AS (
+            SELECT f.doc_id, CAST(SUM(f.value * w.w) AS BIGINT) AS z
+            FROM f JOIN w{e - 1} w USING (dim) GROUP BY 1
+        )""")
+        parts.append(f"""p{e} AS (
+            SELECT doc_id,
+                   LEAST({s}, GREATEST(0,
+                       ((z + {2 * z0}) * {s}) // {4 * z0})) AS p
+            FROM z{e}
+        )""")
+        parts.append(f"""g{e} AS (
+            SELECT f.dim,
+                   CAST(SUM(f.value * (y.y * {s} - p.p)) AS BIGINT) AS g
+            FROM f JOIN p{e} p USING (doc_id) JOIN y USING (doc_id)
+            GROUP BY 1
+        )""")
+        parts.append(f"""w{e} AS MATERIALIZED (
+            SELECT w.dim, w.w + COALESCE(g.g // {lr_den}, 0) AS w
+            FROM w{e - 1} w LEFT JOIN g{e} g USING (dim)
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(dim AS INTEGER) AS dim, CAST(w AS BIGINT) AS weight_fp
+        FROM w{epochs} ORDER BY dim"""
+    )
 
 
 def _bpe_oracle(n_merges: int, final: str) -> str:

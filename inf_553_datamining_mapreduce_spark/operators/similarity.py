@@ -1287,3 +1287,101 @@ def incremental_semantic_dedup(
         )
         .orderBy("vec_id")
     )
+
+
+def quality_classifier_fixedpoint(
+    documents: DataFrame,
+    dims: int = 64,
+    epochs: int = 3,
+    sig_scale: int = 4096,
+    margin_scale: int = 1 << 16,
+    lr_den: int = 1 << 12,
+    label_min_tokens: int = 56,
+) -> DataFrame:
+    """``(dim, weight_fp)`` — a TRAINED quality classifier: batch
+    logistic regression over the hashed bag-of-words features
+    (``text.hashed_doc_features``), every step in engine-exact integer
+    arithmetic. This is the model-based stage of a curation pipeline
+    (fastText-style quality filters train exactly this shape: hashed
+    features, a linear model, a sigmoid) where ``quality_scores`` is
+    the heuristic stage; the demo labels come from a deterministic
+    in-engine rule (``token count >= label_min_tokens`` — at the
+    registered corpus that is the median, a balanced split), but the
+    trainer is label-agnostic.
+
+    Per synchronous epoch (weights start at zero, so epoch 1's update
+    is the class-mean-difference direction):
+
+    * margin  ``z_d = sum_j x_dj * w_j``          (doc-keyed join+sum)
+    * predict ``p_d = hardsig(z_d)`` — the SGNS trainer's piecewise
+      integer sigmoid, ``least(S, greatest(0, ((z + 2*Z) * S) div
+      (4*Z)))`` with ``S = sig_scale``, ``Z = margin_scale``
+    * error   ``err_d = y_d * S - p_d``
+    * grads   ``g_j = sum_d x_dj * err_d``        (dim-keyed join+sum)
+    * update  ``w_j += g_j div lr_den``           (both engines'
+      integer division truncates toward zero; pinned by the kmeans
+      parity test)
+
+    Shape at 100 TB: the feature table is corpus x dims rows built by
+    one explode + one hash aggregate; each epoch is two broadcast-able
+    joins against the dims-row weight vector plus two keyed sums with
+    map-side partials — the classic distributed batch-GD step, no UDF,
+    no driver collect, model state bounded by ``dims`` rows. Bound:
+    ``|g| <= n_docs * max|value| * S`` must stay under 2^63 — at
+    S = 4096 that allows ~10^12 corpus-weighted token mass per dim,
+    far beyond any registered SF (and the epoch count is fixed, so the
+    unrolled chained-CTE oracle proves every weight bit-exact).
+    """
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        hashed_doc_features,
+        tokens_col,
+    )
+
+    spark = documents.sparkSession
+    feats = hashed_doc_features(documents, dims).localCheckpoint()
+    labels = documents.select(
+        "doc_id",
+        (F.size(tokens_col("text")) >= label_min_tokens)
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint()
+    sc_, z0 = sig_scale, margin_scale
+    w = spark.range(dims).select(
+        F.col("id").cast("int").alias("dim"),
+        F.lit(0).cast("long").alias("w"),
+    )
+    for _ in range(epochs):
+        z = (
+            feats.join(F.broadcast(w), "dim")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("value") * F.col("w")).alias("z"))
+        )
+        p = z.select(
+            "doc_id",
+            F.expr(
+                f"least({sc_}L, greatest(0L, "
+                f"((z + {2 * z0}L) * {sc_}L) div {4 * z0}L))"
+            ).alias("p"),
+        )
+        err = p.join(labels, "doc_id").select(
+            "doc_id", (F.col("y") * sc_ - F.col("p")).alias("err")
+        )
+        grad = (
+            feats.join(err, "doc_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("value") * F.col("err")).alias("g"))
+        )
+        w = (
+            w.join(grad, "dim", "left")
+            .select(
+                "dim",
+                (
+                    F.col("w")
+                    + F.coalesce(
+                        F.expr(f"g div {lr_den}L"), F.lit(0).cast("long")
+                    )
+                ).alias("w"),
+            )
+            .localCheckpoint()
+        )
+    return w.select("dim", F.col("w").alias("weight_fp")).orderBy("dim")

@@ -3467,6 +3467,104 @@ def test_ivfpq_ingestion_twin_only_returns_indexed_neighbors(spark, sf_dir):
     assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
 
 
+def test_quality_classifier_matches_python_mirror(spark):
+    """Every trained weight of the fixed-point logistic regression must
+    match a pure-Python mirror: same hashed features, same hard
+    sigmoid, same truncating-division update, epoch for epoch."""
+    import hashlib
+
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        quality_classifier_fixedpoint,
+    )
+
+    docs = [
+        (1, "aa bb cc dd ee ff"),
+        (2, "aa bb"),
+        (3, "gg hh ii jj kk ll mm nn"),
+        (4, "gg hh"),
+        (5, "aa cc ee gg ii kk mm"),
+        (6, "bb dd"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    dims, epochs, s, z0, lr, lmin = 16, 3, 4096, 1 << 10, 1 << 6, 5
+
+    def h60(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+    def tdiv(a, b):
+        d = abs(a) // b
+        return d if a >= 0 else -d
+
+    feats: dict = {}
+    labels = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        labels[did] = 1 if len(toks) >= lmin else 0
+        for t in toks:
+            h = h60(t)
+            key = (did, h % dims)
+            feats[key] = feats.get(key, 0) + ((h >> 6) % 2) * 2 - 1
+    w = [0] * dims
+    for _ in range(epochs):
+        err = {}
+        for did, _ in docs:
+            z = sum(
+                v * w[d] for (i, d), v in feats.items() if i == did
+            )
+            p = min(s, max(0, tdiv((z + 2 * z0) * s, 4 * z0)))
+            err[did] = labels[did] * s - p
+        g = [0] * dims
+        for (did, d), v in feats.items():
+            g[d] += v * err[did]
+        w = [w[d] + tdiv(g[d], lr) for d in range(dims)]
+
+    got = {
+        r["dim"]: r["weight_fp"]
+        for r in quality_classifier_fixedpoint(
+            df, dims=dims, epochs=epochs, sig_scale=s, margin_scale=z0,
+            lr_den=lr, label_min_tokens=lmin,
+        ).collect()
+    }
+    assert got == {d: w[d] for d in range(dims)}
+
+
+def test_quality_classifier_separates_planted_classes(spark):
+    """Trained on a linearly separable planted corpus (long docs with
+    one vocabulary, short docs with another), the classifier's margins
+    must classify every document correctly — the trainer actually
+    learns, it doesn't just compute."""
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        quality_classifier_fixedpoint,
+    )
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        hashed_doc_features,
+    )
+
+    docs = []
+    for i in range(12):
+        docs.append((i, " ".join(f"long{j}" for j in range(20))))
+    for i in range(12, 24):
+        docs.append((i, " ".join(f"short{j}" for j in range(4))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    w = quality_classifier_fixedpoint(
+        df, dims=32, epochs=3, sig_scale=4096, margin_scale=1 << 12,
+        lr_den=1 << 8, label_min_tokens=10,
+    )
+    margins = (
+        hashed_doc_features(df, 32)
+        .join(w.withColumnRenamed("weight_fp", "w"), "dim")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("value") * F.col("w")).alias("z"))
+        .collect()
+    )
+    assert len(margins) == 24
+    for r in margins:
+        if r["doc_id"] < 12:
+            assert r["z"] > 0, (r["doc_id"], r["z"])
+        else:
+            assert r["z"] < 0, (r["doc_id"], r["z"])
+
+
 def test_pq_fixedpoint_rejects_indivisible_dims(spark):
     import pytest as _pytest
 
