@@ -807,7 +807,10 @@ def pq_topk_fixedpoint(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    lut = qsub.join(cb, "sub").select(
+    # cb is m_sub x k_codes rows — always a broadcast (without the hint
+    # Spark picks a sort-merge join here: checkpointed sides lose their
+    # size stats)
+    lut = qsub.join(F.broadcast(cb), "sub").select(
         "query_id", "sub", "code_id", sqdist.alias("dist")
     )
     cands = (
@@ -926,7 +929,8 @@ def ivfpq_topk_fixedpoint(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    lut = qrsub.join(cb, "sub").select(
+    # same broadcast-the-codebooks rationale as pq_topk_fixedpoint
+    lut = qrsub.join(F.broadcast(cb), "sub").select(
         "query_id", "cell", "sub", "code_id", sqdist.alias("dist")
     )
     cands = (
