@@ -2180,7 +2180,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # so staleness is auditable directly. Semantics are unchanged — this is
 # pure dict ordering.
 _DRIVER_PRIORITY = [
-    # new this round (13) — prove first:
+    # Allocation-spiky stale rows FIRST, on a fresh heap: the Brandes
+    # CSR adjacency broadcast, the ml-lib FPGrowth trees, and the SON
+    # A-priori partitions each want one large contiguous allocation,
+    # and this round's 13 new iterative rows pin ~157 localCheckpoint
+    # RDDs between them (measured) — on a default-heap vanilla session
+    # the big allocators must not run BEHIND that accumulation
+    # (measured OOM in exactly that order during the full-registry
+    # sweep; scripts/full_correctness.py now also releases blocks
+    # periodically for the 214-query run).
+    "edge_betweenness_brandes_customers",
+    "frequent_itemsets_fpgrowth",
+    "frequent_itemsets_son",
+    "communities_girvan_newman",
+    "edge_betweenness_customers",
+    "connected_components_customers",
+    # new this round (13) — prove this window:
     "node2vec_walk_corpus_capped_customers",
     "sgns_embeddings_weighted_customers",
     "walk_embedding_neighbors_customers",
@@ -2195,31 +2210,26 @@ _DRIVER_PRIORITY = [
     "walk_embedding_clusters_customers",
     "quality_classifier_fixedpoint",
     # stalest committed greens (2 golden_only from r2, 1 from r4, 34 of
-    # the 48 round-5 rows — the last nine of this block rotated out to
-    # keep the window at 50; they rejoin topk_cosine/triangle_counts/
-    # tumbling_window/winnow/word_frequencies in the next rotation):
-    "communities_girvan_newman",
-    "edge_betweenness_customers",
+    # the 48 round-5 rows — the last nine of the round-5 block rotated
+    # out to keep the window at 50; they rejoin topk_cosine/
+    # triangle_counts/tumbling_window/winnow/word_frequencies in the
+    # next rotation):
     "winsorized_price_stats",
     "approx_distinct_parts_bounds",
     "chunk_dedup_stats",
     "clicks_asof_views",
     "clustering_coefficients_customers",
-    "connected_components_customers",
     "cooccurrence_pairs",
     "cross_source_overlap",
     "customer_cooccurrence_edges",
     "customer_order_activity",
     "customers_without_orders",
     "distinct_users_per_event_type",
-    "edge_betweenness_brandes_customers",
     "embedding_near_duplicates",
     "errors_near_purchases",
     "event_props_stats",
     "exact_duplicates",
     "filter_having",
-    "frequent_itemsets_fpgrowth",
-    "frequent_itemsets_son",
     "group_avg_brand_status",
     "group_avg_nation_region",
     "jaccard_near_duplicates",

@@ -3714,8 +3714,11 @@ def sgns_embeddings(
             .alias("e"),
         )
 
-    in_cur = _init("i").localCheckpoint()
-    out_cur = _init("o").localCheckpoint()
+    # _checkpoint_reset_stats for the release hook (see _step below):
+    # epoch 1 supersedes these init frames, and without the handle their
+    # blocks stayed pinned for the session
+    in_cur = _checkpoint_reset_stats(_init("i"))
+    out_cur = _checkpoint_reset_stats(_init("o"))
     if negatives > 0:
         # Fixed draws across epochs (the deterministic convention: the
         # draw key is (c, x_pos, j), unsalted by epoch — documented).
@@ -3810,16 +3813,19 @@ def sgns_embeddings(
         )
 
         def _step(cur: DataFrame, delta: DataFrame) -> DataFrame:
-            return (
-                cur.join(delta, ["v", "d"], "left")
-                .select(
+            # _checkpoint_reset_stats (not a bare localCheckpoint) so the
+            # superseded-epoch release below actually has a handle to
+            # fire — a bare checkpoint never attaches _graft_release and
+            # the loop's release path was a silent no-op, leaving every
+            # epoch's in/out blocks pinned for the session.
+            return _checkpoint_reset_stats(
+                cur.join(delta, ["v", "d"], "left").select(
                     "v",
                     "d",
                     F.expr(
                         f"e + {_sgns_sdiv('coalesce(dd, 0L)', lr_den)}"
                     ).alias("e"),
                 )
-                .localCheckpoint()
             )
 
         prev_in, prev_out = in_cur, out_cur

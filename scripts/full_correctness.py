@@ -111,7 +111,21 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     t_start = time.perf_counter()
-    for name, fn in queries.items():
+    for i, (name, fn) in enumerate(queries.items()):
+        if i and i % 20 == 0:
+            # Periodic checkpoint-block release (the scale_sweep.py
+            # pattern): each iterative query pins ~10-30 localCheckpoint
+            # RDDs for the session's life, and a 200+-query sweep on the
+            # VANILLA session's default heap accumulates enough block +
+            # plan metadata that a later big allocation (the Brandes CSR
+            # broadcast) lands on a full heap (measured round 10: OOM at
+            # query 28 after the 13 new walk/SGNS/PQ rows pinned 157
+            # RDDs). Clearing the shared-graph memo only costs rebuild
+            # time — results are identical by the memo contract.
+            em._EDGE_MEMO.clear()
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(True)
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
