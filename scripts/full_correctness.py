@@ -112,16 +112,19 @@ def main() -> None:
     out: dict[str, dict] = {}
     t_start = time.perf_counter()
     for i, (name, fn) in enumerate(queries.items()):
-        if i and i % 20 == 0:
-            # Periodic checkpoint-block release (the scale_sweep.py
+        if i:
+            # Per-query checkpoint-block release (the scale_sweep.py
             # pattern): each iterative query pins ~10-30 localCheckpoint
             # RDDs for the session's life, and a 200+-query sweep on the
             # VANILLA session's default heap accumulates enough block +
-            # plan metadata that a later big allocation (the Brandes CSR
-            # broadcast) lands on a full heap (measured round 10: OOM at
-            # query 28 after the 13 new walk/SGNS/PQ rows pinned 157
-            # RDDs). Clearing the shared-graph memo only costs rebuild
-            # time — results are identical by the memo contract.
+            # plan metadata that a later allocation SPIKE (the Brandes
+            # per-level sweep needs most of the heap at once — it passes
+            # isolated but OOMed at position 28 even with a release 7
+            # queries earlier, measured round 10) lands on a full heap.
+            # Releasing after EVERY query approximates the fresh-session
+            # state each query is individually proven under; clearing
+            # the shared-graph memo only costs rebuild time — results
+            # are identical by the memo contract.
             em._EDGE_MEMO.clear()
             for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 jrdd.unpersist(True)
