@@ -96,6 +96,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # see _customer_graph_edges for the rationale and keying.
 _EDGE_MEMO: dict = {}
 
+# One public call (release_session_blocks) returns a long-lived session to
+# its fresh-start memory state: the memo holds checkpointed DataFrames whose
+# blocks that call unpersists, so the memo entries must be dropped with them
+# (they'd otherwise serve frames whose checkpoint data is gone — rebuilding
+# on next use is the memo contract and costs only rebuild time).
+from inf_553_datamining_mapreduce_spark.session import register_release_hook
+
+register_release_hook(_EDGE_MEMO.clear)
+
 
 def _memo(spark: SparkSession, key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
     """Get-or-build a localCheckpoint'ed shared intermediate keyed by
@@ -1912,6 +1921,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _sgns_embeddings_weighted_customers
     )
 
+    def _sgns_embeddings_epochs_weighted_customers(spark, sf):
+        # The trainer's parameter matrix CLOSED under the oracle gate
+        # (r10 verdict item 5): iterated epochs x unigram^0.75
+        # negatives in ONE run — epoch 2's gradients flow from epoch
+        # 1's grown vectors while the negative draws stay fixed on the
+        # weighted ladder, and the per-epoch _sgns_sdiv exactness
+        # assertion (graph.py) is exercised against epoch-grown
+        # magnitudes at the gate, not just in unit tests.
+        walks = G.random_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            walk_length=8,
+            walks_per_vertex=2,
+        )
+        return G.sgns_embeddings(
+            G.skipgram_pairs(walks, window=2),
+            dim=8,
+            negatives=2,
+            amp=64,
+            sig_scale=4096,
+            lr_den=16,
+            epochs=2,
+            neg_weighting="unigram34",
+        )
+
+    q["sgns_embeddings_epochs_weighted_customers"] = (
+        _sgns_embeddings_epochs_weighted_customers
+    )
+
     def _walk_embedding_neighbors_customers(spark, sf):
         # The FULL pipeline as one registered query (r9 verdict item
         # 5): walks -> skip-gram pairs -> fixed-point SGNS -> top-k
@@ -2117,6 +2154,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_classifier_fixedpoint"] = _quality_classifier_fixedpoint
 
+    def _quality_classifier_eval(spark, sf):
+        # Held-out evaluation of the trained quality classifier (r10
+        # verdict item 4): train on the even-doc_id half, score the odd
+        # half with frozen weights, emit the 2x2 confusion counts — the
+        # number a user needs before trusting the filter's keep/drop
+        # decisions, integer-exact under the extended chained-CTE
+        # oracle.
+        (d,) = _t(spark, sf, "documents")
+        return SIM.quality_classifier_eval(
+            d, dims=64, epochs=3, sig_scale=4096,
+            margin_scale=1 << 16, lr_den=1 << 12, label_min_tokens=56,
+        )
+
+    q["quality_classifier_eval"] = _quality_classifier_eval
+
     def _incremental_bpe_tokenize(spark, sf):
         # Ingestion-time tokenizer application on the standard even/odd
         # split: merges learned on the indexed (even) corpus, incoming
@@ -2180,71 +2232,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # so staleness is auditable directly. Semantics are unchanged — this is
 # pure dict ordering.
 _DRIVER_PRIORITY = [
-    # Allocation-spiky stale rows FIRST, on a fresh heap: the Brandes
-    # CSR adjacency broadcast, the ml-lib FPGrowth trees, and the SON
+    # Allocation-spiky rows FIRST, on a fresh heap: the Brandes CSR
+    # adjacency broadcast, the ml-lib FPGrowth trees, and the SON
     # A-priori partitions each want one large contiguous allocation,
-    # and this round's 13 new iterative rows pin ~157 localCheckpoint
-    # RDDs between them (measured) — on a default-heap vanilla session
-    # the big allocators must not run BEHIND that accumulation
-    # (measured OOM in exactly that order during the full-registry
-    # sweep; scripts/full_correctness.py now also releases blocks
-    # periodically for the 214-query run).
+    # and a window of iterative rows pins 100+ localCheckpoint RDDs
+    # between them (round-10 measurement: ~157) — on a default-heap
+    # vanilla session the big allocators must not run BEHIND that
+    # accumulation (measured OOM in exactly that order during the
+    # round-10 full-registry sweep). An external driver looping many
+    # queries should call release_session_blocks(spark) between them
+    # (the supported API since round 11; scripts/full_correctness.py
+    # does, per query).
     "edge_betweenness_brandes_customers",
     "frequent_itemsets_fpgrowth",
     "frequent_itemsets_son",
     "communities_girvan_newman",
     "edge_betweenness_customers",
     "connected_components_customers",
-    # new this round (13) — prove this window:
-    "node2vec_walk_corpus_capped_customers",
-    "sgns_embeddings_weighted_customers",
-    "walk_embedding_neighbors_customers",
-    "sgns_embeddings_node2vec_customers",
-    "weighted_walk_corpus_customers",
-    "weighted_walk_corpus_capped_customers",
-    "topk_pq_fixedpoint",
-    "node2vec_weighted_walk_corpus_customers",
-    "sgns_embeddings_weighted_walks_customers",
-    "topk_ivfpq_fixedpoint",
-    "incremental_ann_ivfpq",
-    "walk_embedding_clusters_customers",
-    "quality_classifier_fixedpoint",
-    # stalest committed greens (2 golden_only from r2, 1 from r4, 34 of
-    # the 48 round-5 rows — the last nine of the round-5 block rotated
-    # out to keep the window at 50; they rejoin topk_cosine/
-    # triangle_counts/tumbling_window/winnow/word_frequencies in the
-    # next rotation):
-    "winsorized_price_stats",
-    "approx_distinct_parts_bounds",
-    "chunk_dedup_stats",
-    "clicks_asof_views",
-    "clustering_coefficients_customers",
-    "cooccurrence_pairs",
-    "cross_source_overlap",
-    "customer_cooccurrence_edges",
-    "customer_order_activity",
-    "customers_without_orders",
-    "distinct_users_per_event_type",
-    "embedding_near_duplicates",
-    "errors_near_purchases",
-    "event_props_stats",
-    "exact_duplicates",
-    "filter_having",
-    "group_avg_brand_status",
-    "group_avg_nation_region",
-    "jaccard_near_duplicates",
-    "language_id",
-    "media_fingerprints",
-    "nations_with_both",
-    "near_duplicate_clusters",
-    "order_baskets",
-    "orders_cube",
-    "orders_rollup",
-    "pagerank_customers",
-    "price_percentiles",
-    "pricing_summary",
-    "quality_scores",
-    "rolling_event_values",
+    # new this round (2) — prove this window:
+    "sgns_embeddings_epochs_weighted_customers",
+    "quality_classifier_eval",
+    # stalest committed greens, data-driven (max round each name
+    # appeared in any committed CORRECTNESS_r*.json driver window): the
+    # 14 remaining round-5 rows, then the alphabetically-first 28 of
+    # the round-6 rows — 6 + 2 + 14 + 28 = the driver's 50 slots.
+    "salted_event_counts",
+    "sliding_window_stats",
+    "split_drift_report",
+    "supplier_degrees",
+    "token_gini_diversity",
+    "token_rarity_stats",
+    "token_stats",
+    "top_customers_sql",
+    "top_orders_per_customer",
+    "topk_cosine",
+    "triangle_counts_customers",
+    "tumbling_window_stats",
+    "winnow_fingerprints",
+    "word_frequencies",
+    "approx_price_percentile_bounds",
+    "benchmark_contamination",
+    "bfs_distances_customers",
+    "bloom_filtered_revenue",
+    "cheapest_shipment_per_part",
+    "cms_heavy_hitters",
+    "communities_girvan_newman_fixedpoint",
+    "communities_louvain_customers",
+    "communities_louvain_multilevel",
+    "corpus_splits",
+    "curation_pipeline",
+    "customer_order_gaps",
+    "customer_reconciliation",
+    "customer_revenue_deciles",
+    "daily_event_spine",
+    "discounted_revenue_band",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_length_histogram",
+    "duplicated_span_stats",
+    "embedding_dim_stats",
+    "embedding_norms",
+    "event_type_transitions",
+    "fk_integrity_audit",
+    "hapax_ratio",
+    "idle_rich_customers",
+    "incremental_index_dedup",
+    "incremental_index_dedup_stream_plan",
 ]
 
 
@@ -4761,6 +4814,10 @@ def oracle_sql() -> dict[str, str]:
         dims=64, epochs=3, sig_scale=4096, margin_scale=1 << 16,
         lr_den=1 << 12, label_min_tokens=56,
     )
+    d["quality_classifier_eval"] = _quality_classifier_eval_oracle(
+        dims=64, epochs=3, sig_scale=4096, margin_scale=1 << 16,
+        lr_den=1 << 12, label_min_tokens=56,
+    )
     d["incremental_ann_ivfpq"] = _ivfpq_fixedpoint_oracle(
         n_clusters=8, coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2,
         n_probe=2, dims=64, topk=5,
@@ -5069,6 +5126,11 @@ def oracle_sql() -> dict[str, str]:
         walk_length=8, walks_per_vertex=2, window=2,
         dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16,
         neg_weighting="unigram34",
+    )
+    d["sgns_embeddings_epochs_weighted_customers"] = _sgns_oracle(
+        walk_length=8, walks_per_vertex=2, window=2,
+        dim=8, negatives=2, amp=64, sig_scale=4096, lr_den=16,
+        epochs=2, neg_weighting="unigram34",
     )
     d["walk_embedding_neighbors_customers"] = _sgns_topk_oracle(
         walk_length=8, walks_per_vertex=2, window=2,
@@ -6578,15 +6640,17 @@ def _ivfpq_fixedpoint_oracle(
     return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(topk=topk)
 
 
-def _quality_classifier_oracle(
+def _quality_classifier_cte_parts(
     dims: int,
     epochs: int,
     sig_scale: int,
     margin_scale: int,
     lr_den: int,
     label_min_tokens: int,
-) -> str:
-    """Oracle for ``similarity.quality_classifier_fixedpoint``: the
+    src: str = "documents",
+) -> list:
+    """CTE chain for ``similarity.quality_classifier_fixedpoint`` over
+    the corpus expression ``src`` (ends at ``w{epochs}(dim, w)``): the
     hashed-feature CTE (the ``_doc_clusters_oracle`` arithmetic), the
     deterministic token-count labels, and one unrolled
     (margin, sigmoid, error-gradient, update) CTE quadruple per epoch —
@@ -6601,14 +6665,14 @@ def _quality_classifier_oracle(
                              AS h
                   FROM (SELECT doc_id,
                                UNNEST(string_split(text, ' ')) AS token
-                        FROM documents))
+                        FROM {src}))
             GROUP BY doc_id, h % {dims}
         )""",
         f"""y AS MATERIALIZED (
             SELECT doc_id,
                    CAST(len(string_split(text, ' '))
                         >= {label_min_tokens} AS BIGINT) AS y
-            FROM documents
+            FROM {src}
         )""",
         f"""w0 AS (
             SELECT CAST(t.d AS INTEGER) AS dim, CAST(0 AS BIGINT) AS w
@@ -6636,12 +6700,90 @@ def _quality_classifier_oracle(
             SELECT w.dim, w.w + COALESCE(g.g // {lr_den}, 0) AS w
             FROM w{e - 1} w LEFT JOIN g{e} g USING (dim)
         )""")
+    return parts
+
+
+def _quality_classifier_oracle(
+    dims: int,
+    epochs: int,
+    sig_scale: int,
+    margin_scale: int,
+    lr_den: int,
+    label_min_tokens: int,
+) -> str:
+    """Oracle for ``similarity.quality_classifier_fixedpoint`` — the
+    shared CTE chain selected out as the (dim, weight_fp) contract."""
+    parts = _quality_classifier_cte_parts(
+        dims, epochs, sig_scale, margin_scale, lr_den, label_min_tokens
+    )
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
         SELECT CAST(dim AS INTEGER) AS dim, CAST(w AS BIGINT) AS weight_fp
         FROM w{epochs} ORDER BY dim"""
+    )
+
+
+def _quality_classifier_eval_oracle(
+    dims: int,
+    epochs: int,
+    sig_scale: int,
+    margin_scale: int,
+    lr_den: int,
+    label_min_tokens: int,
+) -> str:
+    """Oracle for ``similarity.quality_classifier_eval`` (r10 verdict
+    item 4): the shared training chain restricted to the even-doc_id
+    half, then the held-out odd half scored with the frozen w{epochs}
+    weights — held-out features, labels, one left-joined margin sum
+    (no-feature docs score z = 0, never drop), the trainer's
+    hard-sigmoid, the 2*p >= sig_scale decision, and the 2x2-bounded
+    confusion counts."""
+    s, z0 = sig_scale, margin_scale
+    parts = _quality_classifier_cte_parts(
+        dims, epochs, sig_scale, margin_scale, lr_den, label_min_tokens,
+        src="(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+    )
+    parts.append(f"""fe AS MATERIALIZED (
+        SELECT doc_id, CAST(h % {dims} AS INTEGER) AS dim,
+               CAST(SUM(((h >> 6) % 2) * 2 - 1) AS BIGINT) AS value
+        FROM (SELECT doc_id,
+                     CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                         AS h
+              FROM (SELECT doc_id,
+                           UNNEST(string_split(text, ' ')) AS token
+                    FROM documents WHERE doc_id % 2 = 1))
+        GROUP BY doc_id, h % {dims}
+    )""")
+    parts.append(f"""ye AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' '))
+                    >= {label_min_tokens} AS BIGINT) AS y
+        FROM documents WHERE doc_id % 2 = 1
+    )""")
+    parts.append(f"""ze AS (
+        SELECT ye.doc_id, ye.y,
+               COALESCE(CAST(SUM(fe.value * w.w) AS BIGINT), 0) AS z
+        FROM ye
+             LEFT JOIN fe USING (doc_id)
+             LEFT JOIN w{epochs} w ON fe.dim = w.dim
+        GROUP BY 1, 2
+    )""")
+    parts.append(f"""pe AS (
+        SELECT y,
+               LEAST({s}, GREATEST(0,
+                   ((z + {2 * z0}) * {s}) // {4 * z0})) AS p
+        FROM ze
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(y AS BIGINT) AS y_label,
+               CAST(2 * p >= {s} AS BIGINT) AS y_pred,
+               COUNT(*) AS n_docs
+        FROM pe GROUP BY 1, 2 ORDER BY y_label, y_pred"""
     )
 
 

@@ -180,6 +180,20 @@ def _warmup(spark, queries, sf_dir) -> None:
         pass
 
 
+# Pinned idle-box reference for the multi-thread canary (seconds). The
+# normalization convention (r9 verdict item 2, made mechanical in r11):
+# normalized_total = total * CANARY_MT_REF / mean(canary_mt_pre, post).
+# Derivation: SCALE.md's repeated idle-phase measurements cluster at
+# mt ~ 0.77-0.83 s (round-10 second wave "idle mt reference ~ 0.8"; the
+# round-10 adjudication that reconciled the 556.91 s and 463.71 s
+# BENCH_FULL totals to ~427/~409 used 0.82), re-confirmed idle this round
+# (five isolated runs: min 0.80, median 0.82). The canary work size is
+# pinned (96 x 4 MiB md5 blocks per worker), so this reference is
+# comparable across rounds by construction; it must change only if the
+# canary workload itself changes.
+CANARY_MT_REF = 0.82
+
+
 def _host_canary() -> dict:
     """Fixed-size md5 throughput canary, run before AND after the sweep:
     SCALE.md measured 4-7x aggregate-throughput swings on identical
@@ -286,9 +300,16 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    mean_mt = (canary_pre["canary_mt_sec"] + canary_post["canary_mt_sec"]) / 2
     summary = {
         "metric": "total_query_wall_clock",
         "value": round(total, 2),
+        # Host-phase-adjusted total: total x CANARY_MT_REF / mean(canary
+        # mt pre, post). Cross-round deltas adjudicate on THIS field —
+        # the raw total moves several-fold with shared-host phase alone
+        # (SCALE.md: 3.8-4.2x canary swings within one hour).
+        "normalized_total": round(total * CANARY_MT_REF / mean_mt, 2),
+        "canary_mt_ref": CANARY_MT_REF,
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),

@@ -20,6 +20,10 @@ search, text analysis, multimodal column plumbing, and windowed / streaming
 event analytics.
 """
 
-from inf_553_datamining_mapreduce_spark.session import get_spark
+from inf_553_datamining_mapreduce_spark.session import (
+    get_spark,
+    register_release_hook,
+    release_session_blocks,
+)
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "release_session_blocks", "register_release_hook"]

@@ -1715,18 +1715,35 @@ def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
     (the table is |V|-sized); AQE restores runtime broadcasts from
     actual sizes where they fit.
     """
-    ck = df.localCheckpoint()
     try:
         # Private-API dependency (PySpark keeps no public handle to the
         # JVM Dataset): if an engine upgrade renames these, fall back to
         # the plain checkpoint — correct, just exposed to the compounding
         # size-estimate slowdown documented above.
+        jsc = df.sparkSession.sparkContext._jsc
+        before = set(dict(jsc.getPersistentRDDs()).keys())
+        ck = df.localCheckpoint()
+        # The RDD that localCheckpoint actually PERSISTS is an internal
+        # one (the physical plan's execute().map(_.copy()) — see
+        # Dataset.checkpoint in Spark source); neither `ck` nor any RDD
+        # derived from it via javaRDD() holds a handle to it, so
+        # unpersisting a derived RDD is a silent no-op (ADVICE r10,
+        # verified empirically: getPersistentRDDs() still listed the
+        # block). Diff the context's persistent-RDD registry around the
+        # eager checkpoint instead — the only new entries are this
+        # checkpoint's blocks, and unpersisting THOSE ids demonstrably
+        # drops the registry count (test_release_drops_persistent_rdds).
+        pinned = [
+            jrdd
+            for rid, jrdd in dict(jsc.getPersistentRDDs()).items()
+            if rid not in before
+        ]
         jdf = ck._jdf
-        jrdd = jdf.javaRDD()
         new_jdf = df.sparkSession._jsparkSession.createDataFrame(
-            jrdd, jdf.schema()
+            jdf.javaRDD(), jdf.schema()
         )
         out = DataFrame(new_jdf, df.sparkSession)
+
         # Handle for the caller to RELEASE the pinned blocks once this
         # round's state is superseded: localCheckpoint blocks live for
         # the session otherwise, and an iterative operator invoked many
@@ -1734,11 +1751,16 @@ def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
         # dominates (measured round 7: repeated sf10 Louvain runs in one
         # session degraded 13 -> 31 s with zero code change). Safe to
         # call only AFTER the next round's eager checkpoint has
-        # materialized — nothing recomputes a LogicalRDD.
-        out._graft_release = lambda: jrdd.unpersist(False)
+        # materialized — a local checkpoint truncates lineage, so a
+        # released frame must never be recomputed.
+        def _release(pinned=pinned):
+            for jrdd in pinned:
+                jrdd.unpersist(False)
+
+        out._graft_release = _release
         return out
     except AttributeError:
-        return ck
+        return df.localCheckpoint()
 
 
 def louvain(edges: DataFrame, rounds: int = 3, levels: int = 2) -> DataFrame:
@@ -2952,6 +2974,47 @@ def weighted_pick(
     )
 
 
+def _symmetrize_weighted(edges: DataFrame, weight_col: str) -> DataFrame:
+    """Symmetrized ``(src, dst, ew)`` weighted edge set for the walk
+    engines: drop self-loops and non-positive weights, mirror every
+    row, dedupe, checkpoint — and ENFORCE the documented
+    one-weight-per-undirected-pair contract (ADVICE r10): an input
+    carrying the same pair with two different weights (or contradictory
+    weights across the two directions) would silently survive the
+    ``distinct()`` as two rows and double-weight the pick ladder,
+    diverging from the oracle, so it raises a loud ValueError instead.
+    The check is one aggregate over the already-materialized edge set —
+    edges-sized with map-side partials, the cheapest shape that can see
+    the violation."""
+    base = edges.select(
+        "src", "dst", F.col(weight_col).cast("long").alias("ew")
+    ).filter((F.col("src") != F.col("dst")) & (F.col("ew") > 0))
+    symw = (
+        base.unionAll(
+            base.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "ew"
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dup = (
+        symw.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "weighted walk input violates the one-weight-per-pair "
+            f"contract: pair ({dup[0]['src']}, {dup[0]['dst']}) carries "
+            f"multiple distinct weights in '{weight_col}'; aggregate "
+            "weights upstream (e.g. SUM or MAX per undirected pair)"
+        )
+    return symw
+
+
 def random_walk_corpus(
     edges: DataFrame,
     walk_length: int = 8,
@@ -3086,9 +3149,12 @@ def weighted_walk_corpus(
     :func:`random_walk_corpus` on an unweighted graph, pinned by test.
 
     Preconditions: one weight per undirected pair (the
-    ``cooccurrence_edges`` contract); rows with ``weight <= 0`` are
-    dropped up front — a zero-weight edge is no edge, so a vertex whose
-    edges are all non-positive emits no rows, like an isolated vertex.
+    ``cooccurrence_edges`` contract) — ENFORCED since round 11: a
+    violating input raises a loud ValueError instead of silently
+    double-weighting the ladder (:func:`_symmetrize_weighted`); rows
+    with ``weight <= 0`` are dropped up front — a zero-weight edge is
+    no edge, so a vertex whose edges are all non-positive emits no
+    rows, like an isolated vertex.
 
     Shape at 100 TB: identical to the siblings — per step one
     frontier ⋈ edges join + one walk-keyed running-sum window bounded
@@ -3097,18 +3163,7 @@ def weighted_walk_corpus(
     bounds it, with the surviving edges keeping their weights (one
     consistent sampled graph for topology and ladder).
     """
-    base = edges.select(
-        "src", "dst", F.col(weight_col).cast("long").alias("ew")
-    ).filter((F.col("src") != F.col("dst")) & (F.col("ew") > 0))
-    symw = (
-        base.unionAll(
-            base.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "ew"
-            )
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    symw = _symmetrize_weighted(edges, weight_col)
     if max_degree is not None:
         capped = _degree_cap(symw.select("src", "dst"), max_degree)
         symw = capped.join(symw, ["src", "dst"]).localCheckpoint()
@@ -3236,20 +3291,7 @@ def node2vec_walk_corpus(
             sym = _degree_cap(sym, max_degree)
         symw = sym.select("src", "dst", F.lit(1).cast("long").alias("ew"))
     else:
-        base = edges.select(
-            "src", "dst", F.col(weight_col).cast("long").alias("ew")
-        ).filter((F.col("src") != F.col("dst")) & (F.col("ew") > 0))
-        symw = (
-            base.unionAll(
-                base.select(
-                    F.col("dst").alias("src"),
-                    F.col("src").alias("dst"),
-                    "ew",
-                )
-            )
-            .distinct()
-            .localCheckpoint()
-        )
+        symw = _symmetrize_weighted(edges, weight_col)
         if max_degree is not None:
             capped = _degree_cap(symw.select("src", "dst"), max_degree)
             symw = capped.join(symw, ["src", "dst"]).localCheckpoint()

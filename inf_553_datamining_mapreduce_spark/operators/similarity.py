@@ -1389,3 +1389,75 @@ def quality_classifier_fixedpoint(
             .localCheckpoint()
         )
     return w.select("dim", F.col("w").alias("weight_fp")).orderBy("dim")
+
+
+def quality_classifier_eval(
+    documents: DataFrame,
+    dims: int = 64,
+    epochs: int = 3,
+    sig_scale: int = 4096,
+    margin_scale: int = 1 << 16,
+    lr_den: int = 1 << 12,
+    label_min_tokens: int = 56,
+) -> DataFrame:
+    """``(y_label, y_pred, n_docs)`` — HELD-OUT evaluation of the trained
+    quality classifier (r10 verdict item 4): train
+    :func:`quality_classifier_fixedpoint` on the even-``doc_id`` half of
+    the corpus (the engine's standard even/odd ingestion split, e.g.
+    ``incremental_ann_ivfpq``), score the odd half with the frozen
+    weights, and emit the confusion counts — the
+    ``language_confusion_matrix`` rollup for the model-based filter, run
+    before trusting its keep/drop decisions. Integer-exact end to end:
+    the score reuses the trainer's hard-sigmoid text, the decision rule
+    is ``2*p >= sig_scale`` (i.e. p at or above the sigmoid midpoint),
+    and the output is pure BIGINT counts — the chained-CTE oracle
+    extends the training chain by two CTEs.
+
+    Shape at 100 TB: training cost is the trainer's (dims-broadcast
+    joins + keyed sums per epoch over half the corpus); scoring is ONE
+    broadcast join of the dims-row weight vector into the held-out
+    feature table plus a doc-keyed sum and a 2x2-bounded aggregate.
+    Docs with no hashed features (empty token list) score z = 0 via the
+    left join, never silently drop."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        hashed_doc_features,
+        tokens_col,
+    )
+
+    train = documents.filter(F.col("doc_id") % 2 == 0)
+    held = documents.filter(F.col("doc_id") % 2 == 1)
+    w = quality_classifier_fixedpoint(
+        train, dims, epochs, sig_scale, margin_scale, lr_den,
+        label_min_tokens,
+    ).localCheckpoint()
+    feats = hashed_doc_features(held, dims)
+    labels = held.select(
+        "doc_id",
+        (F.size(tokens_col("text")) >= label_min_tokens)
+        .cast("long")
+        .alias("y_label"),
+    )
+    z = (
+        feats.join(
+            F.broadcast(w.withColumnRenamed("weight_fp", "w")), "dim"
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("value") * F.col("w")).alias("z"))
+    )
+    sc_, z0 = sig_scale, margin_scale
+    scored = labels.join(z, "doc_id", "left").select(
+        "y_label",
+        F.expr(
+            f"least({sc_}L, greatest(0L, "
+            f"((coalesce(z, 0L) + {2 * z0}L) * {sc_}L) div {4 * z0}L))"
+        ).alias("p"),
+    )
+    return (
+        scored.select(
+            "y_label",
+            (F.col("p") * 2 >= sc_).cast("long").alias("y_pred"),
+        )
+        .groupBy("y_label", "y_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("y_label", "y_pred")
+    )

@@ -43,6 +43,57 @@ DEFAULT_CONFIGS: dict[str, str] = {
 }
 
 
+# Callables invoked by release_session_blocks AFTER the Spark-level
+# release — modules with session-lifetime driver-side caches holding
+# references to checkpointed DataFrames (e.g. the entry registry's
+# shared-graph memo) register a clear function here so one public call
+# returns the session to its fresh-start memory state.
+_RELEASE_HOOKS: list = []
+
+
+def register_release_hook(fn) -> None:
+    """Register ``fn`` (no-arg callable) to run inside every
+    :func:`release_session_blocks` call. Idempotent per function object."""
+    if fn not in _RELEASE_HOOKS:
+        _RELEASE_HOOKS.append(fn)
+
+
+def release_session_blocks(spark: SparkSession, blocking: bool = True) -> int:
+    """Release every RDD block pinned in ``spark``'s block manager and
+    clear the SQL cache — the supported way to return a long-lived
+    session to its fresh-start memory state between queries.
+
+    Why this exists: the iterative operators checkpoint per-round state
+    with ``localCheckpoint`` (via ``_checkpoint_reset_stats``,
+    ``operators/graph.py``), and local-checkpoint blocks live for the
+    SESSION unless explicitly unpersisted — ``DataFrame.unpersist``
+    cannot reach them (they are RDD-level persists, not cache-manager
+    entries). A driver looping over many registry queries in one vanilla
+    session therefore accumulates pinned blocks until a later allocation
+    spike (measured round 10: the Brandes per-level sweep OOMed at query
+    position 28 on the default heap, behind ~157 leftover checkpoint
+    RDDs, while passing isolated) lands on a full heap. Calling this
+    between queries approximates the fresh-session state each query is
+    individually proven under.
+
+    Safety contract: call ONLY between queries — a local checkpoint
+    truncates lineage, so any still-referenced DataFrame built on a
+    released checkpoint cannot be recomputed. Results of already-
+    materialized outputs (collected/written) are unaffected; engine
+    memo caches registered via :func:`register_release_hook` are
+    cleared and transparently rebuilt on next use.
+
+    Returns the number of RDDs unpersisted.
+    """
+    jmap = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    for jrdd in jmap.values():
+        jrdd.unpersist(blocking)
+    spark.catalog.clearCache()
+    for fn in list(_RELEASE_HOOKS):
+        fn()
+    return len(jmap)
+
+
 def get_spark(
     app_name: str = "inf_553_datamining_mapreduce_spark",
     master: str | None = None,

@@ -87,6 +87,9 @@ def main() -> None:
 
     import __spark_entry__ as em
     from inf_553_datamining_mapreduce_spark.schemas import TESTDATA_TABLES
+    from inf_553_datamining_mapreduce_spark.session import (
+        release_session_blocks,
+    )
 
     # VANILLA session, no engine configs — the same surface the external
     # driver exercises (see .claude/skills/verify/SKILL.md): every query
@@ -113,22 +116,19 @@ def main() -> None:
     t_start = time.perf_counter()
     for i, (name, fn) in enumerate(queries.items()):
         if i:
-            # Per-query checkpoint-block release (the scale_sweep.py
-            # pattern): each iterative query pins ~10-30 localCheckpoint
-            # RDDs for the session's life, and a 200+-query sweep on the
-            # VANILLA session's default heap accumulates enough block +
-            # plan metadata that a later allocation SPIKE (the Brandes
-            # per-level sweep needs most of the heap at once — it passes
-            # isolated but OOMed at position 28 even with a release 7
-            # queries earlier, measured round 10) lands on a full heap.
-            # Releasing after EVERY query approximates the fresh-session
-            # state each query is individually proven under; clearing
-            # the shared-graph memo only costs rebuild time — results
-            # are identical by the memo contract.
-            em._EDGE_MEMO.clear()
-            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                jrdd.unpersist(True)
-            spark.catalog.clearCache()
+            # Per-query checkpoint-block release: each iterative query
+            # pins ~10-30 localCheckpoint RDDs for the session's life,
+            # and a 200+-query sweep on the VANILLA session's default
+            # heap accumulates enough block + plan metadata that a later
+            # allocation SPIKE (the Brandes per-level sweep needs most
+            # of the heap at once — it passes isolated but OOMed at
+            # position 28 even with a release 7 queries earlier,
+            # measured round 10) lands on a full heap. Releasing after
+            # EVERY query approximates the fresh-session state each
+            # query is individually proven under; the registered release
+            # hook clears the shared-graph memo, which only costs
+            # rebuild time — results are identical by the memo contract.
+            release_session_blocks(spark)
         t0 = time.perf_counter()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()

@@ -21,12 +21,15 @@ per-replica statistics identical to sf0.1:
 * token COUNT and doc length are preserved (training_batches packs the
   same token totals per replica).
 
-Output: ``.localdata/sf{N}/{lineitem,orders,part,documents}.parquet``
+Output:
+``.localdata/sf{N}/{lineitem,orders,part,documents,embeddings}.parquet``
 under the repo root (gitignored; regenerate with
 ``python scripts/make_sf1.py [N]`` — N is the target scale factor as a
 multiple of sf0.1 decades, default 1, e.g. ``10`` builds a ~sf10 set
 from 100 key-offset replicas for the third-decade sweep). Only the
-tables the headline subset reads are generated.
+tables the headline subset reads are generated. ``embeddings`` is
+synthesized (md5-seeded, 50k x N vectors), not replicated — see the
+inline rationale.
 """
 
 from __future__ import annotations
@@ -43,10 +46,17 @@ from inf_553_datamining_mapreduce_spark.session import get_spark
 from inf_553_datamining_mapreduce_spark.sources.readers import read_parquet_table
 
 SRC = "/root/testdata/sf0.1"
-TARGET = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+TARGET = int(_pos[0]) if _pos else 1
 DST = os.path.join(REPO, ".localdata", f"sf{TARGET}")
 REPLICAS = 10 * TARGET
 OFF = 10_000_000  # far above every base key in sf0.1
+# --tables=a,b regenerates a subset (e.g. --tables=embeddings to add the
+# synthesized ANN corpus to an existing sf dir without paying the
+# lineitem rewrite).
+ALL_TABLES = ("orders", "lineitem", "part", "documents", "embeddings")
+_sel = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--tables=")]
+TABLES = tuple(_sel[0].split(",")) if _sel else ALL_TABLES
 
 
 def main() -> None:
@@ -69,9 +79,10 @@ def main() -> None:
         "o_orderdate",
         "o_orderpriority",
     )
-    o.repartition(8 * TARGET).write.mode("overwrite").parquet(
-        os.path.join(DST, "orders.parquet")
-    )
+    if "orders" in TABLES:
+        o.repartition(8 * TARGET).write.mode("overwrite").parquet(
+            os.path.join(DST, "orders.parquet")
+        )
 
     li_cols = [
         (F.col("l_orderkey") + F.col("_rep") * OFF).alias("l_orderkey"),
@@ -82,9 +93,10 @@ def main() -> None:
         "l_orderkey", "l_partkey", "l_suppkey"
     )]
     li = lineitem.crossJoin(reps).select(*li_cols, *passthrough)
-    li.repartition(16 * TARGET).write.mode("overwrite").parquet(
-        os.path.join(DST, "lineitem.parquet")
-    )
+    if "lineitem" in TABLES:
+        li.repartition(16 * TARGET).write.mode("overwrite").parquet(
+            os.path.join(DST, "lineitem.parquet")
+        )
 
     # part: key offset only; descriptive columns (brand/type/size) repeat
     # per replica, so per-brand selectivity matches sf0.1 while the dim
@@ -97,9 +109,10 @@ def main() -> None:
         "p_size",
         "p_retailprice",
     )
-    p.repartition(4 * TARGET).write.mode("overwrite").parquet(
-        os.path.join(DST, "part.parquet")
-    )
+    if "part" in TABLES:
+        p.repartition(4 * TARGET).write.mode("overwrite").parquet(
+            os.path.join(DST, "part.parquet")
+        )
 
     # Bijective per-replica token rename: replica 0 keeps the original
     # text; replica i appends `_i` to every token. Token count, length
@@ -128,11 +141,67 @@ def main() -> None:
     # "68x for 10x data" purely from this; with the layout fixed it is
     # linear). At 100 TB this is the ingest-side file/row-group sizing
     # story: target ~128 MB row groups, never one giant group.
-    d.repartition(16 * TARGET).write.mode("overwrite").parquet(
-        os.path.join(DST, "documents.parquet")
-    )
+    if "documents" in TABLES:
+        d.repartition(16 * TARGET).write.mode("overwrite").parquet(
+            os.path.join(DST, "documents.parquet")
+        )
 
-    for t in ("orders", "lineitem", "part", "documents"):
+    # embeddings: the driver table stops at 2,000 vectors even at sf0.1,
+    # so the ANN family (PQ / IVFADC / SemDeDup / Lloyd consumers) had no
+    # data-scaling decade (r10 verdict: "corpus 500 rows at both SFs").
+    # Synthesize 50,000 x TARGET deterministic vectors — NOT replicas:
+    # replicating identical vectors would turn every point into a
+    # 10-way exact duplicate and degenerate the near-dup/cluster
+    # structure. Instead each vector is md5-seeded (the engine-wide
+    # deterministic convention): label = vec_id % 10 picks one of 10
+    # md5-derived cluster centers, and the vector is
+    # 0.7*center + 0.3*md5-noise per dimension — clustered structure a
+    # coarse quantizer can learn, unique points throughout, identical
+    # distribution at every scale. Pure JVM expressions (md5/conv/
+    # transform), no Python in the generation path.
+    n_vec = 50_000 * TARGET
+    dim = 64
+
+    def _md5_unit(prefix: str, key: F.Column, d: F.Column) -> F.Column:
+        # deterministic value in [-1, 1] with ~1e-3 resolution from the
+        # first 6 hex digits of md5(prefix:key:d)
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(prefix), key.cast("string"), d.cast("string")
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (F.pmod(h, F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)
+
+    label = F.pmod(F.col("vec_id"), F.lit(10))
+    emb = (
+        spark.range(n_vec)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: (
+                    0.7 * _md5_unit("c", label, d)
+                    + 0.3 * _md5_unit("n", F.col("vec_id"), d)
+                ).cast("float"),
+            ),
+        )
+        .withColumn("label", label.cast("int"))
+    )
+    if "embeddings" in TABLES:
+        emb.repartition(4 * TARGET).write.mode("overwrite").parquet(
+            os.path.join(DST, "embeddings.parquet")
+        )
+
+    for t in TABLES:
         n = spark.read.parquet(os.path.join(DST, f"{t}.parquet")).count()
         print(f"{t}: {n} rows")
 

@@ -3565,6 +3565,35 @@ def test_quality_classifier_separates_planted_classes(spark):
             assert r["z"] < 0, (r["doc_id"], r["z"])
 
 
+def test_quality_classifier_eval_perfect_on_separable_corpus(spark):
+    """Held-out evaluation (r10 verdict item 4): on a linearly separable
+    planted corpus the even/odd-split eval must recover EVERY held-out
+    label — confusion matrix exactly [[n_bad, 0], [0, n_good]]. Both
+    halves share the same two disjoint vocabularies, so the frozen
+    even-half weights transfer perfectly to the odd half."""
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        quality_classifier_eval,
+    )
+
+    docs = []
+    for i in range(24):
+        if i % 3 == 0:  # mixes across the even/odd split: 8 good docs
+            docs.append((i, " ".join(f"long{j}" for j in range(20))))
+        else:  # 16 bad docs
+            docs.append((i, " ".join(f"short{j}" for j in range(4))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["y_label"], r["y_pred"]): r["n_docs"]
+        for r in quality_classifier_eval(
+            df, dims=32, epochs=3, sig_scale=4096, margin_scale=1 << 12,
+            lr_den=1 << 8, label_min_tokens=10,
+        ).collect()
+    }
+    # odd half: doc_ids 1,3,...,23 — good ones are the multiples of 3
+    # among them (3,9,15,21), the other 8 are bad
+    assert got == {(0, 0): 8, (1, 1): 4}
+
+
 def test_pq_fixedpoint_rejects_indivisible_dims(spark):
     import pytest as _pytest
 
@@ -3577,6 +3606,59 @@ def test_pq_fixedpoint_rejects_indivisible_dims(spark):
     )
     with _pytest.raises(ValueError, match="not divisible"):
         pq_topk_fixedpoint(df, df.select(F.col("vec_id").alias("query_id"), "embedding"), dims=3, m_sub=2)
+
+
+def test_pq_fixedpoint_recall_floor_vs_bruteforce(spark, sf_dir):
+    """Measured recall@5 for the PQ family at its REGISTERED lossy
+    parameters (r10 verdict item 6) — the number a user needs before
+    trusting the 100-TB compression trade. The driver embeddings are
+    near-random (max pairwise cosine ~0.5, the lsh_topk test's caveat),
+    so true neighbors sit barely above noise and the registered 12-bit
+    code (m_sub=4 x k_codes=8) lands at recall ~0.22; the whole pipeline
+    is deterministic integer arithmetic, so the floor is tight, not a
+    flake margin. The second config shows the fidelity lever: widening
+    to m_sub=16 x k_codes=16 (64-bit codes) roughly doubles recall on
+    the same corpus."""
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        brute_force_top_k,
+        ivfpq_topk_fixedpoint,
+        pq_topk_fixedpoint,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_sets: dict = {}
+    for r in brute_force_top_k(emb, queries, k=5).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(df) -> float:
+        rows = df.collect()
+        assert rows
+        hit = sum(
+            1
+            for r in rows
+            if r["neighbor_id"] in exact_sets.get(r["query_id"], set())
+        )
+        return hit / len(rows)
+
+    # the registered configs (__spark_entry__ topk_pq_fixedpoint /
+    # topk_ivfpq_fixedpoint): 4 subspaces x 3-bit codebooks, probe 2/8
+    assert recall(
+        pq_topk_fixedpoint(emb, queries, k=5, m_sub=4, k_codes=8,
+                           iters=2, dims=64)
+    ) >= 0.2
+    assert recall(
+        ivfpq_topk_fixedpoint(emb, queries, k=5, n_clusters=8,
+                              coarse_iters=2, m_sub=4, k_codes=8,
+                              pq_iters=2, n_probe=2, dims=64)
+    ) >= 0.2
+    # fidelity lever: 16 subspaces x 4-bit codebooks
+    assert recall(
+        pq_topk_fixedpoint(emb, queries, k=5, m_sub=16, k_codes=16,
+                           iters=3, dims=64)
+    ) >= 0.4
 
 
 def test_apply_bpe_merges_reproduces_training_segmentation(spark):

@@ -1874,6 +1874,39 @@ def test_weighted_walk_bias_and_nonpositive_weights(spark):
     assert starts == {1, 2}
 
 
+def test_weighted_walk_rejects_conflicting_pair_weights(spark):
+    """The one-weight-per-undirected-pair contract is ENFORCED (ADVICE
+    r10): an input carrying the same pair with two distinct weights —
+    as duplicate rows or as contradictory directions — must raise
+    loudly instead of silently double-weighting the pick ladder; a
+    consistent mirrored input (same weight both directions) stays
+    legal because the distinct() collapses it."""
+    import pytest as _pytest
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        node2vec_walk_corpus,
+        weighted_walk_corpus,
+    )
+
+    dup = _swedges_df(spark, [(1, 2, 5), (1, 2, 7), (2, 3, 1)])
+    with _pytest.raises(ValueError, match="one-weight-per-pair"):
+        weighted_walk_corpus(dup, walk_length=2, walks_per_vertex=1)
+    contradicting = _swedges_df(spark, [(1, 2, 5), (2, 1, 7)])
+    with _pytest.raises(ValueError, match="one-weight-per-pair"):
+        weighted_walk_corpus(
+            contradicting, walk_length=2, walks_per_vertex=1
+        )
+    with _pytest.raises(ValueError, match="one-weight-per-pair"):
+        node2vec_walk_corpus(
+            dup, walk_length=2, walks_per_vertex=1, weight_col="shared"
+        )
+    # consistent mirror rows are fine (the distinct() collapses them)
+    ok = _swedges_df(spark, [(1, 2, 5), (2, 1, 5), (2, 3, 1)])
+    assert weighted_walk_corpus(
+        ok, walk_length=2, walks_per_vertex=1
+    ).count() > 0
+
+
 def test_weighted_walk_max_degree_lever_bounds_hub_fanout(spark):
     """The celebrity lever on the WEIGHTED engine: same planted star as
     the first-order test — hub fan-out bounded near the cap, min-hash

@@ -441,3 +441,71 @@ def test_qsketch_quantile_readout_encloses_exact(vals, q):
     lo, hi = _qs_bounds_py(pick)
     exact = sorted(vals)[target - 1]
     assert lo <= exact <= hi
+
+
+# ---------------------------------------------------------------------------
+# weighted_pick ladder (r10 verdict item 8): the shared md5-mod-cumulative-
+# weight draw must agree with an independent Python ladder mirror on
+# arbitrary (keys, weights, draws) — four call sites ride on this helper,
+# so a standalone sweep is cheap insurance for the next one.
+# ---------------------------------------------------------------------------
+
+# per group: distinct order values -> non-negative weights (0 exercises the
+# "zero-weight rows never win" clause), plus one 60-bit draw per group
+pick_groups_strategy = st.lists(
+    st.tuples(
+        st.dictionaries(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=40),
+            min_size=1,
+            max_size=7,
+        ),
+        st.integers(min_value=0, max_value=2**60),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _ladder_mirror(rows, draw):
+    """Independent formulation: sorted ladder, half-open interval walk."""
+    rows = sorted(rows)
+    tot = sum(w for _, w in rows)
+    if tot <= 0:
+        return None
+    pick = draw % tot
+    cum = 0
+    for order, w in rows:
+        cum += w
+        if w > 0 and cum - w <= pick < cum:
+            return order
+    return None  # unreachable: pick < tot == final cum
+
+
+@settings(max_examples=12, deadline=None)
+@given(pick_groups_strategy)
+def test_weighted_pick_matches_python_ladder(spark, groups):
+    from pyspark.sql import functions as F
+
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        weighted_pick,
+    )
+
+    data = []
+    expected = {}
+    for gid, (rows, draw) in enumerate(groups):
+        for order, w in rows.items():
+            data.append((gid, order, w, draw))
+        win = _ladder_mirror(list(rows.items()), draw)
+        if win is not None:
+            expected[gid] = win
+    cand = spark.createDataFrame(
+        data, "gid long, ord long, w long, draw long"
+    )
+    got = {
+        r["gid"]: r["ord"]
+        for r in weighted_pick(
+            cand, ["gid"], "w", "ord", F.col("draw")
+        ).collect()
+    }
+    assert got == expected
