@@ -186,8 +186,10 @@ def _warmup(spark, queries, sf_dir) -> None:
 # Derivation: SCALE.md's repeated idle-phase measurements cluster at
 # mt ~ 0.77-0.83 s (round-10 second wave "idle mt reference ~ 0.8"; the
 # round-10 adjudication that reconciled the 556.91 s and 463.71 s
-# BENCH_FULL totals to ~427/~409 used 0.82), re-confirmed idle this round
-# (five isolated runs: min 0.80, median 0.82). The canary work size is
+# BENCH_FULL totals to ~427/~409 used 0.82). Round-11 spot check: ten
+# isolated runs in a mildly loaded phase read mt 0.89-2.22 with 1t flat
+# at 0.70-0.75 — consistent with (never below) the idle reference, so
+# 0.82 is kept for cross-round continuity. The canary work size is
 # pinned (96 x 4 MiB md5 blocks per worker), so this reference is
 # comparable across rounds by construction; it must change only if the
 # canary workload itself changes.
@@ -272,11 +274,21 @@ def main() -> None:
         print(f"bench: shared {name} {shared[name]}s", file=sys.stderr)
 
     total = 0.0
+    # Mid-sweep canary checkpoints (round 11): a pre/post-only bracket
+    # cannot see a load phase concentrated INSIDE the ~10-minute sweep —
+    # round-11 measured one run with pre 1.88/post 0.99 (loaded stretch
+    # mid-run) and another with 1.03/1.07 flat; the pre/post mean under-
+    # or over-corrects both. Sampling the canary at the third points and
+    # normalizing by the mean of all four brackets bounds any phase's
+    # weight at ~1/3 of the run.
+    canaries = [canary_pre]
+    names = sorted(queries.keys())
     # Fixed alphabetical execution order: registry order changes round to
     # round (the driver-priority rotation), and run position shifts costs
     # (cache residency, AQE stats reuse). Sorted order keeps per-query
     # numbers comparable across rounds regardless of registry churn.
-    for name, fn in sorted(queries.items()):
+    for i, name in enumerate(names):
+        fn = queries[name]
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -290,6 +302,12 @@ def main() -> None:
             failed.append(name)
         # per-query progress goes to stderr so stdout stays one parseable line
         print(f"bench: {name} {timings[name]}s", file=sys.stderr)
+        if len(names) >= 9 and (i + 1) % ((len(names) + 2) // 3) == 0 and (
+            i + 1
+        ) < len(names):
+            c = _host_canary()
+            canaries.append(c)
+            print(f"bench: canary mid {c}", file=sys.stderr)
 
     # Shared builds are real work — count them in the headline total so it
     # stays comparable with rounds where queries paid the builds inline.
@@ -297,10 +315,11 @@ def main() -> None:
 
     canary_post = _host_canary()
     print(f"bench: canary post {canary_post}", file=sys.stderr)
+    canaries.append(canary_post)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    mean_mt = (canary_pre["canary_mt_sec"] + canary_post["canary_mt_sec"]) / 2
+    mean_mt = sum(c["canary_mt_sec"] for c in canaries) / len(canaries)
     summary = {
         "metric": "total_query_wall_clock",
         "value": round(total, 2),
@@ -314,15 +333,11 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_failed": len(failed),
-        # Host-throughput canary (pre, post): normalize cross-round
-        # totals by canary_mt_sec before adjudicating deltas — see
-        # _host_canary.
-        "canary_1t_sec": [
-            canary_pre["canary_1t_sec"], canary_post["canary_1t_sec"]
-        ],
-        "canary_mt_sec": [
-            canary_pre["canary_mt_sec"], canary_post["canary_mt_sec"]
-        ],
+        # Host-throughput canary (pre, two mid-sweep checkpoints, post):
+        # normalized_total divides by the mean of these — see
+        # _host_canary and the mid-checkpoint comment in the sweep loop.
+        "canary_1t_sec": [c["canary_1t_sec"] for c in canaries],
+        "canary_mt_sec": [c["canary_mt_sec"] for c in canaries],
         "shared_intermediates": shared,
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "full": "BENCH_FULL.json",
