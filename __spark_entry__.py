@@ -344,6 +344,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["customer_cooccurrence_edges"] = _customer_edges
     q["connected_components_customers"] = _components_customers
     q["pagerank_customers"] = _pagerank_customers
+
+    def _pagerank_weighted_customers(spark, sf):
+        # Weighted centrality on the same co-occurrence graph: rank
+        # splits in proportion to the co-purchase count (the shared
+        # column the weighted walk engines already draw from), closing
+        # the weighted-graph matrix (walks, SSSP, centrality). With all
+        # weights equal this is BIT-IDENTICAL to pagerank_customers
+        # (the (r*c) div (d*c) == r div d identity, pinned by test).
+        return G.pagerank_weighted(
+            _customer_graph_edges(spark, sf),
+            weight_col="shared",
+            iterations=10,
+        )
+
+    q["pagerank_weighted_customers"] = _pagerank_weighted_customers
     q["triangle_counts_customers"] = _triangle_counts_customers
     # GOLDEN-ONLY BY DESIGN (no oracle_sql entry): the float betweenness
     # and float GN below keep the reference's IEEE credit arithmetic,
@@ -2249,13 +2264,14 @@ _DRIVER_PRIORITY = [
     "communities_girvan_newman",
     "edge_betweenness_customers",
     "connected_components_customers",
-    # new this round (2) — prove this window:
+    # new this round (3) — prove this window:
     "sgns_embeddings_epochs_weighted_customers",
     "quality_classifier_eval",
+    "pagerank_weighted_customers",
     # stalest committed greens, data-driven (max round each name
     # appeared in any committed CORRECTNESS_r*.json driver window): the
-    # 14 remaining round-5 rows, then the alphabetically-first 28 of
-    # the round-6 rows — 6 + 2 + 14 + 28 = the driver's 50 slots.
+    # 14 remaining round-5 rows, then the alphabetically-first 27 of
+    # the round-6 rows — 6 + 3 + 14 + 27 = the driver's 50 slots.
     "salted_event_counts",
     "sliding_window_stats",
     "split_drift_report",
@@ -2297,7 +2313,6 @@ _DRIVER_PRIORITY = [
     "hapax_ratio",
     "idle_rich_customers",
     "incremental_index_dedup",
-    "incremental_index_dedup_stream_plan",
 ]
 
 
@@ -3098,6 +3113,9 @@ def oracle_sql() -> dict[str, str]:
     d["topk_cosine_lsh"] = d["topk_cosine"]
     d["topk_cosine_ivf"] = d["topk_cosine"]
     d["pagerank_customers"] = _pagerank_oracle(iterations=10)
+    d["pagerank_weighted_customers"] = _pagerank_weighted_oracle(
+        iterations=10
+    )
     # The float betweenness kernel stays rows-only by nature (IEEE sums are
     # order-dependent); this fixed-point twin proves the same BFS +
     # equal-split credit algorithm cross-engine with exact integers.
@@ -7855,6 +7873,55 @@ def _pagerank_oracle(iterations: int, damping_pct: int = 85, scale: int = 1_000_
         sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
         deg AS (SELECT src AS id, COUNT(*) AS out_deg FROM sym GROUP BY src),
         r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM deg),
+        {",".join(steps)}
+        SELECT id, rank AS rank_fp FROM r{iterations} ORDER BY id
+    """
+
+
+def _pagerank_weighted_oracle(
+    iterations: int, damping_pct: int = 85, scale: int = 1_000_000
+) -> str:
+    """Chained-CTE oracle for WEIGHTED fixed-point PageRank
+    (``graph.pagerank_weighted``): the weighted-walk head's edge CTEs
+    (co-purchase count carried as ``wgt``), weight-sum out-degrees, and
+    per iteration the W-proportional share ``(rank * wgt) // w_out`` —
+    all operands positive, so DuckDB's floor division and Spark's
+    truncating ``div`` agree."""
+    base = (100 - damping_pct) * scale // 100
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+            r{i} AS (
+                SELECT wdeg.id,
+                       CAST({base} + ({damping_pct} * COALESCE(m.s, 0)) // 100 AS BIGINT) AS rank
+                FROM wdeg LEFT JOIN (
+                    SELECT symw.dst AS id,
+                           SUM((r.rank * symw.wgt) // wd.w_out) AS s
+                    FROM r{i - 1} r
+                    JOIN wdeg wd ON wd.id = r.id
+                    JOIN symw ON symw.src = r.id
+                    GROUP BY symw.dst
+                ) m ON m.id = wdeg.id
+            )""")
+    return f"""
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e0w AS MATERIALIZED (
+            SELECT a.c AS src, b.c AS dst, CAST(COUNT(*) AS BIGINT) AS wgt
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c HAVING COUNT(*) >= 4
+        ),
+        symw AS MATERIALIZED (
+            SELECT src, dst, wgt FROM e0w
+            UNION ALL
+            SELECT dst AS src, src AS dst, wgt FROM e0w
+        ),
+        wdeg AS MATERIALIZED (
+            SELECT src AS id, SUM(wgt) AS w_out FROM symw GROUP BY src
+        ),
+        r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM wdeg),
         {",".join(steps)}
         SELECT id, rank AS rank_fp FROM r{iterations} ORDER BY id
     """

@@ -980,6 +980,80 @@ def pagerank(
     return ranks.select(F.col("id"), F.col("rank").alias("rank_fp")).orderBy("id")
 
 
+def pagerank_weighted(
+    edges: DataFrame,
+    weight_col: str = "shared",
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Fixed-point integer PageRank on a WEIGHTED graph: each vertex
+    splits its rank across neighbors in proportion to edge weight —
+    ``contrib(u->v) = (rank_u * w_uv) div W_u`` with ``W_u`` the total
+    incident weight — the standard weighted-PageRank transition (the
+    same W-proportional kernel as :func:`weighted_walk_corpus`, closing
+    the weighted-graph matrix: walks, SSSP, and now centrality). On the
+    registered co-occurrence graph the weight is ``shared`` (co-purchase
+    count), so a vertex's centrality reflects evidence mass, not just
+    tie count.
+
+    Exactness: multiplying numerator and denominator of a rank share by
+    the same positive weight preserves the floor — ``(r*c) div (d*c) ==
+    r div d`` for any constant ``c`` — so with all weights equal this
+    reduces BIT-IDENTICALLY to :func:`pagerank` (pinned by test). All
+    BIGINT: ``rank <= |V|*scale`` and weights are count-bounded, so
+    ``rank * w`` stays far under 2^63 at any registered SF.
+
+    Input contract: one weight per undirected pair, enforced loudly via
+    :func:`_symmetrize_weighted` (the weighted-walk contract). Shape at
+    scale: identical to :func:`pagerank` — one weight-sum aggregation,
+    then per iteration one edges-sized join + one keyed sum, lineage cut
+    per round.
+    """
+    symw = _symmetrize_weighted(edges, weight_col)
+    wdeg = (
+        symw.groupBy("src")
+        .agg(F.sum("ew").alias("w_out"))
+        .select(F.col("src").alias("id"), "w_out")
+        .localCheckpoint()
+    )
+    ed = (
+        symw.join(wdeg, symw.src == wdeg.id)
+        .select("src", "dst", "ew", "w_out")
+        .localCheckpoint()
+    )
+    base = (100 - damping_pct) * scale // 100
+    ranks = wdeg.select(
+        "id", F.lit(scale).cast("long").alias("rank")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        sums = (
+            ed.join(ranks, ed.src == ranks.id)
+            .select(
+                F.col("dst"),
+                F.expr("(rank * ew) div w_out").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        prev = ranks
+        ranks = _checkpoint_reset_stats(
+            wdeg.join(sums, wdeg.id == sums.dst, "left").select(
+                "id",
+                F.expr(
+                    f"CAST({base} + ({damping_pct} * coalesce(s, CAST(0 AS BIGINT)))"
+                    " div 100 AS BIGINT)"
+                ).alias("rank"),
+            )
+        )
+        release = getattr(prev, "_graft_release", None)
+        if release is not None:
+            release()
+    return ranks.select(
+        F.col("id"), F.col("rank").alias("rank_fp")
+    ).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # Modularity (Community.scala:16-48 — exact arithmetic, both paths)
 # ---------------------------------------------------------------------------

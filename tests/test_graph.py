@@ -137,6 +137,41 @@ def test_pagerank_path_graph_hand_computed(spark):
     assert ranks == {1: 936250, 2: 1127500, 3: 936250}
 
 
+def test_pagerank_weighted_reduces_to_unweighted_on_constant_weights(spark):
+    """(r*c) div (d*c) == r div d for any positive constant c, so with all
+    weights equal — at ANY constant, not just 1 — the weighted kernel must
+    be BIT-IDENTICAL to pagerank. Also the bias direction: a heavy edge
+    concentrates rank on its endpoint."""
+    from inf_553_datamining_mapreduce_spark.operators.graph import (
+        pagerank,
+        pagerank_weighted,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4)]
+    base = {
+        r["id"]: r["rank_fp"]
+        for r in pagerank(_edges_df(spark, edges), iterations=4).collect()
+    }
+    for c in (1, 7):
+        w = _swedges_df(spark, [(a, b, c) for a, b in edges])
+        got = {
+            r["id"]: r["rank_fp"]
+            for r in pagerank_weighted(w, iterations=4).collect()
+        }
+        assert got == base, c
+    # star: hub 0, leaves 1..6; edge 0-1 carries 50x weight -> leaf 1
+    # receives (50/55) of the hub's rank mass, every other leaf 1/55
+    star = [(0, 1, 50)] + [(0, i, 1) for i in range(2, 7)]
+    ranks = {
+        r["id"]: r["rank_fp"]
+        for r in pagerank_weighted(
+            _swedges_df(spark, star), iterations=4
+        ).collect()
+    }
+    assert ranks[1] > 10 * ranks[2]
+    assert all(ranks[1] > ranks[i] for i in range(2, 7))
+
+
 def test_cooccurrence_edges_matches_reference_rule(spark):
     """Edge rule parity on the reference's own ratings.csv: co-rated >= 3
     movies, src < dst (Betweenness.scala:26-31)."""
