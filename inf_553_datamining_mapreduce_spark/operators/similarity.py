@@ -741,6 +741,33 @@ def _pq_codebooks(
     return cb
 
 
+def _train_sample(df: DataFrame, train_mod: int | None) -> DataFrame:
+    """Deterministic 1/``train_mod`` TRAINING sample for quantizer
+    fitting (rows whose md5-hashed ``vec_id`` lands in residue 0 — the
+    engine's seedless sampling convention): quantizer quality saturates
+    far below full-corpus size, while Lloyd training cost is linear in
+    it — at 500k vectors the codebook passes were 74 s of plain PQ's
+    91 s total (SCALE.md round-11), and at 100 TB full-corpus training
+    is simply not done (production ANN systems fit codebooks on a
+    bounded sample and encode everything). ``None``/``<=1`` keeps the
+    exact full-corpus semantics the registered oracles pin. Training is
+    the ONLY consumer — every vector is still encoded and searchable."""
+    if train_mod is None or train_mod <= 1:
+        return df
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("pqtrain:"), F.col("vec_id").cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.filter(F.pmod(h, F.lit(train_mod)) == 0)
+
+
 def pq_topk_fixedpoint(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -750,6 +777,7 @@ def pq_topk_fixedpoint(
     iters: int = 2,
     dims: int = 64,
     query_id_col: str = "query_id",
+    train_mod: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou, Douze & Schmid 2011) with EVERY
     stage in engine-exact integer arithmetic: split each quantized
@@ -782,7 +810,11 @@ def pq_topk_fixedpoint(
     baseline; at a 100-TB corpus compose the coarse IVF cell probe
     (``ivf_topk_fixedpoint``) in front so ADC touches only probed cells
     (IVFADC, the paper's §IV) — the two stages are independent by
-    construction. No UDF, no driver collect.
+    construction. Training cost is the other 100-TB lever: the Lloyd
+    passes dominate at scale (74 of 91 s at 500k vectors, SCALE.md
+    round-11) and ``train_mod`` fits the codebooks on a deterministic
+    1/train_mod sample while still encoding everything
+    (:func:`_train_sample`). No UDF, no driver collect.
     """
     if dims % m_sub != 0:
         raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
@@ -790,7 +822,7 @@ def pq_topk_fixedpoint(
     subs = _pq_split(
         _kmeans_quantized(embeddings), "q", m_sub, dsub
     ).localCheckpoint()
-    cb = _pq_codebooks(subs, k_codes, iters)
+    cb = _pq_codebooks(_train_sample(subs, train_mod), k_codes, iters)
     codes = _pq_assign(subs, cb).select("vec_id", "sub", "code_id")
     qsub = _pq_split(
         _kmeans_quantized(
@@ -847,6 +879,7 @@ def ivfpq_topk_fixedpoint(
     n_probe: int = 2,
     dims: int = 64,
     query_id_col: str = "query_id",
+    train_mod: int | None = None,
 ) -> DataFrame:
     """IVFADC — the full Jégou, Douze & Schmid 2011 §IV pipeline, every
     stage engine-exact integer: the coarse quantizer is the shared
@@ -877,7 +910,17 @@ def ivfpq_topk_fixedpoint(
     if dims % m_sub != 0:
         raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
     dsub = dims // m_sub
-    vecs, cent, _ = _kmeans_centroids(embeddings, n_clusters, coarse_iters)
+    if train_mod is not None and train_mod > 1:
+        # both quantizers fit on the deterministic sample; EVERY vector
+        # is still assigned, residual-encoded, and searchable
+        _, cent, _ = _kmeans_centroids(
+            _train_sample(embeddings, train_mod), n_clusters, coarse_iters
+        )
+        vecs = _kmeans_quantized(embeddings).localCheckpoint()
+    else:
+        vecs, cent, _ = _kmeans_centroids(
+            embeddings, n_clusters, coarse_iters
+        )
     cent_arr = F.broadcast(_centroid_array(cent))
     assigned = vecs.crossJoin(cent_arr).select(
         "vec_id",
@@ -895,8 +938,13 @@ def ivfpq_topk_fixedpoint(
     )
     rsubs = _pq_split(res, "r", m_sub, dsub).localCheckpoint()
     # ONE shared product quantizer over all residuals: train on the
-    # (vec_id, sub, sq) projection, then encode keeping the cell key
-    cb = _pq_codebooks(rsubs.select("vec_id", "sub", "sq"), k_codes, pq_iters)
+    # (vec_id, sub, sq) projection (sampled under train_mod), then
+    # encode keeping the cell key
+    cb = _pq_codebooks(
+        _train_sample(rsubs.select("vec_id", "sub", "sq"), train_mod),
+        k_codes,
+        pq_iters,
+    )
     codes = _pq_assign(rsubs, cb).select("vec_id", "cell", "sub", "code_id")
     qv = _kmeans_quantized(
         queries.select(F.col(query_id_col).alias("vec_id"), "embedding")
