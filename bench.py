@@ -182,7 +182,8 @@ def _warmup(spark, queries, sf_dir) -> None:
 
 # Pinned idle-box reference for the multi-thread canary (seconds). The
 # normalization convention (r9 verdict item 2, made mechanical in r11):
-# normalized_total = total * CANARY_MT_REF / mean(canary_mt_pre, post).
+# normalized_total = total * CANARY_MT_REF / mean(ALL canary brackets —
+# pre, the mid-sweep checkpoints, and post).
 # Derivation: SCALE.md's repeated idle-phase measurements cluster at
 # mt ~ 0.77-0.83 s (round-10 second wave "idle mt reference ~ 0.8"; the
 # round-10 adjudication that reconciled the 556.91 s and 463.71 s
@@ -211,8 +212,9 @@ def _host_canary() -> dict:
       stage); moves with host contention.
 
     Cross-round normalization: scale a round's total by
-    ``canary_mt_ref / mean(canary_mt_pre, canary_mt_post)`` before
-    comparing. The work size is pinned (96 x 4 MiB blocks per worker —
+    ``canary_mt_ref / mean(all canary_mt brackets)`` — pre, the
+    mid-sweep checkpoints, and post — before comparing. The work size
+    is pinned (96 x 4 MiB blocks per worker —
     sized so each leg runs ~0.7-1 s idle, long enough to average over
     scheduler noise), so the canary itself is comparable across rounds
     by construction."""
@@ -287,8 +289,15 @@ def main() -> None:
     # round (the driver-priority rotation), and run position shifts costs
     # (cache residency, AQE stats reuse). Sorted order keeps per-query
     # numbers comparable across rounds regardless of registry churn.
+    # Per-query canary bracket (round-12, verdict item 7): remember which
+    # canary reading immediately PRECEDED each query; together with the
+    # next bracket it localizes the host phase the query ran in, so
+    # cross-round per-query deltas can be normalized mechanically instead
+    # of adjudicated in prose.
+    bracket: dict[str, int] = {}
     for i, name in enumerate(names):
         fn = queries[name]
+        bracket[name] = len(canaries) - 1
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -320,11 +329,28 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     mean_mt = sum(c["canary_mt_sec"] for c in canaries) / len(canaries)
+
+    # Per-query normalized seconds: query_sec x CANARY_MT_REF / mean of
+    # the two canary brackets that SURROUND the query's run position (the
+    # reading just before it and the next checkpoint/post reading). This
+    # is the per-row analogue of normalized_total — cross-round per-query
+    # regressions adjudicate on these, not the raw seconds.
+    def _norm(name: str, sec: float | None) -> float | None:
+        if sec is None:
+            return None
+        b = bracket.get(name, 0)
+        mts = [canaries[b]["canary_mt_sec"]]
+        if b + 1 < len(canaries):
+            mts.append(canaries[b + 1]["canary_mt_sec"])
+        return round(sec * CANARY_MT_REF / (sum(mts) / len(mts)), 3)
+
+    timings_norm = {n: _norm(n, s) for n, s in timings.items()}
     summary = {
         "metric": "total_query_wall_clock",
         "value": round(total, 2),
-        # Host-phase-adjusted total: total x CANARY_MT_REF / mean(canary
-        # mt pre, post). Cross-round deltas adjudicate on THIS field —
+        # Host-phase-adjusted total: total x CANARY_MT_REF / mean(ALL
+        # canary mt brackets — pre, mid-sweep checkpoints, post).
+        # Cross-round deltas adjudicate on THIS field —
         # the raw total moves several-fold with shared-host phase alone
         # (SCALE.md: 3.8-4.2x canary swings within one hour).
         "normalized_total": round(total * CANARY_MT_REF / mean_mt, 2),
@@ -340,6 +366,9 @@ def main() -> None:
         "canary_mt_sec": [c["canary_mt_sec"] for c in canaries],
         "shared_intermediates": shared,
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "queries_normalized": {
+            n: timings_norm[n] for n in HEADLINE if n in timings_norm
+        },
         "full": "BENCH_FULL.json",
     }
     if failed:
@@ -347,6 +376,11 @@ def main() -> None:
 
     full = dict(summary)
     full["queries"] = timings
+    full["queries_normalized"] = timings_norm
+    # Which canary reading preceded each query (index into the
+    # canary_*_sec arrays) — the per-leg stamp that makes the
+    # normalization reproducible from the artifact alone.
+    full["query_canary_bracket"] = bracket
     # Self-identifying artifact: BENCH_FULL.json is committed next to the
     # per-round BENCH_r{N}.json snapshots, so it carries the round tag too
     # ($SPARK_GRAFT_ROUND when the driver sets it, else unstamped).

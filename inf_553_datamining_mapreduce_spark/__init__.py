@@ -22,8 +22,14 @@ event analytics.
 
 from inf_553_datamining_mapreduce_spark.session import (
     get_spark,
+    maybe_release_under_pressure,
     register_release_hook,
     release_session_blocks,
 )
 
-__all__ = ["get_spark", "release_session_blocks", "register_release_hook"]
+__all__ = [
+    "get_spark",
+    "release_session_blocks",
+    "register_release_hook",
+    "maybe_release_under_pressure",
+]

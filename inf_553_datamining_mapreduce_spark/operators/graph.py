@@ -39,6 +39,7 @@ beyond the union-find gate.
 
 from __future__ import annotations
 
+import threading
 from collections import defaultdict, deque
 from collections.abc import Iterable
 
@@ -1768,6 +1769,13 @@ def label_propagation(edges: DataFrame, rounds: int = 5) -> DataFrame:
     ).orderBy("c")
 
 
+# Serializes the snapshot/checkpoint/diff window in _checkpoint_reset_stats:
+# two concurrent calls interleaving their registry snapshots would each
+# capture the OTHER's fresh checkpoint blocks in `pinned` and later release
+# them — unrecoverable for a lineage-truncated frame.
+_CKPT_LOCK = threading.Lock()
+
+
 def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
     """``localCheckpoint`` that also RESETS the plan's size statistics.
 
@@ -1789,29 +1797,44 @@ def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
     (the table is |V|-sized); AQE restores runtime broadcasts from
     actual sizes where they fit.
     """
+    ck = None
     try:
         # Private-API dependency (PySpark keeps no public handle to the
         # JVM Dataset): if an engine upgrade renames these, fall back to
         # the plain checkpoint — correct, just exposed to the compounding
-        # size-estimate slowdown documented above.
-        jsc = df.sparkSession.sparkContext._jsc
-        before = set(dict(jsc.getPersistentRDDs()).keys())
-        ck = df.localCheckpoint()
-        # The RDD that localCheckpoint actually PERSISTS is an internal
-        # one (the physical plan's execute().map(_.copy()) — see
-        # Dataset.checkpoint in Spark source); neither `ck` nor any RDD
-        # derived from it via javaRDD() holds a handle to it, so
-        # unpersisting a derived RDD is a silent no-op (ADVICE r10,
-        # verified empirically: getPersistentRDDs() still listed the
-        # block). Diff the context's persistent-RDD registry around the
-        # eager checkpoint instead — the only new entries are this
-        # checkpoint's blocks, and unpersisting THOSE ids demonstrably
-        # drops the registry count (test_release_drops_persistent_rdds).
-        pinned = [
-            jrdd
-            for rid, jrdd in dict(jsc.getPersistentRDDs()).items()
-            if rid not in before
-        ]
+        # size-estimate slowdown documented above. `ck` is tracked so the
+        # fallback NEVER re-checkpoints a plan that already materialized
+        # (that would compute twice and leak the first copy's blocks for
+        # the session life — the exact leak this function exists to plug).
+        #
+        # The registry snapshot/checkpoint/diff below assumes ONE driver
+        # thread submits jobs at a time (the engine's own loops and the
+        # correctness/bench drivers are all serial); `_CKPT_LOCK` makes
+        # concurrent _checkpoint_reset_stats calls safe against EACH
+        # OTHER, but an RDD persisted by unrelated code on another thread
+        # between the two snapshots would still be mis-captured in
+        # `pinned` and destroyed by a later release — lineage-truncated
+        # checkpoint blocks are unrecoverable, so don't run foreign
+        # persist work concurrently with the iterative operators.
+        with _CKPT_LOCK:
+            jsc = df.sparkSession.sparkContext._jsc
+            before = set(dict(jsc.getPersistentRDDs()).keys())
+            ck = df.localCheckpoint()
+            # The RDD that localCheckpoint actually PERSISTS is an internal
+            # one (the physical plan's execute().map(_.copy()) — see
+            # Dataset.checkpoint in Spark source); neither `ck` nor any RDD
+            # derived from it via javaRDD() holds a handle to it, so
+            # unpersisting a derived RDD is a silent no-op (ADVICE r10,
+            # verified empirically: getPersistentRDDs() still listed the
+            # block). Diff the context's persistent-RDD registry around the
+            # eager checkpoint instead — the only new entries are this
+            # checkpoint's blocks, and unpersisting THOSE ids demonstrably
+            # drops the registry count (test_release_drops_persistent_rdds).
+            pinned = [
+                jrdd
+                for rid, jrdd in dict(jsc.getPersistentRDDs()).items()
+                if rid not in before
+            ]
         jdf = ck._jdf
         new_jdf = df.sparkSession._jsparkSession.createDataFrame(
             jdf.javaRDD(), jdf.schema()
@@ -1834,7 +1857,10 @@ def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
         out._graft_release = _release
         return out
     except AttributeError:
-        return df.localCheckpoint()
+        # If the checkpoint already materialized before the private-API
+        # lookup failed, return THAT frame — re-checkpointing here would
+        # recompute the plan and permanently leak the first copy.
+        return ck if ck is not None else df.localCheckpoint()
 
 
 def louvain(edges: DataFrame, rounds: int = 3, levels: int = 2) -> DataFrame:
