@@ -168,6 +168,30 @@ def _bucket_table(
     ).mapInPandas(kernel, schema)
 
 
+def _gate_query_side(queries: DataFrame, op: str) -> int:
+    """Count-then-refuse gate for the float-ANN QUERY side: ``ivf_top_k``
+    collects the query table to the driver for probe assignment and
+    ``lsh_top_k`` broadcasts it into the candidate join — both correct
+    only while the query batch is driver-small. The corpus side has had
+    this gate since round 6 (``dedup.MAX_BROADCAST_VECTORS``); an
+    oversized QUERY table would OOM the driver before any refusal
+    (ADVICE round 11). Past the gate, the answer is batching on the
+    caller's side or the fixed-point family's fully distributed probe
+    assignment (``ivf_topk_fixedpoint``), which never collects."""
+    from inf_553_datamining_mapreduce_spark.operators.dedup import (
+        MAX_BROADCAST_VECTORS,
+    )
+
+    n = queries.count()
+    if n > MAX_BROADCAST_VECTORS:
+        raise ValueError(
+            f"{op}: {n} query vectors exceed the driver-side gate "
+            f"({MAX_BROADCAST_VECTORS}); batch the queries or use the "
+            "distributed fixed-point ANN path (ivf_topk_fixedpoint)"
+        )
+    return n
+
+
 def ivf_top_k(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -201,6 +225,8 @@ def ivf_top_k(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # Refuse an over-gate query batch BEFORE paying the corpus k-means.
+    _gate_query_side(queries, "ivf_top_k")
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).cast("array<double>").alias("e_emb"),
@@ -272,6 +298,7 @@ def lsh_top_k(
     for the deduplicated candidate pairs, so the corpus payload crosses
     the wire once, not once per table.
     """
+    _gate_query_side(queries, "lsh_top_k")
     e_buckets = _bucket_table(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col)),
         "neighbor_id",

@@ -662,6 +662,31 @@ def test_embedding_near_dup_gate_fires_before_collect(spark, sf_dir, monkeypatch
         dedup.embedding_near_duplicates(e)
 
 
+def test_float_ann_query_side_gate_fires_before_collect(
+    spark, sf_dir, monkeypatch
+):
+    """ivf_top_k collects and lsh_top_k broadcasts the QUERY table; both
+    must refuse an over-gate query batch via count() before any driver
+    materialization (ADVICE round 11 — the corpus side has been gated
+    since round 6, the query side was not)."""
+    import pyspark.sql
+
+    from inf_553_datamining_mapreduce_spark.operators import dedup, similarity
+
+    e = read_parquet_table(spark, sf_dir, "embeddings")
+    q = e.select(F.col("vec_id").alias("query_id"), "embedding")
+    monkeypatch.setattr(dedup, "MAX_BROADCAST_VECTORS", 3)
+
+    def _no_collect(self):
+        raise AssertionError("collect() reached before the query-side gate")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", _no_collect)
+    with pytest.raises(ValueError, match="driver-side gate"):
+        similarity.ivf_top_k(e, q)
+    with pytest.raises(ValueError, match="driver-side gate"):
+        similarity.lsh_top_k(e, q)
+
+
 def test_streaming_stateful_totals_tws_matches_batch(spark, sf_dir, tmp_path):
     """transformWithStateInPandas processor: final per-user totals across
     micro-batches must equal the batch aggregate (same contract as the
