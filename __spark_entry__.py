@@ -1629,6 +1629,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semantic_dedup_keep_best"] = _semantic_dedup_keep_best
 
+    def _semantic_dedup_keep_best_scaled(spark, sf):
+        # The scale-honest SemDeDup registration (r11 verdict item 1):
+        # k = max(8, isqrt(n // iters)) computed from ONE scalar count,
+        # balancing the Lloyd assignment term (iters*n*k) against the
+        # within-cluster pair term (~n^2/k) so total work grows ~n^1.5
+        # — the pinned-k row measured 643.8 s at 50k vectors (n^2/k
+        # surfacing); this rule gives k=129 there. Both engines derive
+        # the identical k (DuckDB via exact-corrected SQRT), so the
+        # chained-CTE oracle extends unchanged.
+        (emb,) = _t(spark, sf, "embeddings")
+        return SIM.semantic_dedup_keep_best_scaled(emb, iters=3, tau_num=45)
+
+    q["semantic_dedup_keep_best_scaled"] = _semantic_dedup_keep_best_scaled
+
     def _incremental_semantic_dedup(spark, sf):
         # Ingestion-time SemDeDup on the even/odd split: centroids and
         # cluster index frozen on the even corpus, incoming odd vectors
@@ -2118,6 +2132,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topk_pq_fixedpoint"] = _topk_pq_fixedpoint
 
+    def _topk_pq_sampled_fixedpoint(spark, sf):
+        # The 100-TB PQ training recipe under the oracle gate (r11
+        # verdict item 2): codebooks FIT on the deterministic 1/10
+        # md5-residue sample, EVERY vector still encoded and searchable
+        # — quantizer quality saturates far below corpus size while
+        # Lloyd training cost is linear in it (74 of 111 s at 500k
+        # vectors was full-corpus training; train_mod=10 cut the query
+        # to 18.4 s, SCALE.md r11). The oracle trains on the identical
+        # md5 residue, so sampling is specified semantics.
+        (emb,) = _t(spark, sf, "embeddings")
+        return SIM.pq_topk_fixedpoint(
+            emb, _ann_queries(spark, sf), k=5, m_sub=4, k_codes=8,
+            iters=2, dims=64, train_mod=10,
+        )
+
+    q["topk_pq_sampled_fixedpoint"] = _topk_pq_sampled_fixedpoint
+
     def _topk_ivfpq_fixedpoint(spark, sf):
         # IVFADC (Jégou et al. 2011 §IV): the inverted-file probe cut
         # composed with residual product quantization — candidates come
@@ -2132,6 +2163,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["topk_ivfpq_fixedpoint"] = _topk_ivfpq_fixedpoint
+
+    def _topk_ivfpq_sampled_fixedpoint(spark, sf):
+        # IVFADC with BOTH quantizers (coarse cells + residual
+        # codebooks) fit on the deterministic 1/10 sample — the
+        # composed 100-TB recipe: sample-train, encode everything,
+        # probe n_probe cells, score from codes. Same md5 residue in
+        # the oracle's two training CTEs.
+        (emb,) = _t(spark, sf, "embeddings")
+        return SIM.ivfpq_topk_fixedpoint(
+            emb, _ann_queries(spark, sf), k=5, n_clusters=8,
+            coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2, n_probe=2,
+            dims=64, train_mod=10,
+        )
+
+    q["topk_ivfpq_sampled_fixedpoint"] = _topk_ivfpq_sampled_fixedpoint
 
     def _incremental_ann_ivfpq(spark, sf):
         # Ingestion-time ANN on the standard even/odd split: the IVFADC
@@ -3307,6 +3353,12 @@ def oracle_sql() -> dict[str, str]:
     )
     d["semantic_dedup_keep_best"] = _semantic_dedup_oracle(
         k=8, iters=3, dims=64, tau_num=45, tau_den=100
+    )
+    d["semantic_dedup_keep_best_scaled"] = _semantic_dedup_oracle(
+        k=0, iters=3, dims=64, tau_num=45, tau_den=100,
+        k_sql="SELECT GREATEST(8, ("
+        + _isqrt_sql("SELECT COUNT(*) // 3 FROM embeddings")
+        + "))",
     )
     d["incremental_semantic_dedup"] = _incremental_semantic_oracle(
         k=8, iters=3, dims=64, tau_num=45, tau_den=100
@@ -4828,6 +4880,14 @@ def oracle_sql() -> dict[str, str]:
         n_clusters=8, coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2,
         n_probe=2, dims=64, topk=5,
     )
+    d["topk_pq_sampled_fixedpoint"] = _pq_fixedpoint_oracle(
+        m_sub=4, k_codes=8, iters=2, dims=64, topk=5,
+        train_where=_train_where_sql(10),
+    )
+    d["topk_ivfpq_sampled_fixedpoint"] = _ivfpq_fixedpoint_oracle(
+        n_clusters=8, coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2,
+        n_probe=2, dims=64, topk=5, train_where=_train_where_sql(10),
+    )
     d["quality_classifier_fixedpoint"] = _quality_classifier_oracle(
         dims=64, epochs=3, sig_scale=4096, margin_scale=1 << 16,
         lr_den=1 << 12, label_min_tokens=56,
@@ -6235,7 +6295,7 @@ def _louvain_round_steps(rounds: int, p: str) -> str:
 
 def _kmeans_cte_parts(
     k: int, iters: int, dims: int, e0_parts: list | None = None,
-    prefix: str = "",
+    prefix: str = "", k_sql: str | None = None,
 ) -> list:
     """The shared Lloyd CTE chain (quantize, init, then one
     assign/count/sum/update quadruple per iteration) used by the
@@ -6245,7 +6305,10 @@ def _kmeans_cte_parts(
     table. ``prefix`` renames every CTE the chain defines (``{prefix}e0``,
     ``{prefix}c{{i}}``, ...) so the chain can ride behind another CTE
     graph that already owns those names (the SGNS chains define their
-    own ``e0``)."""
+    own ``e0``). ``k_sql`` replaces the literal ``k`` with a SQL scalar
+    expression computed IN the oracle (corpus-derived cluster counts —
+    the scale-honest SemDeDup registration); the chain then takes the
+    first ``k_sql`` vectors by the same vec_id order."""
     d1 = dims + 1
     p = prefix
     parts = e0_parts if e0_parts is not None else [
@@ -6257,14 +6320,25 @@ def _kmeans_cte_parts(
             FROM embeddings
         )"""
     ]
-    parts = parts + [
-        f"""{p}c0 AS (
+    if k_sql is not None:
+        parts = parts + [
+            f"""{p}kv AS (SELECT ({k_sql}) AS kk)""",
+            f"""{p}c0 AS (
+                SELECT CAST(rn - 1 AS INTEGER) AS cluster_id, q AS c
+                FROM (SELECT q, row_number() OVER (ORDER BY vec_id) AS rn
+                      FROM {p}e0), {p}kv
+                WHERE rn <= {p}kv.kk
+            )""",
+        ]
+    else:
+        parts = parts + [
+            f"""{p}c0 AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                        AS cluster_id,
                    q AS c
             FROM (SELECT vec_id, q FROM {p}e0 ORDER BY vec_id LIMIT {k})
         )""",
-    ]
+        ]
     for i in range(1, iters + 1):
         parts.append(f"""{p}a{i} AS MATERIALIZED (
             SELECT vec_id, cluster_id FROM (
@@ -6424,14 +6498,20 @@ def _ivf_fixedpoint_oracle(
     )
 
 
-def _pq_cte_parts(src: str, k_codes: int, iters: int, dsub: int) -> list:
+def _pq_cte_parts(
+    src: str, k_codes: int, iters: int, dsub: int,
+    encode_src: str | None = None,
+) -> list:
     """Per-SUBSPACE Lloyd CTE chain over ``{src}(vec_id, sub, sq)`` —
     the ``similarity._pq_codebooks`` arithmetic: first-``k`` init by
     vec_id per sub, one assign/count/sum/update quadruple per iteration
     keyed by (sub, code_id), empty codes keep their centroid. Ends at
     ``pcb{iters}(sub, code_id, c)`` plus ``pasg(vec_id, sub, code_id)``,
     the fresh final encoding. Shared by the plain-PQ and IVFADC
-    oracles."""
+    oracles. ``encode_src`` decouples the ENCODE table from the TRAIN
+    table: the sampled-quantizer registrations fit the codebooks on a
+    deterministic md5-residue sample (``src``) but encode every vector
+    (``encode_src``) — ``similarity._train_sample``'s contract."""
     d1 = dsub + 1
     parts = [
         f"""pcb0 AS (
@@ -6443,18 +6523,21 @@ def _pq_cte_parts(src: str, k_codes: int, iters: int, dsub: int) -> list:
             WHERE rn <= {k_codes}
         )""",
     ]
-    assign = f"""
+    assign_tpl = """
             SELECT vec_id, sub, code_id FROM (
                 SELECT s.vec_id, s.sub, c.code_id,
                        list_aggregate(list_transform(range(1, {d1}), j ->
                            (s.sq[j] - c.c[j]) * (s.sq[j] - c.c[j])), 'sum')
                            AS dist
-                FROM {src} s JOIN pcb{{i}} c USING (sub)
+                FROM {src} s JOIN pcb{i} c USING (sub)
             ) QUALIFY row_number() OVER (
                 PARTITION BY vec_id, sub ORDER BY dist, code_id) = 1"""
+
+    def assign(i: int, from_src: str = src) -> str:
+        return assign_tpl.format(d1=d1, src=from_src, i=i)
     for i in range(1, iters + 1):
         parts.append(
-            f"pa{i} AS MATERIALIZED ({assign.format(i=i - 1)})"
+            f"pa{i} AS MATERIALIZED ({assign(i - 1)})"
         )
         parts.append(f"""pn{i} AS (
             SELECT sub, code_id, COUNT(*) AS n FROM pa{i} GROUP BY 1, 2
@@ -6480,7 +6563,9 @@ def _pq_cte_parts(src: str, k_codes: int, iters: int, dsub: int) -> list:
             FROM pcb{i - 1} p LEFT JOIN pl{i} l
                  ON p.sub = l.sub AND p.code_id = l.code_id
         )""")
-    parts.append(f"pasg AS MATERIALIZED ({assign.format(i=iters)})")
+    parts.append(
+        f"pasg AS MATERIALIZED ({assign(iters, encode_src or src)})"
+    )
     return parts
 
 
@@ -6494,8 +6579,20 @@ _PQ_TOPK_TAIL = """
         ORDER BY query_id, rank"""
 
 
+def _train_where_sql(train_mod: int) -> str:
+    """DuckDB twin of ``similarity._train_sample``'s deterministic
+    1/train_mod training residue: md5("pqtrain:" || vec_id), first 15
+    hex chars as a BIGINT, residue 0. Both engines hash the identical
+    string and the value is non-negative, so `%` == `pmod`."""
+    return (
+        "CAST('0x' || substr(md5('pqtrain:' || CAST(vec_id AS VARCHAR)),"
+        f" 1, 15) AS BIGINT) % {train_mod} = 0"
+    )
+
+
 def _pq_fixedpoint_oracle(
-    m_sub: int, k_codes: int, iters: int, dims: int, topk: int
+    m_sub: int, k_codes: int, iters: int, dims: int, topk: int,
+    train_where: str = "TRUE",
 ) -> str:
     """Oracle for ``similarity.pq_topk_fixedpoint``: the SAME product-
     quantization pipeline — subvector split, the shared per-subspace
@@ -6504,7 +6601,9 @@ def _pq_fixedpoint_oracle(
     (adc, neighbor_id) total order. Both engines' integer division
     truncates toward zero (pinned by the kmeans parity test), so every
     codebook coordinate — and therefore every ADC distance — matches
-    exactly."""
+    exactly. ``train_where`` restricts the codebook TRAINING rows (the
+    sampled-quantizer registration, ``_train_where_sql``); every vector
+    is still encoded and searchable."""
     dsub = dims // m_sub
     d1 = dsub + 1
     parts = [
@@ -6521,8 +6620,11 @@ def _pq_fixedpoint_oracle(
                        q[t.sub * {dsub} + j]) AS sq
             FROM e0, UNNEST(range(0, {m_sub})) t(sub)
         )""",
+        f"""tsubs AS (
+            SELECT * FROM subs WHERE {train_where}
+        )""",
     ]
-    parts += _pq_cte_parts("subs", k_codes, iters, dsub)
+    parts += _pq_cte_parts("tsubs", k_codes, iters, dsub, encode_src="subs")
     parts.append("""qs AS (
         SELECT vec_id AS query_id, sub, sq FROM subs WHERE vec_id < 10
     )""")
@@ -6553,6 +6655,7 @@ def _ivfpq_fixedpoint_oracle(
     topk: int,
     corpus_where: str = "TRUE",
     queries_where: str = "vec_id < 10",
+    train_where: str = "TRUE",
 ) -> str:
     """Oracle for ``similarity.ivfpq_topk_fixedpoint`` — IVFADC run
     start to finish in DuckDB: the shared coarse Lloyd chain
@@ -6566,17 +6669,24 @@ def _ivfpq_fixedpoint_oracle(
     encoded, candidates); ``queries_where`` selects the query vectors
     from the full embeddings table — together they express the
     frozen-index ingestion twin (index the even half, score incoming
-    odd vectors against it) without touching the pipeline itself."""
+    odd vectors against it) without touching the pipeline itself.
+    ``train_where`` further restricts which indexed vectors TRAIN the
+    two quantizers (coarse cells and residual codebooks) — the
+    sampled-quantizer registration; assignment, residual encoding, and
+    candidacy still cover every ``corpus_where`` vector."""
     dsub = dims // m_sub
     d1 = dsub + 1
     e0_parts = [
-        f"""e0 AS MATERIALIZED (
+        f"""eall AS MATERIALIZED (
             SELECT vec_id,
                    list_transform(range(1, {dims + 1}), j ->
                        CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 10000.0)
                             AS BIGINT)) AS q
             FROM embeddings WHERE {corpus_where}
-        )"""
+        )""",
+        f"""e0 AS (
+            SELECT * FROM eall WHERE {train_where}
+        )""",
     ]
     parts = _kmeans_cte_parts(
         n_clusters, coarse_iters, dims, e0_parts=e0_parts
@@ -6594,7 +6704,7 @@ def _ivfpq_fixedpoint_oracle(
                    list_aggregate(list_transform(range(1, {dims + 1}), j ->
                        (e.q[j] - c.c[j]) * (e.q[j] - c.c[j])), 'sum')
                        AS dist
-            FROM e0 e CROSS JOIN c{coarse_iters} c
+            FROM eall e CROSS JOIN c{coarse_iters} c
         ) QUALIFY row_number() OVER (
             PARTITION BY vec_id ORDER BY dist, cell) = 1
     )""")
@@ -6602,7 +6712,7 @@ def _ivfpq_fixedpoint_oracle(
         SELECT a.vec_id, a.cell,
                list_transform(range(1, {dims + 1}), j ->
                    e.q[j] - c.c[j]) AS r
-        FROM casg a JOIN e0 e USING (vec_id)
+        FROM casg a JOIN eall e USING (vec_id)
              JOIN c{coarse_iters} c ON c.cluster_id = a.cell
     )""")
     parts.append(f"""rsubs AS MATERIALIZED (
@@ -6611,7 +6721,12 @@ def _ivfpq_fixedpoint_oracle(
                    r[t.sub * {dsub} + j]) AS sq
         FROM res, UNNEST(range(0, {m_sub})) t(sub)
     )""")
-    parts += _pq_cte_parts("rsubs", k_codes, pq_iters, dsub)
+    parts.append(f"""trsubs AS (
+        SELECT * FROM rsubs WHERE {train_where}
+    )""")
+    parts += _pq_cte_parts(
+        "trsubs", k_codes, pq_iters, dsub, encode_src="rsubs"
+    )
     parts.append("""codes AS (
         SELECT p.vec_id, a.cell, p.sub, p.code_id
         FROM pasg p JOIN casg a USING (vec_id)
@@ -7434,14 +7549,29 @@ def _lm_quality_oracle(train_pct: int = 90) -> str:
     """
 
 
+def _isqrt_sql(m_sql: str) -> str:
+    """Exact integer sqrt as a SQL scalar: double ``SQRT`` is within one
+    of isqrt for any BIGINT input, so a +-1 correction on the floored
+    value makes it exact — the oracle-side twin of Python ``math.isqrt``
+    (used by the corpus-derived-k SemDeDup registration)."""
+    return f"""
+        SELECT f + CASE WHEN (f + 1) * (f + 1) <= m THEN 1 ELSE 0 END
+                 - CASE WHEN f * f > m THEN 1 ELSE 0 END
+        FROM (SELECT CAST(FLOOR(SQRT(CAST(m AS DOUBLE))) AS BIGINT) AS f, m
+              FROM (SELECT ({m_sql}) AS m))"""
+
+
 def _semantic_dedup_oracle(
-    k: int, iters: int, dims: int, tau_num: int, tau_den: int
+    k: int, iters: int, dims: int, tau_num: int, tau_den: int,
+    k_sql: str | None = None,
 ) -> str:
     """Oracle for ``similarity.semantic_dedup_keep_best``: the shared
     Lloyd CTE chain, a fresh assignment against the final centroids, the
     scale-100 integer cosine gate (dot^2 * tau_den^2 >= tau_num^2 *
-    |a|^2 * |b|^2 on exact BIGINTs), and the smaller-id keep rule."""
-    parts = _kmeans_cte_parts(k, iters, dims)
+    |a|^2 * |b|^2 on exact BIGINTs), and the smaller-id keep rule.
+    ``k_sql`` switches the chain to a corpus-derived cluster count
+    (``semantic_dedup_keep_best_scaled``)."""
+    parts = _kmeans_cte_parts(k, iters, dims, k_sql=k_sql)
     d1 = dims + 1
     return (
         "WITH "

@@ -1257,6 +1257,39 @@ def semantic_dedup_keep_best(
     )
 
 
+def semantic_dedup_keep_best_scaled(
+    embeddings: DataFrame,
+    iters: int = 3,
+    tau_num: int = 90,
+    tau_den: int = 100,
+    min_k: int = 8,
+) -> DataFrame:
+    """:func:`semantic_dedup_keep_best` with a CORPUS-DERIVED cluster
+    count — the registration that stays scale-honest where a pinned k
+    does not (measured, SCALE.md round 11: k=8 at 50k vectors = 643.8 s,
+    95x wall for 25x data — the within-cluster pair term is ~n^2/k).
+
+    The rule: ``k = max(min_k, isqrt(n // iters))``. Total cost has two
+    terms — the Lloyd assignment cross join (``iters * n * k``; the
+    fixed-point quantizer scores every centroid exactly, unlike the
+    paper's approximate kmeans) and the within-cluster pairs (~``n^2/k``
+    at balanced occupancy). ``k ~ sqrt(n/iters)`` equalizes them, so
+    total work grows ~``n^1.5`` instead of ``n^2`` — at 50k vectors
+    that is k=129 with ~19M ops per term instead of k=8's 312M-pair
+    scan. Deterministic by construction: ``n`` is one scalar
+    ``count()``, ``isqrt`` is exact integer arithmetic, and the DuckDB
+    oracle computes the identical k from the same ``COUNT(*)`` (double
+    ``SQRT`` corrected to exact isqrt by a +-1 adjustment), so the
+    chained-CTE oracle extends unchanged."""
+    from math import isqrt
+
+    n = embeddings.count()
+    k = max(min_k, isqrt(n // max(iters, 1)))
+    return semantic_dedup_keep_best(
+        embeddings, k=k, iters=iters, tau_num=tau_num, tau_den=tau_den
+    )
+
+
 def build_semantic_index(
     embeddings: DataFrame, k: int = 8, iters: int = 3
 ) -> tuple[DataFrame, DataFrame]:
