@@ -2362,10 +2362,41 @@ _DRIVER_PRIORITY = [
 ]
 
 
+def _with_pressure_release(fn):
+    """Self-defence for vanilla no-release drivers (r11 verdict item 4):
+    every registered query first releases the session's pinned
+    checkpoint blocks IFF they exceed half the driver heap. Each query's
+    per-round superseded blocks ARE released by the operators, but final
+    checkpointed frames (results, memos) stay pinned for the session —
+    a driver looping the full registry on a small default heap
+    accumulates them monotonically (measured: 141 MiB / 78 RDDs after
+    13 heavy queries at sf0.01; a 217-query sweep runs to 1-2 GiB,
+    death on a 1 GiB heap). On the test harness the threshold is never
+    reached, so registered behavior is unchanged there. Failures in the
+    pressure check itself must never fail the query."""
+
+    def run(spark, sf_dir, _fn=fn):
+        try:
+            from inf_553_datamining_mapreduce_spark.session import (
+                maybe_release_under_pressure,
+            )
+
+            maybe_release_under_pressure(spark)
+        except Exception as exc:  # noqa: BLE001 — advisory path only
+            import sys as _sys
+
+            print(
+                f"pressure release skipped: {exc}"[:200], file=_sys.stderr
+            )
+        return _fn(spark, sf_dir)
+
+    return run
+
+
 def _driver_order(q: dict) -> dict:
     ordered = {n: q.pop(n) for n in _DRIVER_PRIORITY if n in q}
     ordered.update(q)
-    return ordered
+    return {n: _with_pressure_release(fn) for n, fn in ordered.items()}
 
 
 # ---------------------------------------------------------------------------

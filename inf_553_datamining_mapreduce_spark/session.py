@@ -118,7 +118,7 @@ PRESSURE_RELEASE_FRACTION = 0.5
 
 
 def maybe_release_under_pressure(
-    spark: SparkSession, fraction: float = PRESSURE_RELEASE_FRACTION
+    spark: SparkSession, fraction: float | None = None
 ) -> int:
     """Call :func:`release_session_blocks` IFF pinned RDD storage exceeds
     ``fraction`` of the driver's max heap — the self-defence a vanilla
@@ -137,8 +137,18 @@ def maybe_release_under_pressure(
     under storage > fraction*heap that caller was about to OOM anyway,
     and a clean block-released recompute error beats a killed JVM.
 
+    ``fraction`` defaults to ``$SPARK_GRAFT_PRESSURE_FRACTION`` (else
+    ``PRESSURE_RELEASE_FRACTION``) so a driver can tighten or disable
+    the trigger without code changes.
+
     Returns the number of RDDs released (0 when below threshold).
     """
+    if fraction is None:
+        fraction = float(
+            os.environ.get(
+                "SPARK_GRAFT_PRESSURE_FRACTION", PRESSURE_RELEASE_FRACTION
+            )
+        )
     sc = spark.sparkContext
     try:
         infos = sc._jsc.sc().getRDDStorageInfo()

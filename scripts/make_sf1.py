@@ -180,7 +180,26 @@ def main() -> None:
         ).cast("long")
         return (F.pmod(h, F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)
 
+    # Planted ground-truth neighbors (r11 verdict item 3): the synthetic
+    # cluster structure gives every query ~5k near-tie same-label
+    # siblings, so recall@5 vs brute force reads ~0 at ANY code width —
+    # geometry, not a pipeline defect — and the decade sweep proved cost
+    # scaling but not quality. Plant one UNAMBIGUOUS true neighbor per
+    # query vector: vec_id p in [10, 20) is 0.95*v_q + 0.05*noise for
+    # q = p - 10 (cosine ~0.998 by construction vs ~0.85 for cluster
+    # siblings), so "was the plant retrieved" is a measurable recall
+    # floor at every scale. Plant ids sit at 10..19 — below virtually
+    # the whole corpus — so the (adc, neighbor_id) tie-break cannot hide
+    # a retrieved plant behind same-code siblings.
     label = F.pmod(F.col("vec_id"), F.lit(10))
+
+    def _base(key: F.Column, d: F.Column) -> F.Column:
+        return 0.7 * _md5_unit("c", F.pmod(key, F.lit(10)), d) + (
+            0.3 * _md5_unit("n", key, d)
+        )
+
+    partner = F.col("vec_id") - F.lit(10)
+    is_plant = (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
     emb = (
         spark.range(n_vec)
         .select(F.col("id").alias("vec_id"))
@@ -188,10 +207,13 @@ def main() -> None:
             "embedding",
             F.transform(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda d: (
-                    0.7 * _md5_unit("c", label, d)
-                    + 0.3 * _md5_unit("n", F.col("vec_id"), d)
-                ).cast("float"),
+                lambda d: F.when(
+                    is_plant,
+                    0.95 * _base(partner, d)
+                    + 0.05 * _md5_unit("p", F.col("vec_id"), d),
+                )
+                .otherwise(_base(F.col("vec_id"), d))
+                .cast("float"),
             ),
         )
         .withColumn("label", label.cast("int"))

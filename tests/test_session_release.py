@@ -174,3 +174,89 @@ def test_release_loop_under_capped_heap():
     # iteration (this is what would accumulate for the session without
     # the release path).
     assert any(n > 0 for n in report["accumulated"]), report
+
+
+def test_no_release_vanilla_driver_survives():
+    """Round-11 verdict item 4: a vanilla driver that NEVER calls
+    release_session_blocks must survive heavy iterative queries
+    back-to-back on a small heap. Two legs in one subprocess:
+
+    * default trigger, 1 GiB heap, sf0.01 — the heaviest accumulators
+      run green with zero explicit release calls (the registry wrapper's
+      pressure check stands guard but stays below threshold here);
+    * forced trigger (SPARK_GRAFT_PRESSURE_FRACTION=1e-9) — every
+      registered query demonstrably RELEASES the previous query's
+      pinned blocks on entry, so the registry count is bounded by one
+      query's own footprint instead of growing monotonically, and
+      results stay green (the memo-rebuild contract).
+    """
+    script = textwrap.dedent(
+        """
+        import json, os, sys
+        sys.path.insert(0, %(repo)r)
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = "1g"
+        os.environ["SPARK_GRAFT_CPUS"] = "4"
+        import __spark_entry__ as em
+        from inf_553_datamining_mapreduce_spark.session import get_spark
+        spark = get_spark("no-release-vanilla-test")
+        spark.sparkContext.setLogLevel("ERROR")
+        queries = em.queries()
+
+        def pinned():
+            return len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+
+        # Leg 1: default trigger, heavy accumulators at sf0.01, NO
+        # release calls anywhere.
+        for name in [
+            "communities_girvan_newman_fixedpoint",
+            "communities_louvain_multilevel",
+            "pagerank_weighted_customers",
+            "edge_betweenness_fixedpoint_customers",
+        ]:
+            queries[name](spark, "/root/testdata/sf0.01").write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        # Leg 2: the same loop with the trigger OFF then FORCED — the
+        # forced pass must end with strictly fewer pinned RDDs (the
+        # wrapper flattened the session's history at every query entry)
+        # while still returning results (the memo-rebuild contract).
+        LOOP = [
+            "pagerank_customers",
+            "communities_girvan_newman_fixedpoint",
+            "label_propagation_customers",
+        ]
+
+        def run_loop():
+            for name in LOOP:
+                queries[name](spark, "/root/testdata/sf0.001").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            return pinned()
+
+        os.environ["SPARK_GRAFT_PRESSURE_FRACTION"] = "1.0"
+        no_release_pinned = run_loop()
+        os.environ["SPARK_GRAFT_PRESSURE_FRACTION"] = "1e-9"
+        forced_pinned = run_loop()
+        print(json.dumps({
+            "no_release_pinned": no_release_pinned,
+            "forced_pinned": forced_pinned,
+        }))
+        """
+        % {"repo": REPO}
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import json
+
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    # History accumulated with the trigger off (leg 1 + first loop)...
+    assert report["no_release_pinned"] > 0, report
+    # ...and the forced trigger demonstrably flattened it: after the
+    # second loop only the LAST query's own blocks remain.
+    assert report["forced_pinned"] < report["no_release_pinned"], report
