@@ -2300,10 +2300,11 @@ _DRIVER_PRIORITY = [
     # between them (round-10 measurement: ~157) — on a default-heap
     # vanilla session the big allocators must not run BEHIND that
     # accumulation (measured OOM in exactly that order during the
-    # round-10 full-registry sweep). An external driver looping many
-    # queries should call release_session_blocks(spark) between them
-    # (the supported API since round 11; scripts/full_correctness.py
-    # does, per query).
+    # round-10 full-registry sweep). Since round 12 the registry also
+    # defends itself (every query runs maybe_release_under_pressure on
+    # entry); an external driver looping many queries can still call
+    # release_session_blocks(spark) between them
+    # (scripts/full_correctness.py does, per query).
     "edge_betweenness_brandes_customers",
     "frequent_itemsets_fpgrowth",
     "frequent_itemsets_son",
@@ -2311,54 +2312,53 @@ _DRIVER_PRIORITY = [
     "edge_betweenness_customers",
     "connected_components_customers",
     # new this round (3) — prove this window:
-    "sgns_embeddings_epochs_weighted_customers",
-    "quality_classifier_eval",
-    "pagerank_weighted_customers",
+    "semantic_dedup_keep_best_scaled",
+    "topk_pq_sampled_fixedpoint",
+    "topk_ivfpq_sampled_fixedpoint",
     # stalest committed greens, data-driven (max round each name
-    # appeared in any committed CORRECTNESS_r*.json driver window): the
-    # 14 remaining round-5 rows, then the alphabetically-first 27 of
-    # the round-6 rows — 6 + 3 + 14 + 27 = the driver's 50 slots.
-    "salted_event_counts",
-    "sliding_window_stats",
-    "split_drift_report",
-    "supplier_degrees",
-    "token_gini_diversity",
-    "token_rarity_stats",
-    "token_stats",
-    "top_customers_sql",
-    "top_orders_per_customer",
-    "topk_cosine",
-    "triangle_counts_customers",
-    "tumbling_window_stats",
-    "winnow_fingerprints",
-    "word_frequencies",
-    "approx_price_percentile_bounds",
-    "benchmark_contamination",
-    "bfs_distances_customers",
-    "bloom_filtered_revenue",
-    "cheapest_shipment_per_part",
-    "cms_heavy_hitters",
-    "communities_girvan_newman_fixedpoint",
-    "communities_louvain_customers",
-    "communities_louvain_multilevel",
-    "corpus_splits",
-    "curation_pipeline",
-    "customer_order_gaps",
-    "customer_reconciliation",
-    "customer_revenue_deciles",
-    "daily_event_spine",
-    "discounted_revenue_band",
-    "doc_chunks",
-    "doc_fingerprints",
-    "doc_length_histogram",
-    "duplicated_span_stats",
-    "embedding_dim_stats",
-    "embedding_norms",
-    "event_type_transitions",
-    "fk_integrity_audit",
-    "hapax_ratio",
-    "idle_rich_customers",
-    "incremental_index_dedup",
+    # appeared green in any committed CORRECTNESS_r*.json window,
+    # alphabetical within a round): 6 + 3 + 41 = the 50 slots.
+    "incremental_index_dedup_stream_plan",
+    "incremental_span_contamination",
+    "kcore_customers",
+    "label_centroids",
+    "media_frame_samples",
+    "orders_by_month",
+    "orders_checksum",
+    "orders_grouping_sets",
+    "parts_not_recently_ordered",
+    "pii_redaction",
+    "pricing_summary_sql",
+    "profile_orders",
+    "repetition_stats",
+    "rolling_hash_fingerprints",
+    "salted_segment_revenue",
+    "session_funnel",
+    "source_curation_report",
+    "source_mixture_sample",
+    "stratified_sample_events",
+    "token_stats_regex",
+    "tumbling_window_stats_stream_plan",
+    "user_event_type_pivot",
+    "user_interevent_gaps",
+    "approx_distinct_parts",
+    "audio_fp_near_duplicates",
+    "bigram_counts",
+    "bm25_top_docs",
+    "bpe_merges",
+    "bpe_vocab_compression",
+    "brand_supplier_counts",
+    "connected_components_twostar_customers",
+    "customer_revenue_percent_rank",
+    "customers_with_urgent_orders",
+    "document_clusters_fixedpoint",
+    "hashed_doc_features",
+    "hashed_feature_principal_component",
+    "hits_supplier_parts",
+    "hll_distinct_orders",
+    "hyperball_neighborhood_customers",
+    "incremental_audio_fp",
+    "incremental_bm25_scoring",
 ]
 
 

@@ -392,6 +392,8 @@ def streaming_user_totals_tws(stream: DataFrame) -> DataFrame:
             )
 
         def close(self) -> None:
+            # Required StatefulProcessor lifecycle method; no resources
+            # to release (state handles are runner-managed).
             pass
 
     return (
