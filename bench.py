@@ -244,6 +244,15 @@ def _host_canary() -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Disable the registry's pressure-release self-defence for the sweep:
+    # it exists for small-heap vanilla drivers (released blocks are
+    # strictly better than a dead JVM there), but on this harness a
+    # mid-sweep trigger clears the shared-graph memos and whichever
+    # query crosses the threshold repays a memo build inside its timing
+    # — exactly the noise the round-4 "shared builds as their own line
+    # items" convention removed (measured round 12: the weighted-walk
+    # family read +8..+18 s each when the trigger fired mid-sweep).
+    os.environ.setdefault("SPARK_GRAFT_PRESSURE_FRACTION", "1.0")
     import __spark_entry__ as em
     from inf_553_datamining_mapreduce_spark.session import get_spark
 
