@@ -2149,6 +2149,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topk_pq_sampled_fixedpoint"] = _topk_pq_sampled_fixedpoint
 
+    def _ann_probe_recall_pq(spark, sf):
+        # Retrieval QUALITY under the oracle gate: deterministic
+        # noisy-duplicate probes (0.95*v + 0.05*md5-noise, bit-identical
+        # doubles in both engines) run through the registered PQ
+        # pipeline; output = per probe, was its source vector retrieved
+        # and at what rank. The continuous index-health evaluation a
+        # 100-TB dedup/RAG deployment runs — recall as specified
+        # semantics, not a test-only number.
+        (emb,) = _t(spark, sf, "embeddings")
+        return SIM.pq_planted_recall(
+            emb, n_probes=10, k=5, m_sub=4, k_codes=8, iters=2, dims=64,
+        )
+
+    q["ann_probe_recall_pq"] = _ann_probe_recall_pq
+
+    def _ann_probe_recall_pq_sampled(spark, sf):
+        # Same probe evaluation against the SAMPLED-training recipe:
+        # certifies the 100-TB training shortcut still retrieves
+        # planted near-duplicates (the quality claim behind train_mod).
+        (emb,) = _t(spark, sf, "embeddings")
+        return SIM.pq_planted_recall(
+            emb, n_probes=10, k=5, m_sub=4, k_codes=8, iters=2, dims=64,
+            train_mod=10,
+        )
+
+    q["ann_probe_recall_pq_sampled"] = _ann_probe_recall_pq_sampled
+
     def _topk_ivfpq_fixedpoint(spark, sf):
         # IVFADC (Jégou et al. 2011 §IV): the inverted-file probe cut
         # composed with residual product quantization — candidates come
@@ -2311,13 +2338,15 @@ _DRIVER_PRIORITY = [
     "communities_girvan_newman",
     "edge_betweenness_customers",
     "connected_components_customers",
-    # new this round (3) — prove this window:
+    # new this round (5) — prove this window:
     "semantic_dedup_keep_best_scaled",
     "topk_pq_sampled_fixedpoint",
     "topk_ivfpq_sampled_fixedpoint",
+    "ann_probe_recall_pq",
+    "ann_probe_recall_pq_sampled",
     # stalest committed greens, data-driven (max round each name
     # appeared green in any committed CORRECTNESS_r*.json window,
-    # alphabetical within a round): 6 + 3 + 41 = the 50 slots.
+    # alphabetical within a round): 6 + 5 + 39 = the 50 slots.
     "incremental_index_dedup_stream_plan",
     "incremental_span_contamination",
     "kcore_customers",
@@ -2357,8 +2386,6 @@ _DRIVER_PRIORITY = [
     "hits_supplier_parts",
     "hll_distinct_orders",
     "hyperball_neighborhood_customers",
-    "incremental_audio_fp",
-    "incremental_bm25_scoring",
 ]
 
 
@@ -4915,6 +4942,13 @@ def oracle_sql() -> dict[str, str]:
         m_sub=4, k_codes=8, iters=2, dims=64, topk=5,
         train_where=_train_where_sql(10),
     )
+    d["ann_probe_recall_pq"] = _pq_planted_recall_oracle(
+        m_sub=4, k_codes=8, iters=2, dims=64, topk=5, n_probes=10,
+    )
+    d["ann_probe_recall_pq_sampled"] = _pq_planted_recall_oracle(
+        m_sub=4, k_codes=8, iters=2, dims=64, topk=5, n_probes=10,
+        train_where=_train_where_sql(10),
+    )
     d["topk_ivfpq_sampled_fixedpoint"] = _ivfpq_fixedpoint_oracle(
         n_clusters=8, coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2,
         n_probe=2, dims=64, topk=5, train_where=_train_where_sql(10),
@@ -6673,6 +6707,101 @@ def _pq_fixedpoint_oracle(
         GROUP BY 1, 2
     )""")
     return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(topk=topk)
+
+
+def _pq_planted_recall_oracle(
+    m_sub: int, k_codes: int, iters: int, dims: int, topk: int,
+    n_probes: int, train_where: str = "TRUE",
+) -> str:
+    """Oracle for ``similarity.pq_planted_recall``: construct the SAME
+    noisy-duplicate probes (0.95*v + 0.05*md5-noise, fixed double op
+    order — bit-identical to the engine from the same parquet floats),
+    run the SAME PQ chain, and report per probe whether its source
+    vector made the top-k. Recall becomes specified cross-engine
+    semantics, not a test-only reading."""
+    dsub = dims // m_sub
+    d1 = dsub + 1
+    off = 1_000_000
+    parts = [
+        f"""e0 AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(range(1, {dims + 1}), j ->
+                       CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 10000.0)
+                            AS BIGINT)) AS q
+            FROM embeddings
+        )""",
+        f"""subs AS MATERIALIZED (
+            SELECT vec_id, CAST(t.sub AS INTEGER) AS sub,
+                   list_transform(range(1, {d1}), j ->
+                       q[t.sub * {dsub} + j]) AS sq
+            FROM e0, UNNEST(range(0, {m_sub})) t(sub)
+        )""",
+        f"""tsubs AS (
+            SELECT * FROM subs WHERE {train_where}
+        )""",
+    ]
+    parts += _pq_cte_parts("tsubs", k_codes, iters, dsub, encode_src="subs")
+    parts.append(f"""pr0 AS (
+        SELECT vec_id + {off} AS query_id,
+               list_transform(range(1, {dims + 1}), j ->
+                   (CAST(embedding[j] AS DOUBLE) * 0.95) +
+                   (((CAST('0x' || substr(md5('probe:' ||
+                          CAST(vec_id AS VARCHAR) || ':' ||
+                          CAST(j - 1 AS VARCHAR)), 1, 6) AS BIGINT)
+                      % 2001 - 1000) / 1000.0) * 0.05)) AS p
+        FROM embeddings WHERE vec_id < {n_probes}
+    )""")
+    parts.append(f"""pq0 AS (
+        SELECT query_id,
+               list_transform(range(1, {dims + 1}), j ->
+                   CAST(FLOOR(p[j] * 10000.0) AS BIGINT)) AS q
+        FROM pr0
+    )""")
+    parts.append(f"""qs AS (
+        SELECT query_id, CAST(t.sub AS INTEGER) AS sub,
+               list_transform(range(1, {d1}), j ->
+                   q[t.sub * {dsub} + j]) AS sq
+        FROM pq0, UNNEST(range(0, {m_sub})) t(sub)
+    )""")
+    parts.append(f"""lut AS (
+        SELECT q.query_id, c.sub, c.code_id,
+               list_aggregate(list_transform(range(1, {d1}), j ->
+                   (q.sq[j] - c.c[j]) * (q.sq[j] - c.c[j])), 'sum') AS dist
+        FROM qs q JOIN pcb{iters} c USING (sub)
+    )""")
+    parts.append("""cand AS (
+        SELECT l.query_id, a.vec_id AS neighbor_id,
+               CAST(SUM(l.dist) AS BIGINT) AS adc_q
+        FROM pasg a JOIN lut l ON a.sub = l.sub AND a.code_id = l.code_id
+        WHERE a.vec_id != l.query_id
+        GROUP BY 1, 2
+    )""")
+    parts.append(f"""tk AS (
+        SELECT query_id, neighbor_id, rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY adc_q, neighbor_id) AS rank
+              FROM cand)
+        WHERE rank <= {topk}
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT p.query_id,
+               CAST(p.query_id - {off} AS BIGINT) AS target_id,
+               r.target_rank IS NOT NULL AS target_found,
+               CAST(r.target_rank AS INTEGER) AS target_rank
+        FROM (SELECT query_id FROM pr0) p
+        LEFT JOIN (
+            SELECT query_id,
+                   MAX(CASE WHEN neighbor_id = query_id - {off}
+                            THEN rank END) AS target_rank
+            FROM tk GROUP BY 1
+        ) r USING (query_id)
+        ORDER BY p.query_id
+    """
+    )
 
 
 def _ivfpq_fixedpoint_oracle(

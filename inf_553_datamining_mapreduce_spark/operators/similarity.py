@@ -894,6 +894,114 @@ def pq_topk_fixedpoint(
     )
 
 
+PROBE_ID_OFFSET = 1_000_000  # probe ids sit far above every corpus vec_id
+
+
+def planted_probe_queries(
+    embeddings: DataFrame, n_probes: int = 10
+) -> DataFrame:
+    """Deterministic NOISY-DUPLICATE probe set for retrieval-quality
+    evaluation: for each of the first ``n_probes`` corpus vectors emit
+    ``probe = 0.95*v + 0.05*noise`` with ``query_id = vec_id +
+    PROBE_ID_OFFSET`` — a probe whose true nearest neighbor is its own
+    source vector BY CONSTRUCTION (cosine ~0.998 vs ~0.5-0.85 for
+    everything else), at any corpus size, with no side files.
+
+    Engine-exact: the noise is the md5-derived integer-in-[-1000,1000]
+    over 1000.0 convention (`make_sf1.py`'s generator), and the mix is
+    two double multiplies and one add in a FIXED order, so DuckDB
+    constructs bit-identical probes from the same parquet floats —
+    which makes recall itself oracle-checkable (`pq_planted_recall`).
+    """
+
+    def _noise(vid: Column, i: Column) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("probe"),
+                        vid.cast("string"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (F.pmod(h, F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)
+
+    probe = F.transform(
+        F.col("embedding"),
+        lambda x, i: (x.cast("double") * F.lit(0.95))
+        + (_noise(F.col("vec_id"), i) * F.lit(0.05)),
+    )
+    return embeddings.filter(F.col("vec_id") < n_probes).select(
+        (F.col("vec_id") + F.lit(PROBE_ID_OFFSET)).alias("query_id"),
+        probe.alias("embedding"),
+    )
+
+
+def pq_planted_recall(
+    embeddings: DataFrame,
+    n_probes: int = 10,
+    k: int = 5,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+    train_mod: int | None = None,
+) -> DataFrame:
+    """Retrieval QUALITY as a first-class oracled query: build the
+    planted noisy-duplicate probes, run the registered PQ pipeline, and
+    report per probe whether (and at what rank) its source vector was
+    retrieved — ``(query_id, target_id, target_found, target_rank)``.
+
+    This moves recall from test-only evidence into the oracle gate: the
+    DuckDB twin constructs the bit-identical probes and runs the same
+    integer ADC chain, so "the index finds a near-exact duplicate" is
+    specified, reproducible semantics at every scale — the evaluation a
+    100-TB dedup/RAG deployment runs continuously against its index.
+    Composable with ``train_mod`` to certify the sampled-training
+    recipe retrieves planted duplicates just as well.
+
+    Shape at scale: probe construction is a corpus-free projection of
+    ``n_probes`` rows; everything else is the ``pq_topk_fixedpoint``
+    envelope; the final aggregation is probe-sized.
+    """
+    probes = planted_probe_queries(embeddings, n_probes)
+    topk = pq_topk_fixedpoint(
+        embeddings,
+        probes,
+        k=k,
+        m_sub=m_sub,
+        k_codes=k_codes,
+        iters=iters,
+        dims=dims,
+        query_id_col="query_id",
+        train_mod=train_mod,
+    )
+    target = F.col("query_id") - F.lit(PROBE_ID_OFFSET)
+    found = topk.groupBy("query_id").agg(
+        F.max(
+            F.when(F.col("neighbor_id") == target, F.col("rank"))
+        ).alias("target_rank")
+    )
+    return (
+        probes.select("query_id")
+        .join(found, "query_id", "left")
+        .select(
+            "query_id",
+            (F.col("query_id") - F.lit(PROBE_ID_OFFSET)).alias("target_id"),
+            F.col("target_rank").isNotNull().alias("target_found"),
+            F.col("target_rank").cast("int").alias("target_rank"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def ivfpq_topk_fixedpoint(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -3800,6 +3800,41 @@ def test_pq_fixedpoint_recall_floor_planted_sf1():
         ) >= 0.8, f"IVFADC, train_mod={train_mod}"
 
 
+def test_pq_planted_recall_contract(spark, sf_dir):
+    """The oracled recall-evaluation query: every probe gets exactly one
+    row, the probe/target id arithmetic holds, and a noisy duplicate
+    (cosine ~0.998 by construction) is retrieved at rank 1 by the
+    registered PQ params — the quality contract the 100-TB index-health
+    evaluation runs continuously. Also pins that the sampled-training
+    recipe retrieves the planted duplicates identically."""
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        PROBE_ID_OFFSET,
+        pq_planted_recall,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    for train_mod in (None, 10):
+        rows = pq_planted_recall(
+            emb, n_probes=10, k=5, m_sub=4, k_codes=8, iters=2, dims=64,
+            train_mod=train_mod,
+        ).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r["target_id"] == r["query_id"] - PROBE_ID_OFFSET
+        found = sum(1 for r in rows if r["target_found"])
+        assert found >= 9, f"train_mod={train_mod}: {found}/10"
+        rank1 = sum(1 for r in rows if r["target_rank"] == 1)
+        if train_mod is None:
+            assert rank1 == 10, rows
+        else:
+            # a 1/10 sample of a 500-vector corpus trains on ~50
+            # vectors — far below any sane codebook size (the lever
+            # targets corpora where the sample still dwarfs
+            # 256*k_codes); duplicates are all still retrieved, some
+            # behind code-sharing siblings (measured 6/10 at rank 1)
+            assert rank1 >= 6, rows
+
+
 def test_apply_bpe_merges_reproduces_training_segmentation(spark):
     """Applying the learned merges to the training corpus itself must
     reproduce the trainer's final vocabulary segmentation exactly (the
