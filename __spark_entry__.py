@@ -6791,7 +6791,7 @@ def _pq_planted_recall_oracle(
         SELECT p.query_id,
                CAST(p.query_id - {off} AS BIGINT) AS target_id,
                r.target_rank IS NOT NULL AS target_found,
-               CAST(r.target_rank AS INTEGER) AS target_rank
+               CAST(COALESCE(r.target_rank, 0) AS INTEGER) AS target_rank
         FROM (SELECT query_id FROM pr0) p
         LEFT JOIN (
             SELECT query_id,

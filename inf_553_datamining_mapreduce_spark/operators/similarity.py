@@ -989,14 +989,22 @@ def pq_planted_recall(
             F.when(F.col("neighbor_id") == target, F.col("rank"))
         ).alias("target_rank")
     )
+    # found is probe-sized (<= n_probes rows) — broadcast it; without
+    # the hint the aggregated side has no stats and plans a sort-merge
+    # join on 10 rows.
     return (
         probes.select("query_id")
-        .join(found, "query_id", "left")
+        .join(F.broadcast(found), "query_id", "left")
         .select(
             "query_id",
             (F.col("query_id") - F.lit(PROBE_ID_OFFSET)).alias("target_id"),
             F.col("target_rank").isNotNull().alias("target_found"),
-            F.col("target_rank").cast("int").alias("target_rank"),
+            # 0 = not retrieved: the contract keeps the column NULL-free
+            # so downstream aggregation (and the driver's value hash)
+            # never meets a NaN
+            F.coalesce(F.col("target_rank").cast("int"), F.lit(0)).alias(
+                "target_rank"
+            ),
         )
         .orderBy("query_id")
     )

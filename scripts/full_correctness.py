@@ -68,8 +68,11 @@ def _compare(spark_pdf, oracle_pdf) -> dict:
             if {sk, ok} <= {"i", "u", "f"} and (sk == "f") != (ok == "f"):
                 row["err"] = f"{col}: dtype kind mismatch {sk} vs {ok}"
                 return row
+            # equal_nan: NULLs arrive as NaN after toPandas/fetchdf; a
+            # NULL that BOTH engines emit is agreement, not a diff
+            # (mirrors the verify-skill driver simulation)
             if not np.array_equal(
-                sv.astype(np.float64), ov.astype(np.float64)
+                sv.astype(np.float64), ov.astype(np.float64), equal_nan=True
             ):
                 row["err"] = f"{col}: float values differ"
                 return row
