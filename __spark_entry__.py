@@ -2176,6 +2176,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_probe_recall_pq_sampled"] = _ann_probe_recall_pq_sampled
 
+    def _ann_probe_recall_ivfpq(spark, sf):
+        # The probe-cut's recall cost on the operationally critical
+        # class (near-exact duplicates): IVFADC retrieves a planted
+        # duplicate only if its cell is among the query's n_probe=2/8
+        # probed cells AND its residual codes win the ADC rank — this
+        # row reports exactly that, under the oracle gate.
+        (emb,) = _t(spark, sf, "embeddings")
+        return SIM.ivfpq_planted_recall(
+            emb, n_probes=10, k=5, n_clusters=8, coarse_iters=2,
+            m_sub=4, k_codes=8, pq_iters=2, n_probe=2, dims=64,
+        )
+
+    q["ann_probe_recall_ivfpq"] = _ann_probe_recall_ivfpq
+
     def _topk_ivfpq_fixedpoint(spark, sf):
         # IVFADC (Jégou et al. 2011 §IV): the inverted-file probe cut
         # composed with residual product quantization — candidates come
@@ -2338,15 +2352,16 @@ _DRIVER_PRIORITY = [
     "communities_girvan_newman",
     "edge_betweenness_customers",
     "connected_components_customers",
-    # new this round (5) — prove this window:
+    # new this round (6) — prove this window:
     "semantic_dedup_keep_best_scaled",
     "topk_pq_sampled_fixedpoint",
     "topk_ivfpq_sampled_fixedpoint",
     "ann_probe_recall_pq",
     "ann_probe_recall_pq_sampled",
+    "ann_probe_recall_ivfpq",
     # stalest committed greens, data-driven (max round each name
     # appeared green in any committed CORRECTNESS_r*.json window,
-    # alphabetical within a round): 6 + 5 + 39 = the 50 slots.
+    # alphabetical within a round): 6 + 6 + 38 = the 50 slots.
     "incremental_index_dedup_stream_plan",
     "incremental_span_contamination",
     "kcore_customers",
@@ -2385,7 +2400,6 @@ _DRIVER_PRIORITY = [
     "hashed_feature_principal_component",
     "hits_supplier_parts",
     "hll_distinct_orders",
-    "hyperball_neighborhood_customers",
 ]
 
 
@@ -4949,6 +4963,10 @@ def oracle_sql() -> dict[str, str]:
         m_sub=4, k_codes=8, iters=2, dims=64, topk=5, n_probes=10,
         train_where=_train_where_sql(10),
     )
+    d["ann_probe_recall_ivfpq"] = _ivfpq_fixedpoint_oracle(
+        n_clusters=8, coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2,
+        n_probe=2, dims=64, topk=5, probe_recall_n=10,
+    )
     d["topk_ivfpq_sampled_fixedpoint"] = _ivfpq_fixedpoint_oracle(
         n_clusters=8, coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2,
         n_probe=2, dims=64, topk=5, train_where=_train_where_sql(10),
@@ -6709,6 +6727,52 @@ def _pq_fixedpoint_oracle(
     return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(topk=topk)
 
 
+_PROBE_OFF = 1_000_000
+
+
+def _probe_cte(n_probes: int, dims: int) -> str:
+    """``pr0(query_id, p)``: the noisy-duplicate probe construction,
+    bit-identical to ``similarity.planted_probe_queries`` (same md5
+    integer noise, same fixed double op order)."""
+    return f"""pr0 AS (
+        SELECT vec_id + {_PROBE_OFF} AS query_id,
+               list_transform(range(1, {dims + 1}), j ->
+                   (CAST(embedding[j] AS DOUBLE) * 0.95) +
+                   (((CAST('0x' || substr(md5('probe:' ||
+                          CAST(vec_id AS VARCHAR) || ':' ||
+                          CAST(j - 1 AS VARCHAR)), 1, 6) AS BIGINT)
+                      % 2001 - 1000) / 1000.0) * 0.05)) AS p
+        FROM embeddings WHERE vec_id < {n_probes}
+    )"""
+
+
+def _probe_recall_tail(topk: int) -> str:
+    """``tk`` (top-k over ``cand``) plus the per-probe recall report —
+    the shared tail of the PQ and IVFADC planted-recall oracles."""
+    return f""",
+        tk AS (
+            SELECT query_id, neighbor_id, rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY adc_q, neighbor_id) AS rank
+                  FROM cand)
+            WHERE rank <= {topk}
+        )
+        SELECT p.query_id,
+               CAST(p.query_id - {_PROBE_OFF} AS BIGINT) AS target_id,
+               r.target_rank IS NOT NULL AS target_found,
+               CAST(COALESCE(r.target_rank, 0) AS INTEGER) AS target_rank
+        FROM (SELECT query_id FROM pr0) p
+        LEFT JOIN (
+            SELECT query_id,
+                   MAX(CASE WHEN neighbor_id = query_id - {_PROBE_OFF}
+                            THEN rank END) AS target_rank
+            FROM tk GROUP BY 1
+        ) r USING (query_id)
+        ORDER BY p.query_id
+    """
+
+
 def _pq_planted_recall_oracle(
     m_sub: int, k_codes: int, iters: int, dims: int, topk: int,
     n_probes: int, train_where: str = "TRUE",
@@ -6721,7 +6785,6 @@ def _pq_planted_recall_oracle(
     semantics, not a test-only reading."""
     dsub = dims // m_sub
     d1 = dsub + 1
-    off = 1_000_000
     parts = [
         f"""e0 AS MATERIALIZED (
             SELECT vec_id,
@@ -6741,16 +6804,7 @@ def _pq_planted_recall_oracle(
         )""",
     ]
     parts += _pq_cte_parts("tsubs", k_codes, iters, dsub, encode_src="subs")
-    parts.append(f"""pr0 AS (
-        SELECT vec_id + {off} AS query_id,
-               list_transform(range(1, {dims + 1}), j ->
-                   (CAST(embedding[j] AS DOUBLE) * 0.95) +
-                   (((CAST('0x' || substr(md5('probe:' ||
-                          CAST(vec_id AS VARCHAR) || ':' ||
-                          CAST(j - 1 AS VARCHAR)), 1, 6) AS BIGINT)
-                      % 2001 - 1000) / 1000.0) * 0.05)) AS p
-        FROM embeddings WHERE vec_id < {n_probes}
-    )""")
+    parts.append(_probe_cte(n_probes, dims))
     parts.append(f"""pq0 AS (
         SELECT query_id,
                list_transform(range(1, {dims + 1}), j ->
@@ -6776,32 +6830,7 @@ def _pq_planted_recall_oracle(
         WHERE a.vec_id != l.query_id
         GROUP BY 1, 2
     )""")
-    parts.append(f"""tk AS (
-        SELECT query_id, neighbor_id, rank
-        FROM (SELECT *, row_number() OVER (
-                  PARTITION BY query_id
-                  ORDER BY adc_q, neighbor_id) AS rank
-              FROM cand)
-        WHERE rank <= {topk}
-    )""")
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"""
-        SELECT p.query_id,
-               CAST(p.query_id - {off} AS BIGINT) AS target_id,
-               r.target_rank IS NOT NULL AS target_found,
-               CAST(COALESCE(r.target_rank, 0) AS INTEGER) AS target_rank
-        FROM (SELECT query_id FROM pr0) p
-        LEFT JOIN (
-            SELECT query_id,
-                   MAX(CASE WHEN neighbor_id = query_id - {off}
-                            THEN rank END) AS target_rank
-            FROM tk GROUP BY 1
-        ) r USING (query_id)
-        ORDER BY p.query_id
-    """
-    )
+    return "WITH " + ",\n".join(parts) + _probe_recall_tail(topk)
 
 
 def _ivfpq_fixedpoint_oracle(
@@ -6816,6 +6845,7 @@ def _ivfpq_fixedpoint_oracle(
     corpus_where: str = "TRUE",
     queries_where: str = "vec_id < 10",
     train_where: str = "TRUE",
+    probe_recall_n: int | None = None,
 ) -> str:
     """Oracle for ``similarity.ivfpq_topk_fixedpoint`` — IVFADC run
     start to finish in DuckDB: the shared coarse Lloyd chain
@@ -6833,7 +6863,11 @@ def _ivfpq_fixedpoint_oracle(
     ``train_where`` further restricts which indexed vectors TRAIN the
     two quantizers (coarse cells and residual codebooks) — the
     sampled-quantizer registration; assignment, residual encoding, and
-    candidacy still cover every ``corpus_where`` vector."""
+    candidacy still cover every ``corpus_where`` vector.
+    ``probe_recall_n`` switches the oracle to the planted-recall
+    evaluation (``similarity.ivfpq_planted_recall``): the query side is
+    the constructed noisy-duplicate probes and the output is the
+    per-probe recall report instead of the raw top-k."""
     dsub = dims // m_sub
     d1 = dsub + 1
     e0_parts = [
@@ -6851,7 +6885,19 @@ def _ivfpq_fixedpoint_oracle(
     parts = _kmeans_cte_parts(
         n_clusters, coarse_iters, dims, e0_parts=e0_parts
     )
-    parts.append(f"""qsrc AS (
+    if probe_recall_n is not None:
+        # query side = the constructed probes; their offset query_id
+        # rides the chain as qsrc.vec_id (the corpus-exclusion filter
+        # downstream is vacuous at the offset, by design)
+        parts.append(_probe_cte(probe_recall_n, dims))
+        parts.append(f"""qsrc AS (
+        SELECT query_id AS vec_id,
+               list_transform(range(1, {dims + 1}), j ->
+                   CAST(FLOOR(p[j] * 10000.0) AS BIGINT)) AS q
+        FROM pr0
+    )""")
+    else:
+        parts.append(f"""qsrc AS (
         SELECT vec_id,
                list_transform(range(1, {dims + 1}), j ->
                    CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 10000.0)
@@ -6930,6 +6976,8 @@ def _ivfpq_fixedpoint_oracle(
         WHERE k.vec_id != l.query_id
         GROUP BY 1, 2
     )""")
+    if probe_recall_n is not None:
+        return "WITH " + ",\n".join(parts) + _probe_recall_tail(topk)
     return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(topk=topk)
 
 

@@ -983,6 +983,15 @@ def pq_planted_recall(
         query_id_col="query_id",
         train_mod=train_mod,
     )
+    return _planted_recall_report(probes, topk)
+
+
+def _planted_recall_report(probes: DataFrame, topk: DataFrame) -> DataFrame:
+    """Fold a probe top-k into the per-probe recall contract:
+    ``(query_id, target_id, target_found, target_rank)`` with
+    ``target_rank = 0`` when the source vector was not retrieved (the
+    column stays NULL-free so the driver's value hash never meets a
+    NaN)."""
     target = F.col("query_id") - F.lit(PROBE_ID_OFFSET)
     found = topk.groupBy("query_id").agg(
         F.max(
@@ -999,15 +1008,53 @@ def pq_planted_recall(
             "query_id",
             (F.col("query_id") - F.lit(PROBE_ID_OFFSET)).alias("target_id"),
             F.col("target_rank").isNotNull().alias("target_found"),
-            # 0 = not retrieved: the contract keeps the column NULL-free
-            # so downstream aggregation (and the driver's value hash)
-            # never meets a NaN
             F.coalesce(F.col("target_rank").cast("int"), F.lit(0)).alias(
                 "target_rank"
             ),
         )
         .orderBy("query_id")
     )
+
+
+def ivfpq_planted_recall(
+    embeddings: DataFrame,
+    n_probes: int = 10,
+    k: int = 5,
+    n_clusters: int = 8,
+    coarse_iters: int = 2,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    pq_iters: int = 2,
+    n_probe: int = 2,
+    dims: int = 64,
+    train_mod: int | None = None,
+) -> DataFrame:
+    """:func:`pq_planted_recall` against the FULL IVFADC pipeline — the
+    evaluation that exercises the lossy stage exhaustive ADC doesn't
+    have: a planted duplicate is lost not only to code collisions but
+    whenever its cell is outside the query's ``n_probe`` probed cells.
+    A near-exact duplicate lands in its source's cell almost surely
+    (the probe is 0.95 of the source vector, and cells are decided by
+    the same quantized geometry), so this reports the probe-cut's real
+    cost on the easiest — and operationally most important — retrieval
+    class. Same oracle story as the PQ row: bit-identical probes, same
+    integer chain, recall is specified semantics."""
+    probes = planted_probe_queries(embeddings, n_probes)
+    topk = ivfpq_topk_fixedpoint(
+        embeddings,
+        probes,
+        k=k,
+        n_clusters=n_clusters,
+        coarse_iters=coarse_iters,
+        m_sub=m_sub,
+        k_codes=k_codes,
+        pq_iters=pq_iters,
+        n_probe=n_probe,
+        dims=dims,
+        query_id_col="query_id",
+        train_mod=train_mod,
+    )
+    return _planted_recall_report(probes, topk)
 
 
 def ivfpq_topk_fixedpoint(

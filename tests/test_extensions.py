@@ -3834,6 +3834,21 @@ def test_pq_planted_recall_contract(spark, sf_dir):
             # behind code-sharing siblings (measured 6/10 at rank 1)
             assert rank1 >= 6, rows
 
+    # The IVFADC twin adds the probe-cut loss mode: a planted duplicate
+    # must land in one of the query's n_probe=2/8 probed cells — the
+    # 0.95-scaled probe shares its source's quantized geometry, so the
+    # cut loses nothing (measured 10/10 found, 9-10/10 at rank 1).
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        ivfpq_planted_recall,
+    )
+
+    rows = ivfpq_planted_recall(
+        emb, n_probes=10, k=5, n_clusters=8, coarse_iters=2, m_sub=4,
+        k_codes=8, pq_iters=2, n_probe=2, dims=64,
+    ).collect()
+    assert len(rows) == 10
+    assert sum(1 for r in rows if r["target_found"]) >= 9, rows
+
 
 def test_apply_bpe_merges_reproduces_training_segmentation(spark):
     """Applying the learned merges to the training corpus itself must
