@@ -2403,7 +2403,7 @@ _DRIVER_PRIORITY = [
 ]
 
 
-def _with_pressure_release(fn):
+def _with_pressure_release(fn, name: str = "?"):
     """Self-defence for vanilla no-release drivers (r11 verdict item 4):
     every registered query first releases the session's pinned
     checkpoint blocks IFF they exceed half the driver heap. Each query's
@@ -2416,13 +2416,30 @@ def _with_pressure_release(fn):
     reached, so registered behavior is unchanged there. Failures in the
     pressure check itself must never fail the query."""
 
-    def run(spark, sf_dir, _fn=fn):
+    def run(spark, sf_dir, _fn=fn, _name=name):
         try:
             from inf_553_datamining_mapreduce_spark.session import (
                 maybe_release_under_pressure,
             )
 
-            maybe_release_under_pressure(spark)
+            n_released = maybe_release_under_pressure(spark)
+            if n_released:
+                # Attribution for the build-then-collect hazard (ADVICE
+                # r12): the release is TOTAL, so a driver that built an
+                # earlier query's DataFrame without collecting it will
+                # see that query's recompute fail LATER with an opaque
+                # block-not-found — this line names the query whose
+                # entry destroyed the blocks, making the eventual
+                # failure attributable.
+                import sys as _sys
+
+                print(
+                    f"pressure release fired at query entry "
+                    f"'{_name}': {n_released} pinned RDDs released "
+                    "(earlier UNcollected DataFrames built on released "
+                    "checkpoints can no longer be recomputed)",
+                    file=_sys.stderr,
+                )
         except Exception as exc:  # noqa: BLE001 — advisory path only
             import sys as _sys
 
@@ -2437,7 +2454,7 @@ def _with_pressure_release(fn):
 def _driver_order(q: dict) -> dict:
     ordered = {n: q.pop(n) for n in _DRIVER_PRIORITY if n in q}
     ordered.update(q)
-    return {n: _with_pressure_release(fn) for n, fn in ordered.items()}
+    return {n: _with_pressure_release(fn, n) for n, fn in ordered.items()}
 
 
 # ---------------------------------------------------------------------------

@@ -252,7 +252,11 @@ def main() -> None:
     # — exactly the noise the round-4 "shared builds as their own line
     # items" convention removed (measured round 12: the weighted-walk
     # family read +8..+18 s each when the trigger fired mid-sweep).
-    os.environ.setdefault("SPARK_GRAFT_PRESSURE_FRACTION", "1.0")
+    # 'off' is the real disable switch (session.py honors it explicitly);
+    # the previous '1.0' was not — disk-resident checkpoint bytes are
+    # unbounded by the heap, so mem+disk could still exceed 1.0x heap and
+    # fire mid-sweep (ADVICE r12).
+    os.environ.setdefault("SPARK_GRAFT_PRESSURE_FRACTION", "off")
     import __spark_entry__ as em
     from inf_553_datamining_mapreduce_spark.session import get_spark
 

@@ -116,6 +116,10 @@ def release_session_blocks(spark: SparkSession, blocking: bool = True) -> int:
 # down, so releasing is strictly better than proceeding.
 PRESSURE_RELEASE_FRACTION = 0.5
 
+# One-shot flag for the malformed-env warning in
+# maybe_release_under_pressure (warn once per process, not per query).
+_WARNED_BAD_FRACTION = False
+
 
 def maybe_release_under_pressure(
     spark: SparkSession, fraction: float | None = None
@@ -139,20 +143,49 @@ def maybe_release_under_pressure(
 
     ``fraction`` defaults to ``$SPARK_GRAFT_PRESSURE_FRACTION`` (else
     ``PRESSURE_RELEASE_FRACTION``) so a driver can tighten or disable
-    the trigger without code changes.
+    the trigger without code changes. ``0`` (or any value <= 0, or the
+    string ``off``) disables the trigger outright — unlike a large
+    fraction, which disk-resident checkpoint blocks could still trip
+    (disk storage is unbounded by the heap). A malformed env value
+    degrades to the default with one stderr warning rather than raising:
+    this function's contract is advisory self-defence, never a new
+    failure mode.
+
+    Only MEMORY-resident block bytes count against the heap threshold:
+    ``diskSize()`` blocks (spilled / DISK_ONLY checkpoints) consume no
+    heap, so a spill-heavy but memory-healthy session must not trigger a
+    full release (and the memo flush that rides along with it).
 
     Returns the number of RDDs released (0 when below threshold).
     """
     if fraction is None:
-        fraction = float(
-            os.environ.get(
-                "SPARK_GRAFT_PRESSURE_FRACTION", PRESSURE_RELEASE_FRACTION
-            )
-        )
+        raw = os.environ.get("SPARK_GRAFT_PRESSURE_FRACTION")
+        if raw is None:
+            fraction = PRESSURE_RELEASE_FRACTION
+        elif raw.strip().lower() == "off":
+            return 0
+        else:
+            try:
+                fraction = float(raw)
+            except ValueError:
+                global _WARNED_BAD_FRACTION
+                if not _WARNED_BAD_FRACTION:
+                    _WARNED_BAD_FRACTION = True
+                    import sys
+
+                    print(
+                        "maybe_release_under_pressure: unparseable "
+                        f"SPARK_GRAFT_PRESSURE_FRACTION={raw!r}; using "
+                        f"default {PRESSURE_RELEASE_FRACTION}",
+                        file=sys.stderr,
+                    )
+                fraction = PRESSURE_RELEASE_FRACTION
+    if fraction <= 0:  # explicit off switch (0 / negative / 'off')
+        return 0
     sc = spark.sparkContext
     try:
         infos = sc._jsc.sc().getRDDStorageInfo()
-        storage = sum(i.memSize() + i.diskSize() for i in infos)
+        storage = sum(i.memSize() for i in infos)
         max_heap = sc._jvm.java.lang.Runtime.getRuntime().maxMemory()
     except Exception:  # private API moved — degrade to "never fires"
         return 0

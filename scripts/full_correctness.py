@@ -68,9 +68,22 @@ def _compare(spark_pdf, oracle_pdf) -> dict:
             if {sk, ok} <= {"i", "u", "f"} and (sk == "f") != (ok == "f"):
                 row["err"] = f"{col}: dtype kind mismatch {sk} vs {ok}"
                 return row
-            # equal_nan: NULLs arrive as NaN after toPandas/fetchdf; a
-            # NULL that BOTH engines emit is agreement, not a diff
-            # (mirrors the verify-skill driver simulation)
+            # Missing-ness masks are compared on the ORIGINAL (pre-astype)
+            # columns first: equal_nan alone would let a query emitting
+            # NaN (e.g. 0/0) pass against an oracle emitting NULL once
+            # both arrive as float NaN, so any provenance the fetched
+            # dtypes still carry (object-dtype None vs float NaN, pandas
+            # nullable NA) must agree before values are compared
+            # (ADVICE r12).
+            import pandas as pd
+
+            s_na, o_na = pd.isna(s[col]).to_numpy(), pd.isna(o[col]).to_numpy()
+            if not np.array_equal(s_na, o_na):
+                row["err"] = f"{col}: missing-value masks differ"
+                return row
+            # equal_nan: a NULL/NaN that BOTH engines emit at the same
+            # position is agreement, not a diff (mirrors the verify-skill
+            # driver simulation)
             if not np.array_equal(
                 sv.astype(np.float64), ov.astype(np.float64), equal_nan=True
             ):

@@ -260,3 +260,43 @@ def test_no_release_vanilla_driver_survives():
     # ...and the forced trigger demonstrably flattened it: after the
     # second loop only the LAST query's own blocks remain.
     assert report["forced_pinned"] < report["no_release_pinned"], report
+
+
+def test_pressure_trigger_env_contract(spark, monkeypatch):
+    """ADVICE r12 items: the env knob must (a) support a real OFF switch
+    ('off' / '0' / negative — a large fraction is NOT one, since disk
+    bytes are heap-unbounded), (b) degrade to the default with a warning
+    on a malformed value instead of raising, and (c) count only
+    MEMORY-resident block bytes against the heap (a spill-heavy but
+    memory-healthy session must not lose its pinned blocks + memos)."""
+    import inf_553_datamining_mapreduce_spark.session as S
+
+    release_session_blocks(spark)
+    # Pin something so a firing trigger would be observable.
+    spark.range(5000).selectExpr("id AS v").localCheckpoint(eager=True)
+    assert _pinned_count(spark) > 0
+
+    # (a) explicit off switches: never fire, even at a threshold any
+    # session would exceed.
+    for off in ("off", "OFF", "0", "-1"):
+        monkeypatch.setenv("SPARK_GRAFT_PRESSURE_FRACTION", off)
+        assert S.maybe_release_under_pressure(spark) == 0
+        assert _pinned_count(spark) > 0
+    assert S.maybe_release_under_pressure(spark, fraction=0) == 0
+
+    # (b) malformed value: default fraction applies (no exception), one
+    # stderr warning per process.
+    monkeypatch.setenv("SPARK_GRAFT_PRESSURE_FRACTION", "half")
+    S._WARNED_BAD_FRACTION = False
+    assert S.maybe_release_under_pressure(spark) == 0  # 0.5x heap unreached
+    assert S._WARNED_BAD_FRACTION is True
+    assert _pinned_count(spark) > 0
+
+    # (c) mem-only accounting: with a forced tiny fraction the trigger
+    # fires on the MEMORY bytes the checkpoint pinned...
+    monkeypatch.setenv("SPARK_GRAFT_PRESSURE_FRACTION", "1e-12")
+    assert S.maybe_release_under_pressure(spark) > 0
+    assert _pinned_count(spark) == 0
+    # ...and with nothing memory-resident it stays quiet at the same
+    # forced threshold (storage==0 <= fraction*heap).
+    assert S.maybe_release_under_pressure(spark) == 0
