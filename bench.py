@@ -242,37 +242,17 @@ def _host_canary() -> dict:
     }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # Disable the registry's pressure-release self-defence for the sweep:
-    # it exists for small-heap vanilla drivers (released blocks are
-    # strictly better than a dead JVM there), but on this harness a
-    # mid-sweep trigger clears the shared-graph memos and whichever
-    # query crosses the threshold repays a memo build inside its timing
-    # — exactly the noise the round-4 "shared builds as their own line
-    # items" convention removed (measured round 12: the weighted-walk
-    # family read +8..+18 s each when the trigger fired mid-sweep).
-    # 'off' is the real disable switch (session.py honors it explicitly);
-    # the previous '1.0' was not — disk-resident checkpoint bytes are
-    # unbounded by the heap, so mem+disk could still exceed 1.0x heap and
-    # fire mid-sweep (ADVICE r12).
-    os.environ.setdefault("SPARK_GRAFT_PRESSURE_FRACTION", "off")
-    import __spark_entry__ as em
-    from inf_553_datamining_mapreduce_spark.session import get_spark
-
-    # Console progress bars write \r-frames to stdout; showConsoleProgress
-    # is disabled in session.DEFAULT_CONFIGS (core conf — set at build).
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    queries = em.queries()
+def _run_sweep(spark, em, queries, sf_dir) -> dict:
+    """One full measured registry sweep: canary brackets (pre, two
+    mid-sweep checkpoints, post), shared-intermediate builds as their own
+    line items, then every registered query in fixed alphabetical order.
+    Returns the per-run record committed under ``runs[]`` in
+    BENCH_FULL.json."""
     timings: dict[str, float | None] = {}
     failed: list[str] = []
 
     canary_pre = _host_canary()
     print(f"bench: canary pre {canary_pre}", file=sys.stderr)
-
-    _warmup(spark, queries, sf_dir)
 
     # Shared memoized intermediates are built (and timed) as their own line
     # items so each query's number measures the query, not a cold memo some
@@ -339,8 +319,6 @@ def main() -> None:
     print(f"bench: canary post {canary_post}", file=sys.stderr)
     canaries.append(canary_post)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     mean_mt = sum(c["canary_mt_sec"] for c in canaries) / len(canaries)
 
     # Per-query normalized seconds: query_sec x CANARY_MT_REF / mean of
@@ -357,26 +335,139 @@ def main() -> None:
             mts.append(canaries[b + 1]["canary_mt_sec"])
         return round(sec * CANARY_MT_REF / (sum(mts) / len(mts)), 3)
 
-    timings_norm = {n: _norm(n, s) for n, s in timings.items()}
+    # Shared builds run right after the pre canary — normalize them by
+    # that bracket so the envelope can take a per-item min too.
+    pre_mt = canaries[0]["canary_mt_sec"]
+    shared_norm = {
+        n: (round(v * CANARY_MT_REF / pre_mt, 3) if v is not None else None)
+        for n, v in shared.items()
+    }
+
+    return {
+        "total": round(total, 2),
+        "normalized_total": round(total * CANARY_MT_REF / mean_mt, 2),
+        "canary_1t_sec": [c["canary_1t_sec"] for c in canaries],
+        "canary_mt_sec": [c["canary_mt_sec"] for c in canaries],
+        "shared_intermediates": shared,
+        "shared_intermediates_normalized": shared_norm,
+        "queries": timings,
+        "queries_normalized": {n: _norm(n, s) for n, s in timings.items()},
+        "query_canary_bracket": bracket,
+        "failed": failed,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Disable the registry's pressure-release self-defence for the sweep:
+    # it exists for small-heap vanilla drivers (released blocks are
+    # strictly better than a dead JVM there), but on this harness a
+    # mid-sweep trigger clears the shared-graph memos and whichever
+    # query crosses the threshold repays a memo build inside its timing
+    # — exactly the noise the round-4 "shared builds as their own line
+    # items" convention removed (measured round 12: the weighted-walk
+    # family read +8..+18 s each when the trigger fired mid-sweep).
+    # 'off' is the real disable switch (session.py honors it explicitly);
+    # the previous '1.0' was not — disk-resident checkpoint bytes are
+    # unbounded by the heap, so mem+disk could still exceed 1.0x heap and
+    # fire mid-sweep (ADVICE r12).
+    os.environ.setdefault("SPARK_GRAFT_PRESSURE_FRACTION", "off")
+    # Min-envelope mode (r12 verdict item 1): three same-day sweeps on
+    # identical code read 342.7/435.7/548.2 s normalized — host-load
+    # noise is ONE-SIDED (contention only ever adds time), so the
+    # per-query MINIMUM of normalized values across N runs is the
+    # comparable cross-round signal; a single run is not. Default 3
+    # runs; override with --runs N or $SPARK_GRAFT_BENCH_RUNS (1 = the
+    # pre-r13 single-sweep behavior, for quick local iteration).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    runs = max(1, runs)
+
+    import __spark_entry__ as em
+    from inf_553_datamining_mapreduce_spark.session import (
+        get_spark,
+        release_session_blocks,
+    )
+
+    # Console progress bars write \r-frames to stdout; showConsoleProgress
+    # is disabled in session.DEFAULT_CONFIGS (core conf — set at build).
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = em.queries()
+
+    _warmup(spark, queries, sf_dir)
+
+    run_records: list[dict] = []
+    for r in range(runs):
+        if r:
+            # Reset to the run-1 starting state: releasing blocks also
+            # clears the entry memos (release hooks), so every run pays
+            # its shared builds for real and the runs are comparable.
+            release_session_blocks(spark)
+        print(f"bench: === sweep {r + 1}/{runs} ===", file=sys.stderr)
+        run_records.append(_run_sweep(spark, em, queries, sf_dir))
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    def _env_min(key: str, names) -> dict:
+        out = {}
+        for n in names:
+            vals = [
+                rr[key].get(n)
+                for rr in run_records
+                if rr[key].get(n) is not None
+            ]
+            out[n] = min(vals) if vals else None
+        return out
+
+    qnames = sorted(queries.keys())
+    timings = _env_min("queries", qnames)
+    timings_norm = _env_min("queries_normalized", qnames)
+    shared_names = list(run_records[0]["shared_intermediates"])
+    shared = _env_min("shared_intermediates", shared_names)
+    shared_norm = _env_min("shared_intermediates_normalized", shared_names)
+    # failed = failed in EVERY run (a query that succeeded in any run has
+    # an envelope value); per-run failures stay visible in runs[].
+    failed = [n for n in qnames if timings[n] is None]
+
+    best = min(run_records, key=lambda rr: rr["normalized_total"])
+    # The quiet-host-equivalent total: per-query envelope minima summed
+    # (+ shared builds). Tighter than any single run's normalized_total
+    # because different queries hit their quiet phase in different runs.
+    envelope_total = round(
+        sum(v for v in timings_norm.values() if v)
+        + sum(v for v in shared_norm.values() if v),
+        2,
+    )
+
     summary = {
         "metric": "total_query_wall_clock",
-        "value": round(total, 2),
+        # Cross-round continuity: value/normalized_total remain totals of
+        # ONE sweep — the best (minimum-normalized) of the N runs.
+        "value": best["total"],
         # Host-phase-adjusted total: total x CANARY_MT_REF / mean(ALL
         # canary mt brackets — pre, mid-sweep checkpoints, post).
         # Cross-round deltas adjudicate on THIS field —
         # the raw total moves several-fold with shared-host phase alone
         # (SCALE.md: 3.8-4.2x canary swings within one hour).
-        "normalized_total": round(total * CANARY_MT_REF / mean_mt, 2),
+        "normalized_total": best["normalized_total"],
+        # Sum of per-query envelope minima — the r12-verdict-item-1
+        # artifact. Cross-round PER-QUERY deltas adjudicate on
+        # queries_normalized (per-query min across runs), totals on this.
+        "envelope_total_normalized": envelope_total,
+        "n_runs": runs,
         "canary_mt_ref": CANARY_MT_REF,
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
         "n_failed": len(failed),
-        # Host-throughput canary (pre, two mid-sweep checkpoints, post):
-        # normalized_total divides by the mean of these — see
-        # _host_canary and the mid-checkpoint comment in the sweep loop.
-        "canary_1t_sec": [c["canary_1t_sec"] for c in canaries],
-        "canary_mt_sec": [c["canary_mt_sec"] for c in canaries],
+        # Canary brackets of the best run (full per-run brackets in
+        # BENCH_FULL.json's runs[]).
+        "canary_1t_sec": best["canary_1t_sec"],
+        "canary_mt_sec": best["canary_mt_sec"],
         "shared_intermediates": shared,
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "queries_normalized": {
@@ -390,10 +481,16 @@ def main() -> None:
     full = dict(summary)
     full["queries"] = timings
     full["queries_normalized"] = timings_norm
-    # Which canary reading preceded each query (index into the
-    # canary_*_sec arrays) — the per-leg stamp that makes the
-    # normalization reproducible from the artifact alone.
-    full["query_canary_bracket"] = bracket
+    full["shared_intermediates_normalized"] = shared_norm
+    # Envelope provenance: every run's complete record (per-query raw +
+    # normalized seconds, canary brackets, per-query bracket stamps), so
+    # the committed minima are recomputable from the artifact alone.
+    full["aggregation"] = (
+        "queries/queries_normalized/shared_intermediates are per-item "
+        "MINIMA across runs[]; value/normalized_total are the best "
+        "single run's totals; envelope_total_normalized sums the minima"
+    )
+    full["runs"] = run_records
     # Self-identifying artifact: BENCH_FULL.json is committed next to the
     # per-round BENCH_r{N}.json snapshots, so it carries the round tag too
     # ($SPARK_GRAFT_ROUND when the driver sets it, else unstamped).
