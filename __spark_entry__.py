@@ -82,6 +82,28 @@ def high_variance() -> dict[str, str]:
     }
 
 
+def scale_pinned() -> dict[str, str]:
+    """Registry annotation: queries whose PARAMETERS are deliberately
+    pinned for cross-round bench continuity even though a scale-derived
+    registration exists — i.e. their asymptotic shape is known-worse BY
+    DESIGN and must not be read as an engine scale defect (the same
+    audit hazard ``golden_only()`` solves for oracles and
+    ``high_variance()`` for wall-clock). Every reason records the
+    measured reading that motivated the pin and names the registered
+    scale-safe twin a 100-TB deployment would run instead.
+    """
+    return {
+        "semantic_dedup_keep_best": (
+            "k pinned at 8 since round 9 for cross-round comparability: "
+            "within-cluster pair term is sum(n_c^2)/2 ~ n^2/k, so fixed "
+            "k is quadratic by design (measured sf1: 643.8 s raw vs the "
+            "corpus-derived k's 237.5 s, SCALE.md r12); scale-safe twin "
+            "semantic_dedup_keep_best_scaled registers "
+            "k = max(8, isqrt(n/iters)) -> ~n^1.5 total work"
+        ),
+    }
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (pricing summary) on /root/testdata/sf0.001."""
     (lineitem,) = _t(spark, "/root/testdata/sf0.001", "lineitem")

@@ -150,3 +150,23 @@ def test_high_variance_marker_names_registered_oracled_queries():
     for q, reason in em.high_variance().items():
         assert q in names and q in oracled, q
         assert "twin" in reason, f"{q}: reason must name the stable twin"
+
+
+def test_scale_pinned_marker_names_registered_oracled_queries():
+    """scale_pinned() annotates deliberate asymptotic pins (r12 verdict
+    item 4): every marked query must be registered AND oracled
+    (correctness unaffected — only the scaling shape is pinned), and
+    every reason must name its registered scale-safe twin plus the
+    measured reading that motivated the pin, so a bench audit can route
+    around the row mechanically instead of flagging it."""
+    names = set(em.queries().keys())
+    oracled = set(em.oracle_sql().keys())
+    for q, reason in em.scale_pinned().items():
+        assert q in names and q in oracled, q
+        assert "twin" in reason, f"{q}: reason must name the scale twin"
+        # the named twin must itself be a registered query
+        twin = [w.strip() for w in reason.split() if w.strip() in names and w.strip() != q]
+        assert twin, f"{q}: no registered twin named in reason"
+        # a measured number backs the pin (the 'why' is evidence, not prose)
+        assert any(ch.isdigit() for ch in reason), q
+    assert "semantic_dedup_keep_best" in em.scale_pinned()
