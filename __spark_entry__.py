@@ -226,6 +226,70 @@ def _mh_index_bands_shared(spark, sf):
     return _minhash_index_shared(spark, sf)[0]
 
 
+def _memo_multi(spark, key: tuple, build_tuple):
+    """Tuple-valued sibling of ``_memo`` (the ``_minhash_index_shared``
+    pattern made reusable): memoize a build that returns SEVERAL
+    already-checkpointed DataFrames under ONE key, so consumers always
+    see a consistent set from the same build."""
+    app_id = spark.sparkContext.applicationId
+    full_key = (app_id, *key)
+    v = _EDGE_MEMO.get(full_key)
+    if v is None:
+        for k in [k for k in _EDGE_MEMO if k[0] != app_id]:
+            del _EDGE_MEMO[k]
+        v = build_tuple()  # members already checkpointed inside
+        _EDGE_MEMO[full_key] = v
+    return v
+
+
+# Standard ANN training parameters shared by the registered PQ/IVFADC
+# family (and pinned by their generated oracles): any registration that
+# passes one of these shared indexes MUST use these exact values.
+_ANN_PARAMS = dict(m_sub=4, k_codes=8, dims=64)
+
+
+def _pq_index_shared(spark, sf, train_mod=None):
+    # The frozen exhaustive-ADC index (corpus codes + codebooks): the
+    # top-k row and the planted-recall row train the IDENTICAL Lloyd
+    # chain (m_sub=4, k_codes=8, iters=2) — build it once per
+    # (session, sf, train_mod). r12 verdict item 3.
+    def build():
+        (emb,) = _t(spark, sf, "embeddings")
+        return SIM.pq_build_index(
+            emb, iters=2, train_mod=train_mod, **_ANN_PARAMS
+        )
+
+    return _memo_multi(spark, (sf, "pq_index", train_mod), build)
+
+
+def _pq_index_codes_shared(spark, sf):
+    return _pq_index_shared(spark, sf)[0]
+
+
+def _pq_index_sampled_codes_shared(spark, sf):
+    return _pq_index_shared(spark, sf, train_mod=10)[0]
+
+
+def _ivfpq_index_shared(spark, sf, train_mod=None):
+    # The frozen IVFADC index (residual codes + coarse centroids +
+    # codebooks): topk_ivfpq_fixedpoint and ann_probe_recall_ivfpq
+    # retrain the identical coarse+PQ chains (n_clusters=8,
+    # coarse_iters=2, pq_iters=2) — build once per (session, sf,
+    # train_mod). r12 verdict item 3.
+    def build():
+        (emb,) = _t(spark, sf, "embeddings")
+        return SIM.ivfpq_build_index(
+            emb, n_clusters=8, coarse_iters=2, pq_iters=2,
+            train_mod=train_mod, **_ANN_PARAMS,
+        )
+
+    return _memo_multi(spark, (sf, "ivfpq_index", train_mod), build)
+
+
+def _ivfpq_index_codes_shared(spark, sf):
+    return _ivfpq_index_shared(spark, sf)[0]
+
+
 def _betweenness_fp_shared(spark, sf):
     # The fixed-point betweenness query and the GN twin run the schedule
     # with IDENTICAL pinned parameters (depth 8, scale 1e9, source_mod 10,
@@ -256,6 +320,12 @@ def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "jaccard_pairs": _jaccard_pairs_shared,
         "betweenness_fp": _betweenness_fp_shared,
         "mh_index": _mh_index_bands_shared,
+        # Frozen ANN indexes (r12 verdict item 3): the builders memoize
+        # the full trained tuple; the returned codes table is the
+        # representative frame bench.py noop-writes to time the build.
+        "pq_index": _pq_index_codes_shared,
+        "pq_index_sampled": _pq_index_sampled_codes_shared,
+        "ivfpq_index": _ivfpq_index_codes_shared,
     }
 
 
@@ -2149,7 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (emb,) = _t(spark, sf, "embeddings")
         return SIM.pq_topk_fixedpoint(
             emb, _ann_queries(spark, sf), k=5, m_sub=4, k_codes=8,
-            iters=2, dims=64,
+            iters=2, dims=64, index=_pq_index_shared(spark, sf),
         )
 
     q["topk_pq_fixedpoint"] = _topk_pq_fixedpoint
@@ -2167,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.pq_topk_fixedpoint(
             emb, _ann_queries(spark, sf), k=5, m_sub=4, k_codes=8,
             iters=2, dims=64, train_mod=10,
+            index=_pq_index_shared(spark, sf, train_mod=10),
         )
 
     q["topk_pq_sampled_fixedpoint"] = _topk_pq_sampled_fixedpoint
@@ -2182,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (emb,) = _t(spark, sf, "embeddings")
         return SIM.pq_planted_recall(
             emb, n_probes=10, k=5, m_sub=4, k_codes=8, iters=2, dims=64,
+            index=_pq_index_shared(spark, sf),
         )
 
     q["ann_probe_recall_pq"] = _ann_probe_recall_pq
@@ -2193,7 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (emb,) = _t(spark, sf, "embeddings")
         return SIM.pq_planted_recall(
             emb, n_probes=10, k=5, m_sub=4, k_codes=8, iters=2, dims=64,
-            train_mod=10,
+            train_mod=10, index=_pq_index_shared(spark, sf, train_mod=10),
         )
 
     q["ann_probe_recall_pq_sampled"] = _ann_probe_recall_pq_sampled
@@ -2208,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.ivfpq_planted_recall(
             emb, n_probes=10, k=5, n_clusters=8, coarse_iters=2,
             m_sub=4, k_codes=8, pq_iters=2, n_probe=2, dims=64,
+            index=_ivfpq_index_shared(spark, sf),
         )
 
     q["ann_probe_recall_ivfpq"] = _ann_probe_recall_ivfpq
@@ -2222,7 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.ivfpq_topk_fixedpoint(
             emb, _ann_queries(spark, sf), k=5, n_clusters=8,
             coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2, n_probe=2,
-            dims=64,
+            dims=64, index=_ivfpq_index_shared(spark, sf),
         )
 
     q["topk_ivfpq_fixedpoint"] = _topk_ivfpq_fixedpoint

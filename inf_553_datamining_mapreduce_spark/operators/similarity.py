@@ -795,6 +795,38 @@ def _train_sample(df: DataFrame, train_mod: int | None) -> DataFrame:
     return df.filter(F.pmod(h, F.lit(train_mod)) == 0)
 
 
+def pq_build_index(
+    embeddings: DataFrame,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+    train_mod: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Train-and-encode stage of :func:`pq_topk_fixedpoint`, split out
+    so the FROZEN index — ``(codes, cb)``: the corpus encoded to
+    ``m_sub`` code ids per vector, plus the per-subspace codebooks — is
+    build-once-probe-many (the deployment contract, and the registry's
+    ``shared_intermediates`` convention: the r12 verdict measured four
+    ANN rows retraining identical Lloyd chains per bench sweep). Both
+    returned frames are localCheckpointed: training cost is paid HERE,
+    exactly once, and every query batch against the index starts from
+    materialized blocks."""
+    if dims % m_sub != 0:
+        raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
+    dsub = dims // m_sub
+    subs = _pq_split(
+        _kmeans_quantized(embeddings), "q", m_sub, dsub
+    ).localCheckpoint()
+    cb = _pq_codebooks(_train_sample(subs, train_mod), k_codes, iters)
+    codes = (
+        _pq_assign(subs, cb)
+        .select("vec_id", "sub", "code_id")
+        .localCheckpoint()
+    )
+    return codes, cb
+
+
 def pq_topk_fixedpoint(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -805,6 +837,7 @@ def pq_topk_fixedpoint(
     dims: int = 64,
     query_id_col: str = "query_id",
     train_mod: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou, Douze & Schmid 2011) with EVERY
     stage in engine-exact integer arithmetic: split each quantized
@@ -841,16 +874,16 @@ def pq_topk_fixedpoint(
     passes dominate at scale (74 of 91 s at 500k vectors, SCALE.md
     round-11) and ``train_mod`` fits the codebooks on a deterministic
     1/train_mod sample while still encoding everything
-    (:func:`_train_sample`). No UDF, no driver collect.
+    (:func:`_train_sample`). No UDF, no driver collect. Pass a
+    prebuilt ``index`` (:func:`pq_build_index` with the SAME training
+    parameters) to skip train+encode — the frozen-index contract.
     """
     if dims % m_sub != 0:
         raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
     dsub = dims // m_sub
-    subs = _pq_split(
-        _kmeans_quantized(embeddings), "q", m_sub, dsub
-    ).localCheckpoint()
-    cb = _pq_codebooks(_train_sample(subs, train_mod), k_codes, iters)
-    codes = _pq_assign(subs, cb).select("vec_id", "sub", "code_id")
+    codes, cb = index if index is not None else pq_build_index(
+        embeddings, m_sub, k_codes, iters, dims, train_mod
+    )
     qsub = _pq_split(
         _kmeans_quantized(
             queries.select(F.col(query_id_col).alias("vec_id"), "embedding")
@@ -953,6 +986,7 @@ def pq_planted_recall(
     iters: int = 2,
     dims: int = 64,
     train_mod: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Retrieval QUALITY as a first-class oracled query: build the
     planted noisy-duplicate probes, run the registered PQ pipeline, and
@@ -982,6 +1016,7 @@ def pq_planted_recall(
         dims=dims,
         query_id_col="query_id",
         train_mod=train_mod,
+        index=index,
     )
     return _planted_recall_report(probes, topk)
 
@@ -1028,6 +1063,7 @@ def ivfpq_planted_recall(
     n_probe: int = 2,
     dims: int = 64,
     train_mod: int | None = None,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """:func:`pq_planted_recall` against the FULL IVFADC pipeline — the
     evaluation that exercises the lossy stage exhaustive ADC doesn't
@@ -1053,50 +1089,31 @@ def ivfpq_planted_recall(
         dims=dims,
         query_id_col="query_id",
         train_mod=train_mod,
+        index=index,
     )
     return _planted_recall_report(probes, topk)
 
 
-def ivfpq_topk_fixedpoint(
+def ivfpq_build_index(
     embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_clusters: int = 8,
     coarse_iters: int = 2,
     m_sub: int = 4,
     k_codes: int = 8,
     pq_iters: int = 2,
-    n_probe: int = 2,
     dims: int = 64,
-    query_id_col: str = "query_id",
     train_mod: int | None = None,
-) -> DataFrame:
-    """IVFADC — the full Jégou, Douze & Schmid 2011 §IV pipeline, every
-    stage engine-exact integer: the coarse quantizer is the shared
-    fixed-point Lloyd loop (``_kmeans_centroids``), each vector is
-    encoded as (cell, PQ codes of its RESIDUAL x - c_cell) with ONE
-    product quantizer shared across cells (the paper's memory/accuracy
-    trade), and a query probes its ``n_probe`` nearest cells, forms the
-    per-cell query residual, and scores candidates by the summed
-    residual-ADC lookup table. Composes :func:`ivf_topk_fixedpoint`'s
-    inverted-file stage with :func:`pq_topk_fixedpoint`'s compressed-
-    domain distance — the scan touches ~n_probe/n_clusters of the
-    corpus AND reads only m_sub small-int codes per candidate, never a
-    raw vector.
-
-    Output ``(query_id, neighbor_id, adc_q, rank)`` — top-``k`` by
-    (residual-ADC ascending, neighbor_id); the DuckDB oracle runs the
-    SAME approximate pipeline, so both the probe cut and the
-    quantization error are specified semantics.
-
-    Shape at scale: coarse training + assignment as in IVF (broadcast
-    passes); residuals are one (cell)-keyed join + a zip_with
-    projection; PQ training is ``pq_iters`` broadcast passes with one
-    (sub, code, dim)-keyed shuffle each; the query path broadcasts a
-    (queries x n_probe x m_sub x k_codes) LUT and the candidate join
-    keys on (cell, sub, code_id) — probed cells only. No UDF, no
-    driver collect.
-    """
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train-and-encode stage of :func:`ivfpq_topk_fixedpoint`, split
+    out so the FROZEN IVFADC index is build-once-probe-many. Returns
+    ``(codes, cent, cb)``: the corpus encoded as (vec_id, cell, sub,
+    code_id) residual codes, the coarse centroid table, and the shared
+    residual codebooks — everything a query batch needs (the query path
+    derives its broadcast centroid array / cell table from ``cent``).
+    ``codes`` and both trained tables are localCheckpointed, so the two
+    Lloyd chains (coarse + residual PQ) are paid exactly once per index
+    (the r12 verdict measured four registered ANN rows retraining these
+    identically within one bench sweep)."""
     if dims % m_sub != 0:
         raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
     dsub = dims // m_sub
@@ -1135,7 +1152,69 @@ def ivfpq_topk_fixedpoint(
         k_codes,
         pq_iters,
     )
-    codes = _pq_assign(rsubs, cb).select("vec_id", "cell", "sub", "code_id")
+    codes = (
+        _pq_assign(rsubs, cb)
+        .select("vec_id", "cell", "sub", "code_id")
+        .localCheckpoint()
+    )
+    return codes, cent, cb
+
+
+def ivfpq_topk_fixedpoint(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    coarse_iters: int = 2,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    pq_iters: int = 2,
+    n_probe: int = 2,
+    dims: int = 64,
+    query_id_col: str = "query_id",
+    train_mod: int | None = None,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVFADC — the full Jégou, Douze & Schmid 2011 §IV pipeline, every
+    stage engine-exact integer: the coarse quantizer is the shared
+    fixed-point Lloyd loop (``_kmeans_centroids``), each vector is
+    encoded as (cell, PQ codes of its RESIDUAL x - c_cell) with ONE
+    product quantizer shared across cells (the paper's memory/accuracy
+    trade), and a query probes its ``n_probe`` nearest cells, forms the
+    per-cell query residual, and scores candidates by the summed
+    residual-ADC lookup table. Composes :func:`ivf_topk_fixedpoint`'s
+    inverted-file stage with :func:`pq_topk_fixedpoint`'s compressed-
+    domain distance — the scan touches ~n_probe/n_clusters of the
+    corpus AND reads only m_sub small-int codes per candidate, never a
+    raw vector.
+
+    Output ``(query_id, neighbor_id, adc_q, rank)`` — top-``k`` by
+    (residual-ADC ascending, neighbor_id); the DuckDB oracle runs the
+    SAME approximate pipeline, so both the probe cut and the
+    quantization error are specified semantics.
+
+    Shape at scale: coarse training + assignment as in IVF (broadcast
+    passes); residuals are one (cell)-keyed join + a zip_with
+    projection; PQ training is ``pq_iters`` broadcast passes with one
+    (sub, code, dim)-keyed shuffle each; the query path broadcasts a
+    (queries x n_probe x m_sub x k_codes) LUT and the candidate join
+    keys on (cell, sub, code_id) — probed cells only. No UDF, no
+    driver collect. Pass a prebuilt ``index``
+    (:func:`ivfpq_build_index` with the SAME training parameters) to
+    skip both Lloyd chains and the corpus encode — the frozen-index
+    contract.
+    """
+    if dims % m_sub != 0:
+        raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
+    dsub = dims // m_sub
+    codes, cent, cb = index if index is not None else ivfpq_build_index(
+        embeddings, n_clusters, coarse_iters, m_sub, k_codes, pq_iters,
+        dims, train_mod,
+    )
+    cent_arr = F.broadcast(_centroid_array(cent))
+    cent_cells = cent.select(
+        F.col("cluster_id").cast("int").alias("cell"), F.col("c").alias("cc")
+    )
     qv = _kmeans_quantized(
         queries.select(F.col(query_id_col).alias("vec_id"), "embedding")
     ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))

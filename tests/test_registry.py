@@ -116,7 +116,9 @@ def test_shared_intermediates_cover_every_memo_key():
     import __spark_entry__ as em
 
     src = open(em.__file__).read()
-    memo_keys = set(re.findall(r'_memo\(spark, \(sf, "(\w+)"\)', src))
+    memo_keys = set(
+        re.findall(r'_memo(?:_multi)?\(spark, \(sf, "(\w+)"', src)
+    )
     assert memo_keys, "expected _memo call sites"
     # superset: builders that memoize a PAIR inline (mh_index) appear in
     # shared_intermediates without a matching single-key _memo call
