@@ -62,6 +62,14 @@ def golden_only() -> dict[str, str]:
             "byte-for-byte against the reference's committed "
             "communities.txt + the green fixed-point GN twin"
         ),
+        "edge_betweenness_distributed_customers": (
+            "the beyond-gate float path: same order-dependent IEEE "
+            "credit sums as edge_betweenness_customers, summed in yet "
+            "another (join-schedule) order; proven vs the CSR kernel "
+            "to 1e-9 relative (test_graph) and by the green "
+            "fixed-point rows running the identical distributed shape "
+            "in integer arithmetic"
+        ),
     }
 
 
@@ -404,6 +412,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _betweenness_customers(spark, sf):
         return G.edge_betweenness(_customer_graph_edges(spark, sf))
 
+    def _betweenness_distributed_customers(spark, sf):
+        # The documented beyond-MAX_DRIVER_EDGES float path (r12 verdict
+        # item 5), registered so the 100-TB betweenness plan lives in
+        # the driver's artifact: same equal-split credit rule as
+        # edge_betweenness_customers but NO driver-side adjacency —
+        # frontier-join BFS, DAG membership by join predicate, per-level
+        # reverse sweep (graph.py edge_betweenness_distributed).
+        # source_mod=10 draws the same deterministic source set as the
+        # fixed-point rows. Like the other two float kernels its IEEE
+        # credit sums are accumulation-order-dependent (golden_only):
+        # proven vs the CSR kernel to 1e-9 relative (test_graph), and
+        # its hash-oracled twins are the fixed-point rows — the same
+        # distributed shape in integer arithmetic.
+        return G.edge_betweenness_distributed(
+            _customer_graph_edges(spark, sf), source_mod=10
+        )
+
     def _betweenness_fixedpoint_customers(spark, sf):
         # Parameters are pinned to the generated chained-CTE oracle
         # (_betweenness_fp_oracle below): depth unroll 8, scale 1e9,
@@ -460,6 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-checkable twins are edge_betweenness_fixedpoint_customers
     # and communities_girvan_newman_fixedpoint.
     q["edge_betweenness_customers"] = _betweenness_customers
+    q["edge_betweenness_distributed_customers"] = (
+        _betweenness_distributed_customers
+    )
     def _communities_gn_fixedpoint(spark, sf):
         # Parameters pinned to the generated oracle (_gn_fp_oracle below);
         # the schedule is the proven fixed-point betweenness with the same

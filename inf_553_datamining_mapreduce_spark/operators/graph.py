@@ -276,6 +276,7 @@ def edge_betweenness(
     vertices: DataFrame | None = None,
     sample_sources: int | None = None,
     seed: int = 17,
+    method: str = "auto",
 ) -> DataFrame:
     """Edge betweenness of the whole graph under the simplified-GN
     equal-split credit rule. Returns ``(src, dst, betweenness)`` with
@@ -291,12 +292,40 @@ def edge_betweenness(
     uniform source sample of size s scales per-source credits by V/s — the
     standard unbiased estimator (Brandes-Pich source sampling applied to
     this credit rule). None = exact.
+
+    ``method`` routes between the two physical strategies (same
+    arithmetic, results agree to float round-off — summation order
+    only):
+
+    * ``"kernel"`` — the broadcast-CSR path above; raises beyond the
+      ``MAX_DRIVER_EDGES`` gate.
+    * ``"distributed"`` — :func:`edge_betweenness_distributed`: no
+      driver-side adjacency at all; use when the graph itself is the
+      big thing. (Its deterministic sampling knob is ``source_mod``;
+      ``sample_sources``/``seed`` map onto its md5-ordered sample.)
+    * ``"auto"`` (default) — kernel under the gate, else the
+      distributed path: the 100-TB contract is a plan change, not a
+      refusal (the ``connected_components`` ``method='auto'``
+      convention applied here).
     """
     import numpy as np
 
+    if method not in ("auto", "kernel", "distributed"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "distributed":
+        return edge_betweenness_distributed(
+            edges, sample_sources=sample_sources, seed=seed
+        )
     spark = edges.sparkSession
     ensure_worker_imports(spark)
-    adj = _collect_adjacency(edges, vertices)
+    try:
+        adj = _collect_adjacency(edges, vertices)
+    except ValueError:
+        if method == "kernel":
+            raise
+        return edge_betweenness_distributed(
+            edges, sample_sources=sample_sources, seed=seed
+        )
     # Isolated vertices are valid BFS sources in the reference
     # (Betweenness.scala:133 iterates every user) but contribute an empty
     # credit map — skip them; the result is identical.
@@ -361,6 +390,7 @@ def edge_betweenness_distributed(
     sample_sources: int | None = None,
     seed: int = 17,
     max_hops: int = 50,
+    source_mod: int | None = None,
 ) -> DataFrame:
     """Edge betweenness with NO driver-side adjacency: the fully
     distributed path for graphs beyond the ``MAX_DRIVER_EDGES`` broadcast
@@ -383,7 +413,16 @@ def edge_betweenness_distributed(
     n_active/s (the same unbiased estimator as the kernel path). Use the
     broadcast-kernel ``edge_betweenness`` below the gate (it is ~10x
     faster there); use this one when the graph itself is the big thing.
+
+    ``source_mod`` is the alternative deterministic sampler (the
+    ``edge_betweenness_fixedpoint`` convention): only vertices with
+    ``id % source_mod == 0`` serve as sources, credits scale by
+    n_active/n_sampled — an sf-generic knob (the sample grows with the
+    graph, no absolute count to retune per scale). Mutually exclusive
+    with ``sample_sources``.
     """
+    if sample_sources is not None and source_mod is not None:
+        raise ValueError("pass sample_sources OR source_mod, not both")
     spark = edges.sparkSession
     e = edges.select("src", "dst")
     sym = e.unionAll(
@@ -395,7 +434,13 @@ def edge_betweenness_distributed(
         return spark.createDataFrame([], _BETWEENNESS_SCHEMA)
     scale = 1.0
     src_df = active
-    if sample_sources is not None and sample_sources < n_active:
+    if source_mod is not None:
+        src_df = active.filter(F.col("id") % source_mod == 0)
+        n_sampled = src_df.count()
+        if n_sampled == 0:
+            return spark.createDataFrame([], _BETWEENNESS_SCHEMA)
+        scale = n_active / n_sampled
+    elif sample_sources is not None and sample_sources < n_active:
         scale = n_active / sample_sources
         src_df = active.orderBy(
             F.md5(F.concat_ws(":", F.col("id"), F.lit(seed))), F.col("id")

@@ -22,6 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NO_ORACLE_ALLOWED = {
     "edge_betweenness_customers",
     "communities_girvan_newman",
+    "edge_betweenness_distributed_customers",
 }
 
 
@@ -138,6 +139,7 @@ def test_golden_only_marker_is_exactly_the_oracle_gap():
     assert marked == gap == {
         "edge_betweenness_customers",
         "communities_girvan_newman",
+        "edge_betweenness_distributed_customers",
     }
     for reason in em.golden_only().values():
         assert reason  # every marker carries its permanent why
