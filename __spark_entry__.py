@@ -2298,6 +2298,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_probe_recall_pq_sampled"] = _ann_probe_recall_pq_sampled
 
+    def _ann_probe_recall_lsh(spark, sf):
+        # Planted-probe recall for the FLOAT LSH family (r12 verdict
+        # item 6), at the registered topk_cosine_lsh params (4 planes,
+        # 32 tables). The oracle is exact brute-force cosine over the
+        # bit-identical probes, so green == "the banded index retrieves
+        # every planted near-duplicate at the exact path's rank" — a
+        # recall floor of 1.0 on the operationally critical class,
+        # specified cross-engine instead of measured test-only.
+        (emb,) = _t(spark, sf, "embeddings")
+        return SIM.lsh_planted_recall(
+            emb, n_probes=10, k=5, num_planes=4, num_tables=32
+        )
+
+    q["ann_probe_recall_lsh"] = _ann_probe_recall_lsh
+
     def _ann_probe_recall_ivfpq(spark, sf):
         # The probe-cut's recall cost on the operationally critical
         # class (near-exact duplicates): IVFADC retrieves a planted
@@ -2475,54 +2490,55 @@ _DRIVER_PRIORITY = [
     "communities_girvan_newman",
     "edge_betweenness_customers",
     "connected_components_customers",
-    # new this round (6) — prove this window:
-    "semantic_dedup_keep_best_scaled",
-    "topk_pq_sampled_fixedpoint",
-    "topk_ivfpq_sampled_fixedpoint",
-    "ann_probe_recall_pq",
-    "ann_probe_recall_pq_sampled",
-    "ann_probe_recall_ivfpq",
+    # new this round (2) — prove this window (the golden_only float row
+    # gets its rows-only check; the LSH recall row its oracle row):
+    "ann_probe_recall_lsh",
+    "edge_betweenness_distributed_customers",
     # stalest committed greens, data-driven (max round each name
     # appeared green in any committed CORRECTNESS_r*.json window,
-    # alphabetical within a round): 6 + 6 + 38 = the 50 slots.
-    "incremental_index_dedup_stream_plan",
-    "incremental_span_contamination",
-    "kcore_customers",
-    "label_centroids",
-    "media_frame_samples",
-    "orders_by_month",
-    "orders_checksum",
-    "orders_grouping_sets",
-    "parts_not_recently_ordered",
-    "pii_redaction",
-    "pricing_summary_sql",
-    "profile_orders",
-    "repetition_stats",
-    "rolling_hash_fingerprints",
-    "salted_segment_revenue",
-    "session_funnel",
-    "source_curation_report",
-    "source_mixture_sample",
-    "stratified_sample_events",
-    "token_stats_regex",
-    "tumbling_window_stats_stream_plan",
-    "user_event_type_pivot",
-    "user_interevent_gaps",
-    "approx_distinct_parts",
-    "audio_fp_near_duplicates",
-    "bigram_counts",
-    "bm25_top_docs",
-    "bpe_merges",
-    "bpe_vocab_compression",
-    "brand_supplier_counts",
-    "connected_components_twostar_customers",
-    "customer_revenue_percent_rank",
-    "customers_with_urgent_orders",
-    "document_clusters_fixedpoint",
-    "hashed_doc_features",
-    "hashed_feature_principal_component",
-    "hits_supplier_parts",
-    "hll_distinct_orders",
+    # alphabetical within a round): 6 + 2 + 42 = the 50 slots.
+    "hyperball_neighborhood_customers",
+    "incremental_audio_fp",
+    "incremental_bm25_scoring",
+    "incremental_bpe_tokenize",
+    "incremental_community_assignment",
+    "incremental_lm_scoring",
+    "incremental_media_phash",
+    "incremental_semantic_dedup",
+    "incremental_span_scrub",
+    "kmeans_centroids_fixedpoint",
+    "large_volume_customers",
+    "late_shipment_priority_counts",
+    "latest_events_snapshot",
+    "lm_quality_scores",
+    "local_supplier_volume",
+    "maximal_independent_set_customers",
+    "maximal_matching_customers",
+    "media_phash_near_duplicates",
+    "minimum_spanning_forest_customers",
+    "palette_coloring_customers",
+    "personalized_pagerank_customers",
+    "promo_revenue",
+    "qsketch_price_quantiles",
+    "random_walk_corpus_customers",
+    "returnflag_priority_counts",
+    "semantic_dedup_keep_best",
+    "shipping_priority",
+    "skipgram_pairs_customers",
+    "span_deduped_corpus",
+    "topk_ivf_fixedpoint",
+    "user_retention_cohorts",
+    "volume_shipping_by_year",
+    "weekly_active_users",
+    "weighted_sssp_customers",
+    "zorder_layout_stats",
+    "customer_rfm_segments",
+    "customer_running_spend",
+    "daily_priority_share",
+    "daily_revenue_drawdown",
+    "degree_distribution_customers",
+    "edge_betweenness_fixedpoint_customers",
+    "embedding_quantized_int8",
 ]
 
 
@@ -5103,6 +5119,9 @@ def oracle_sql() -> dict[str, str]:
         m_sub=4, k_codes=8, iters=2, dims=64, topk=5, n_probes=10,
         train_where=_train_where_sql(10),
     )
+    d["ann_probe_recall_lsh"] = _lsh_planted_recall_oracle(
+        n_probes=10, topk=5, dims=64
+    )
     d["ann_probe_recall_ivfpq"] = _ivfpq_fixedpoint_oracle(
         n_clusters=8, coarse_iters=2, m_sub=4, k_codes=8, pq_iters=2,
         n_probe=2, dims=64, topk=5, probe_recall_n=10,
@@ -6896,6 +6915,48 @@ def _probe_recall_tail(topk: int) -> str:
                       PARTITION BY query_id
                       ORDER BY adc_q, neighbor_id) AS rank
                   FROM cand)
+            WHERE rank <= {topk}
+        )
+        SELECT p.query_id,
+               CAST(p.query_id - {_PROBE_OFF} AS BIGINT) AS target_id,
+               r.target_rank IS NOT NULL AS target_found,
+               CAST(COALESCE(r.target_rank, 0) AS INTEGER) AS target_rank
+        FROM (SELECT query_id FROM pr0) p
+        LEFT JOIN (
+            SELECT query_id,
+                   MAX(CASE WHEN neighbor_id = query_id - {_PROBE_OFF}
+                            THEN rank END) AS target_rank
+            FROM tk GROUP BY 1
+        ) r USING (query_id)
+        ORDER BY p.query_id
+    """
+
+
+def _lsh_planted_recall_oracle(n_probes: int, topk: int, dims: int) -> str:
+    """Oracle for ``similarity.lsh_planted_recall``: the bit-identical
+    probe construction followed by EXACT brute-force cosine ranking (the
+    ``topk_cosine`` oracle's expression — the seeded-hyperplane banding
+    itself is not SQL-expressible). A green row therefore pins a recall
+    floor of 1.0 on the planted near-duplicate class at the registered
+    LSH parameters: the banded path must retrieve every planted
+    duplicate at the exact path's rank. The corpus side is cast to
+    DOUBLE so both engines rank the identical double-precision cosine
+    (the probes are double by construction)."""
+    return f"""
+        WITH {_probe_cte(n_probes, dims)},
+        scored AS (
+            SELECT p.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(p.p,
+                       list_transform(e.embedding,
+                                      x -> CAST(x AS DOUBLE))) AS cosine
+            FROM embeddings e CROSS JOIN pr0 p
+        ),
+        tk AS (
+            SELECT query_id, neighbor_id, rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                  FROM scored)
             WHERE rank <= {topk}
         )
         SELECT p.query_id,

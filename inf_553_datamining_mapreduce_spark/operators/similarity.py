@@ -1021,6 +1021,48 @@ def pq_planted_recall(
     return _planted_recall_report(probes, topk)
 
 
+def lsh_planted_recall(
+    embeddings: DataFrame,
+    n_probes: int = 10,
+    k: int = 5,
+    num_planes: int = 8,
+    num_tables: int = 4,
+) -> DataFrame:
+    """:func:`pq_planted_recall` for the FLOAT hyperplane-LSH pipeline
+    (r12 verdict item 6): planted noisy-duplicate probes through
+    :func:`lsh_top_k` at the caller's (planes, tables), reported as the
+    per-probe recall contract ``(query_id, target_id, target_found,
+    target_rank)``.
+
+    Oracle story: the LSH bucketing itself (seeded numpy Gaussian
+    hyperplanes inside an Arrow kernel) is not expressible in SQL, so
+    the DuckDB twin runs EXACT brute-force cosine over the bit-identical
+    probes — greenness therefore asserts a recall FLOOR of 1.0 on the
+    planted near-duplicate class at the registered parameters: the
+    banded index must retrieve every planted duplicate at the exact
+    path's rank, or the row goes red. For a 0.95-mix probe the source
+    vector ranks first by a wide cosine margin (~0.998 vs ~0.85 for the
+    background corpus) and shares a bucket with its source in some
+    table with overwhelming margin, so the contract is the one a
+    deployment actually monitors — "the index does not lose
+    near-exact duplicates" — made deterministic (fixed planes, fixed
+    probes) and cross-engine-checkable.
+
+    Shape at scale: probe construction is corpus-free; the rest is the
+    ``lsh_top_k`` envelope (bucket equi-join, candidates-only rerank);
+    the report aggregation is probe-sized.
+    """
+    probes = planted_probe_queries(embeddings, n_probes)
+    topk = lsh_top_k(
+        embeddings,
+        probes,
+        k=k,
+        num_planes=num_planes,
+        num_tables=num_tables,
+    )
+    return _planted_recall_report(probes, topk)
+
+
 def _planted_recall_report(probes: DataFrame, topk: DataFrame) -> DataFrame:
     """Fold a probe top-k into the per-probe recall contract:
     ``(query_id, target_id, target_found, target_rank)`` with

@@ -4994,3 +4994,36 @@ def test_streaming_incremental_audio_fp_recovery_resumes_exactly_once(
     }
     assert got_all == golden
     assert landed.count() == len(golden)
+
+
+def test_lsh_planted_recall_contract(spark, sf_dir):
+    """r12 verdict item 6: the float-LSH recall row. Every probe gets
+    exactly one row, the id arithmetic holds, and at the REGISTERED
+    topk_cosine_lsh params (4 planes, 32 tables) every planted noisy
+    duplicate is retrieved at rank 1 — the brute-force oracle pins this
+    as a recall floor of 1.0 on the planted class, so this test failing
+    means the registered row goes red, not just a quality dip."""
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        PROBE_ID_OFFSET,
+        lsh_planted_recall,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    rows = lsh_planted_recall(
+        emb, n_probes=10, k=5, num_planes=4, num_tables=32
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["target_id"] == r["query_id"] - PROBE_ID_OFFSET
+    assert all(r["target_found"] for r in rows), rows
+    assert all(r["target_rank"] == 1 for r in rows), rows
+
+    # Lossier banding (1 table) may miss buckets — the report stays
+    # well-formed and NULL-free either way (rank 0 = not retrieved).
+    lossy = lsh_planted_recall(
+        emb, n_probes=10, k=5, num_planes=8, num_tables=1
+    ).collect()
+    assert len(lossy) == 10
+    assert all(r["target_rank"] is not None for r in lossy)
+    for r in lossy:
+        assert r["target_found"] == (r["target_rank"] >= 1)
