@@ -109,12 +109,17 @@ def main() -> None:
 
     # VANILLA session, no engine configs — the same surface the external
     # driver exercises (see .claude/skills/verify/SKILL.md): every query
-    # must carry its own runtime requirements.
-    spark = (
+    # must carry its own runtime requirements. $SPARK_GRAFT_DRIVER_MEM is
+    # harness SIZING (how big the vanilla driver's JVM is), not an engine
+    # config — the small-heap envelope mode pins it at 3g.
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("full-correctness")
-        .getOrCreate()
     )
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = em.queries()
@@ -128,10 +133,38 @@ def main() -> None:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # r12 verdict item 7: SPARK_GRAFT_NO_EXPLICIT_RELEASE=1 runs the
+    # whole registry with ZERO explicit release calls — the registry
+    # wrapper's pressure trigger (at its DEFAULT fraction) is the only
+    # defence, which is exactly the no-release vanilla-driver envelope
+    # the subprocess test proves on a 13-query subset. Pair with
+    # SPARK_GRAFT_DRIVER_MEM=3g for the committed small-heap artifact;
+    # pressure fires are counted via the wrapper's stderr lines and
+    # recorded in the artifact _meta.
+    no_explicit = os.environ.get("SPARK_GRAFT_NO_EXPLICIT_RELEASE") == "1"
+    if no_explicit:
+        import io
+
+        class _FireCounter(io.TextIOBase):
+            def __init__(self, inner):
+                self.inner = inner
+
+            def write(self, text):
+                nonlocal_counter["n"] += text.count(
+                    "pressure release fired at query entry"
+                )
+                return self.inner.write(text)
+
+            def flush(self):
+                self.inner.flush()
+
+        nonlocal_counter = {"n": 0}
+        sys.stderr = _FireCounter(sys.stderr)
+
     out: dict[str, dict] = {}
     t_start = time.perf_counter()
     for i, (name, fn) in enumerate(queries.items()):
-        if i:
+        if i and not no_explicit:
             # Per-query checkpoint-block release: each iterative query
             # pins ~10-30 localCheckpoint RDDs for the session's life,
             # and a 200+-query sweep on the VANILLA session's default
@@ -182,6 +215,11 @@ def main() -> None:
         "_meta": {
             "round": _round_tag(),
             "sf_dir": sf_dir,
+            "driver_memory": mem or "spark-default",
+            "explicit_release_per_query": not no_explicit,
+            "pressure_release_fires": (
+                nonlocal_counter["n"] if no_explicit else None
+            ),
             "n_queries": len(out),
             "n_green": n_green,
             "n_golden_only": sum(
@@ -192,7 +230,8 @@ def main() -> None:
     }
     artifact.update(out)
     tag = _round_tag()
-    fname = f"CORRECTNESS_FULL_r{int(tag):02d}.json" if tag else "CORRECTNESS_FULL.json"
+    stem = "CORRECTNESS_SMALLHEAP" if no_explicit else "CORRECTNESS_FULL"
+    fname = f"{stem}_r{int(tag):02d}.json" if tag else f"{stem}.json"
     with open(os.path.join(REPO_DIR, fname), "w") as fh:
         json.dump(artifact, fh, indent=1, allow_nan=False)
         fh.write("\n")
