@@ -239,7 +239,50 @@ def _host_canary() -> dict:
     return {
         "canary_1t_sec": round(single, 3),
         "canary_mt_sec": round(mt, 3),
+        "canary_bw_sec": _bw_canary(),
     }
+
+
+# Shared read-only buffer for the bandwidth canary: 256 MiB of real
+# (non-zero-page) float64, far beyond any LLC, allocated once so
+# repeated brackets measure the memory system rather than the allocator.
+_BW_ARRAY = None
+
+
+def _bw_canary() -> float:
+    """Memory-bandwidth-bound canary leg (r12 verdict item 1's second
+    half). The md5 legs saturate CPU pipelines but stream only 4 MiB
+    blocks through L2 — they under-measure the DRAM-bandwidth contention
+    Spark's shuffle/scan stages actually feel, which is why SCALE.md's
+    same-day runs saw normalization OVER-correct (1.3x raw -> 1.6x
+    normalized). This leg has 32 threads each sum-reduce a SHARED
+    256 MiB float64 array 4x (numpy releases the GIL; 32 GiB of DRAM
+    reads total), so it moves with bandwidth contention specifically.
+
+    Recorded alongside the md5 brackets for adjudication; the committed
+    normalization stays md5-based (``CANARY_MT_REF`` continuity — every
+    prior round's artifact carries only md5 brackets). A cross-round
+    reader should treat a round whose md5 brackets are idle-flat but
+    whose bw brackets are elevated as bandwidth-contended: trust the
+    min-envelope, not single-leg normalized values. Idle-box reference
+    readings are pinned in SCALE.md when first measured."""
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+
+    global _BW_ARRAY
+    if _BW_ARRAY is None:
+        _BW_ARRAY = np.arange(32 * 1024 * 1024, dtype=np.float64)
+
+    def one_worker(reps: int) -> float:
+        acc = 0.0
+        for _ in range(reps):
+            acc += float(_BW_ARRAY.sum())
+        return acc
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=32) as ex:
+        list(ex.map(one_worker, [4] * 32))
+    return round(time.perf_counter() - t0, 3)
 
 
 def _run_sweep(spark, em, queries, sf_dir) -> dict:
@@ -348,6 +391,7 @@ def _run_sweep(spark, em, queries, sf_dir) -> dict:
         "normalized_total": round(total * CANARY_MT_REF / mean_mt, 2),
         "canary_1t_sec": [c["canary_1t_sec"] for c in canaries],
         "canary_mt_sec": [c["canary_mt_sec"] for c in canaries],
+        "canary_bw_sec": [c["canary_bw_sec"] for c in canaries],
         "shared_intermediates": shared,
         "shared_intermediates_normalized": shared_norm,
         "queries": timings,
@@ -468,6 +512,12 @@ def main() -> None:
         # BENCH_FULL.json's runs[]).
         "canary_1t_sec": best["canary_1t_sec"],
         "canary_mt_sec": best["canary_mt_sec"],
+        # Bandwidth-bound canary brackets (r12 verdict item 1, second
+        # half): md5 saturates CPU but streams through L2, so it misses
+        # DRAM contention; this leg (32 threads sum-reducing a shared
+        # 256 MiB array) moves with bandwidth pressure specifically.
+        # Adjudication signal only — normalization stays md5-based.
+        "canary_bw_sec": best["canary_bw_sec"],
         "shared_intermediates": shared,
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "queries_normalized": {
