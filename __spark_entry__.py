@@ -2439,6 +2439,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.document_clusters_fixedpoint(d, dims=64, k=8, iters=3)
 
     q["document_clusters_fixedpoint"] = _document_clusters_fixedpoint
+
+    def _hybrid_retrieval_rrf(spark, sf):
+        # RAG-stack hybrid search: the BM25 lexical leg and the
+        # quantized-cosine semantic leg fused with reciprocal-rank
+        # fusion, every score an exact integer (Q12 BM25, BIGINT dots,
+        # truncating-DIV RRF) so the full fused ranking sits under the
+        # oracle gate. Query = document 0 (its embedding + fixed terms),
+        # excluded from both candidate corpora.
+        d, emb = _t(spark, sf, "documents", "embeddings")
+        return SIM.hybrid_retrieval_rrf(
+            d, emb, ("dup", "vector", "spark"), probe_id=0, top_k=20,
+            k0=60,
+        )
+
+    q["hybrid_retrieval_rrf"] = _hybrid_retrieval_rrf
+
+    def _sequence_packing_plan(spark, sf):
+        # Padding-free context-window packing: the concatenated
+        # (md5-shuffled) token stream cut every 256 tokens, reported as
+        # per-window doc/token/straddle stats. The distributed prefix
+        # sum is olap._global_prefix_sum (TeraSort shape); window_tokens
+        # == budget for all but the last window is the invariant.
+        (d,) = _t(spark, sf, "documents")
+        return T.sequence_packing_plan(d, budget=256)
+
+    q["sequence_packing_plan"] = _sequence_packing_plan
     return _driver_order(q)
 
 
@@ -2490,13 +2516,16 @@ _DRIVER_PRIORITY = [
     "communities_girvan_newman",
     "edge_betweenness_customers",
     "connected_components_customers",
-    # new this round (2) — prove this window (the golden_only float row
-    # gets its rows-only check; the LSH recall row its oracle row):
+    # new this round (4) — prove this window (the golden_only float row
+    # gets its rows-only check; the other three their oracle rows):
     "ann_probe_recall_lsh",
     "edge_betweenness_distributed_customers",
+    "hybrid_retrieval_rrf",
+    "sequence_packing_plan",
     # stalest committed greens, data-driven (max round each name
     # appeared green in any committed CORRECTNESS_r*.json window,
-    # alphabetical within a round): 6 + 2 + 42 = the 50 slots.
+    # alphabetical within a round): 6 + 4 + 40 = the 50 slots (the two
+    # freshest-proven r12 rows rotated back out to make room).
     "hyperball_neighborhood_customers",
     "incremental_audio_fp",
     "incremental_bm25_scoring",
@@ -2537,8 +2566,6 @@ _DRIVER_PRIORITY = [
     "daily_priority_share",
     "daily_revenue_drawdown",
     "degree_distribution_customers",
-    "edge_betweenness_fixedpoint_customers",
-    "embedding_quantized_int8",
 ]
 
 
@@ -3573,6 +3600,10 @@ def oracle_sql() -> dict[str, str]:
     d["lm_quality_scores"] = _lm_quality_oracle(train_pct=90)
     d["incremental_lm_scoring"] = _lm_incremental_oracle()
     d["bm25_top_docs"] = _bm25_oracle(("dup", "vector", "spark"), top_k=20)
+    d["hybrid_retrieval_rrf"] = _hybrid_rrf_oracle(
+        ("dup", "vector", "spark"), probe_id=0, top_k=20, k0=60
+    )
+    d["sequence_packing_plan"] = _sequence_packing_oracle(budget=256)
     d["incremental_bm25_scoring"] = _bm25_incremental_oracle(
         ("dup", "vector", "spark")
     )
@@ -7887,6 +7918,113 @@ def _bm25_incremental_oracle(terms: tuple[str, ...]) -> str:
         even AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
         {_bm25_ctes(terms, "odd", "even")}
         SELECT doc_id, terms_hit, score_q12 FROM scored ORDER BY doc_id
+    """
+
+
+def _hybrid_rrf_oracle(
+    terms: tuple[str, ...], probe_id: int, top_k: int, k0: int
+) -> str:
+    """Oracle for ``similarity.hybrid_retrieval_rrf``: the shared BM25
+    CTE chain over the probe-excluded corpus, exact BIGINT dots of the
+    frozen ``floor(x * 10000)`` quantization against the probe vector,
+    and the same truncating-DIV RRF fold (``//`` on positive BIGINTs ==
+    Spark ``DIV``)."""
+    return f"""
+        WITH docs_q AS (
+            SELECT * FROM documents WHERE doc_id != {probe_id}
+        ),
+        {_bm25_ctes(terms, "docs_q", "docs_q")},
+        lex AS (
+            SELECT doc_id, lex_rank FROM (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY score_q12 DESC, doc_id) AS INTEGER)
+                           AS lex_rank
+                FROM scored)
+            WHERE lex_rank <= {top_k}
+        ),
+        qe AS (
+            SELECT vec_id, u.j AS dim,
+                   CAST(FLOOR(CAST(embedding[u.j] AS DOUBLE) * 10000.0)
+                        AS BIGINT) AS qv
+            FROM embeddings,
+                 UNNEST(range(1, len(embedding) + 1)) AS u(j)
+        ),
+        pe AS (SELECT dim, qv AS pv FROM qe WHERE vec_id = {probe_id}),
+        dots AS (
+            SELECT vec_id, CAST(SUM(qv * pv) AS BIGINT) AS dot
+            FROM qe JOIN pe USING (dim)
+            WHERE vec_id != {probe_id} GROUP BY 1
+        ),
+        sem AS (
+            SELECT doc_id, sem_rank FROM (
+                SELECT vec_id AS doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY dot DESC, vec_id) AS INTEGER)
+                           AS sem_rank
+                FROM dots)
+            WHERE sem_rank <= {top_k}
+        ),
+        fused AS (
+            SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                   CAST(COALESCE(l.lex_rank, 0) AS INTEGER) AS lex_rank,
+                   CAST(COALESCE(s.sem_rank, 0) AS INTEGER) AS sem_rank,
+                   CAST(CASE WHEN l.lex_rank IS NOT NULL
+                             THEN 1000000000 // ({k0} + l.lex_rank)
+                             ELSE 0 END
+                      + CASE WHEN s.sem_rank IS NOT NULL
+                             THEN 1000000000 // ({k0} + s.sem_rank)
+                             ELSE 0 END AS BIGINT) AS rrf_q9
+            FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        )
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY rrf_q9 DESC, doc_id) AS INTEGER) AS rank,
+               doc_id, lex_rank, sem_rank, rrf_q9
+        FROM fused ORDER BY rank
+    """
+
+
+def _sequence_packing_oracle(budget: int) -> str:
+    """Oracle for ``text.sequence_packing_plan``: the identical
+    md5-shuffled order and window arithmetic with a plain single-node
+    window cumsum standing in for the distributed prefix sum — integer
+    sums are order-exact, so the two shapes agree bit for bit."""
+    return f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens,
+                   md5('pack:' || CAST(doc_id AS VARCHAR)) AS skey
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       ORDER BY skey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tokens
+            FROM keyed
+        ),
+        spans AS (
+            SELECT doc_id, n_tokens,
+                   cum_tokens - n_tokens AS start, cum_tokens
+            FROM cum WHERE n_tokens > 0
+        ),
+        pw AS (
+            SELECT u.w AS window_id,
+                   LEAST(cum_tokens, (u.w + 1) * {budget})
+                       - GREATEST(start, u.w * {budget}) AS tokens_here,
+                   CASE WHEN cum_tokens > (u.w + 1) * {budget}
+                        THEN 1 ELSE 0 END AS continues
+            FROM spans,
+                 UNNEST(range(start // {budget},
+                              (cum_tokens - 1) // {budget} + 1)) AS u(w)
+        )
+        SELECT window_id,
+               CAST(COUNT(*) AS INTEGER) AS n_docs,
+               CAST(SUM(continues) AS INTEGER) AS n_continuing,
+               CAST(SUM(tokens_here) AS BIGINT) AS window_tokens
+        FROM pw GROUP BY 1 ORDER BY 1
     """
 
 

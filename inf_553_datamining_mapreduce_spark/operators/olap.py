@@ -90,6 +90,49 @@ def _global_ranks(
     )
 
 
+def _global_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_name: str = "_psum",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Exact inclusive prefix sum of ``value_col`` over a total order
+    WITHOUT a single-partition window — ``_global_ranks``' weighted twin:
+    range-repartition on the sort key, running sum within each range,
+    then add each range's value-total offset via a broadcast join. Same
+    ``localCheckpoint`` pin (the offset branch and the local-sum branch
+    must see the SAME sampled range boundaries), same tiny single-task
+    surface (the cumulative offset over ``num_parts`` rows). Values must
+    be integral for engine-exact results — callers sum token counts,
+    not floats."""
+    spark = df.sparkSession
+    n_parts = num_parts or spark.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = parts.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_name,
+            (F.sum(value_col).over(w_local) + F.col("_off")).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )
+
+
 def _ntile_from_rank(rank: F.Column, n_total: F.Column, n: int) -> F.Column:
     """NTILE(n) bucket as a pure expression over an exact 1-based global
     rank: the first (N mod n) buckets take ceil(N/n) rows, the rest take

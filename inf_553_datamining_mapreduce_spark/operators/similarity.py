@@ -1853,3 +1853,103 @@ def quality_classifier_eval(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("y_label", "y_pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — the RAG-stack fusion step the lexical (BM25) and
+# semantic (embedding top-k) families each stop short of.
+
+RRF_SCALE = 1_000_000_000  # frozen fixed-point literal shared with the oracle
+
+
+def hybrid_retrieval_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms=("dup", "vector", "spark"),
+    probe_id: int = 0,
+    top_k: int = 20,
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of a
+    lexical and a semantic retrieval leg — the standard hybrid-search
+    shape of a RAG pipeline, with every score an exact integer so the
+    DuckDB oracle reproduces the fused ranking bit for bit.
+
+    The query is document ``probe_id``: its embedding drives the
+    semantic leg and the fixed ``query_terms`` drive the lexical leg;
+    the probe document itself is excluded from BOTH corpora (it is the
+    query, not a candidate), so the lexical corpus statistics (N, avgdl,
+    df) are computed over the remaining documents and mirrored
+    identically by the oracle.
+
+    * Lexical leg: ``text.bm25_search`` over the probe-excluded corpus —
+      exact Q12 fixed-point Okapi scores, rank ties broken by doc_id.
+    * Semantic leg: exact BIGINT dot products of the frozen
+      ``floor(x * 10000)`` quantization (the Lloyd-family convention)
+      against the probe vector, top-``top_k`` by (dot desc, vec_id).
+    * Fusion: ``rrf_q9 = Σ_legs RRF_SCALE DIV (k0 + rank_leg)`` over the
+      legs that retrieved the document (the standard RRF treatment of
+      missing ranks), with ``RRF_SCALE DIV x`` the positive-operand
+      truncating division Spark ``DIV`` and DuckDB ``//`` share. A
+      document in both top-k lists always outranks same-rank singles —
+      the property that makes RRF robust to either leg's score scale.
+
+    Shape at 100 TB: each leg is its own proven-scalable pipeline (one
+    corpus explode + query-sized aggregates; quantized dot against ONE
+    broadcast probe row). The fusion itself joins two ≤ top_k row lists
+    — driver-sized by construction — and every window in this function
+    runs over ≤ 2·top_k rows. Missing-leg ranks surface as 0 (not NULL)
+    so downstream consumers and the value-hash compare see a total,
+    NULL-free table.
+    """
+    from inf_553_datamining_mapreduce_spark.operators.text import bm25_search
+
+    corpus = documents.filter(F.col("doc_id") != probe_id)
+    lex = bm25_search(corpus, query_terms, top_k=top_k).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+
+    q = _kmeans_quantized(embeddings)
+    probe = q.filter(F.col("vec_id") == probe_id).select(
+        F.col("q").alias("pq")
+    )
+    dots = (
+        q.filter(F.col("vec_id") != probe_id)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("q", "pq", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    sem_top = dots.orderBy(F.desc("dot"), "vec_id").limit(top_k)
+    w_sem = Window.orderBy(F.desc("dot"), "vec_id")
+    sem = sem_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_sem).alias("sem_rank"),
+    )
+
+    rrf = F.when(
+        F.col("lex_rank").isNotNull(),
+        F.expr(f"{RRF_SCALE}L DIV ({k0} + lex_rank)"),
+    ).otherwise(F.lit(0).cast("long")) + F.when(
+        F.col("sem_rank").isNotNull(),
+        F.expr(f"{RRF_SCALE}L DIV ({k0} + sem_rank)"),
+    ).otherwise(F.lit(0).cast("long"))
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).alias("sem_rank"),
+        rrf.alias("rrf_q9"),
+    )
+    w_out = Window.orderBy(F.desc("rrf_q9"), "doc_id")
+    return fused.select(
+        F.row_number().over(w_out).alias("rank"),
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        "rrf_q9",
+    ).orderBy("rank")

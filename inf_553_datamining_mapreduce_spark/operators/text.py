@@ -2130,3 +2130,77 @@ def incremental_bm25_scoring(
         )
         .orderBy("doc_id")
     )
+
+
+def sequence_packing_plan(
+    documents: DataFrame, budget: int = 256
+) -> DataFrame:
+    """Pre-training sequence packing as a plan: concatenate the
+    (deterministically shuffled) token stream and cut it every
+    ``budget`` tokens — the padding-free context-window packing step of
+    an LLM data pipeline — then report, per context window, how many
+    documents it touches, how many tokens each contributes, and whether
+    a document straddles into the next window. ``(window_id, n_docs,
+    n_continuing, window_tokens)``; ``window_tokens = budget`` for every
+    window but the last is the built-in correctness invariant.
+
+    Document order is the ``training_batches`` epoch-shuffle convention
+    (md5 of doc_id under a fixed salt, doc_id tie-break), so reshuffling
+    an epoch is a salt change. Token offsets come from
+    ``olap._global_prefix_sum`` — the TeraSort-shape distributed prefix
+    sum (range partitions + per-range running sums + broadcast offsets),
+    NEVER a single-partition window — and each document then explodes
+    into only the windows it overlaps (output rows ≈ n_docs +
+    total_tokens/budget). Everything downstream of the one prefix-sum
+    shuffle is arithmetic on BIGINTs, so the DuckDB twin (a plain window
+    cumsum — single-node semantics are identical) matches bit for bit.
+    """
+    from inf_553_datamining_mapreduce_spark.operators.olap import (
+        _global_prefix_sum,
+    )
+
+    keyed = documents.select(
+        "doc_id",
+        F.size(tokens_col("text")).alias("n_tokens"),
+        F.md5(
+            F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    )
+    cum = _global_prefix_sum(
+        keyed, ["skey", "doc_id"], "n_tokens", out_name="cum_tokens"
+    )
+    # Token span of the doc in the concatenated stream: [start, cum).
+    spans = cum.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("cum_tokens") - F.col("n_tokens")).alias("start"),
+        "cum_tokens",
+    ).filter(F.col("n_tokens") > 0)
+    # Integer DIV, not double /: token offsets at 100 TB exceed 2^53.
+    w_first = F.expr(f"start DIV {budget}")
+    w_last = F.expr(f"(cum_tokens - 1) DIV {budget}")
+    per_window = spans.select(
+        "doc_id",
+        "start",
+        "cum_tokens",
+        F.explode(F.sequence(w_first, w_last)).alias("window_id"),
+    ).select(
+        "window_id",
+        "doc_id",
+        (
+            F.least(F.col("cum_tokens"), (F.col("window_id") + 1) * budget)
+            - F.greatest(F.col("start"), F.col("window_id") * budget)
+        ).alias("tokens_here"),
+        (F.col("cum_tokens") > (F.col("window_id") + 1) * budget)
+        .cast("int")
+        .alias("continues"),
+    )
+    return (
+        per_window.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("continues").cast("int").alias("n_continuing"),
+            F.sum("tokens_here").cast("long").alias("window_tokens"),
+        )
+        .orderBy("window_id")
+    )

@@ -5027,3 +5027,75 @@ def test_lsh_planted_recall_contract(spark, sf_dir):
     assert all(r["target_rank"] is not None for r in lossy)
     for r in lossy:
         assert r["target_found"] == (r["target_rank"] >= 1)
+
+
+def test_hybrid_retrieval_rrf_contract(spark, sf_dir):
+    """RRF fusion invariants: total NULL-free ranking, rank arithmetic
+    reproducible from the leg ranks, both-leg docs outrank equal-rank
+    singles, and the probe document never appears as a candidate."""
+    from inf_553_datamining_mapreduce_spark.operators.similarity import (
+        RRF_SCALE,
+        hybrid_retrieval_rrf,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    rows = hybrid_retrieval_rrf(
+        d, emb, ("dup", "vector", "spark"), probe_id=0, top_k=10, k0=60
+    ).collect()
+
+    assert rows, "fusion returned no candidates"
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r["doc_id"] != 0 for r in rows), "probe leaked as candidate"
+    for r in rows:
+        expect = 0
+        if r["lex_rank"] > 0:
+            expect += RRF_SCALE // (60 + r["lex_rank"])
+        if r["sem_rank"] > 0:
+            expect += RRF_SCALE // (60 + r["sem_rank"])
+        assert r["rrf_q9"] == expect
+        assert not (r["lex_rank"] == 0 and r["sem_rank"] == 0)
+    # Fused order is rrf desc with doc_id tie-break.
+    scored = [(-r["rrf_q9"], r["doc_id"]) for r in rows]
+    assert scored == sorted(scored)
+    # A doc present in both legs beats any single-leg doc whose one rank
+    # equals either of its ranks (1/(k+r) + positive > 1/(k+r)).
+    both = [r for r in rows if r["lex_rank"] > 0 and r["sem_rank"] > 0]
+    singles = [r for r in rows if (r["lex_rank"] > 0) != (r["sem_rank"] > 0)]
+    for b in both:
+        for s in singles:
+            srank = s["lex_rank"] or s["sem_rank"]
+            if srank in (b["lex_rank"], b["sem_rank"]):
+                assert b["rrf_q9"] > s["rrf_q9"]
+
+
+def test_sequence_packing_plan_invariants(spark, sf_dir):
+    """Window packing invariants: every window but the last holds
+    exactly ``budget`` tokens, totals reconcile with the corpus token
+    count, and straddle counts match the window-over-window overlap."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        sequence_packing_plan,
+        tokens_col,
+    )
+
+    budget = 64
+    d = read_parquet_table(spark, sf_dir, "documents")
+    plan = sequence_packing_plan(d, budget=budget).collect()
+    total_tokens = d.select(
+        F.sum(F.size(tokens_col("text"))).alias("s")
+    ).collect()[0]["s"]
+
+    assert [r["window_id"] for r in plan] == list(range(len(plan)))
+    assert sum(r["window_tokens"] for r in plan) == total_tokens
+    for r in plan[:-1]:
+        assert r["window_tokens"] == budget
+    assert 0 < plan[-1]["window_tokens"] <= budget
+    for r in plan:
+        assert 1 <= r["n_docs"]
+        assert 0 <= r["n_continuing"] <= 1  # one straddler per boundary
+    # A window's continuing doc is the next window's carried-in doc:
+    # whenever window w has a straddler, window w+1 must exist.
+    for r, nxt in zip(plan, plan[1:]):
+        if r["n_continuing"]:
+            assert nxt["n_docs"] >= 1
+    assert plan[-1]["n_continuing"] == 0
