@@ -467,12 +467,63 @@ def main() -> None:
             out[n] = min(vals) if vals else None
         return out
 
+    # Normalized values are only trustworthy when the correction factor
+    # is small: a reading taken under heavy load divides by a big canary
+    # bracket, and the md5 canary OVERSTATES how much Spark stages were
+    # slowed (it saturates CPU but misses that contention is partly
+    # bandwidth-shaped — SCALE.md's overcorrection note), so a loaded
+    # run's normalized seconds can come out spuriously LOW and win the
+    # minimum. Raw minima need no such guard (contention only ever adds
+    # time), but the normalized envelope takes each query's minimum over
+    # TRUSTED readings only — those whose surrounding mt brackets are
+    # idle-flat (mean <= BRACKET_TRUST x the idle reference). A query
+    # with no trusted reading falls back to its least-corrected one
+    # (smallest bracket mean), never the most-corrected minimum.
+    BRACKET_TRUST = 1.15
+
+    def _bracket_mean_mt(rr: dict, name: str) -> float:
+        b = rr.get("query_canary_bracket", {}).get(name, 0)
+        mts = [rr["canary_mt_sec"][b]]
+        if b + 1 < len(rr["canary_mt_sec"]):
+            mts.append(rr["canary_mt_sec"][b + 1])
+        return sum(mts) / len(mts)
+
+    def _env_min_trusted(key: str, names, bracket_of) -> dict:
+        out = {}
+        for n in names:
+            readings = [
+                (rr[key].get(n), bracket_of(rr, n))
+                for rr in run_records
+                if rr[key].get(n) is not None
+            ]
+            if not readings:
+                out[n] = None
+                continue
+            trusted = [
+                v
+                for v, mt in readings
+                if mt <= BRACKET_TRUST * CANARY_MT_REF
+            ]
+            out[n] = (
+                min(trusted)
+                if trusted
+                else min(readings, key=lambda r: r[1])[0]
+            )
+        return out
+
     qnames = sorted(queries.keys())
     timings = _env_min("queries", qnames)
-    timings_norm = _env_min("queries_normalized", qnames)
+    timings_norm = _env_min_trusted(
+        "queries_normalized", qnames, _bracket_mean_mt
+    )
     shared_names = list(run_records[0]["shared_intermediates"])
     shared = _env_min("shared_intermediates", shared_names)
-    shared_norm = _env_min("shared_intermediates_normalized", shared_names)
+    # Shared builds run right after the pre canary — trust = bracket 0.
+    shared_norm = _env_min_trusted(
+        "shared_intermediates_normalized",
+        shared_names,
+        lambda rr, n: rr["canary_mt_sec"][0],
+    )
     # failed = failed in EVERY run (a query that succeeded in any run has
     # an envelope value); per-run failures stay visible in runs[].
     failed = [n for n in qnames if timings[n] is None]
@@ -536,9 +587,14 @@ def main() -> None:
     # normalized seconds, canary brackets, per-query bracket stamps), so
     # the committed minima are recomputable from the artifact alone.
     full["aggregation"] = (
-        "queries/queries_normalized/shared_intermediates are per-item "
-        "MINIMA across runs[]; value/normalized_total are the best "
-        "single run's totals; envelope_total_normalized sums the minima"
+        "queries/shared_intermediates are per-item MINIMA across runs[]; "
+        "queries_normalized minima consider only readings whose "
+        "surrounding md5-mt brackets are idle-flat (mean <= 1.15x the "
+        "0.82 reference — loaded-bracket normalization overcorrects and "
+        "would win minima spuriously), falling back to the "
+        "least-corrected reading when no run was quiet there; "
+        "value/normalized_total are the best single run's totals; "
+        "envelope_total_normalized sums the trusted minima"
     )
     full["runs"] = run_records
     # Self-identifying artifact: BENCH_FULL.json is committed next to the
