@@ -636,7 +636,15 @@ def main() -> None:
         round_tag = str(max(ns) + 1) if ns else None
     if round_tag:
         full["round"] = round_tag
-    with open(os.path.join(REPO_DIR, "BENCH_FULL.json"), "w") as fh:
+    # $SPARK_GRAFT_BENCH_FULL_PATH redirects the full artifact — smoke
+    # runs with a patched-down registry MUST set it (the default path is
+    # the COMMITTED artifact, and a 3-query smoke would clobber the
+    # committed 227-query record otherwise; that happened once).
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL_PATH",
+        os.path.join(REPO_DIR, "BENCH_FULL.json"),
+    )
+    with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, allow_nan=False)
         fh.write("\n")
 
