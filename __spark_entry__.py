@@ -2465,6 +2465,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return T.sequence_packing_plan(d, budget=256)
 
     q["sequence_packing_plan"] = _sequence_packing_plan
+
+    def _dsir_importance_weights(spark, sf):
+        # DSIR data selection (Xie et al. 2023): hashed-bigram
+        # importance weights of every document against the src0
+        # in-domain slice, in exact integer log2 arithmetic — the
+        # data-selection method that runs at pre-training scale
+        # (dims-bounded aggregates over one corpus explode).
+        (d,) = _t(spark, sf, "documents")
+        return T.dsir_importance_weights(d, target_source="src0", dims=1024)
+
+    q["dsir_importance_weights"] = _dsir_importance_weights
     return _driver_order(q)
 
 
@@ -2516,15 +2527,16 @@ _DRIVER_PRIORITY = [
     "communities_girvan_newman",
     "edge_betweenness_customers",
     "connected_components_customers",
-    # new this round (4) — prove this window (the golden_only float row
-    # gets its rows-only check; the other three their oracle rows):
+    # new this round (5) — prove this window (the golden_only float row
+    # gets its rows-only check; the other four their oracle rows):
     "ann_probe_recall_lsh",
     "edge_betweenness_distributed_customers",
     "hybrid_retrieval_rrf",
     "sequence_packing_plan",
+    "dsir_importance_weights",
     # stalest committed greens, data-driven (max round each name
     # appeared green in any committed CORRECTNESS_r*.json window,
-    # alphabetical within a round): 6 + 4 + 40 = the 50 slots (the two
+    # alphabetical within a round): 6 + 5 + 39 = the 50 slots (the three
     # freshest-proven r12 rows rotated back out to make room).
     "hyperball_neighborhood_customers",
     "incremental_audio_fp",
@@ -2565,7 +2577,6 @@ _DRIVER_PRIORITY = [
     "customer_running_spend",
     "daily_priority_share",
     "daily_revenue_drawdown",
-    "degree_distribution_customers",
 ]
 
 
@@ -3600,6 +3611,7 @@ def oracle_sql() -> dict[str, str]:
     d["lm_quality_scores"] = _lm_quality_oracle(train_pct=90)
     d["incremental_lm_scoring"] = _lm_incremental_oracle()
     d["bm25_top_docs"] = _bm25_oracle(("dup", "vector", "spark"), top_k=20)
+    d["dsir_importance_weights"] = _dsir_oracle("src0", dims=1024)
     d["hybrid_retrieval_rrf"] = _hybrid_rrf_oracle(
         ("dup", "vector", "spark"), probe_id=0, top_k=20, k0=60
     )
@@ -8025,6 +8037,81 @@ def _sequence_packing_oracle(budget: int) -> str:
                CAST(SUM(continues) AS INTEGER) AS n_continuing,
                CAST(SUM(tokens_here) AS BIGINT) AS window_tokens
         FROM pw GROUP BY 1 ORDER BY 1
+    """
+
+
+def _dsir_oracle(target_source: str, dims: int) -> str:
+    """Oracle for ``text.dsir_importance_weights``: the LM oracle's
+    bigram CTE (BOS context, 1-indexed UNNEST), the same md5-60bit
+    feature hash mod ``dims``, Laplace-smoothed counts, and the
+    chained-CTE integer log2 — every per-document weight matches the
+    Spark BIGINT bit for bit."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        big AS (
+            SELECT doc_id,
+                   CASE WHEN u.i = 1 THEN '<s>' ELSE t[u.i - 1] END AS w1,
+                   t[u.i] AS w2
+            FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+            WHERE len(t) >= 1
+        ),
+        feats AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(w1 || ' ' || w2), 1, 15))
+                             AS BIGINT) % {dims} AS INTEGER) AS f
+            FROM big
+        ),
+        tgt_ids AS (
+            SELECT doc_id FROM documents WHERE source = '{target_source}'
+        ),
+        raw_cnt AS (
+            SELECT f, CAST(COUNT(*) AS BIGINT) AS rc FROM feats GROUP BY 1
+        ),
+        tgt_cnt AS (
+            SELECT f, CAST(COUNT(*) AS BIGINT) AS tc
+            FROM feats JOIN tgt_ids USING (doc_id) GROUP BY 1
+        ),
+        cbase AS (
+            SELECT raw_cnt.f, COALESCE(tc, 0) AS tc, rc
+            FROM raw_cnt LEFT JOIN tgt_cnt ON raw_cnt.f = tgt_cnt.f
+        ),
+        {_duck_ilog2_chain(
+            "cbase", "cfold", {"tb": "tc + 1", "rb": "rc + 1"}, keep="f"
+        )},
+        contrib AS MATERIALIZED (
+            SELECT f, tb_r - rb_r AS contrib_q6 FROM cfold
+        ),
+        nbase AS (
+            SELECT (SELECT COUNT(*) FROM feats) AS n_raw,
+                   (SELECT COUNT(*)
+                    FROM feats JOIN tgt_ids USING (doc_id)) AS n_tgt
+        ),
+        {_duck_ilog2_chain(
+            "nbase", "nfold",
+            {"nr": f"n_raw + {dims}", "nt": f"n_tgt + {dims}"},
+            keep="n_raw",
+        )},
+        norms AS (SELECT nr_r - nt_r AS const_q6 FROM nfold),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_feats,
+                   CAST(SUM(contrib_q6) AS BIGINT) AS sum_contrib_q6
+            FROM feats JOIN contrib USING (f)
+            GROUP BY 1
+        )
+        SELECT d.doc_id, d.source,
+               CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+               CAST(COALESCE(sum_contrib_q6 + n_feats * const_q6, 0)
+                    AS BIGINT) AS weight_q6,
+               CAST(CASE WHEN COALESCE(
+                        sum_contrib_q6 + n_feats * const_q6, 0) > 0
+                    THEN 1 ELSE 0 END AS INTEGER) AS selected
+        FROM documents d
+        LEFT JOIN per_doc USING (doc_id)
+        CROSS JOIN norms
+        ORDER BY d.doc_id
     """
 
 

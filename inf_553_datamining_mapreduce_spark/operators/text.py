@@ -2204,3 +2204,99 @@ def sequence_packing_plan(
         )
         .orderBy("window_id")
     )
+
+
+def dsir_importance_weights(
+    documents: DataFrame, target_source: str = "src0", dims: int = 1024
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") in exact integer
+    arithmetic: estimate each document's importance weight
+    ``log p_target(x) - log p_raw(x)`` under hashed-bigram bag models —
+    target = the ``target_source`` slice (the in-domain seed), raw = the
+    whole corpus — and flag documents whose weight is positive (more
+    target-like than the raw pool). Laplace-smoothed probabilities and
+    the fixed-point integer log2 (``_ilog2_q_sql``, the LM/BM25 fold)
+    keep every per-document weight an exact BIGINT:
+
+        weight_q6(d) = Σ_occ [ilog2(tgt_cnt_f + 1) - ilog2(raw_cnt_f + 1)]
+                       + n_occ(d) · [ilog2(N_raw + dims) - ilog2(N_tgt + dims)]
+
+    Shape at 100 TB: one corpus-sized bigram explode feeds a
+    ``dims``-bounded feature-count aggregate (map-side partials); the
+    per-feature contribution table (``dims`` rows) and the two scalar
+    normalizers broadcast back onto the exploded stream; the per-doc
+    rollup is one keyed aggregate. No all-pairs term anywhere — this is
+    the ``word_frequencies`` shuffle class, which is what makes DSIR
+    the data-selection method that actually runs at pre-training scale.
+    """
+    big = _lm_bigrams(documents)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(" ", "w1", "w2")), 1, 15), 16, 10
+    ).cast("long")
+    feats = big.select("doc_id", F.pmod(h, F.lit(dims)).cast("int").alias("f"))
+    tgt_feats = feats.join(
+        documents.filter(F.col("source") == target_source).select("doc_id"),
+        "doc_id",
+    )
+
+    raw_cnt = feats.groupBy("f").agg(F.count(F.lit(1)).alias("raw_cnt"))
+    tgt_cnt = tgt_feats.groupBy("f").agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    contrib = (
+        raw_cnt.join(tgt_cnt, "f", "left")
+        .select(
+            "f",
+            F.coalesce("tgt_cnt", F.lit(0)).alias("tc"),
+            F.col("raw_cnt").alias("rc"),
+        )
+        .select(
+            "f",
+            (
+                F.expr(_ilog2_q_sql("tc + 1"))
+                - F.expr(_ilog2_q_sql("rc + 1"))
+            ).alias("contrib_q6"),
+        )
+    )
+    norms = (
+        feats.agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+        .crossJoin(
+            tgt_feats.agg(F.count(F.lit(1)).cast("long").alias("n_tgt"))
+        )
+        .select(
+            (
+                F.expr(_ilog2_q_sql(f"n_raw + {dims}"))
+                - F.expr(_ilog2_q_sql(f"n_tgt + {dims}"))
+            ).alias("const_q6")
+        )
+    )
+    per_doc = (
+        feats.join(F.broadcast(contrib), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("contrib_q6").alias("sum_contrib_q6"),
+        )
+        .crossJoin(F.broadcast(norms))
+        .select(
+            "doc_id",
+            "n_feats",
+            (
+                F.col("sum_contrib_q6")
+                + F.col("n_feats") * F.col("const_q6")
+            ).alias("weight_q6"),
+        )
+    )
+    return (
+        documents.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("weight_q6", F.lit(0)).cast("long").alias("weight_q6"),
+            (F.coalesce("weight_q6", F.lit(0)) > 0)
+            .cast("int")
+            .alias("selected"),
+        )
+        .orderBy("doc_id")
+    )

@@ -5099,3 +5099,29 @@ def test_sequence_packing_plan_invariants(spark, sf_dir):
         if r["n_continuing"]:
             assert nxt["n_docs"] >= 1
     assert plan[-1]["n_continuing"] == 0
+
+
+def test_dsir_importance_weights_favor_target_slice(spark, sf_dir):
+    """DSIR semantic sanity: documents from the target source must score
+    higher on average than the rest of the pool (their own n-grams drive
+    the target model), weights reconcile with the per-doc feature count
+    bound, and the selected flag is exactly the weight sign."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        dsir_importance_weights,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    rows = dsir_importance_weights(d, target_source="src0", dims=1024).collect()
+    assert rows and len(rows) == d.count()
+
+    tgt = [r for r in rows if r["source"] == "src0"]
+    rest = [r for r in rows if r["source"] != "src0"]
+    assert tgt and rest
+    mean = lambda xs: sum(x["weight_q6"] for x in xs) / len(xs)
+    assert mean(tgt) > mean(rest)
+    for r in rows:
+        assert r["selected"] == (1 if r["weight_q6"] > 0 else 0)
+        # |per-occurrence contribution| is bounded by the log2 range of
+        # the count tables (counts <= corpus bigrams < 2^40 -> ilog2_q6
+        # < 40*64) plus the normalizer — a loose but real sanity bound.
+        assert abs(r["weight_q6"]) <= r["n_feats"] * 40 * 64 + 1
