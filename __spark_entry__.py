@@ -2476,6 +2476,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return T.dsir_importance_weights(d, target_source="src0", dims=1024)
 
     q["dsir_importance_weights"] = _dsir_importance_weights
+
+    def _incremental_dsir_scoring(spark, sf):
+        # Ingestion-time DSIR on the standard even/odd split: the
+        # importance model (dense contribution spine + normalizer)
+        # frozen on the indexed (even) corpus, incoming (odd) documents
+        # scored statelessly per batch.
+        (d,) = _t(spark, sf, "documents")
+        return T.incremental_dsir_scoring(
+            d.filter(F.col("doc_id") % 2 == 1),
+            d.filter(F.col("doc_id") % 2 == 0),
+            target_source="src0", dims=1024,
+        )
+
+    q["incremental_dsir_scoring"] = _incremental_dsir_scoring
     return _driver_order(q)
 
 
@@ -2527,16 +2541,17 @@ _DRIVER_PRIORITY = [
     "communities_girvan_newman",
     "edge_betweenness_customers",
     "connected_components_customers",
-    # new this round (5) — prove this window (the golden_only float row
-    # gets its rows-only check; the other four their oracle rows):
+    # new this round (6) — prove this window (the golden_only float row
+    # gets its rows-only check; the other five their oracle rows):
     "ann_probe_recall_lsh",
     "edge_betweenness_distributed_customers",
     "hybrid_retrieval_rrf",
     "sequence_packing_plan",
     "dsir_importance_weights",
+    "incremental_dsir_scoring",
     # stalest committed greens, data-driven (max round each name
     # appeared green in any committed CORRECTNESS_r*.json window,
-    # alphabetical within a round): 6 + 5 + 39 = the 50 slots (the three
+    # alphabetical within a round): 6 + 6 + 38 = the 50 slots (the four
     # freshest-proven r12 rows rotated back out to make room).
     "hyperball_neighborhood_customers",
     "incremental_audio_fp",
@@ -2576,7 +2591,6 @@ _DRIVER_PRIORITY = [
     "customer_rfm_segments",
     "customer_running_spend",
     "daily_priority_share",
-    "daily_revenue_drawdown",
 ]
 
 
@@ -3612,6 +3626,9 @@ def oracle_sql() -> dict[str, str]:
     d["incremental_lm_scoring"] = _lm_incremental_oracle()
     d["bm25_top_docs"] = _bm25_oracle(("dup", "vector", "spark"), top_k=20)
     d["dsir_importance_weights"] = _dsir_oracle("src0", dims=1024)
+    d["incremental_dsir_scoring"] = _dsir_incremental_oracle(
+        "src0", dims=1024
+    )
     d["hybrid_retrieval_rrf"] = _hybrid_rrf_oracle(
         ("dup", "vector", "spark"), probe_id=0, top_k=20, k0=60
     )
@@ -8112,6 +8129,105 @@ def _dsir_oracle(target_source: str, dims: int) -> str:
         LEFT JOIN per_doc USING (doc_id)
         CROSS JOIN norms
         ORDER BY d.doc_id
+    """
+
+
+def _dsir_incremental_oracle(target_source: str, dims: int) -> str:
+    """Oracle for ``text.incremental_dsir_scoring`` on the standard
+    even/odd split: the importance model (dense contribution spine +
+    normalizer) frozen on the even corpus, odd documents scored
+    statelessly. Unseen features land on the dense ``range(dims)``
+    spine with contribution 0 (the BM25 unseen-term convention)."""
+    return f"""
+        WITH indexed AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        newdocs AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        itoks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM indexed
+        ),
+        ibig AS (
+            SELECT doc_id,
+                   CASE WHEN u.i = 1 THEN '<s>' ELSE t[u.i - 1] END AS w1,
+                   t[u.i] AS w2
+            FROM itoks, UNNEST(range(1, len(t) + 1)) AS u(i)
+            WHERE len(t) >= 1
+        ),
+        ifeats AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(w1 || ' ' || w2), 1, 15))
+                             AS BIGINT) % {dims} AS INTEGER) AS f
+            FROM ibig
+        ),
+        tgt_ids AS (
+            SELECT doc_id FROM indexed WHERE source = '{target_source}'
+        ),
+        spine AS (
+            SELECT CAST(u.f AS INTEGER) AS f
+            FROM UNNEST(range({dims})) AS u(f)
+        ),
+        raw_cnt AS (
+            SELECT f, CAST(COUNT(*) AS BIGINT) AS rc FROM ifeats GROUP BY 1
+        ),
+        tgt_cnt AS (
+            SELECT f, CAST(COUNT(*) AS BIGINT) AS tc
+            FROM ifeats JOIN tgt_ids USING (doc_id) GROUP BY 1
+        ),
+        cbase AS (
+            SELECT spine.f, COALESCE(tc, 0) AS tc, COALESCE(rc, 0) AS rc
+            FROM spine
+            LEFT JOIN raw_cnt ON spine.f = raw_cnt.f
+            LEFT JOIN tgt_cnt ON spine.f = tgt_cnt.f
+        ),
+        {_duck_ilog2_chain(
+            "cbase", "cfold", {"tb": "tc + 1", "rb": "rc + 1"}, keep="f"
+        )},
+        contrib AS MATERIALIZED (
+            SELECT f, tb_r - rb_r AS contrib_q6 FROM cfold
+        ),
+        nbase AS (
+            SELECT (SELECT COUNT(*) FROM ifeats) AS n_raw,
+                   (SELECT COUNT(*)
+                    FROM ifeats JOIN tgt_ids USING (doc_id)) AS n_tgt
+        ),
+        {_duck_ilog2_chain(
+            "nbase", "nfold",
+            {"nr": f"n_raw + {dims}", "nt": f"n_tgt + {dims}"},
+            keep="n_raw",
+        )},
+        norms AS (SELECT nr_r - nt_r AS const_q6 FROM nfold),
+        ntoks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM newdocs
+        ),
+        nbig AS (
+            SELECT doc_id,
+                   CASE WHEN u.i = 1 THEN '<s>' ELSE t[u.i - 1] END AS w1,
+                   t[u.i] AS w2
+            FROM ntoks, UNNEST(range(1, len(t) + 1)) AS u(i)
+            WHERE len(t) >= 1
+        ),
+        nfeats AS (
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(w1 || ' ' || w2), 1, 15))
+                             AS BIGINT) % {dims} AS INTEGER) AS f
+            FROM nbig
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_feats,
+                   CAST(SUM(contrib_q6) AS BIGINT) AS sum_contrib_q6
+            FROM nfeats JOIN contrib USING (f)
+            GROUP BY 1
+        )
+        SELECT n.doc_id,
+               CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+               CAST(COALESCE(sum_contrib_q6 + n_feats * const_q6, 0)
+                    AS BIGINT) AS weight_q6,
+               CAST(CASE WHEN COALESCE(
+                        sum_contrib_q6 + n_feats * const_q6, 0) > 0
+                    THEN 1 ELSE 0 END AS INTEGER) AS selected
+        FROM newdocs n
+        LEFT JOIN per_doc USING (doc_id)
+        CROSS JOIN norms
+        ORDER BY n.doc_id
     """
 
 

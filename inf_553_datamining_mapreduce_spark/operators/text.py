@@ -2230,11 +2230,7 @@ def dsir_importance_weights(
     the ``word_frequencies`` shuffle class, which is what makes DSIR
     the data-selection method that actually runs at pre-training scale.
     """
-    big = _lm_bigrams(documents)
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(" ", "w1", "w2")), 1, 15), 16, 10
-    ).cast("long")
-    feats = big.select("doc_id", F.pmod(h, F.lit(dims)).cast("int").alias("f"))
+    feats = _dsir_feats(documents, dims)
     tgt_feats = feats.join(
         documents.filter(F.col("source") == target_source).select("doc_id"),
         "doc_id",
@@ -2292,6 +2288,128 @@ def dsir_importance_weights(
         .select(
             "doc_id",
             "source",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("weight_q6", F.lit(0)).cast("long").alias("weight_q6"),
+            (F.coalesce("weight_q6", F.lit(0)) > 0)
+            .cast("int")
+            .alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_feats(documents: DataFrame, dims: int) -> DataFrame:
+    """(doc_id, f): hashed-bigram feature stream of the DSIR family —
+    the LM bigram stream (BOS context) through the md5-60bit hash mod
+    ``dims``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(" ", "w1", "w2")), 1, 15), 16, 10
+    ).cast("long")
+    return _lm_bigrams(documents).select(
+        "doc_id", F.pmod(h, F.lit(dims)).cast("int").alias("f")
+    )
+
+
+def build_dsir_model(
+    indexed_docs: DataFrame, target_source: str = "src0", dims: int = 1024
+) -> tuple[DataFrame, DataFrame]:
+    """FROZEN DSIR importance model over the indexed corpus — the static
+    side of ingestion-time data selection (the ``build_lm_model`` /
+    ``build_bm25_index`` convention): the per-feature contribution table
+    and the 1-row normalizer, both localCheckpoint'd so micro-batch
+    scoring never re-scans the corpus.
+
+    The contribution table is DENSE over all ``dims`` buckets: a feature
+    the indexed corpus never produced contributes
+    ``ilog2(0+1) - ilog2(0+1) = 0`` — explicitly present instead of
+    silently inner-joined away at score time (the BM25 unseen-term
+    convention, ADVICE r8)."""
+    feats = _dsir_feats(indexed_docs, dims)
+    tgt_feats = feats.join(
+        indexed_docs.filter(F.col("source") == target_source).select(
+            "doc_id"
+        ),
+        "doc_id",
+    )
+    spine = (
+        indexed_docs.sparkSession.range(dims)
+        .select(F.col("id").cast("int").alias("f"))
+    )
+    raw_cnt = feats.groupBy("f").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_cnt = tgt_feats.groupBy("f").agg(F.count(F.lit(1)).alias("tc"))
+    contrib = (
+        spine.join(raw_cnt, "f", "left")
+        .join(tgt_cnt, "f", "left")
+        .select(
+            "f",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+        .select(
+            "f",
+            (
+                F.expr(_ilog2_q_sql("tc + 1"))
+                - F.expr(_ilog2_q_sql("rc + 1"))
+            ).alias("contrib_q6"),
+        )
+    )
+    norms = (
+        feats.agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+        .crossJoin(
+            tgt_feats.agg(F.count(F.lit(1)).cast("long").alias("n_tgt"))
+        )
+        .select(
+            (
+                F.expr(_ilog2_q_sql(f"n_raw + {dims}"))
+                - F.expr(_ilog2_q_sql(f"n_tgt + {dims}"))
+            ).alias("const_q6")
+        )
+    )
+    return contrib.localCheckpoint(), norms.localCheckpoint()
+
+
+def incremental_dsir_scoring(
+    new_docs: DataFrame,
+    indexed_docs: DataFrame | tuple[DataFrame, DataFrame],
+    target_source: str = "src0",
+    dims: int = 1024,
+) -> DataFrame:
+    """Ingestion-time DSIR: incoming documents scored against the FROZEN
+    importance model (contribution table + normalizer from the indexed
+    corpus; features from the incoming document itself) — the
+    stream-static shape of ``incremental_lm_scoring``. Stateless per
+    batch: a weight depends only on (document, frozen model), so any
+    batch partition of the incoming stream concatenates to the batch
+    result. Returns ``(doc_id, n_feats, weight_q6, selected)`` ordered
+    by doc_id."""
+    contrib, norms = (
+        indexed_docs
+        if isinstance(indexed_docs, tuple)
+        else build_dsir_model(indexed_docs, target_source, dims)
+    )
+    feats = _dsir_feats(new_docs, dims)
+    per_doc = (
+        feats.join(F.broadcast(contrib), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("contrib_q6").alias("sum_contrib_q6"),
+        )
+        .crossJoin(F.broadcast(norms))
+        .select(
+            "doc_id",
+            "n_feats",
+            (
+                F.col("sum_contrib_q6")
+                + F.col("n_feats") * F.col("const_q6")
+            ).alias("weight_q6"),
+        )
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
             F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
             F.coalesce("weight_q6", F.lit(0)).cast("long").alias("weight_q6"),
             (F.coalesce("weight_q6", F.lit(0)) > 0)

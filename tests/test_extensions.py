@@ -5125,3 +5125,32 @@ def test_dsir_importance_weights_favor_target_slice(spark, sf_dir):
         # the count tables (counts <= corpus bigrams < 2^40 -> ilog2_q6
         # < 40*64) plus the normalizer — a loose but real sanity bound.
         assert abs(r["weight_q6"]) <= r["n_feats"] * 40 * 64 + 1
+
+
+def test_incremental_dsir_stateless_and_frozen_model(spark, sf_dir):
+    """Frozen-model DSIR contract: scoring the incoming docs in two
+    micro-batches against the SAME frozen model concatenates to the
+    one-batch result (statelessness), and the frozen model itself is
+    reusable across probes without re-derivation."""
+    from inf_553_datamining_mapreduce_spark.operators.text import (
+        build_dsir_model,
+        incremental_dsir_scoring,
+    )
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    indexed = d.filter(F.col("doc_id") % 2 == 0)
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    model = build_dsir_model(indexed, target_source="src0", dims=1024)
+
+    whole = incremental_dsir_scoring(incoming, model).collect()
+    b1 = incremental_dsir_scoring(
+        incoming.filter(F.col("doc_id") % 4 == 1), model
+    ).collect()
+    b2 = incremental_dsir_scoring(
+        incoming.filter(F.col("doc_id") % 4 == 3), model
+    ).collect()
+    merged = sorted(b1 + b2, key=lambda r: r["doc_id"])
+    assert [tuple(r) for r in merged] == [tuple(r) for r in whole]
+    assert whole, "no incoming docs scored"
+    for r in whole:
+        assert r["selected"] == (1 if r["weight_q6"] > 0 else 0)
