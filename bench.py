@@ -480,19 +480,31 @@ def main() -> None:
     # with no trusted reading falls back to its least-corrected one
     # (smallest bracket mean), never the most-corrected minimum.
     BRACKET_TRUST = 1.15
+    # The bw leg guards the OTHER blind spot: a bandwidth-shaped load
+    # phase leaves md5-mt idle-flat while Spark stages run 1.3-2x slow
+    # (measured live — one sweep read mt 0.81-0.97 bracketing a 3.7 s bw
+    # spike). Those readings are under-corrected (too HIGH); they cannot
+    # win a minimum spuriously, but trusting them would let a loaded
+    # leg's reading masquerade as the quiet-host envelope when no quiet
+    # run covered that query. Idle pin 0.18 s (SCALE.md), trust bound 2x.
+    BW_IDLE_REF = 0.18
+    BW_TRUST = 2.0
 
-    def _bracket_mean_mt(rr: dict, name: str) -> float:
+    def _bracket_score(rr: dict, name: str) -> tuple[float, float]:
+        """(mt mean, bw mean) of the brackets surrounding the query."""
         b = rr.get("query_canary_bracket", {}).get(name, 0)
-        mts = [rr["canary_mt_sec"][b]]
-        if b + 1 < len(rr["canary_mt_sec"]):
-            mts.append(rr["canary_mt_sec"][b + 1])
-        return sum(mts) / len(mts)
+        idx = [b] + ([b + 1] if b + 1 < len(rr["canary_mt_sec"]) else [])
+        mt = sum(rr["canary_mt_sec"][i] for i in idx) / len(idx)
+        bws = rr.get("canary_bw_sec")
+        bw = sum(bws[i] for i in idx) / len(idx) if bws else 0.0
+        return mt, bw
+
 
     def _env_min_trusted(key: str, names, bracket_of) -> dict:
         out = {}
         for n in names:
             readings = [
-                (rr[key].get(n), bracket_of(rr, n))
+                (rr[key].get(n),) + bracket_of(rr, n)
                 for rr in run_records
                 if rr[key].get(n) is not None
             ]
@@ -501,20 +513,26 @@ def main() -> None:
                 continue
             trusted = [
                 v
-                for v, mt in readings
+                for v, mt, bw in readings
                 if mt <= BRACKET_TRUST * CANARY_MT_REF
+                and bw <= BW_TRUST * BW_IDLE_REF
             ]
             out[n] = (
                 min(trusted)
                 if trusted
-                else min(readings, key=lambda r: r[1])[0]
+                # Least-loaded fallback: smallest combined excess over
+                # the idle references across both canary legs.
+                else min(
+                    readings,
+                    key=lambda r: r[1] / CANARY_MT_REF + r[2] / BW_IDLE_REF,
+                )[0]
             )
         return out
 
     qnames = sorted(queries.keys())
     timings = _env_min("queries", qnames)
     timings_norm = _env_min_trusted(
-        "queries_normalized", qnames, _bracket_mean_mt
+        "queries_normalized", qnames, _bracket_score
     )
     shared_names = list(run_records[0]["shared_intermediates"])
     shared = _env_min("shared_intermediates", shared_names)
@@ -522,7 +540,10 @@ def main() -> None:
     shared_norm = _env_min_trusted(
         "shared_intermediates_normalized",
         shared_names,
-        lambda rr, n: rr["canary_mt_sec"][0],
+        lambda rr, n: (
+            rr["canary_mt_sec"][0],
+            rr["canary_bw_sec"][0] if rr.get("canary_bw_sec") else 0.0,
+        ),
     )
     # failed = failed in EVERY run (a query that succeeded in any run has
     # an envelope value); per-run failures stay visible in runs[].
@@ -589,12 +610,14 @@ def main() -> None:
     full["aggregation"] = (
         "queries/shared_intermediates are per-item MINIMA across runs[]; "
         "queries_normalized minima consider only readings whose "
-        "surrounding md5-mt brackets are idle-flat (mean <= 1.15x the "
-        "0.82 reference — loaded-bracket normalization overcorrects and "
-        "would win minima spuriously), falling back to the "
-        "least-corrected reading when no run was quiet there; "
-        "value/normalized_total are the best single run's totals; "
-        "envelope_total_normalized sums the trusted minima"
+        "surrounding brackets are idle-flat on BOTH canary legs "
+        "(md5-mt mean <= 1.15x the 0.82 reference — loaded-bracket "
+        "normalization overcorrects and would win minima spuriously; "
+        "bw mean <= 2x the 0.18 idle pin — bandwidth-shaped load leaves "
+        "mt flat while under-corrected readings masquerade as quiet), "
+        "falling back to the least-loaded reading when no run was quiet "
+        "there; value/normalized_total are the best single run's "
+        "totals; envelope_total_normalized sums the trusted minima"
     )
     full["runs"] = run_records
     # Self-identifying artifact: BENCH_FULL.json is committed next to the
