@@ -313,6 +313,35 @@ def _betweenness_fp_shared(spark, sf):
     return _memo(spark, (sf, "betweenness_fp"), build)
 
 
+def _walks8x2_shared(spark, sf):
+    # SEVEN registered queries consume the IDENTICAL DeepWalk corpus
+    # (walk_length=8, walks_per_vertex=2 over the shared co-occurrence
+    # graph): the corpus row itself, skipgram_pairs, four SGNS trainer
+    # rows, and the neighbors pipeline. Each was regenerating the
+    # corpus — walk_length frontier joins + checkpoints — inside its own
+    # timing (r13 optimization round; the r12-verdict-item-3 ANN-index
+    # pattern applied to the walk family). Results are identical with
+    # or without the memo; only repeated build cost is avoided.
+    def build():
+        return G.random_walk_corpus(
+            _customer_graph_edges(spark, sf),
+            walk_length=8,
+            walks_per_vertex=2,
+        )
+
+    return _memo(spark, (sf, "walks8x2"), build)
+
+
+def _sg_pairs8x2_shared(spark, sf):
+    # The skip-gram pair counts over the shared 8x2 corpus (window=2) —
+    # the direct input of the four SGNS trainer rows plus the neighbors
+    # pipeline and the pairs row itself (six consumers).
+    def build():
+        return G.skipgram_pairs(_walks8x2_shared(spark, sf), window=2)
+
+    return _memo(spark, (sf, "sg_pairs8x2"), build)
+
+
 def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Builders for the memoized intermediates shared across queries.
 
@@ -334,6 +363,11 @@ def shared_intermediates() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "pq_index": _pq_index_codes_shared,
         "pq_index_sampled": _pq_index_sampled_codes_shared,
         "ivfpq_index": _ivfpq_index_codes_shared,
+        # The DeepWalk corpus + skip-gram pairs shared by the walk/SGNS
+        # family (r13 optimization round — same pattern as the ANN
+        # indexes above).
+        "walks8x2": _walks8x2_shared,
+        "sg_pairs8x2": _sg_pairs8x2_shared,
     }
 
 
@@ -1866,11 +1900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _random_walk_corpus_customers(spark, sf):
         # DeepWalk corpus generation (Perozzi et al. 2014), hash-driven
         # neighbor choice so the walks are reproducible and oracled.
-        return G.random_walk_corpus(
-            _customer_graph_edges(spark, sf),
-            walk_length=8,
-            walks_per_vertex=2,
-        )
+        # Served from the shared walk-corpus memo (walks8x2) — identical
+        # rows, built once per (session, sf).
+        return _walks8x2_shared(spark, sf)
 
     q["random_walk_corpus_customers"] = _random_walk_corpus_customers
 
@@ -1931,12 +1963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _skipgram_pairs_customers(spark, sf):
         # The word2vec-over-walks step: banded self-join of the walk
         # corpus within a +/-2-step window, aggregated to pair counts.
-        walks = G.random_walk_corpus(
-            _customer_graph_edges(spark, sf),
-            walk_length=8,
-            walks_per_vertex=2,
-        )
-        return G.skipgram_pairs(walks, window=2)
+        # Served from the shared pairs memo (sg_pairs8x2) — identical
+        # rows, built once per (session, sf).
+        return _sg_pairs8x2_shared(spark, sf)
 
     q["skipgram_pairs_customers"] = _skipgram_pairs_customers
 
@@ -2005,13 +2034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-point skip-gram negative sampling (Mikolov et al. 2013)
         # over the DeepWalk pair counts — hash-seeded init, hard-sigmoid
         # gradients, md5-rank negative draws, shifted floor-div updates.
-        walks = G.random_walk_corpus(
-            _customer_graph_edges(spark, sf),
-            walk_length=8,
-            walks_per_vertex=2,
-        )
         return G.sgns_embeddings(
-            G.skipgram_pairs(walks, window=2),
+            _sg_pairs8x2_shared(spark, sf),
             dim=8,
             negatives=2,
             amp=64,
@@ -2026,13 +2050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # epoch's gradients computed from that epoch's starting
         # vectors, fixed negative draws) — proves the update composes
         # under the oracle gate, not just the single step.
-        walks = G.random_walk_corpus(
-            _customer_graph_edges(spark, sf),
-            walk_length=8,
-            walks_per_vertex=2,
-        )
         return G.sgns_embeddings(
-            G.skipgram_pairs(walks, window=2),
+            _sg_pairs8x2_shared(spark, sf),
             dim=8,
             negatives=2,
             amp=64,
@@ -2051,13 +2070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # floor(freq^0.75 * 8) cumulative-weight ladder — exact integer
         # fourth root via two corrected isqrt's — banded into buckets
         # Spark-side, range-joined oracle-side, identical winners.
-        walks = G.random_walk_corpus(
-            _customer_graph_edges(spark, sf),
-            walk_length=8,
-            walks_per_vertex=2,
-        )
         return G.sgns_embeddings(
-            G.skipgram_pairs(walks, window=2),
+            _sg_pairs8x2_shared(spark, sf),
             dim=8,
             negatives=2,
             amp=64,
@@ -2078,13 +2092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted ladder, and the per-epoch _sgns_sdiv exactness
         # assertion (graph.py) is exercised against epoch-grown
         # magnitudes at the gate, not just in unit tests.
-        walks = G.random_walk_corpus(
-            _customer_graph_edges(spark, sf),
-            walk_length=8,
-            walks_per_vertex=2,
-        )
         return G.sgns_embeddings(
-            G.skipgram_pairs(walks, window=2),
+            _sg_pairs8x2_shared(spark, sf),
             dim=8,
             negatives=2,
             amp=64,
@@ -2105,13 +2114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trained kind='in' vectors — the embedding family's vec_id<10
         # query convention. Oracle chains the walk/SGNS CTEs straight
         # into the consumer's CTE.
-        walks = G.random_walk_corpus(
-            _customer_graph_edges(spark, sf),
-            walk_length=8,
-            walks_per_vertex=2,
-        )
         emb = G.sgns_embeddings(
-            G.skipgram_pairs(walks, window=2),
+            _sg_pairs8x2_shared(spark, sf),
             dim=8,
             negatives=2,
             amp=64,

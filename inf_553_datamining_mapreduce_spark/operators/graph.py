@@ -2151,7 +2151,6 @@ def louvain_moves(
     # degenerate empty graph flows through (labels is empty anyway)
     m = base.agg(F.sum("w")).collect()[0][0] or 0
     labels = deg.select("v", F.col("v").alias("label")).localCheckpoint()
-    w = Window.partitionBy("v").orderBy(F.desc("score"), F.asc("nlabel"))
     for i in range(1, rounds + 1):
         sig = (
             labels.join(deg, "v")
@@ -2194,24 +2193,35 @@ def louvain_moves(
                 ).alias("score"),
             )
         )
-        best = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("v", F.col("nlabel").alias("best"), F.col("score").alias("best_score"))
-        )
-        own = scored.filter(F.col("nlabel") == F.col("cur")).select(
-            "v", F.col("score").alias("own_score")
+        # Argmax by (score DESC, nlabel ASC) and the stay score in ONE
+        # hash aggregate: max(struct(score, -nlabel)) realizes the same
+        # total order the row_number window did (lexicographic struct
+        # max — higher score wins, ties break to the SMALLER nlabel),
+        # and the own-community score rides as a conditional max in the
+        # same pass. This replaces a full sort-exchange window plus a
+        # second scan of `scored` (the own-score filter) plus two
+        # per-round joins with one aggregate + one join — bit-identical
+        # winners (labels are vertex ids >= 0, so -nlabel never
+        # overflows). Guide §2.4: remove shuffles outright.
+        stats = scored.groupBy("v").agg(
+            F.max(
+                F.struct(
+                    F.col("score"), (-F.col("nlabel")).alias("nneg")
+                )
+            ).alias("b"),
+            F.max(
+                F.when(F.col("nlabel") == F.col("cur"), F.col("score"))
+            ).alias("own_score"),
         )
         prev = labels
         labels = _checkpoint_reset_stats(
-            labels.join(best, "v")
-            .join(own, "v")
+            labels.join(stats, "v")
             .select(
                 "v",
                 F.when(
                     ((F.col("v") + F.lit(i)) % 2 == 0)
-                    & (F.col("best_score") > F.col("own_score")),
-                    F.col("best"),
+                    & (F.col("b.score") > F.col("own_score")),
+                    -F.col("b.nneg"),
                 )
                 .otherwise(F.col("label"))
                 .alias("label"),
@@ -3877,28 +3887,41 @@ def sgns_embeddings(
         .localCheckpoint()
     )
     n_vocab = vocab.count()
-    dims = F.array(*[F.lit(d) for d in range(dim)])
 
+    # COLUMNAR vector layout (optimization round 13): embeddings live as
+    # ONE (v, ea: array<long>[dim]) row per vertex instead of dim
+    # (v, d, e) rows. Every arithmetic term is unchanged — the dot
+    # product is the same integer sum over d, each per-(v,d) gradient
+    # sum adds the same sdiv terms — so outputs stay bit-identical (the
+    # Python-mirror tests and the chained-CTE oracles pin this), but an
+    # epoch's join fan-out drops from pairs x dim rows across four
+    # (x, d)-keyed joins + four aggregates to pairs-sized rows across
+    # two vertex-keyed joins + two aggregates, and the dot-product
+    # groupBy disappears entirely (it is a zip_with/aggregate
+    # projection). Guide §2.3/§2.4: fewer exchanges, and the surviving
+    # exchanges carry one array row where they carried dim rows.
     def _init(salt: str) -> DataFrame:
-        return vocab.select("v", F.explode(dims).alias("d")).select(
+        return vocab.select(
             "v",
-            "d",
-            (
-                F.pmod(
-                    _pri60(
-                        F.concat_ws(
-                            ":",
-                            F.col("v").cast("string"),
-                            F.lit(salt),
-                            F.col("d").cast("string"),
+            F.array(
+                *[
+                    (
+                        F.pmod(
+                            _pri60(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("v").cast("string"),
+                                    F.lit(salt),
+                                    F.lit(str(d)),
+                                )
+                            ),
+                            F.lit(2 * a_ + 1),
                         )
-                    ),
-                    F.lit(2 * a_ + 1),
-                )
-                - a_
-            )
-            .cast("long")
-            .alias("e"),
+                        - a_
+                    ).cast("long")
+                    for d in range(dim)
+                ]
+            ).alias("ea"),
         )
 
     # _checkpoint_reset_stats for the release hook (see _step below):
@@ -3918,14 +3941,23 @@ def sgns_embeddings(
         negs = None
 
     n_max = p.agg(F.max("n")).collect()[0][0] or 0
+    # max(|ea[d]|) over the dim elements of one row, as a single
+    # projection — feeds the per-epoch exactness guard.
+    row_max_abs = F.greatest(
+        *[F.abs(F.col("ea")[d]) for d in range(dim)]
+    ) if dim > 1 else F.abs(F.col("ea")[0])
     for _epoch in range(epochs):
         # _sgns_sdiv exactness guard (ADVICE r9): per-term gradients are
         # n·g·emb with g ≤ sig_scale, so floor-div correctness needs
         # max(n)·max|emb| < 2^32 under THIS epoch's (possibly grown)
-        # vectors. One cheap vocab·dim-sized agg per side per epoch.
-        m_abs = max(
-            cur.agg(F.max(F.abs(F.col("e")))).collect()[0][0] or 0
-            for cur in (in_cur, out_cur)
+        # vectors. One vocab-sized agg over BOTH sides (one job, where
+        # the long-format original paid two driver round trips).
+        m_abs = (
+            in_cur.select(row_max_abs.alias("m"))
+            .unionAll(out_cur.select(row_max_abs.alias("m")))
+            .agg(F.max("m"))
+            .collect()[0][0]
+            or 0
         )
         if n_max * m_abs >= (1 << 32):
             raise ValueError(
@@ -3934,70 +3966,70 @@ def sgns_embeddings(
                 f"* max|emb|={m_abs} >= 2^32); lower lr (raise lr_den) "
                 "or epochs"
             )
-        in_c = in_cur.select(
-            F.col("v").alias("c"), "d", F.col("e").alias("iv")
-        )
-        out_x = out_cur.select(
-            F.col("v").alias("x"), "d", F.col("e").alias("ov")
-        )
+        in_a = in_cur.select(F.col("v").alias("c"), F.col("ea").alias("ia"))
+        out_a = out_cur.select(F.col("v").alias("x"), F.col("ea").alias("oa"))
 
-        def _with_sig(df: DataFrame, keys: list[str]) -> DataFrame:
-            # df carries (c, x, n, *keys); keys uniquely identify each
-            # draw so two draws landing on the same vocab vertex stay
-            # distinct rows (multiplicity preserved). Adds the
-            # hard-sigmoid of in[c]·out[x] under the CURRENT epoch's
-            # vectors. The +2*Z0 shift can go negative once updates grow
-            # |emb| past amp — safe: any negative operand lands < 0
-            # under BOTH truncating (Spark div) and floor (DuckDB //)
-            # division, and the greatest(0, ·) clamp maps both to 0.
-            gb = ["c", "x", "n"] + keys
-            return (
-                df.join(in_c, "c")
-                .join(out_x, ["x", "d"])
-                .groupBy(*gb)
-                .agg(F.sum(F.col("iv") * F.col("ov")).alias("z"))
-                .select(
-                    *gb,
-                    F.expr(
-                        f"least({sc_}L, greatest(0L, "
-                        f"((z + {2 * z0}L) * {sc_}L) div {4 * z0}L))"
-                    ).alias("sig"),
-                )
-            )
-
-        pos = _with_sig(p, []).select(
-            "c", "x", "n", (F.lit(sc_) - F.col("sig")).alias("g"),
-            F.lit(1).alias("sgn"),
-        )
+        # One gradient stream: positives (sgn=+1) union negative draws
+        # (sgn=-1, one ROW per draw — two draws landing on the same
+        # vocab vertex stay distinct rows, multiplicity preserved), then
+        # ONE pair of vertex-keyed joins attaches both endpoint vectors.
+        # The hard sigmoid of in[c]·out[x] is a pure projection
+        # (zip_with/aggregate), not a groupBy — the dot-product exchange
+        # of the long format is gone. The +2*Z0 shift can go negative
+        # once updates grow |emb| past amp — safe: any negative operand
+        # lands < 0 under BOTH truncating (Spark div) and floor
+        # (DuckDB //) division, and the greatest(0, ·) clamp maps both
+        # to 0.
+        src = p.select("c", "x", "n", F.lit(1).alias("sgn"))
         if negs is not None:
-            neg = _with_sig(negs, ["x_pos", "j"]).select(
-                "c", "x", "n", F.col("sig").alias("g"),
-                F.lit(-1).alias("sgn"),
+            src = src.unionByName(
+                negs.select("c", "x", "n", F.lit(-1).alias("sgn"))
             )
-            grads = pos.unionByName(neg)
-        else:
-            grads = pos
-        # Δin[c][d] = Σ sgn * floor(n*g*out[x][d] / S); Δout symmetric
-        d_in = (
-            grads.join(out_x, "x")
-            .groupBy("c", "d")
-            .agg(
-                F.sum(
-                    F.expr(f"sgn * {_sgns_sdiv('n * g * ov', sc_)}")
-                ).alias("dd")
+        j1 = (
+            src.join(in_a, "c")
+            .join(out_a, "x")
+            .withColumn(
+                "z",
+                F.aggregate(
+                    F.zip_with("ia", "oa", lambda i, o: i * o),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + t,
+                ),
             )
-            .select(F.col("c").alias("v"), "d", "dd")
+            .withColumn(
+                "sig",
+                F.expr(
+                    f"least({sc_}L, greatest(0L, "
+                    f"((z + {2 * z0}L) * {sc_}L) div {4 * z0}L))"
+                ),
+            )
+            .withColumn(
+                "g",
+                F.when(
+                    F.col("sgn") > 0, F.lit(sc_) - F.col("sig")
+                ).otherwise(F.col("sig")),
+            )
         )
-        d_out = (
-            grads.join(in_c, "c")
-            .groupBy("x", "d")
-            .agg(
+        # Δin[c][d] = Σ sgn * floor(n*g*out[x][d] / S); Δout symmetric.
+        # The endpoint vectors ride ON the gradient row (ia/oa), so no
+        # re-join is needed; per-d sums are dim map-side-combinable
+        # aggregate columns.
+        d_in = j1.groupBy("c").agg(
+            *[
                 F.sum(
-                    F.expr(f"sgn * {_sgns_sdiv('n * g * iv', sc_)}")
-                ).alias("dd")
-            )
-            .select(F.col("x").alias("v"), "d", "dd")
-        )
+                    F.expr(f"sgn * {_sgns_sdiv(f'n * g * oa[{d}]', sc_)}")
+                ).alias(f"dd{d}")
+                for d in range(dim)
+            ]
+        ).withColumnRenamed("c", "v")
+        d_out = j1.groupBy("x").agg(
+            *[
+                F.sum(
+                    F.expr(f"sgn * {_sgns_sdiv(f'n * g * ia[{d}]', sc_)}")
+                ).alias(f"dd{d}")
+                for d in range(dim)
+            ]
+        ).withColumnRenamed("x", "v")
 
         def _step(cur: DataFrame, delta: DataFrame) -> DataFrame:
             # _checkpoint_reset_stats (not a bare localCheckpoint) so the
@@ -4006,12 +4038,17 @@ def sgns_embeddings(
             # the loop's release path was a silent no-op, leaving every
             # epoch's in/out blocks pinned for the session.
             return _checkpoint_reset_stats(
-                cur.join(delta, ["v", "d"], "left").select(
+                cur.join(delta, "v", "left").select(
                     "v",
-                    "d",
-                    F.expr(
-                        f"e + {_sgns_sdiv('coalesce(dd, 0L)', lr_den)}"
-                    ).alias("e"),
+                    F.array(
+                        *[
+                            F.expr(
+                                f"ea[{d}] + "
+                                f"{_sgns_sdiv(f'coalesce(dd{d}, 0L)', lr_den)}"
+                            )
+                            for d in range(dim)
+                        ]
+                    ).alias("ea"),
                 )
             )
 
@@ -4027,8 +4064,7 @@ def sgns_embeddings(
         return cur.select(
             F.lit(kind).alias("kind"),
             F.col("v").alias("id"),
-            "d",
-            F.col("e").alias("emb_fp"),
+            F.posexplode("ea").alias("d", "emb_fp"),
         )
 
     return (

@@ -528,21 +528,30 @@ def _lloyd_loop(
                 "cluster_id"
             ].alias("cluster_id"),
         )
-        counts = (
-            assigned.groupBy("cluster_id")
-            .agg(F.count(F.lit(1)).alias("n_points"))
-            .localCheckpoint()
-        )
+        # ONE aggregate carries both the per-dim sums and the cluster
+        # size (every point contributes a row to every dim, so the
+        # per-(cluster, dim) row count IS the cluster's point count):
+        # the separate counts aggregate + checkpoint job + join of the
+        # earlier shape are gone — bit-identical divisors (r13
+        # optimization round, guide §2.4). ``counts`` is returned LAZY
+        # (it references this iteration's pinned centroid checkpoint),
+        # so only consumers that actually read cluster sizes pay the
+        # one extra assignment pass.
         sums = (
             assigned.select(
                 "cluster_id", F.posexplode("q").alias("dim", "val")
             )
             .groupBy("cluster_id", "dim")
-            .agg(F.sum("val").alias("s"))
+            .agg(
+                F.sum("val").alias("s"),
+                F.count(F.lit(1)).alias("n_points"),
+            )
+        )
+        counts = sums.filter(F.col("dim") == 0).select(
+            "cluster_id", "n_points"
         )
         upd = (
-            sums.join(counts, "cluster_id")
-            .select(
+            sums.select(
                 "cluster_id",
                 "dim",
                 F.expr("s div n_points").alias("v"),
@@ -737,19 +746,22 @@ def _pq_codebooks(
     )
     for _ in range(iters):
         assigned = _pq_assign(subs, cb)
-        counts = assigned.groupBy("sub", "code_id").agg(
-            F.count(F.lit(1)).alias("n_points")
-        )
+        # Count rides the sums aggregate (same one-aggregate merge as
+        # ``_lloyd_loop``): per-(sub, code, dim) row count equals the
+        # code's point count, so the separate counts aggregate + join
+        # are gone — bit-identical divisors.
         sums = (
             assigned.select(
                 "sub", "code_id", F.posexplode("sq").alias("dim", "val")
             )
             .groupBy("sub", "code_id", "dim")
-            .agg(F.sum("val").alias("s"))
+            .agg(
+                F.sum("val").alias("s"),
+                F.count(F.lit(1)).alias("n_points"),
+            )
         )
         upd = (
-            sums.join(counts, ["sub", "code_id"])
-            .select(
+            sums.select(
                 "sub", "code_id", "dim", F.expr("s div n_points").alias("v")
             )
             .groupBy("sub", "code_id")

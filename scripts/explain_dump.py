@@ -1,0 +1,73 @@
+"""Dump ``.explain("formatted")`` for named registered queries.
+
+Optimization-round artifact helper: writes ``plans/<round>/<query>_<tag>.txt``
+for every requested query so plan claims in OPTIMIZATION_r*.md are checkable
+without running Spark. Usage:
+
+    python scripts/explain_dump.py --tag before [--round r13] name [name ...]
+
+``$SPARK_GRAFT_SF_DIR`` picks the data directory (default /root/testdata/sf0.1
+— the scale the driver benches, so size-dependent planning like broadcast
+selection matches the measured runs).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    tag = "before"
+    rnd = "r13"
+    if "--tag" in args:
+        i = args.index("--tag")
+        tag = args[i + 1]
+        del args[i : i + 2]
+    if "--round" in args:
+        i = args.index("--round")
+        rnd = args[i + 1]
+        del args[i : i + 2]
+    names = args
+    if not names:
+        print("usage: explain_dump.py --tag before name [name ...]", file=sys.stderr)
+        sys.exit(2)
+
+    import __spark_entry__ as em
+    from inf_553_datamining_mapreduce_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("explain_dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = em.queries()
+
+    out_dir = os.path.join(REPO, "plans", rnd)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        fn = queries.get(name)
+        if fn is None:
+            print(f"explain: {name}: not registered", file=sys.stderr)
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            text = buf.getvalue()
+        except Exception as exc:  # keep dumping the others
+            text = f"ERROR building plan: {exc}\n"
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(f"-- {name} @ {sf_dir} ({tag})\n")
+            fh.write(text)
+        print(f"explain: wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
