@@ -178,6 +178,30 @@ def _warmup(spark, queries, sf_dir) -> None:
         ).mode("overwrite").save()
     except Exception:
         pass
+    try:
+        # The SGNS trainer's per-epoch plans (gradient join pipeline,
+        # 2·dim-column delta aggregate, unigram34 ladder) carry ~6-8 s
+        # of first-touch Catalyst+codegen cost at sf0.1 — measured r13:
+        # the first weighted trainer in a session read 12.2 s cold vs
+        # 4.4 s on the immediate re-run with zero code change (same
+        # cold/warm convention as the BPE/Lloyd warmups above). A
+        # 4-pair toy at the REGISTERED dim compiles both weighting
+        # paths' shapes.
+        from inf_553_datamining_mapreduce_spark.operators import (
+            graph as _G2,
+        )
+
+        toy_pairs = spark.createDataFrame(
+            [(1, 2, 3), (2, 1, 3), (3, 4, 2), (4, 3, 2)],
+            "center long, context long, n_pairs long",
+        )
+        for wt in ("uniform", "unigram34"):
+            _G2.sgns_embeddings(
+                toy_pairs, dim=8, negatives=2, amp=64, sig_scale=4096,
+                lr_den=16, neg_weighting=wt,
+            ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
 
 # Pinned idle-box reference for the multi-thread canary (seconds). The

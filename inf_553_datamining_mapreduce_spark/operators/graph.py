@@ -3900,35 +3900,38 @@ def sgns_embeddings(
     # groupBy disappears entirely (it is a zip_with/aggregate
     # projection). Guide §2.3/§2.4: fewer exchanges, and the surviving
     # exchanges carry one array row where they carried dim rows.
-    def _init(salt: str) -> DataFrame:
-        return vocab.select(
-            "v",
-            F.array(
-                *[
-                    (
-                        F.pmod(
-                            _pri60(
-                                F.concat_ws(
-                                    ":",
-                                    F.col("v").cast("string"),
-                                    F.lit(salt),
-                                    F.lit(str(d)),
-                                )
-                            ),
-                            F.lit(2 * a_ + 1),
-                        )
-                        - a_
-                    ).cast("long")
-                    for d in range(dim)
-                ]
-            ).alias("ea"),
+    def _init_arr(salt: str) -> "F.Column":
+        return F.array(
+            *[
+                (
+                    F.pmod(
+                        _pri60(
+                            F.concat_ws(
+                                ":",
+                                F.col("v").cast("string"),
+                                F.lit(salt),
+                                F.lit(str(d)),
+                            )
+                        ),
+                        F.lit(2 * a_ + 1),
+                    )
+                    - a_
+                ).cast("long")
+                for d in range(dim)
+            ]
         )
 
-    # _checkpoint_reset_stats for the release hook (see _step below):
-    # epoch 1 supersedes these init frames, and without the handle their
-    # blocks stayed pinned for the session
-    in_cur = _checkpoint_reset_stats(_init("i"))
-    out_cur = _checkpoint_reset_stats(_init("o"))
+    # ONE state table holds both sides — (v, ei, eo) — so each epoch
+    # materializes a single checkpoint (the long-format original paid
+    # two, and the first array form still paid two, each re-deriving
+    # the gradient join pipeline). _checkpoint_reset_stats for the
+    # release hook: each epoch supersedes the previous state, and
+    # without the handle its blocks stayed pinned for the session.
+    state = _checkpoint_reset_stats(
+        vocab.select(
+            "v", _init_arr("i").alias("ei"), _init_arr("o").alias("eo")
+        )
+    )
     if negatives > 0:
         # Fixed draws across epochs (the deterministic convention: the
         # draw key is (c, x_pos, j), unsalted by epoch — documented).
@@ -3941,23 +3944,21 @@ def sgns_embeddings(
         negs = None
 
     n_max = p.agg(F.max("n")).collect()[0][0] or 0
-    # max(|ea[d]|) over the dim elements of one row, as a single
-    # projection — feeds the per-epoch exactness guard.
+    # max |coordinate| over BOTH sides of one state row, as a single
+    # projection — feeds the per-epoch exactness guard in one job.
     row_max_abs = F.greatest(
-        *[F.abs(F.col("ea")[d]) for d in range(dim)]
-    ) if dim > 1 else F.abs(F.col("ea")[0])
+        *(
+            [F.abs(F.col("ei")[d]) for d in range(dim)]
+            + [F.abs(F.col("eo")[d]) for d in range(dim)]
+        )
+    )
     for _epoch in range(epochs):
         # _sgns_sdiv exactness guard (ADVICE r9): per-term gradients are
         # n·g·emb with g ≤ sig_scale, so floor-div correctness needs
         # max(n)·max|emb| < 2^32 under THIS epoch's (possibly grown)
-        # vectors. One vocab-sized agg over BOTH sides (one job, where
-        # the long-format original paid two driver round trips).
+        # vectors. One vocab-sized agg over the single state table.
         m_abs = (
-            in_cur.select(row_max_abs.alias("m"))
-            .unionAll(out_cur.select(row_max_abs.alias("m")))
-            .agg(F.max("m"))
-            .collect()[0][0]
-            or 0
+            state.agg(F.max(row_max_abs)).collect()[0][0] or 0
         )
         if n_max * m_abs >= (1 << 32):
             raise ValueError(
@@ -3966,8 +3967,8 @@ def sgns_embeddings(
                 f"* max|emb|={m_abs} >= 2^32); lower lr (raise lr_den) "
                 "or epochs"
             )
-        in_a = in_cur.select(F.col("v").alias("c"), F.col("ea").alias("ia"))
-        out_a = out_cur.select(F.col("v").alias("x"), F.col("ea").alias("oa"))
+        in_a = state.select(F.col("v").alias("c"), F.col("ei").alias("ia"))
+        out_a = state.select(F.col("v").alias("x"), F.col("eo").alias("oa"))
 
         # One gradient stream: positives (sgn=+1) union negative draws
         # (sgn=-1, one ROW per draw — two draws landing on the same
@@ -3980,13 +3981,13 @@ def sgns_embeddings(
         # lands < 0 under BOTH truncating (Spark div) and floor
         # (DuckDB //) division, and the greatest(0, ·) clamp maps both
         # to 0.
-        src = p.select("c", "x", "n", F.lit(1).alias("sgn"))
+        src_g = p.select("c", "x", "n", F.lit(1).alias("sgn"))
         if negs is not None:
-            src = src.unionByName(
+            src_g = src_g.unionByName(
                 negs.select("c", "x", "n", F.lit(-1).alias("sgn"))
             )
         j1 = (
-            src.join(in_a, "c")
+            src_g.join(in_a, "c")
             .join(out_a, "x")
             .withColumn(
                 "z",
@@ -4012,64 +4013,95 @@ def sgns_embeddings(
         )
         # Δin[c][d] = Σ sgn * floor(n*g*out[x][d] / S); Δout symmetric.
         # The endpoint vectors ride ON the gradient row (ia/oa), so no
-        # re-join is needed; per-d sums are dim map-side-combinable
-        # aggregate columns.
-        d_in = j1.groupBy("c").agg(
+        # re-join is needed. BOTH sides aggregate in ONE exchange: each
+        # gradient row explodes into its (c, side=in) and (x, side=out)
+        # contributions and 2·dim conditional sums keyed by v collect
+        # them — the two separate per-side exchanges (and the second
+        # evaluation of the gradient join pipeline) are gone. Integer
+        # sums over the identical term multiset per (v, d): bit-exact.
+        t_in = F.array(
             *[
-                F.sum(
-                    F.expr(f"sgn * {_sgns_sdiv(f'n * g * oa[{d}]', sc_)}")
-                ).alias(f"dd{d}")
+                F.expr(f"sgn * {_sgns_sdiv(f'n * g * oa[{d}]', sc_)}")
                 for d in range(dim)
             ]
-        ).withColumnRenamed("c", "v")
-        d_out = j1.groupBy("x").agg(
+        )
+        t_out = F.array(
             *[
-                F.sum(
-                    F.expr(f"sgn * {_sgns_sdiv(f'n * g * ia[{d}]', sc_)}")
-                ).alias(f"dd{d}")
+                F.expr(f"sgn * {_sgns_sdiv(f'n * g * ia[{d}]', sc_)}")
                 for d in range(dim)
             ]
-        ).withColumnRenamed("x", "v")
-
-        def _step(cur: DataFrame, delta: DataFrame) -> DataFrame:
-            # _checkpoint_reset_stats (not a bare localCheckpoint) so the
-            # superseded-epoch release below actually has a handle to
-            # fire — a bare checkpoint never attaches _graft_release and
-            # the loop's release path was a silent no-op, leaving every
-            # epoch's in/out blocks pinned for the session.
-            return _checkpoint_reset_stats(
-                cur.join(delta, "v", "left").select(
-                    "v",
-                    F.array(
-                        *[
-                            F.expr(
-                                f"ea[{d}] + "
-                                f"{_sgns_sdiv(f'coalesce(dd{d}, 0L)', lr_den)}"
-                            )
-                            for d in range(dim)
-                        ]
-                    ).alias("ea"),
+        )
+        sided = j1.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("c").alias("v"),
+                        F.lit(0).alias("side"),
+                        t_in.alias("t"),
+                    ),
+                    F.struct(
+                        F.col("x").alias("v"),
+                        F.lit(1).alias("side"),
+                        t_out.alias("t"),
+                    ),
                 )
+            ).alias("s")
+        ).select("s.v", "s.side", "s.t")
+        delta = sided.groupBy("v").agg(
+            *(
+                [
+                    F.sum(
+                        F.when(F.col("side") == 0, F.col("t")[d])
+                    ).alias(f"di{d}")
+                    for d in range(dim)
+                ]
+                + [
+                    F.sum(
+                        F.when(F.col("side") == 1, F.col("t")[d])
+                    ).alias(f"do{d}")
+                    for d in range(dim)
+                ]
             )
+        )
 
-        prev_in, prev_out = in_cur, out_cur
-        in_cur = _step(in_cur, d_in)
-        out_cur = _step(out_cur, d_out)
-        for frame in (prev_in, prev_out):
-            release = getattr(frame, "_graft_release", None)
-            if release is not None:
-                release()
+        prev = state
+        state = _checkpoint_reset_stats(
+            state.join(delta, "v", "left").select(
+                "v",
+                F.array(
+                    *[
+                        F.expr(
+                            f"ei[{d}] + "
+                            f"{_sgns_sdiv(f'coalesce(di{d}, 0L)', lr_den)}"
+                        )
+                        for d in range(dim)
+                    ]
+                ).alias("ei"),
+                F.array(
+                    *[
+                        F.expr(
+                            f"eo[{d}] + "
+                            f"{_sgns_sdiv(f'coalesce(do{d}, 0L)', lr_den)}"
+                        )
+                        for d in range(dim)
+                    ]
+                ).alias("eo"),
+            )
+        )
+        release = getattr(prev, "_graft_release", None)
+        if release is not None:
+            release()
 
-    def _kind(cur: DataFrame, kind: str) -> DataFrame:
-        return cur.select(
+    def _kind(col_name: str, kind: str) -> DataFrame:
+        return state.select(
             F.lit(kind).alias("kind"),
             F.col("v").alias("id"),
-            F.posexplode("ea").alias("d", "emb_fp"),
+            F.posexplode(col_name).alias("d", "emb_fp"),
         )
 
     return (
-        _kind(in_cur, "in")
-        .unionByName(_kind(out_cur, "out"))
+        _kind("ei", "in")
+        .unionByName(_kind("eo", "out"))
         .orderBy("kind", "id", "d")
     )
 

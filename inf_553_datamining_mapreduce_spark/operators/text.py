@@ -1470,7 +1470,7 @@ def _bpe_word_table(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _bpe_merge_fold(lhs: str, rhs: str) -> Column:
+def _bpe_merge_fold(lhs: str, rhs: str, syms: Column | None = None) -> Column:
     """Greedy left-to-right non-overlapping merge of the adjacent symbol
     pair (lhs, rhs), as a single ``aggregate`` fold over ``syms`` with a
     space-joined string accumulator: if the accumulator's LAST symbol is
@@ -1480,11 +1480,13 @@ def _bpe_merge_fold(lhs: str, rhs: str) -> Column:
     merges once, ``a b a b`` under (a,b) merges twice — and the identical
     ``list_reduce`` runs in the DuckDB oracle, so merge application is
     proven cross-engine. Pure projection: no shuffle, no UDF."""
+    if syms is None:
+        syms = F.col("syms")
     return F.aggregate(
         F.slice(
-            "syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))
+            syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))
         ),
-        F.element_at("syms", 1),
+        F.element_at(syms, 1),
         lambda acc, x: F.when(
             (x == F.lit(rhs))
             & ((acc == F.lit(lhs)) | acc.endswith(F.lit(" " + lhs))),
@@ -1633,9 +1635,22 @@ def apply_bpe_merges(
         )
         .localCheckpoint()
     )
-    for lhs, rhs in merges:
+    # Folds CHAIN inside one projection, checkpointing every 4 merges
+    # instead of per merge (r13 optimization round): each fold is a
+    # pure expression over the previous fold's output, so composing 4
+    # in one select is value-identical while cutting the per-merge
+    # materialization jobs 4x. The learner keeps per-merge checkpoints
+    # (it must collect the argmax between folds); only APPLY, where the
+    # whole merge list is known up front, can chain.
+    _CHUNK = 4
+    for i in range(0, len(merges), _CHUNK):
+        syms_expr = F.col("syms")
+        for lhs, rhs in merges[i : i + _CHUNK]:
+            syms_expr = F.split(
+                _bpe_merge_fold(lhs, rhs, syms_expr), " "
+            )
         words = words.select(
-            "word", F.split(_bpe_merge_fold(lhs, rhs), " ").alias("syms")
+            "word", syms_expr.alias("syms")
         ).localCheckpoint()
     sized = words.select("word", F.size("syms").alias("n_syms"))
     per_doc = (

@@ -28,6 +28,21 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # customer, supplier, part) are all broadcast-able at every tested SF, and
     # at 100 TB the fact tables never are, so a generous threshold is right.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Generated-class cache (STATIC conf — only effective at context
+    # build). The default LRU holds 100 generated classes while a full
+    # registry sweep compiles thousands of codegen units, so by the time
+    # a query's sibling runs (the SGNS family, the incremental twins,
+    # every fixed-iteration loop whose epochs share one generated shape)
+    # its classes have been evicted and Janino recompiles them —
+    # measured r13: immediately re-running the weighted SGNS trainer in
+    # one session read 4.4 s vs 12.2 s cold with zero code change, and
+    # the same cold/warm gap (0.5-8 s) shows on every deep-plan query.
+    # Classes are a few KB-100 KB each, so 8192 entries bound the
+    # driver cost at a few hundred MB — sane on any driver that runs
+    # more than a handful of distinct queries, not a local[32] tune.
+    "spark.sql.codegen.cache.maxEntries": os.environ.get(
+        "SPARK_GRAFT_CODEGEN_CACHE", "8192"
+    ),
     # Keep timestamps deterministic across Spark and DuckDB oracles.
     "spark.sql.session.timeZone": "UTC",
     # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
