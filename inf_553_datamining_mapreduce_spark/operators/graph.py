@@ -1797,16 +1797,24 @@ def label_propagation(edges: DataFrame, rounds: int = 5) -> DataFrame:
         .select("v", F.col("v").alias("label"))
         .localCheckpoint()
     )
-    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(rounds):
         nb = sym.join(
             labels.withColumnRenamed("v", "dst"), "dst"
         ).select(F.col("src").alias("v"), "label")
         cnt = nb.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        # Argmax by (c DESC, label ASC) as one partial-aggregatable
+        # max(struct(c, -label)) — same total order as the row_number
+        # window this replaces (labels are vertex ids >= 0), without
+        # the per-round sort exchange (r13 optimization round, the
+        # louvain_moves rewrite applied here).
         labels = (
-            cnt.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("v", "label")
+            cnt.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("lneg"))
+                ).alias("b")
+            )
+            .select("v", (-F.col("b.lneg")).alias("label"))
             .localCheckpoint()
         )
     return labels.select(
@@ -2064,11 +2072,24 @@ def incremental_community_assignment(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("v").orderBy(F.desc("score"), F.asc("community"))
+    # Argmax by (score DESC, community ASC) as one hash-partial
+    # aggregate — max(struct(score, -community)) realizes the same
+    # total order the row_number window did (community ids are vertex
+    # ids >= 0, so the negation never overflows); the strictly-positive
+    # gate applies to the winner's score afterwards. Same rewrite as
+    # louvain_moves (r13 optimization round): map-side partial max
+    # replaces a full sort exchange of the scored rows.
     best = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col("score") > 0))
-        .select("v", F.col("community").alias("assigned"))
+        scored.groupBy("v")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"), (-F.col("community")).alias("cneg")
+                )
+            ).alias("b")
+        )
+        .filter(F.col("b.score") > 0)
+        .select("v", (-F.col("b.cneg")).alias("assigned"))
     )
     return (
         newv.join(best, "v", "left")

@@ -845,13 +845,24 @@ def most_common_event_per_user(events: DataFrame) -> DataFrame:
     counts = events.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("n_events").desc(), F.col("event_type").asc()
-    )
+    # The mode argmax — (n_events DESC, event_type ASC) — as ONE
+    # partial-aggregatable min(struct(-n_events, event_type)) instead
+    # of a row_number window: identical winner under the same total
+    # order, no per-user sort exchange (r13 optimization round).
     return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "n_events")
+        counts.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_events")).alias("nn"), F.col("event_type")
+                )
+            ).alias("b")
+        )
+        .select(
+            "user_id",
+            F.col("b.event_type").alias("event_type"),
+            (-F.col("b.nn")).alias("n_events"),
+        )
         .orderBy("user_id")
     )
 
