@@ -458,12 +458,26 @@ def main() -> None:
         release_session_blocks,
     )
 
+    queries = em.queries()
+
+    # $SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts THIS RUN to a named
+    # subset — a harness knob for the contract smoke test and the sf1
+    # heavy-subset scaling bracket (r13 verdict item 3), never set by
+    # the driver (whose runs always time the full registry). Unknown
+    # names fail loudly (before paying session startup) rather than
+    # silently shrinking the subset.
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        keep = [n.strip() for n in only.split(",") if n.strip()]
+        missing = [n for n in keep if n not in queries]
+        if missing:
+            raise SystemExit(f"bench: unknown queries in subset: {missing}")
+        queries = {n: queries[n] for n in keep}
+
     # Console progress bars write \r-frames to stdout; showConsoleProgress
     # is disabled in session.DEFAULT_CONFIGS (core conf — set at build).
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-
-    queries = em.queries()
 
     _warmup(spark, queries, sf_dir)
 

@@ -2,9 +2,10 @@
 
 Optimization-round artifact helper: writes ``plans/<round>/<query>_<tag>.txt``
 for every requested query so plan claims in OPTIMIZATION_r*.md are checkable
-without running Spark. Usage:
+by READING the committed dumps (producing them runs Spark — the iterative
+query builders collect/checkpoint during plan construction). Usage:
 
-    python scripts/explain_dump.py --tag before [--round r13] name [name ...]
+    python scripts/explain_dump.py --tag before [--round r14] name [name ...]
 
 ``$SPARK_GRAFT_SF_DIR`` picks the data directory (default /root/testdata/sf0.1
 — the scale the driver benches, so size-dependent planning like broadcast
@@ -23,21 +24,16 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    tag = "before"
-    rnd = "r13"
-    if "--tag" in args:
-        i = args.index("--tag")
-        tag = args[i + 1]
-        del args[i : i + 2]
-    if "--round" in args:
-        i = args.index("--round")
-        rnd = args[i + 1]
-        del args[i : i + 2]
-    names = args
-    if not names:
-        print("usage: explain_dump.py --tag before name [name ...]", file=sys.stderr)
-        sys.exit(2)
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="dump .explain('formatted') for registered queries"
+    )
+    ap.add_argument("--tag", default="before")
+    ap.add_argument("--round", dest="rnd", default="r14")
+    ap.add_argument("names", nargs="+")
+    ns = ap.parse_args()
+    tag, rnd, names = ns.tag, ns.rnd, ns.names
 
     import __spark_entry__ as em
     from inf_553_datamining_mapreduce_spark.session import get_spark
