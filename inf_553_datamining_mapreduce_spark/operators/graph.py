@@ -1448,8 +1448,16 @@ def girvan_newman_fixedpoint(
     lab = ks.crossJoin(verts).select(
         "k", "v", F.col("v").alias("lbl")
     ).localCheckpoint()
-    for _ in range(label_rounds):
-        nbr = (
+    for r in range(label_rounds):
+        # min over own + neighbor labels in ONE aggregate (r14, guide
+        # §2.4): the previous shape aggregated neighbor minima and then
+        # LEFT-JOINED them back onto ``lab`` (one more exchange of the
+        # state table per round). Unioning the own-label rows into the
+        # same (k, v)-keyed aggregate computes the identical value —
+        # min(lbl, min neighbor lbl) = min over the union, and a vertex
+        # with no remaining edges keeps its own label via its union row
+        # (exactly what the old coalesce did).
+        cand = (
             symr.join(
                 lab.select(
                     F.col("k").alias("nk"),
@@ -1458,27 +1466,29 @@ def girvan_newman_fixedpoint(
                 ),
                 (F.col("k") == F.col("nk")) & (F.col("dst") == F.col("nv")),
             )
-            .groupBy("k", F.col("src").alias("v"))
-            .agg(F.min("nlbl").alias("nm"))
+            .select("k", F.col("src").alias("v"), F.col("nlbl").alias("c"))
+            .unionAll(lab.select("k", "v", F.col("lbl").alias("c")))
         )
-        a = lab.join(nbr, ["k", "v"], "left").select(
-            "k", "v", F.least("lbl", F.coalesce("nm", "lbl")).alias("lbl")
-        )
+        a = cand.groupBy("k", "v").agg(F.min("c").alias("lbl"))
         # pointer jump: lbl'(v) = lbl(lbl(v)) — labels are always vertex
         # ids of the same k-slice, so the mapping join is total (inner).
         mapping = a.select(
             F.col("k").alias("mk"), F.col("v").alias("mv"), F.col("lbl").alias("mlbl")
         )
-        # stats-resetting checkpoint: lab references itself 3x per round
-        # (neighbor join + pointer-jump self-join), so plain
-        # localCheckpoint compounds the size estimate 3^rounds-fold —
-        # the BigInt statistics trap documented at _checkpoint_reset_stats
-        lab = _checkpoint_reset_stats(
-            a.join(
-                mapping,
-                (F.col("k") == F.col("mk")) & (F.col("lbl") == F.col("mv")),
-            ).select("k", "v", F.col("mlbl").alias("lbl"))
-        )
+        lab = a.join(
+            mapping,
+            (F.col("k") == F.col("mk")) & (F.col("lbl") == F.col("mv")),
+        ).select("k", "v", F.col("mlbl").alias("lbl"))
+        # stats-resetting checkpoint EVERY OTHER round (r14): lab is
+        # referenced 3x per round (neighbor join, union, jump self-join),
+        # so the unchecked plan grows ~3x per round — two rounds (~9
+        # subtrees over k-sliced tables this small) evaluate faster than
+        # the extra checkpoint job they replace (measured: 8 checkpoints
+        # 5.9 s, every-2 4.6 s, every-4 — 27 subtrees — 9.3 s; the same
+        # BigInt statistics trap documented at _checkpoint_reset_stats
+        # still caps the depth).
+        if (r + 1) % 2 == 0 or r == label_rounds - 1:
+            lab = _checkpoint_reset_stats(lab)
 
     deg0 = (
         e.select(F.col("src").alias("v"))

@@ -15,6 +15,20 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _shuffle_exchanges(plan: str) -> int:
+    """Hashpartitioning exchanges EXCLUDING the reader's deliberate
+    small-scan distribution (REPARTITION_BY_NUM — the r14
+    single-row-group split in read_parquet_table, a no-op on
+    real-deployment-sized inputs). The counts below audit the
+    aggregation/join shuffles the operators themselves introduce."""
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and "REPARTITION_BY_NUM" not in line
+    )
+
+
 def test_contamination_broadcasts_eval_side(spark, sf_dir):
     from inf_553_datamining_mapreduce_spark.operators.dedup import (
         benchmark_contamination,
@@ -37,9 +51,15 @@ def test_winnow_plan_has_no_aggregation_shuffle(spark, sf_dir):
     d = read_parquet_table(spark, sf_dir, "documents")
     plan = _plan(winnow_fingerprints_df(d))
     # Winnowing is per-document narrow work: hash, window-min, explode. The
-    # ONLY exchange allowed is the final presentation sort's range
-    # partitioning — any hashpartitioning exchange means a shuffle crept in.
-    assert "Exchange hashpartitioning" not in plan, plan
+    # only exchanges allowed are the final presentation sort's range
+    # partitioning and the reader's deliberate small-scan distribution
+    # (REPARTITION_BY_NUM — the r14 single-row-group split in
+    # read_parquet_table, which never fires on real-deployment-sized
+    # inputs). Any ENSURE_REQUIREMENTS hashpartitioning exchange means an
+    # aggregation/join shuffle crept into the per-document pipeline.
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "REPARTITION_BY_NUM" in line, plan
 
 
 def test_pricing_summary_pushes_filter_to_scan(spark, sf_dir):
@@ -94,7 +114,7 @@ def test_cms_sketch_is_single_pass(spark, sf_dir):
 
     ev = read_parquet_table(spark, sf_dir, "events")
     plan = _plan(cms_sketch(ev, "user_id"))
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert _shuffle_exchanges(plan) == 1, plan
     assert "Join" not in plan, plan
 
 
@@ -310,7 +330,7 @@ def test_supplier_part_pareto_is_single_shuffle(spark, sf_dir):
 
     li = read_parquet_table(spark, sf_dir, "lineitem")
     plan = _plan(supplier_part_pareto(li))
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert _shuffle_exchanges(plan) == 1, plan
 
 
 def test_training_batches_has_no_single_partition_exchange(spark, sf_dir):
@@ -466,7 +486,7 @@ def test_qsketch_registers_single_pass_map_side(spark, sf_dir):
     o = read_parquet_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     plan = _plan(qsketch_registers(o, cents, ("o_orderstatus",)))
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert _shuffle_exchanges(plan) == 1, plan
     assert "HashAggregate" in plan
     assert "Join" not in plan and "Window" not in plan, plan
 
