@@ -1515,7 +1515,29 @@ def semantic_dedup_keep_best(
         .withColumn("n2", sq)
         .localCheckpoint()
     )
-    a, b = pts.alias("a"), pts.alias("b")
+    # The pair join is keyed by cluster_id alone, so its parallelism is
+    # capped at k — at the registered k=8 the n^2/k dot-product work ran
+    # on <= 8 tasks no matter the cluster size (guide §2.5: a hot key the
+    # planner cannot split). Salt the join: the b side carries a
+    # deterministic pmod(vec_id, salt) bucket, the a side is replicated
+    # to every bucket, and the join key becomes (cluster_id, salt) —
+    # every (a, b) pair still matches EXACTLY once (at b's bucket), so
+    # the pair set and all downstream results are identical while the
+    # dot-product work spreads over k x salt tasks. Salt is derived from
+    # the session's parallelism and k (scale-adaptive): at the paper's
+    # k ~ sqrt(n) regime it degenerates to 1 and the plan is unchanged.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    salt = max(1, min(16, -(-2 * par // max(k, 1))))
+    a = pts.crossJoin(
+        F.broadcast(
+            embeddings.sparkSession.range(salt).select(
+                F.col("id").alias("_salt")
+            )
+        )
+    ).alias("a")
+    b = pts.withColumn("_salt", F.pmod(F.col("vec_id"), F.lit(salt))).alias(
+        "b"
+    )
     dot = F.aggregate(
         F.zip_with(F.col("a.p"), F.col("b.p"), lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -1525,6 +1547,7 @@ def semantic_dedup_keep_best(
         a.join(
             b,
             (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -1663,14 +1686,35 @@ def incremental_semantic_dedup(
             ),
         )
     )
-    a, b = probe.alias("a"), pts.alias("b")
+    # Same cluster-key salt as the batch operator (guide §2.5): the
+    # probe side replicates to every bucket, the indexed side buckets by
+    # pmod(vec_id, salt) — every (probe, indexed) pair still meets
+    # exactly once, the probe-vs-cluster work spreads over k x salt
+    # tasks instead of k. Stream-safe: the salt column is a pure per-row
+    # projection on each side.
+    par = new_embeddings.sparkSession.sparkContext.defaultParallelism
+    salt = max(1, min(16, -(-2 * par // max(k, 1))))
+    a = probe.crossJoin(
+        F.broadcast(
+            new_embeddings.sparkSession.range(salt).select(
+                F.col("id").alias("_salt")
+            )
+        )
+    ).alias("a")
+    b = pts.withColumn("_salt", F.pmod(F.col("vec_id"), F.lit(salt))).alias(
+        "b"
+    )
     dot = F.aggregate(
         F.zip_with(F.col("a.p"), F.col("b.p"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     hits = (
-        a.join(b, F.col("a.cluster_id") == F.col("b.cluster_id"))
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a._salt") == F.col("b._salt")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_id"),
             dot.alias("dot"),
